@@ -1,0 +1,99 @@
+"""Envelope / source / sink surface as oracle-checkable batch queries.
+
+Covers the reference's CLI emission modes and start positions:
+- K1 `-format data|partition-key|sequence` (`/root/reference/main.go:68-83`)
+- K2 `-separator` / `-0` (`main.go:35-36, 47-49, 103`)
+- S2 start positions AT/AFTER_SEQUENCE_NUMBER as sargable predicates
+  (`worker/worker.go:148-169`) — the batch twin of the streaming option.
+
+Note the reference prints the *pointer* for partition-key/sequence formats
+(`main.go:79,81` — a fidelity bug); we implement the intended semantics
+(the value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.envelope import events_as_records
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.registry import query
+
+# DuckDB twin of the envelope mapping (sequence zero-padded to 20).
+_ENVELOPE_CTE = """
+WITH records AS (
+  SELECT
+    props AS data_str,
+    CAST(user_id AS VARCHAR) AS partitionKey,
+    LPAD(CAST(event_id AS VARCHAR), 20, '0') AS sequenceNumber,
+    ts AS approximateArrivalTimestamp
+  FROM events
+)
+"""
+
+
+@query(
+    "envelope_format_data",
+    oracle=_ENVELOPE_CTE + "SELECT data_str AS record FROM records",
+)
+def format_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 `-format data`: emit the payload bytes decoded as UTF-8."""
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    return records.select(F.decode(F.col("data"), "UTF-8").alias("record"))
+
+
+@query(
+    "envelope_format_partition_key",
+    oracle=_ENVELOPE_CTE + "SELECT partitionKey AS record FROM records",
+)
+def format_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 `-format partition-key`: emit the partition key value."""
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    return records.select(F.col("partitionKey").alias("record"))
+
+
+@query(
+    "envelope_format_sequence",
+    oracle=_ENVELOPE_CTE + "SELECT sequenceNumber AS record FROM records",
+)
+def format_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 `-format sequence`: emit the sequence number value."""
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    return records.select(F.col("sequenceNumber").alias("record"))
+
+
+@query(
+    "envelope_emit_separated",
+    oracle=_ENVELOPE_CTE + "SELECT data_str || '|' AS record FROM records",
+)
+def emit_separated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 `-separator`: record + separator, ready for a byte-stream sink."""
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    return records.select(
+        F.concat(F.decode(F.col("data"), "UTF-8"), F.lit("|")).alias("record")
+    )
+
+
+@query(
+    "envelope_start_after_sequence",
+    oracle=_ENVELOPE_CTE
+    + """
+SELECT sequenceNumber, data_str
+FROM records
+WHERE sequenceNumber > LPAD('5000', 20, '0')
+""",
+)
+def start_after_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 AFTER_SEQUENCE_NUMBER as a sargable predicate.
+
+    Zero-padded sequence strings compare lexicographically == numerically,
+    so the filter pushes down to the parquet scan (PushedFilters shows a
+    GreaterThan on the source column) instead of needing a post-scan cast.
+    """
+    from kinesiscat_spark.envelope import sequence_number
+
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    return records.filter(
+        F.col("sequenceNumber") > sequence_number(F.lit(5000))
+    ).select("sequenceNumber", F.decode(F.col("data"), "UTF-8").alias("data_str"))

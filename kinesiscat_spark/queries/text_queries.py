@@ -1,0 +1,80 @@
+"""Text-analysis queries over `documents` (extension surface X5).
+
+All formulas are pure built-in column expressions (JVM-side, codegen) with
+exact DuckDB SQL twins. Heavier operators (language-ID, fingerprinting) live
+in kinesiscat_spark.operators.text and register separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.registry import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "text_token_count",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tokens, LENGTH(text) AS nc
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(LEN(tokens) AS BIGINT) AS n_tokens,
+  ROUND(CAST(LEN(list_filter(tokens, t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+        / LEN(tokens), 4) AS stopword_ratio,
+  ROUND(CAST(nc AS DOUBLE) / LEN(tokens), 4) AS avg_token_len,
+  ROUND(LEAST(1.0, LEN(tokens) / 64.0)
+        * (0.5 + 0.5 * LEAST(1.0, CAST(LEN(list_filter(tokens, t -> t IN {_STOPWORDS!r})) AS DOUBLE) / LEN(tokens) * 10)), 4)
+    AS quality_score
+FROM tok
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation x stopword-density factor.
+
+    Mirrors the usual pretraining quality gates (C4/Gopher-style): documents
+    long enough and containing function words score higher. All math is
+    integer/double column expressions — no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * (
+        0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 10)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(quality, 4).alias("quality_score"),
+    )

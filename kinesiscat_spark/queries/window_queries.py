@@ -1,0 +1,151 @@
+"""Event-time windowing / sessionization batch twins (extension surface X7).
+
+The streaming forms (window/session_window + watermark) live in
+kinesiscat_spark.streaming; these batch twins share semantics and have exact
+SQL oracles. Timestamps are compared as epoch microseconds (exact integer
+math on both engines; session tz is UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.registry import query
+
+_TUMBLING_ORACLE = """
+SELECT
+  STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: 1-hour tumbling event-time window aggregation.
+
+    F.window is epoch-aligned, matching DuckDB time_bucket. In streaming
+    form this is readStream + withWatermark("ts", ...) + the same groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT
+    user_id,
+    epoch_us(ts) AS ts_us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+         OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT
+    user_id,
+    ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT
+  user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionization", oracle=_SESSION_ORACLE)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: gap-based sessionization (30-min inactivity gap) per user.
+
+    Batch twin of session_window: one shuffle on user_id serves both window
+    functions and the final aggregation (same partitioning reused across
+    stages — no second exchange at scale).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_new = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(cum)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+_TOPK_ORACLE = """
+WITH totals AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 2) AS total_value
+  FROM events
+  GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT
+    event_type, user_id, total_value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY total_value DESC, user_id) AS rank
+  FROM totals
+)
+SELECT event_type, user_id, total_value, CAST(rank AS BIGINT) AS rank
+FROM ranked
+WHERE rank <= 5
+"""
+
+
+@query("events_topk_users_per_type", oracle=_TOPK_ORACLE)
+def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-style top-k per group: top-5 users by total value per event type.
+
+    rank <= k filters on a window — Spark pushes the limit into the sort
+    within each partition (WindowGroupLimit in Spark 3.5+/4.x), so no full
+    sort of the grouped data happens at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
