@@ -57,8 +57,10 @@ def jmespath_udf(expression: str):
 
     compiled = compile_expr(expression)
 
-    @F.pandas_udf(T.StringType())
-    def _eval(payload: pd.Series) -> pd.Series:
+    def _eval(payload):
         return payload.map(compiled.search_json, na_action="ignore")
 
-    return _eval
+    # explicit annotations: `from __future__ import annotations` would turn
+    # inline hints into strings pandas_udf can't resolve
+    _eval.__annotations__ = {"payload": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_eval, T.StringType())

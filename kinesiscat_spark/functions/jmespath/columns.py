@@ -1,0 +1,712 @@
+"""JMESPath AST → native Spark Column compiler (the hot path).
+
+Compiles the statically-typeable subset of JMESPath straight to Catalyst
+Column trees — JVM-side, inside whole-stage codegen, no Python in the loop.
+The input is a *typed* column (e.g. the struct produced by ``from_json``);
+the compiler threads Spark DataTypes through the AST, resolving every node's
+output type at plan time. Any construct whose type can't be resolved
+statically raises ``NotColumnCompilable`` and the caller falls back to the
+Arrow-batched pandas UDF (``api.jmespath_udf``), mirroring how the dynamic
+reference interpreter behaves on arbitrary JSON
+(`/root/reference/vendor/github.com/jmespath/go-jmespath/interpreter.go`).
+
+Key semantic bridges (SURVEY §1.3, §2.2):
+- truthiness: false/null/''/[]/{} falsy, 0 truthy → per-type boolean Column;
+- `a || b` / `a && b` are value-returning, not boolean;
+- `==` is null-safe deep equality (null == null is true);
+- ordering comparators yield null unless both sides are numbers;
+- missing struct fields compile to typed NULL literals, never errors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesiscat_spark.functions.jmespath.errors import (
+    InvalidArityError,
+    NotColumnCompilable,
+    UnknownFunctionError,
+)
+from kinesiscat_spark.functions.jmespath.parser import Node, parse
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _is_num(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC)
+
+
+@dataclass(frozen=True)
+class Typed:
+    """A Column plus its statically-known Spark type."""
+
+    col: Column
+    dtype: T.DataType
+
+
+def _null(dtype: T.DataType = T.NullType()) -> Typed:
+    return Typed(F.lit(None).cast(dtype), dtype)
+
+
+def truthy(tc: Typed) -> Column:
+    """JMESPath truthiness as a non-null BooleanType Column."""
+    dt = tc.dtype
+    if isinstance(dt, T.NullType):
+        return F.lit(False)
+    if isinstance(dt, T.BooleanType):
+        return tc.col.eqNullSafe(F.lit(True))
+    if isinstance(dt, T.StringType):
+        return tc.col.isNotNull() & (F.length(tc.col) > 0)
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return tc.col.isNotNull() & (F.size(tc.col) > 0)
+    if isinstance(dt, T.StructType):
+        return tc.col.isNotNull() if dt.fields else F.lit(False)
+    # numbers (0 included) and anything else non-null are truthy
+    return tc.col.isNotNull()
+
+
+def _unify(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common type for value-returning or/and + multiselect lists."""
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if _is_num(a) and _is_num(b):
+        if T.DoubleType() in (a, b) or T.FloatType() in (a, b):
+            return T.DoubleType()
+        return T.LongType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        elem = _unify(a.elementType, b.elementType)
+        return T.ArrayType(elem) if elem is not None else None
+    return None
+
+
+def _coerce(tc: Typed, target: T.DataType) -> Typed:
+    if tc.dtype == target:
+        return tc
+    return Typed(tc.col.cast(target), target)
+
+
+class ColumnCompiler:
+    def compile(self, node: Node, doc: Typed) -> Typed:
+        method = getattr(self, f"_c_{node.type}", None)
+        if method is None:
+            raise NotColumnCompilable(f"no column compilation for {node.type}")
+        return method(node, doc)
+
+    # --- structure traversal ---------------------------------------------
+    def _c_field(self, node: Node, doc: Typed) -> Typed:
+        name = node.value
+        dt = doc.dtype
+        if isinstance(dt, T.StructType):
+            if name in dt.fieldNames():
+                f = dt[name]
+                return Typed(doc.col.getField(name), f.dataType)
+            return _null()  # missing key -> null (jp/interpreter.go:78-83)
+        if isinstance(dt, T.MapType) and isinstance(dt.keyType, T.StringType):
+            return Typed(F.try_element_at(doc.col, F.lit(name)), dt.valueType)
+        if isinstance(dt, T.NullType):
+            return _null()
+        return _null()  # field access on non-object -> null
+
+    def _c_subexpression(self, node: Node, doc: Typed) -> Typed:
+        left, right = node.children
+        return self.compile(right, self.compile(left, doc))
+
+    _c_pipe = _c_subexpression
+    _c_index_expression = _c_subexpression
+
+    def _c_identity(self, node: Node, doc: Typed) -> Typed:
+        return doc
+
+    def _c_index(self, node: Node, doc: Typed) -> Typed:
+        dt = doc.dtype
+        if isinstance(dt, T.NullType):
+            return _null()
+        if not isinstance(dt, T.ArrayType):
+            return _null()
+        i = node.value
+        # element_at is 1-based; negative counts from the end in both systems.
+        spark_i = i + 1 if i >= 0 else i
+        return Typed(F.try_element_at(doc.col, F.lit(spark_i)), dt.elementType)
+
+    def _c_slice(self, node: Node, doc: Typed) -> Typed:
+        dt = doc.dtype
+        if not isinstance(dt, T.ArrayType):
+            return _null()
+        start, stop, step = node.value
+        step = 1 if step is None else step
+        if step == 0:
+            raise NotColumnCompilable("slice step 0 is invalid")
+        n = F.size(doc.col)
+
+        def resolve(v, default_lo, default_hi):
+            # python-style bound resolution against runtime length n
+            if v is None:
+                return default_lo if step > 0 else default_hi
+            c = F.lit(v)
+            if v < 0:
+                c = c + n
+            lo = F.lit(-1) if step < 0 else F.lit(0)
+            return F.greatest(lo, F.least(c, n if step > 0 else n - 1))
+
+        if step > 0:
+            lo = resolve(start, F.lit(0), None)
+            hi = resolve(stop, n, None)
+            keep = lambda i: (i >= lo) & (i < hi) & (((i - lo) % step) == 0)  # noqa: E731
+            out = F.filter(doc.col, lambda x, i: keep(i))
+        else:
+            hi = resolve(start, None, n - 1)  # first index taken (from top)
+            lo = resolve(stop, None, F.lit(-1))  # exclusive lower bound
+            keep = lambda i: (i <= hi) & (i > lo) & (((hi - i) % (-step)) == 0)  # noqa: E731
+            out = F.reverse(F.filter(doc.col, lambda x, i: keep(i)))
+        return Typed(out, dt)
+
+    # --- projections ------------------------------------------------------
+    def _lambda_body(self, rhs: Node, elem_type: T.DataType):
+        """Compile `rhs` as a function of a lambda variable of elem_type.
+
+        Returns (fn, result_type): result_type is resolved by compiling once
+        against a placeholder; Spark lambda variables are only materialized
+        inside the HOF call, so we compile per invocation.
+        """
+        probe = self.compile(rhs, Typed(F.lit(None).cast(elem_type), elem_type))
+
+        def fn(x: Column) -> Column:
+            return self.compile(rhs, Typed(x, elem_type)).col
+
+        return fn, probe.dtype
+
+    def _c_projection(self, node: Node, doc: Typed) -> Typed:
+        left, right = node.children
+        base = self.compile(left, doc)
+        dt = base.dtype
+        if isinstance(dt, T.NullType):
+            return _null()
+        if not isinstance(dt, T.ArrayType):
+            return _null()
+        fn, rtype = self._lambda_body(right, dt.elementType)
+        mapped = F.transform(base.col, fn)
+        kept = F.filter(mapped, lambda r: r.isNotNull())
+        return Typed(kept, T.ArrayType(rtype))
+
+    def _c_value_projection(self, node: Node, doc: Typed) -> Typed:
+        left, right = node.children
+        base = self.compile(left, doc)
+        dt = base.dtype
+        if isinstance(dt, T.MapType):
+            fn, rtype = self._lambda_body(right, dt.valueType)
+            mapped = F.transform(F.map_values(base.col), fn)
+            return Typed(F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype))
+        if isinstance(dt, T.StructType):
+            # static object: project each field value through rhs
+            outs = []
+            rtypes = []
+            for f in dt.fields:
+                r = self.compile(
+                    node.children[1], Typed(base.col.getField(f.name), f.dataType)
+                )
+                outs.append(r)
+                rtypes.append(r.dtype)
+            target = rtypes[0] if rtypes else T.NullType()
+            for rt in rtypes[1:]:
+                u = _unify(target, rt)
+                if u is None:
+                    raise NotColumnCompilable("heterogeneous value projection")
+                target = u
+            arr = F.array(*[_coerce(o, target).col for o in outs])
+            return Typed(
+                F.filter(arr, lambda r: r.isNotNull()), T.ArrayType(target)
+            )
+        return _null()
+
+    def _c_filter_projection(self, node: Node, doc: Typed) -> Typed:
+        left, right, condition = node.children
+        base = self.compile(left, doc)
+        dt = base.dtype
+        if not isinstance(dt, T.ArrayType):
+            return _null()
+        elem = dt.elementType
+
+        def cond_fn(x: Column) -> Column:
+            return truthy(self.compile(condition, Typed(x, elem)))
+
+        filtered = F.filter(base.col, cond_fn)
+        fn, rtype = self._lambda_body(right, elem)
+        mapped = F.transform(filtered, fn)
+        return Typed(F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype))
+
+    def _c_flatten(self, node: Node, doc: Typed) -> Typed:
+        base = self.compile(node.children[0], doc)
+        dt = base.dtype
+        if not isinstance(dt, T.ArrayType):
+            return _null()
+        if isinstance(dt.elementType, T.ArrayType):
+            return Typed(F.flatten(base.col), dt.elementType)
+        # flatten of non-nested array keeps elements as-is (jp one-level rule)
+        return base
+
+    # --- boolean / comparison --------------------------------------------
+    def _c_comparator(self, node: Node, doc: Typed) -> Typed:
+        left, right = node.children
+        a, b = self.compile(left, doc), self.compile(right, doc)
+        op = node.value
+        if op in ("==", "!="):
+            if _is_num(a.dtype) and _is_num(b.dtype):
+                eq = a.col.eqNullSafe(b.col)
+            elif a.dtype == b.dtype or isinstance(a.dtype, T.NullType) or isinstance(
+                b.dtype, T.NullType
+            ):
+                eq = a.col.eqNullSafe(b.col)
+            else:
+                eq = F.lit(False)  # different static types are never equal
+            return Typed(eq if op == "==" else ~eq, T.BooleanType())
+        # ordering: numbers only, else null (jp/interpreter.go:48-55)
+        if not (_is_num(a.dtype) and _is_num(b.dtype)):
+            return _null(T.BooleanType())
+        cmp = {
+            "<": a.col < b.col,
+            "<=": a.col <= b.col,
+            ">": a.col > b.col,
+            ">=": a.col >= b.col,
+        }[op]
+        return Typed(cmp, T.BooleanType())
+
+    def _c_or_expression(self, node: Node, doc: Typed) -> Typed:
+        a = self.compile(node.children[0], doc)
+        b = self.compile(node.children[1], doc)
+        target = _unify(a.dtype, b.dtype)
+        if target is None:
+            raise NotColumnCompilable("or: incompatible operand types")
+        a, b = _coerce(a, target), _coerce(b, target)
+        return Typed(F.when(truthy(a), a.col).otherwise(b.col), target)
+
+    def _c_and_expression(self, node: Node, doc: Typed) -> Typed:
+        a = self.compile(node.children[0], doc)
+        b = self.compile(node.children[1], doc)
+        target = _unify(a.dtype, b.dtype)
+        if target is None:
+            raise NotColumnCompilable("and: incompatible operand types")
+        a, b = _coerce(a, target), _coerce(b, target)
+        return Typed(F.when(truthy(a), b.col).otherwise(a.col), target)
+
+    def _c_not_expression(self, node: Node, doc: Typed) -> Typed:
+        return Typed(~truthy(self.compile(node.children[0], doc)), T.BooleanType())
+
+    # --- construction -----------------------------------------------------
+    def _c_literal(self, node: Node, doc: Typed) -> Typed:
+        return _lit_typed(node.value)
+
+    def _c_multiselect_list(self, node: Node, doc: Typed) -> Typed:
+        outs = [self.compile(c, doc) for c in node.children]
+        target: T.DataType = T.NullType()
+        for o in outs:
+            u = _unify(target, o.dtype)
+            if u is None:
+                raise NotColumnCompilable("heterogeneous multiselect list")
+            target = u
+        arr = F.array(*[_coerce(o, target).col for o in outs])
+        # multiselect on null input -> null (spec)
+        if not isinstance(doc.dtype, T.StructType) or True:
+            arr = F.when(doc.col.isNotNull(), arr)
+        return Typed(arr, T.ArrayType(target))
+
+    def _c_multiselect_dict(self, node: Node, doc: Typed) -> Typed:
+        fields = []
+        out_fields = []
+        for kv in node.children:
+            val = self.compile(kv.children[0], doc)
+            fields.append(val.col.alias(kv.value))
+            out_fields.append(T.StructField(kv.value, val.dtype))
+        struct = F.when(doc.col.isNotNull(), F.struct(*fields))
+        return Typed(struct, T.StructType(out_fields))
+
+    # --- functions --------------------------------------------------------
+    def _c_function_call(self, node: Node, doc: Typed) -> Typed:
+        name = node.value
+        handler = getattr(self, f"_f_{name}", None)
+        if handler is None:
+            if name in _KNOWN_FUNCTIONS:
+                raise NotColumnCompilable(f"function {name}() needs the UDF path")
+            raise UnknownFunctionError(f"unknown function {name}()")
+        return handler(node, doc)
+
+    def _args(self, node: Node, doc: Typed, n: int | None = None) -> list[Typed]:
+        if n is not None and len(node.children) != n:
+            raise InvalidArityError(
+                f"{node.value}() takes {n} args, got {len(node.children)}"
+            )
+        return [self.compile(c, doc) for c in node.children]
+
+    def _expref_child(self, node: Node, i: int) -> Node:
+        child = node.children[i]
+        if child.type != "expref":
+            raise NotColumnCompilable(f"{node.value}() argument {i} must be &expr")
+        return child.children[0]
+
+    def _f_abs(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        _require_num(a, "abs")
+        return Typed(F.abs(a.col), a.dtype)
+
+    def _f_ceil(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        _require_num(a, "ceil")
+        return Typed(F.ceil(a.col).cast("long"), T.LongType())
+
+    def _f_floor(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        _require_num(a, "floor")
+        return Typed(F.floor(a.col).cast("long"), T.LongType())
+
+    def _f_sum(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        et = _require_num_array(a, "sum")
+        zero = F.lit(0.0) if isinstance(et, (T.DoubleType, T.FloatType)) else F.lit(0).cast("long")
+        rt = T.DoubleType() if isinstance(et, (T.DoubleType, T.FloatType)) else T.LongType()
+        return Typed(
+            F.aggregate(a.col, zero, lambda acc, x: acc + x.cast(rt)), rt
+        )
+
+    def _f_avg(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        _require_num_array(a, "avg")
+        total = F.aggregate(a.col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        n = F.size(a.col)
+        return Typed(F.when(n > 0, total / n), T.DoubleType())
+
+    def _f_length(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        dt = a.dtype
+        if isinstance(dt, T.StringType):
+            return Typed(F.length(a.col).cast("long"), T.LongType())
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return Typed(F.size(a.col).cast("long"), T.LongType())
+        if isinstance(dt, T.StructType):
+            return Typed(
+                F.when(a.col.isNotNull(), F.lit(len(dt.fields)).cast("long")),
+                T.LongType(),
+            )
+        raise NotColumnCompilable("length() on unsupported static type")
+
+    def _f_contains(self, node: Node, doc: Typed) -> Typed:
+        a, b = self._args(node, doc, 2)
+        if isinstance(a.dtype, T.StringType):
+            if not isinstance(b.dtype, T.StringType):
+                return Typed(F.lit(False), T.BooleanType())
+            return Typed(a.col.contains(b.col), T.BooleanType())
+        if isinstance(a.dtype, T.ArrayType):
+            u = _unify(a.dtype.elementType, b.dtype)
+            if u is None:
+                return Typed(
+                    F.when(a.col.isNotNull(), F.lit(False)), T.BooleanType()
+                )
+            return Typed(
+                F.array_contains(a.col.cast(T.ArrayType(u)), b.col.cast(u)),
+                T.BooleanType(),
+            )
+        raise NotColumnCompilable("contains() subject must be string or array")
+
+    def _f_starts_with(self, node: Node, doc: Typed) -> Typed:
+        a, b = self._args(node, doc, 2)
+        _require_str(a, "starts_with"), _require_str(b, "starts_with")
+        return Typed(a.col.startswith(b.col), T.BooleanType())
+
+    def _f_ends_with(self, node: Node, doc: Typed) -> Typed:
+        a, b = self._args(node, doc, 2)
+        _require_str(a, "ends_with"), _require_str(b, "ends_with")
+        return Typed(a.col.endswith(b.col), T.BooleanType())
+
+    def _f_join(self, node: Node, doc: Typed) -> Typed:
+        if len(node.children) != 2:
+            raise InvalidArityError("join() takes 2 args")
+        sep_node = node.children[0]
+        # array_join takes a plain-string delimiter; dynamic separators would
+        # need the UDF path (never seen in practice — separators are literals)
+        if sep_node.type != "literal" or not isinstance(sep_node.value, str):
+            raise NotColumnCompilable("join() separator must be a string literal")
+        a = self.compile(node.children[1], doc)
+        if not (
+            isinstance(a.dtype, T.ArrayType)
+            and isinstance(a.dtype.elementType, T.StringType)
+        ):
+            raise NotColumnCompilable("join() needs array<string>")
+        return Typed(F.array_join(a.col, sep_node.value), T.StringType())
+
+    def _f_reverse(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if isinstance(a.dtype, (T.StringType, T.ArrayType)):
+            return Typed(F.reverse(a.col), a.dtype)
+        raise NotColumnCompilable("reverse() needs string or array")
+
+    def _f_keys(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if isinstance(a.dtype, T.MapType):
+            return Typed(F.map_keys(a.col), T.ArrayType(a.dtype.keyType))
+        if isinstance(a.dtype, T.StructType):
+            arr = F.array(*[F.lit(f.name) for f in a.dtype.fields])
+            return Typed(
+                F.when(a.col.isNotNull(), arr), T.ArrayType(T.StringType())
+            )
+        raise NotColumnCompilable("keys() needs object")
+
+    def _f_values(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if isinstance(a.dtype, T.MapType):
+            return Typed(F.map_values(a.col), T.ArrayType(a.dtype.valueType))
+        if isinstance(a.dtype, T.StructType):
+            target: T.DataType = T.NullType()
+            for f in a.dtype.fields:
+                u = _unify(target, f.dataType)
+                if u is None:
+                    raise NotColumnCompilable("values() heterogeneous struct")
+                target = u
+            arr = F.array(
+                *[a.col.getField(f.name).cast(target) for f in a.dtype.fields]
+            )
+            return Typed(F.when(a.col.isNotNull(), arr), T.ArrayType(target))
+        raise NotColumnCompilable("values() needs object")
+
+    def _f_not_null(self, node: Node, doc: Typed) -> Typed:
+        outs = self._args(node, doc)
+        if not outs:
+            raise InvalidArityError("not_null() needs at least one argument")
+        target: T.DataType = T.NullType()
+        for o in outs:
+            u = _unify(target, o.dtype)
+            if u is None:
+                raise NotColumnCompilable("not_null() heterogeneous args")
+            target = u
+        return Typed(
+            F.coalesce(*[_coerce(o, target).col for o in outs]), target
+        )
+
+    def _f_max(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        et = _require_ord_array(a, "max")
+        return Typed(F.array_max(a.col), et)
+
+    def _f_min(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        et = _require_ord_array(a, "min")
+        return Typed(F.array_min(a.col), et)
+
+    def _f_sort(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        _require_ord_array(a, "sort")
+        return Typed(F.array_sort(a.col), a.dtype)
+
+    def _key_comparator(self, key_fn):
+        def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            kl, kr = key_fn(l), key_fn(r)
+            return F.when(kl < kr, -1).when(kl > kr, 1).otherwise(0)
+
+        return cmp
+
+    def _f_sort_by(self, node: Node, doc: Typed) -> Typed:
+        if len(node.children) != 2:
+            raise InvalidArityError("sort_by() takes 2 args")
+        a = self.compile(node.children[0], doc)
+        if not isinstance(a.dtype, T.ArrayType):
+            raise NotColumnCompilable("sort_by() needs array")
+        key_ast = self._expref_child(node, 1)
+        elem = a.dtype.elementType
+
+        def key_fn(x: Column) -> Column:
+            return self.compile(key_ast, Typed(x, elem)).col
+
+        return Typed(F.array_sort(a.col, self._key_comparator(key_fn)), a.dtype)
+
+    def _f_max_by(self, node: Node, doc: Typed) -> Typed:
+        return self._minmax_by(node, doc, last=True)
+
+    def _f_min_by(self, node: Node, doc: Typed) -> Typed:
+        return self._minmax_by(node, doc, last=False)
+
+    def _minmax_by(self, node: Node, doc: Typed, last: bool) -> Typed:
+        if len(node.children) != 2:
+            raise InvalidArityError(f"{node.value}() takes 2 args")
+        a = self.compile(node.children[0], doc)
+        if not isinstance(a.dtype, T.ArrayType):
+            raise NotColumnCompilable(f"{node.value}() needs array")
+        key_ast = self._expref_child(node, 1)
+        elem = a.dtype.elementType
+
+        def key_fn(x: Column) -> Column:
+            return self.compile(key_ast, Typed(x, elem)).col
+
+        srt = F.array_sort(a.col, self._key_comparator(key_fn))
+        pick = F.try_element_at(srt, F.lit(-1 if last else 1))
+        return Typed(pick, elem)
+
+    def _f_map(self, node: Node, doc: Typed) -> Typed:
+        if len(node.children) != 2:
+            raise InvalidArityError("map() takes 2 args")
+        fn_ast = self._expref_child(node, 0)
+        a = self.compile(node.children[1], doc)
+        if not isinstance(a.dtype, T.ArrayType):
+            raise NotColumnCompilable("map() needs array")
+        fn, rtype = self._lambda_body(fn_ast, a.dtype.elementType)
+        # map() keeps nulls (unlike projections)
+        return Typed(F.transform(a.col, fn), T.ArrayType(rtype))
+
+    def _f_to_array(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if isinstance(a.dtype, T.ArrayType):
+            return a
+        return Typed(F.array(a.col), T.ArrayType(a.dtype))
+
+    def _f_to_string(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if isinstance(a.dtype, T.StringType):
+            return a
+        if isinstance(a.dtype, (T.StructType, T.ArrayType, T.MapType)):
+            out = F.to_json(a.col, {"ignoreNullFields": "false"})
+        elif isinstance(a.dtype, T.BooleanType):
+            out = F.when(a.col, "true").otherwise("false")
+        else:
+            out = a.col.cast("string")
+        # JSON serialization of null is the string "null"
+        return Typed(F.coalesce(out, F.lit("null")), T.StringType())
+
+    def _f_to_number(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        if _is_num(a.dtype):
+            return a
+        if isinstance(a.dtype, T.StringType):
+            return Typed(a.col.try_cast("double"), T.DoubleType())
+        return _null(T.DoubleType())
+
+    def _f_type(self, node: Node, doc: Typed) -> Typed:
+        (a,) = self._args(node, doc, 1)
+        dt = a.dtype
+        if isinstance(dt, T.NullType):
+            name = "null"
+        elif isinstance(dt, T.BooleanType):
+            name = "boolean"
+        elif _is_num(dt):
+            name = "number"
+        elif isinstance(dt, T.StringType):
+            name = "string"
+        elif isinstance(dt, T.ArrayType):
+            name = "array"
+        elif isinstance(dt, (T.StructType, T.MapType)):
+            name = "object"
+        else:
+            raise NotColumnCompilable(f"type() on {dt}")
+        return Typed(
+            F.when(a.col.isNull(), "null").otherwise(F.lit(name)), T.StringType()
+        )
+
+    def _f_merge(self, node: Node, doc: Typed) -> Typed:
+        outs = self._args(node, doc)
+        if not outs:
+            raise InvalidArityError("merge() needs at least one argument")
+        if all(isinstance(o.dtype, T.MapType) for o in outs):
+            # last-wins needs mapKeyDedupPolicy=LAST_WIN (set in session)
+            return Typed(F.map_concat(*[o.col for o in outs]), outs[0].dtype)
+        if all(isinstance(o.dtype, T.StructType) for o in outs):
+            # static right-wins field merge; null operand -> null result
+            # (evaluator raises there — null-on-native-path deviation)
+            merged: dict[str, tuple[Column, T.DataType]] = {}
+            for o in outs:
+                for f in o.dtype.fields:
+                    merged[f.name] = (o.col.getField(f.name), f.dataType)
+            cols = [c.alias(k) for k, (c, _) in merged.items()]
+            st = T.StructType(
+                [T.StructField(k, dt) for k, (_, dt) in merged.items()]
+            )
+            all_present = outs[0].col.isNotNull()
+            for o in outs[1:]:
+                all_present = all_present & o.col.isNotNull()
+            return Typed(F.when(all_present, F.struct(*cols)), st)
+        raise NotColumnCompilable("merge() needs uniform object types")
+
+
+_KNOWN_FUNCTIONS = {
+    "abs", "avg", "ceil", "contains", "ends_with", "floor", "join", "keys",
+    "length", "map", "max", "max_by", "merge", "min", "min_by", "not_null",
+    "reverse", "sort", "sort_by", "starts_with", "sum", "to_array",
+    "to_number", "to_string", "type", "values",
+}
+
+
+def _require_num(tc: Typed, fname: str) -> None:
+    if not (_is_num(tc.dtype) or isinstance(tc.dtype, T.NullType)):
+        raise NotColumnCompilable(f"{fname}() needs a number")
+
+
+def _require_str(tc: Typed, fname: str) -> None:
+    if not isinstance(tc.dtype, T.StringType):
+        raise NotColumnCompilable(f"{fname}() needs a string")
+
+
+def _require_num_array(tc: Typed, fname: str) -> T.DataType:
+    if isinstance(tc.dtype, T.ArrayType) and _is_num(tc.dtype.elementType):
+        return tc.dtype.elementType
+    raise NotColumnCompilable(f"{fname}() needs array<number>")
+
+
+def _require_ord_array(tc: Typed, fname: str) -> T.DataType:
+    if isinstance(tc.dtype, T.ArrayType) and (
+        _is_num(tc.dtype.elementType)
+        or isinstance(tc.dtype.elementType, T.StringType)
+    ):
+        return tc.dtype.elementType
+    raise NotColumnCompilable(f"{fname}() needs array<number|string>")
+
+
+def _lit_typed(value) -> Typed:
+    if value is None:
+        return _null()
+    if isinstance(value, bool):
+        return Typed(F.lit(value), T.BooleanType())
+    if isinstance(value, int):
+        return Typed(F.lit(value), T.LongType())
+    if isinstance(value, float):
+        return Typed(F.lit(value), T.DoubleType())
+    if isinstance(value, str):
+        return Typed(F.lit(value), T.StringType())
+    if isinstance(value, list):
+        outs = [_lit_typed(v) for v in value]
+        target: T.DataType = T.NullType()
+        for o in outs:
+            u = _unify(target, o.dtype)
+            if u is None:
+                raise NotColumnCompilable("heterogeneous literal array")
+            target = u
+        if not outs:
+            return Typed(F.array().cast(T.ArrayType(T.StringType())), T.ArrayType(T.StringType()))
+        return Typed(
+            F.array(*[_coerce(o, target).col for o in outs]), T.ArrayType(target)
+        )
+    if isinstance(value, dict):
+        fields, st = [], []
+        for k, v in value.items():
+            tv = _lit_typed(v)
+            fields.append(tv.col.alias(k))
+            st.append(T.StructField(k, tv.dtype))
+        if not fields:
+            raise NotColumnCompilable("empty object literal")
+        return Typed(F.struct(*fields), T.StructType(st))
+    raise NotColumnCompilable(f"unsupported literal {value!r}")
+
+
+def compile_column(expression: str | Node, col: Column, dtype: T.DataType) -> Typed:
+    """Compile a JMESPath expression against a typed input column.
+
+    Returns a ``Typed`` (Column + resolved output type). Raises
+    ``NotColumnCompilable`` when the expression leaves the statically-
+    typeable subset — callers then use ``api.jmespath_udf``.
+    """
+    ast = parse(expression) if isinstance(expression, str) else expression
+    return ColumnCompiler().compile(ast, Typed(col, dtype))

@@ -1,0 +1,166 @@
+"""Differential test: native Column compilation vs the Python evaluator.
+
+For each expression, evaluate (a) via compile_column on a typed struct
+column and (b) via the pure-Python evaluator on the same docs; results must
+agree. This pins the JVM hot path to the compliance-validated semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesiscat_spark.functions.jmespath import compile_expr
+from kinesiscat_spark.functions.jmespath.columns import compile_column
+from kinesiscat_spark.functions.jmespath.errors import NotColumnCompilable
+
+def _f(name, dt):
+    return T.StructField(name, dt)
+
+
+SCHEMA = T.StructType(
+    [
+        _f("a", T.LongType()),
+        _f("b", T.DoubleType()),
+        _f("s", T.StringType()),
+        _f("flag", T.BooleanType()),
+        _f("arr", T.ArrayType(T.LongType())),
+        _f("tags", T.ArrayType(T.StringType())),
+        _f("nested", T.StructType([_f("x", T.LongType()), _f("y", T.StringType())])),
+        _f("pair", T.StructType([_f("lo", T.LongType()), _f("hi", T.LongType())])),
+        _f(
+            "items",
+            T.ArrayType(
+                T.StructType([_f("name", T.StringType()), _f("v", T.LongType())])
+            ),
+        ),
+    ]
+)
+
+DOCS = [
+    {
+        "a": 1, "b": 2.5, "s": "hello", "flag": True,
+        "arr": [5, 3, 9, 1, 7], "tags": ["x", "y", "z"],
+        "nested": {"x": 10, "y": "ten"},
+        "pair": {"lo": 1, "hi": 9},
+        "items": [
+            {"name": "a", "v": 3}, {"name": "b", "v": 1}, {"name": "c", "v": 7},
+        ],
+    },
+    {
+        "a": 0, "b": -1.5, "s": "", "flag": False,
+        "arr": [], "tags": [],
+        "nested": {"x": None, "y": None},
+        "pair": {"lo": 4, "hi": 4},
+        "items": [],
+    },
+    {
+        "a": None, "b": None, "s": "x", "flag": None,
+        "arr": [2], "tags": ["only"],
+        "nested": None,
+        "pair": None,
+        "items": None,
+    },
+]
+
+EXPRESSIONS = [
+    # traversal
+    "a", "nested.x", "nested.y", "missing", "nested.missing", "pair.lo",
+    "arr[0]", "arr[-1]", "arr[10]", "items[1].name",
+    # slices
+    "arr[1:3]", "arr[:2]", "arr[::2]", "arr[::-1]", "arr[3:1:-1]", "arr[-2:]",
+    # projections
+    "items[*].name", "items[*].v", "arr[*]", "items[:2].v",
+    "items[?v > `2`].name", "items[?name == 'b'].v", "tags[?@ == 'x']",
+    # multiselect
+    "{x: a, s: s}", "[a, b]", "nested.{only: x}", "[a]",
+    # boolean / comparator
+    "a == `1`", "a != `1`", "a < b", "b >= `0`", "s == 'hello'",
+    "a || b", "s || 'dflt'", "flag && a", "a && flag", "!flag", "!s", "!arr",
+    "nested.x == `10` && s == 'hello'",
+    # functions
+    "abs(b)", "ceil(b)", "floor(b)", "sum(arr)", "avg(arr)",
+    "length(s)", "length(arr)", "length(nested)",
+    "contains(s, 'ell')", "contains(arr, `9`)", "contains(tags, 'x')",
+    "starts_with(s, 'he')", "ends_with(s, 'lo')",
+    "join('-', tags)", "reverse(tags)", "reverse(s)",
+    "keys(nested)", "values(pair)", "not_null(missing, a, b)",
+    "max(arr)", "min(arr)", "sort(arr)", "sort(tags)",
+    "sort_by(items, &v)[0].name", "max_by(items, &v).name",
+    "min_by(items, &v).v", "map(&v, items)", "map(&name, items)",
+    "to_array(a)", "to_array(arr)", "to_string(a)", "to_string(nested)",
+    "to_number(s)", "to_number(a)", "type(a)", "type(s)", "type(arr)",
+    "type(nested)", "type(missing)",
+    "merge(nested, pair)", "merge(pair, {hi: `99`})",
+    # composition
+    "items[?v >= `3`] | length(@)", "sort_by(items, &v) | [-1].name",
+    "arr | [0]", "[a, b] | [1]",
+]
+
+
+def _plainify(v):
+    if isinstance(v, Row):
+        return {k: _plainify(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plainify(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plainify(x) for k, x in v.items()}
+    return v
+
+
+def _agree(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b and isinstance(a, bool) == isinstance(b, bool)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_agree(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_agree(v, b[k]) for k, v in a.items())
+    return a == b
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    rows = [Row(**d) for d in DOCS]
+    df = spark.createDataFrame(rows, SCHEMA)
+    return df.select(F.struct(*[F.col(f.name) for f in SCHEMA.fields]).alias("doc"))
+
+
+_RAISES = object()  # evaluator raised a runtime type error on this doc
+
+
+@pytest.mark.parametrize("expression", EXPRESSIONS)
+def test_column_matches_evaluator(spark, typed_df, expression):
+    from kinesiscat_spark.functions.jmespath import JMESPathError
+
+    compiled = compile_expr(expression)
+    expected = []
+    for doc in DOCS:
+        try:
+            expected.append(compiled.search(doc))
+        except JMESPathError:
+            expected.append(_RAISES)
+    try:
+        typed = compile_column(compiled.ast, F.col("doc"), SCHEMA)
+    except NotColumnCompilable as e:
+        pytest.skip(f"not column-compilable: {e}")
+    got = [_plainify(r[0]) for r in typed_df.select(typed.col).collect()]
+    for g, e, doc in zip(got, expected, DOCS):
+        if e is _RAISES:
+            # Documented deviation: per-row runtime type errors cannot raise
+            # from a native Column — the hot path yields null; the pandas-UDF
+            # path (api.jmespath_udf) preserves strict error fidelity.
+            assert g is None, (
+                f"{expression!r} on {doc!r}: evaluator raised, column gave {g!r}"
+            )
+            continue
+        assert _agree(g, e), (
+            f"{expression!r} on {doc!r}:\n  column   = {g!r}\n  evaluator= {e!r}"
+        )
