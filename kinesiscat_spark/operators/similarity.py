@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (extension surface X3/X4).
+
+Two lanes, both pure DataFrame ops (no Python in the loop):
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the corpus, cosine via zip_with/aggregate (JVM codegen),
+  per-query top-k via a rank window (WindowGroupLimit pushes k into the
+  sort, no global sort). At 100 TB the corpus never shuffles: the only
+  exchange is the final per-query k rows.
+- ``random_hyperplane_lsh`` + ``lsh_topk``: the scale path — signed
+  random-projection signatures, banded; candidates meet in a bucket join
+  (shuffle on band keys ~ |corpus|·bands rows of a few bytes), exact
+  re-rank within buckets. Recall tunable via (planes, bands).
+
+The hyperplane matrix is generated deterministically on the driver
+(seeded) and folded into the plan as literals — identical across
+executors, no broadcast variable needed at this size.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns, double math, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    queries is expected to be small (it is broadcast); corpus scans once
+    with no shuffle of the vectors — only (qid, cid, sim) tuples move.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("_qvec")
+    )
+    pairs = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")).join(
+        F.broadcast(q)
+    )
+    sims = pairs.select(
+        query_id,
+        "cid",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """array<int> of sign bits, one per hyperplane (JVM-side dot products)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    return F.array(*bits)
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    vec: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Attach `bands`: array of (band_id, band_key) bucket keys.
+
+    band_key packs r = n_planes/n_bands sign bits; two vectors land in the
+    same (band_id, band_key) bucket iff they agree on all bits of a band.
+    """
+    assert n_planes % n_bands == 0
+    r = n_planes // n_bands
+    planes = _hyperplanes(n_planes, dim, seed)
+    sig = signature_bits(F.col(vec), planes)
+    with_sig = df.withColumn("_sig", sig)
+    band_cols = []
+    for b in range(n_bands):
+        chunk = F.slice(F.col("_sig"), b * r + 1, r)
+        key = F.aggregate(
+            chunk, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    return with_sig.withColumn("bands", F.array(*band_cols)).drop("_sig")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join on LSH bands, exact re-rank on
+    candidates. Shuffles only (id, band, vector) pairs that collide."""
+    c = random_hyperplane_lsh(corpus, dim, n_planes, n_bands, vec).select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec).alias("_cvec"),
+        F.explode("bands").alias("b"),
+    )
+    q = random_hyperplane_lsh(queries, dim, n_planes, n_bands, vec).select(
+        F.col(query_id),
+        F.col(vec).alias("_qvec"),
+        F.explode("bands").alias("b"),
+    )
+    cand = (
+        c.join(F.broadcast(q), c.b == q.b)
+        .select(query_id, "cid", "_qvec", "_cvec")
+        .dropDuplicates([query_id, "cid"])
+    )
+    sims = cand.select(
+        query_id, "cid", cosine(F.col("_qvec"), F.col("_cvec")).alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
