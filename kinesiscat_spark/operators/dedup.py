@@ -8,21 +8,34 @@ never shuffle the documents themselves — shuffle fixed-width keys
   sequence — no Python, no explode until needed).
 - ``ngram_jaccard_pairs``: EXACT pairwise Jaccard ≥ t via an inverted
   index (explode shingle hashes → self-join on hash → count intersections
-  → |A∪B| from per-doc counts). The join key is a 32-bit hash: at 100 TB
-  the exchange carries (hash, doc_id) pairs only.
+  → |A∪B| from per-doc counts). The join key is a 64-bit xxhash: at 100 TB
+  the exchange carries (hash, doc_id) pairs only, never text.
 - ``minhash_signature`` / ``minhash_lsh_pairs``: approximate candidates via
-  banded minhash (H hash functions = murmur3 with H seeds; band key =
-  packed band row), then estimated-similarity filter. Collision work scales
+  banded minhash, then estimated-similarity filter. Collision work scales
   with actual near-dup density, not n².
 - ``simhash64`` / ``simhash_pairs``: 64-bit simhash; near-dups = Hamming
   distance ≤ d found via 4-way band join (pigeonhole: distance ≤ 3 ⇒ at
   least one 16-bit quarter equal).
+- ``embedding_near_dup_pairs``: exact all-pairs cosine ≥ t (validation
+  scale); the 100 TB path is an LSH prefilter (operators.similarity) with
+  this as the verify stage on candidates only.
+
+Hashing is md5-derived (not murmur3) on purpose: md5 is bit-identical in
+Spark and DuckDB, so minhash/simhash results are *oracle-checkable* —
+the driver hash-compares them against ANSI-SQL twins. Minhash uses one
+md5 per shingle and derives the H hash functions Carter-Wegman style
+(g_i = (h1 + i*h2) mod 2^48), so the md5 cost is O(shingles), not
+O(shingles × H). To trade oracle checkability for raw speed at 100 TB,
+swap ``_md5_h1h2`` for ``F.xxhash64`` with seed columns — everything else
+is unchanged.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+MOD48 = 1 << 48  # Carter-Wegman modulus: 48-bit values fit BIGINT with i*h2 headroom
 
 
 def tokens(text: Column) -> Column:
@@ -41,8 +54,13 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 32-bit murmur3 hashes of the n-gram shingles."""
-    return F.array_distinct(F.transform(shingles(text, n), lambda s: F.hash(s)))
+    """Distinct 64-bit xxhash64 of the n-gram shingles (inverted-index key)."""
+    return F.array_distinct(F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
+
+
+def _hexint(h: Column, start: int, length: int) -> Column:
+    """Parse ``length`` hex chars of ``h`` (1-based ``start``) as a long."""
+    return F.conv(F.substring(h, start, length), 16, 10).cast("long")
 
 
 def ngram_jaccard_pairs(
@@ -86,20 +104,28 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(text: Column, n_hashes: int = 32, n: int = 3) -> Column:
-    """array<int> minhash signature: element h = min over shingles of
-    murmur3(shingle, seed=h). All JVM-side."""
-    sh = shingles(text, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.hash(s, F.lit(h))))
-            for h in range(n_hashes)
-        ]
+    """array<long> minhash signature, all JVM-side.
+
+    One md5 per shingle; hash function i is Carter-Wegman
+    ``(h1 + i*h2) mod 2^48`` where h1/h2 are the two 48-bit halves of the
+    md5's first 96 bits. Deterministic and reproducible in ANSI SQL.
+    """
+    md5s = F.transform(shingles(text, n), lambda s: F.md5(s))
+    hp = F.transform(
+        md5s, lambda m: F.struct(_hexint(m, 1, 12).alias("a"), _hexint(m, 13, 12).alias("b"))
     )
+
+    # NB: must be a one-arg lambda — a second Python-level default arg would
+    # make F.transform treat it as the (element, index) two-arg form.
+    def g(i: int):
+        return lambda p: (p["a"] + F.lit(i) * p["b"]) % F.lit(MOD48)
+
+    return F.array(*[F.array_min(F.transform(hp, g(i))) for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    threshold: float = 0.7,
+    threshold: float = 0.5,
     n_hashes: int = 32,
     n_bands: int = 8,
     n: int = 3,
@@ -107,7 +133,12 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Candidate pairs via banded minhash; estimated Jaccard = fraction of
-    agreeing minhashes, filtered at `threshold`."""
+    agreeing minhashes, filtered at `threshold`.
+
+    Band key is the raw r-length slice (array<long>): exact, no collision
+    false-candidates. At 100 TB hash it to one 64-bit key
+    (``F.xxhash64(*slice)``) so the shuffle key is fixed-width.
+    """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
     sig = docs.select(
@@ -122,7 +153,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * r + 1, r)).alias("key"),
+                        F.slice("sig", b * r + 1, r).alias("key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -133,7 +164,9 @@ def minhash_lsh_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -159,29 +192,34 @@ def minhash_lsh_pairs(
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit simhash over word tokens: bit b is the sign of the sum of
-    (±1) contributions of each token's murmur3-derived bit b."""
-    toks = tokens(text)
-    # two 32-bit murmur3 hashes with different seeds form the 64-bit space
-    bit_sums = [
-        F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t, b=b: acc
-            + F.when(
-                (
-                    (F.hash(t, F.lit(1 if b < 32 else 2)).cast("long") >> (b % 32))
-                    .bitwiseAND(F.lit(1))
-                )
-                == 1,
-                1,
-            ).otherwise(-1),
-        )
-        for b in range(64)
-    ]
+    """64-bit simhash over word tokens (term frequency weighted).
+
+    Bit b's contribution for a token is ±1 by bit b of md5(token): hex
+    digit b//4, bit b%4. Packed little-endian into a signed long (bit 63
+    via the sign bit). One md5 + 16 hex-digit parses per token.
+    """
+    md5s = F.transform(tokens(text), lambda t: F.md5(t))
+
+    def bits_of(m: Column) -> Column:
+        elems = []
+        for c in range(16):
+            d = F.conv(F.substring(m, c + 1, 1), 16, 10).cast("int")
+            for k in range(4):
+                bit = F.shiftright(d, k).bitwiseAND(F.lit(1))
+                elems.append(bit * 2 - 1)
+        return F.array(*elems)
+
+    sums = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, m: F.zip_with(acc, bits_of(m), lambda x, y: x + y),
+    )
     out = F.lit(0).cast("long")
-    for b, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1).cast("long") << b).otherwise(0)
+    for b in range(64):
+        bitval = (1 << b) if b < 63 else -(1 << 63)
+        out = out + F.when(
+            F.element_at(sums, b + 1) > 0, F.lit(bitval).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -191,8 +229,11 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairs with simhash Hamming distance ≤ max_distance (≤ 3 guaranteed
-    found: 4 disjoint 16-bit bands ⇒ one must match exactly)."""
+    """Pairs with simhash Hamming distance ≤ max_distance.
+
+    EXACT for max_distance ≤ 3: with 4 disjoint 16-bit bands, pigeonhole
+    guarantees at least one band matches, so the band join misses nothing.
+    """
     sig = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
@@ -204,9 +245,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        ((F.col("sh") >> (16 * b)).bitwiseAND(F.lit(0xFFFF))).alias(
-                            "key"
-                        ),
+                        F.shiftright(F.col("sh"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
                     )
                     for b in range(4)
                 ]
@@ -227,8 +268,33 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    dist = F.bit_count(xor)
-    return cand.withColumn("hamming", dist).filter(
-        F.col("hamming") <= max_distance
-    ).select("id_a", "id_b", "hamming")
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine similarity ≥ threshold (exact, all-pairs).
+
+    O(n²) verify-stage operator: at 100 TB run it only on LSH candidate
+    pairs (operators.similarity.random_hyperplane_lsh buckets), where the
+    pair count scales with duplicate density. The small side broadcasts.
+    """
+    from kinesiscat_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -3,8 +3,10 @@
 Scale design: exact dedup is a hash-partitioned aggregation on the dedup key
 — at 100 TB the key should be a fixed-width digest (sha2) rather than the
 full text so the shuffle moves 32 bytes/row instead of documents. Near-dup
-variants (MinHash LSH, SimHash, n-gram Jaccard) live in
-kinesiscat_spark.operators.dedup and register their own queries.
+variants (MinHash LSH, SimHash, n-gram Jaccard, embedding cosine) compose the
+operators in kinesiscat_spark.operators.dedup; all are hash-checked against
+DuckDB oracles — md5-derived hashing makes even the LSH variants
+deterministic and SQL-reproducible (see operators/dedup.py module doc).
 """
 
 from __future__ import annotations
@@ -13,6 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.dedup import (
+    MOD48,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from kinesiscat_spark.registry import query
 
 
@@ -59,3 +68,165 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
     )
+
+
+JACCARD_T = 0.4
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+sizes AS (SELECT doc_id, len(s) AS n FROM dsh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT id_a, id_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM sim WHERE jaccard >= {JACCARD_T}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact near-dup: word-3-gram Jaccard >= 0.4 via inverted index.
+
+    The self-join key is a 64-bit shingle hash, so the exchange carries
+    (hash, doc_id) pairs; per-doc cardinalities broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+MINHASH_T = 0.5
+N_HASHES, N_BANDS = 32, 8
+_R = N_HASHES // N_BANDS
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+hp AS (
+  SELECT doc_id,
+         list_transform(list_transform(s, x -> md5(x)),
+           m -> {{'a': ('0x' || substring(m, 1, 12))::BIGINT,
+                  'b': ('0x' || substring(m, 13, 12))::BIGINT}}) AS hp
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {N_HASHES - 1}),
+           i -> list_min(list_transform(hp, p -> (p.a + i * p.b) % {MOD48}))) AS sig
+  FROM hp
+),
+bands AS (
+  SELECT doc_id, sig, t.b AS band, sig[{_R}*t.b + 1 : {_R}*t.b + {_R}] AS key
+  FROM sigs CROSS JOIN range(0, {N_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) / {N_HASHES}.0
+           AS est_jaccard
+  FROM cand
+)
+SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {MINHASH_T}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 approximate near-dup: 32-hash / 8-band minhash LSH, est >= 0.5.
+
+    Deterministic (md5 Carter-Wegman hashing) so the DuckDB oracle
+    reproduces candidates AND estimates exactly; candidate volume scales
+    with duplicate density, not n^2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, threshold=MINHASH_T, n_hashes=N_HASHES, n_bands=N_BANDS, n=3
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+SIMHASH_D = 3
+
+_SIMHASH_ORACLE = f"""
+WITH md5s AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(text), '\\s+'), t -> md5(t)) AS hs
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), b ->
+           list_sum(list_transform(hs, h ->
+             CASE WHEN ((('0x' || substring(h, b // 4 + 1, 1))::INT >> (b % 4)) & 1) = 1
+                  THEN 1 ELSE -1 END)) > 0) AS bv
+  FROM md5s
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(list_zip(a.bv, b.bv), p -> p[1] <> p[2])) AS INT)
+           AS hamming
+  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_D}
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup: 64-bit simhash pairs at Hamming distance <= 3.
+
+    The 4x16-bit band join is exhaustive for d <= 3 (pigeonhole), so the
+    result equals the oracle's full n^2 scan while shuffling only
+    (band, 16-bit key, id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_distance=SIMHASH_D)
+
+
+COSINE_T = 0.4
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= {COSINE_T}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding near-dup: all pairs with cosine >= 0.4 (exact verify
+    stage; at 100 TB runs on LSH candidates only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=COSINE_T)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

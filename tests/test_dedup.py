@@ -1,0 +1,88 @@
+"""Property tests for near-dup operators (X2) on a tiny in-memory corpus.
+
+The sf0.01 oracle-parity tests check value-exactness vs DuckDB; these check
+the *semantic* properties that make the operators near-dup detectors at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "totally unrelated text on parquet files and column pruning"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _pairs(df, cols=("id_a", "id_b")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_jaccard_exact_dup_is_one(docs):
+    out = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert by_pair[(0, 1)] == 1.0
+    assert 0.5 < by_pair[(0, 2)] < 1.0
+    assert (0, 3) not in by_pair  # no shared 3-grams at all
+
+
+def test_minhash_exact_dup_and_ordering(docs):
+    out = minhash_lsh_pairs(docs, threshold=0.0, n_hashes=32, n_bands=8)
+    by_pair = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    assert by_pair[(0, 1)] == 1.0
+    # near-dup pair must beat any unrelated pair that even became a candidate
+    unrelated = [v for k, v in by_pair.items() if k not in {(0, 1), (0, 2), (1, 2)}]
+    assert by_pair[(0, 2)] > max(unrelated, default=0.0)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    out = simhash_pairs(docs, max_distance=3)
+    by_pair = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert by_pair[(0, 1)] == 0
+
+
+def test_simhash_band_join_is_exhaustive_for_d3(spark, docs):
+    """Pigeonhole guarantee: band join finds exactly the brute-force pairs."""
+    sigs = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert _pairs(simhash_pairs(docs, max_distance=3)) == brute
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = _pairs(embedding_near_dup_pairs(emb, threshold=0.99))
+    assert got == {(0, 1)}
