@@ -1,0 +1,87 @@
+"""Text-analysis operators (extension surface X5): language-ID and
+document fingerprinting.
+
+Both are pure built-in column expressions (JVM codegen, no UDF) with exact
+ANSI-SQL twins:
+
+- ``language_id``: character-n-gram profile scoring. Score for language L =
+  total occurrences of L's characteristic n-grams in the lowercased text,
+  counted via the replace-length trick
+  ``(len(t) - len(replace(t, g, ''))) / len(g)`` — no arrays, no shuffle,
+  fully scan-stage. Argmax with deterministic tie-break via integer
+  encoding ``score * 8 + lang_idx`` (highest index wins ties).
+- ``winnow_fingerprints``: Rabin-Karp-style rolling k-gram hashes +
+  winnowing (min hash per sliding window of w) — the standard
+  near-copy / provenance fingerprint (Schleimer et al., SIGMOD'03).
+  Hash = first 48 bits of md5(k-gram) so the DuckDB oracle reproduces it
+  bit-for-bit; at 100 TB swap in ``F.xxhash64`` for raw speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Characteristic character n-grams per language (word-boundary padded where
+# it helps). Index order is the tie-break order: later wins ties.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("sch", "der ", "ein", " und ", "ich", "cht"),
+    "en": (" the ", " and ", "ing ", " of ", "th", " is "),
+    "es": (" el ", " los ", "ción", " una ", " es ", " para "),
+    "fr": (" le ", " les ", " des ", " est ", " que ", "eau"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+LANGS = sorted(LANG_PROFILES)  # idx = position here
+
+
+def ngram_count(text: Column, gram: str) -> Column:
+    """Occurrences of ``gram`` in ``text`` via the replace-length trick."""
+    removed = F.length(text) - F.length(F.replace(text, F.lit(gram), F.lit("")))
+    return (removed / F.lit(len(gram))).cast("long")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Total profile-n-gram occurrences for one language."""
+    s = F.lit(0).cast("long")
+    for g in LANG_PROFILES[lang]:
+        s = s + ngram_count(text, g)
+    return s
+
+
+def language_id(text: Column) -> tuple[Column, Column]:
+    """(predicted_lang, top_score) by argmax over profile scores.
+
+    Pads with spaces so boundary-anchored grams match at string edges.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    encoded = [
+        lang_score(padded, lang) * 8 + idx for idx, lang in enumerate(LANGS)
+    ]
+    m = F.greatest(*encoded)
+    idx = m % 8
+    score = ((m - idx) / 8).cast("long")
+    pred = F.element_at(F.array(*[F.lit(lang) for lang in LANGS]), (idx + 1).cast("int"))
+    return pred, score
+
+
+def kgram_hashes(text: Column, k: int = 5) -> Column:
+    """Rolling k-char-gram hashes: 48-bit ints from md5 of each window."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(F.substring(F.md5(F.substring(text, i, k)), 1, 12), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Distinct winnowing fingerprints: min k-gram hash per window of w."""
+    hs = kgram_hashes(text, k)
+    nw = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )

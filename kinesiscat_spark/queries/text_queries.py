@@ -78,3 +78,80 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
         F.round(quality, 4).alias("quality_score"),
     )
+
+
+def _langid_oracle() -> str:
+    """DuckDB twin of operators.text.language_id, generated from the same
+    LANG_PROFILES so the two can never drift."""
+    from kinesiscat_spark.operators.text import LANG_PROFILES, LANGS
+
+    def score(lang: str) -> str:
+        terms = [
+            f"CAST((length(p) - length(replace(p, '{g}', ''))) / {len(g)} AS BIGINT)"
+            for g in LANG_PROFILES[lang]
+        ]
+        return " + ".join(terms)
+
+    encoded = ", ".join(
+        f"({score(lang)}) * 8 + {idx}" for idx, lang in enumerate(LANGS)
+    )
+    langs_list = ", ".join(f"'{lang}'" for lang in LANGS)
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang AS given_lang, ' ' || lower(text) || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT doc_id, given_lang, greatest({encoded}) AS m FROM padded
+)
+SELECT doc_id, given_lang,
+       ([{langs_list}])[CAST(m % 8 AS INT) + 1] AS pred_lang,
+       CAST((m - m % 8) / 8 AS BIGINT) AS top_score
+FROM scored
+"""
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 language-ID: char-n-gram profile scoring, argmax with
+    deterministic tie-break (see operators.text.language_id)."""
+    from kinesiscat_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred, score = language_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("given_lang"),
+        pred.alias("pred_lang"),
+        score.alias("top_score"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+           i -> ('0x' || substring(md5(substring(text, i, 5)), 1, 12))::BIGINT) AS hs
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+           j -> list_min(hs[j:j+3]))) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM fps
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 document fingerprinting: winnowed rolling 5-gram hashes
+    (window 4), exploded to (doc_id, fp) rows. Scan-stage only — the
+    fingerprint set is computed without any shuffle; downstream provenance
+    joins exchange (fp, doc_id) pairs."""
+    from kinesiscat_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    )
