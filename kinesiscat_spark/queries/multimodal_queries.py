@@ -1,0 +1,93 @@
+"""Multimodal-column queries (extension surface X6) over `documents`
+reinterpreted as the media envelope (operators.multimodal).
+
+The decode kernels run in Python (``mapInPandas``) but produce exact int64
+byte statistics, so DuckDB oracles reproduce them from ASCII code points
+(the synthetic corpus is pure ASCII: byte == code point). This hash-checks
+the whole Arrow round-trip: Spark -> Arrow batch -> numpy kernel -> Arrow
+-> Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.multimodal import (
+    decode_media_stats,
+    media_from_documents,
+    sample_frames,
+)
+from kinesiscat_spark.registry import query
+
+_CODES_CTE = """
+codes AS (
+  SELECT doc_id AS media_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substring(text, i, 1))) AS cs
+  FROM documents
+)"""
+
+_STATS_ORACLE = f"""
+WITH {_CODES_CTE},
+stats AS (
+  SELECT media_id, len(cs) AS n, list_sum(cs) AS s,
+         list_sum(list_transform(cs, c -> c * c)) AS sq
+  FROM codes
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_byte,
+       ROUND(CAST(sq AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6) AS var_byte
+FROM stats
+"""
+
+
+@query("multimodal_byte_stats", oracle=_STATS_ORACLE)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 decode/feature-extract: per-payload byte mean/variance through
+    the Arrow-batched mapInPandas kernel; moments derived from exact int64
+    sums so Python and SQL agree bit-for-bit."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    stats = decode_media_stats(media)
+    mean = F.col("byte_sum").cast("double") / F.col("n_bytes")
+    var = F.col("byte_sq_sum").cast("double") / F.col("n_bytes") - mean * mean
+    return stats.select(
+        "media_id",
+        "n_bytes",
+        F.round(mean, 6).alias("mean_byte"),
+        F.round(var, 6).alias("var_byte"),
+    )
+
+
+FRAME_SIZE, EVERY = 64, 4
+
+_FRAMES_ORACLE = f"""
+WITH {_CODES_CTE},
+v AS (SELECT * FROM codes WHERE media_id % 3 = 2),
+frames AS (
+  SELECT media_id,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(len(cs) / {FRAME_SIZE}.0), 1) AS BIGINT) - 1,
+           {EVERY})) AS fi,
+         cs
+  FROM v
+)
+SELECT media_id, fi AS frame_idx,
+       CAST(len(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
+         AS frame_bytes,
+       CAST(list_sum(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
+         AS frame_sum
+FROM frames
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 frame sampling: every 4th 64-byte frame of each video payload,
+    1→N fan-out inside the mapInPandas kernel (no explode/shuffle)."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    video = media.filter(F.col("media_type") == "video")
+    return sample_frames(video, frame_size=FRAME_SIZE, every=EVERY)
