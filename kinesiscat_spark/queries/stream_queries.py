@@ -1,0 +1,66 @@
+"""Streaming queries with batch-exact oracles.
+
+Each runs a real Structured Streaming query (file stream source over the
+events table, micro-batched by maxFilesPerTrigger, checkpointed, drained
+with availableNow) into a memory sink, then hands the driver the result
+table. The DuckDB oracle is the *batch* SQL over the same input — proving
+the streaming plan computes exactly the batch answer (the micro-batch
+model's core invariant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.queries.window_queries import _TUMBLING_ORACLE
+from kinesiscat_spark.registry import query
+from kinesiscat_spark.streaming import StreamConfig, read_events_stream, run_to_memory
+
+# No exact distinct-count in streaming state (Spark restriction —
+# approx_count_distinct is the streaming-native alternative), so the
+# streamed twin of events_agg_by_type carries the exact aggregates only.
+_STREAM_AGG_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS total_value,
+  ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_agg_by_type", oracle=_STREAM_AGG_ORACLE)
+def stream_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S4 + stateful agg: streamed groupBy equals the batch answer."""
+    ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 streaming form: event-time tumbling window over the stream.
+
+    Complete mode (memory sink snapshot); the append-mode/watermark
+    late-data path is exercised in tests/test_streaming.py.
+    """
+    ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")

@@ -55,6 +55,7 @@ def load_all_query_modules() -> None:
         multimodal_queries,
         relational,
         similarity_queries,
+        stream_queries,
         text_queries,
         window_queries,
     )

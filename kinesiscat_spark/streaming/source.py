@@ -1,0 +1,172 @@
+"""Stream sources + start-position semantics (S1–S4).
+
+``StreamConfig`` mirrors the reference's ``StreamWorker`` knobs
+(`/root/reference/worker/worker.go:38-53`): iterator type + starting
+sequence number (`worker/worker.go:148-169`), batch size
+(`worker/worker.go:210-243`), poll sleep (`worker/worker.go:180-207`).
+
+No Kinesis service exists in this environment, so the physical source is a
+file stream over envelope-schema parquet (one file ≈ one GetRecords batch);
+on a real cluster the same logical pipeline binds to
+``spark.readStream.format("kinesis")`` with ``startingPosition`` mapped from
+``iterator_type``. Start positions compile to *sargable* envelope predicates
+(sequence numbers are zero-padded so lexicographic == numeric order), which
+Spark pushes into the scan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesiscat_spark.envelope import _SEQ_WIDTH, events_as_records
+
+ITERATOR_TYPES = (
+    "LATEST",
+    "TRIM_HORIZON",
+    "AT_SEQUENCE_NUMBER",
+    "AFTER_SEQUENCE_NUMBER",
+)
+
+
+@dataclass
+class StreamConfig:
+    """StreamWorker's tuning surface (worker/worker.go:38-53, main.go:33-38)."""
+
+    iterator_type: str = "LATEST"  # reference default: worker/worker.go:57-59
+    starting_sequence_number: str | None = None
+    batch_size: int = 10  # DefaultBatchSize, worker/worker.go:21
+    sleep_time_ms: int = 1000  # DefaultSleepTime, worker/worker.go:22
+    n_shards: int = 8
+
+    def trigger_kwargs(self, available_now: bool = False) -> dict:
+        """S4 poll pacing → micro-batch trigger."""
+        if available_now:
+            return {"availableNow": True}
+        return {"processingTime": f"{self.sleep_time_ms} milliseconds"}
+
+
+def pad_seq(seq: str | int) -> str:
+    return str(seq).rjust(_SEQ_WIDTH, "0")
+
+
+def start_position_filter(
+    records: DataFrame, cfg: StreamConfig, stream_start_ts=None
+) -> DataFrame:
+    """S2: compile the iterator type to an envelope predicate.
+
+    LATEST needs a notion of "now": records arriving after stream start
+    (for the file-backed emulation the caller passes the cutoff timestamp;
+    a real Kinesis source handles LATEST natively).
+    """
+    it = cfg.iterator_type
+    if it not in ITERATOR_TYPES:
+        raise ValueError(f"iterator_type must be one of {ITERATOR_TYPES}, got {it!r}")
+    if it == "TRIM_HORIZON":
+        return records
+    if it == "AT_SEQUENCE_NUMBER":
+        return records.filter(
+            F.col("sequenceNumber") >= pad_seq(cfg.starting_sequence_number)
+        )
+    if it == "AFTER_SEQUENCE_NUMBER":
+        return records.filter(
+            F.col("sequenceNumber") > pad_seq(cfg.starting_sequence_number)
+        )
+    # LATEST
+    if stream_start_ts is None:
+        raise ValueError("LATEST needs stream_start_ts for the file-backed source")
+    return records.filter(
+        F.col("approximateArrivalTimestamp") > F.lit(stream_start_ts)
+    )
+
+
+def read_record_stream(
+    spark: SparkSession, records_dir: str, cfg: StreamConfig, stream_start_ts=None
+) -> DataFrame:
+    """S1+S3: envelope-schema file stream; one file ≈ one GetRecords batch."""
+    from kinesiscat_spark.envelope import ENVELOPE_SCHEMA
+
+    raw = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", cfg.batch_size)
+        .parquet(records_dir)
+    )
+    return start_position_filter(raw, cfg, stream_start_ts)
+
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STREAM_DIR_CACHE: dict[str, str] = {}
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """The file stream source needs a *directory*; symlink the single
+    events.parquet into a scratch dir (no copy)."""
+    import os
+
+    d = _STREAM_DIR_CACHE.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="kc_events_src_")
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+        _STREAM_DIR_CACHE[sf_dir] = d
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, cfg: StreamConfig | None = None, as_records: bool = False
+) -> DataFrame:
+    """Stream the driver's events table (ns→µs ts conversion as in
+    io_tables.load_table); optionally wrapped in the record envelope."""
+    cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", cfg.batch_size)
+        .parquet(_as_stream_dir(sf_dir))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_as_records(ev, cfg.n_shards) if as_records else ev
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "complete",
+    cfg: StreamConfig | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a (bounded) streaming query into a memory sink and return the
+    result table. availableNow drains everything then stops — the batch
+    twin of the same plan, with checkpointing on (S9 upgrade)."""
+    cfg = cfg or StreamConfig()
+    name = f"kc_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kc_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(**cfg.trigger_kwargs(available_now=available_now))
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()  # S8 graceful stop
+    return df.sparkSession.table(name)

@@ -1,0 +1,195 @@
+"""Streaming semantics tests (SURVEY §5.3.3): start positions (S2),
+micro-batching (S3/S4), lag metrics (S7), graceful stop (S8), checkpoint
+resume (S9 upgrade), formatted emission (K1/K2), watermark/append windows.
+
+The physical source is envelope parquet files written incrementally into a
+tmp dir — each file plays the role of one GetRecords batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.envelope import events_as_records
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.streaming import (
+    LagListener,
+    StreamConfig,
+    read_record_stream,
+    run_to_memory,
+    start_position_filter,
+    with_lag_metric,
+    write_formatted,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def records_dir(spark):
+    """Envelope records split into 4 parquet files (≈4 GetRecords batches)."""
+    d = tempfile.mkdtemp(prefix="kc_records_")
+    recs = events_as_records(load_table(spark, SF_SMOKE, "events"), n_shards=4)
+    for i in range(4):
+        recs.filter(
+            F.pmod(F.xxhash64("sequenceNumber"), F.lit(4)) == i
+        ).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def n_records(spark, records_dir):
+    return spark.read.parquet(records_dir).count()
+
+
+def test_trim_horizon_reads_everything(spark, records_dir, n_records):
+    cfg = StreamConfig(iterator_type="TRIM_HORIZON", batch_size=1)
+    out = run_to_memory(
+        read_record_stream(spark, records_dir, cfg), output_mode="append", cfg=cfg
+    )
+    assert out.count() == n_records
+
+
+def test_after_sequence_number_skips(spark, records_dir, n_records):
+    batch = spark.read.parquet(records_dir)
+    median_seq = batch.selectExpr(
+        "percentile_approx(cast(sequenceNumber as long), 0.5) as m"
+    ).first().m
+    cfg = StreamConfig(
+        iterator_type="AFTER_SEQUENCE_NUMBER", starting_sequence_number=str(median_seq)
+    )
+    out = run_to_memory(
+        read_record_stream(spark, records_dir, cfg), output_mode="append", cfg=cfg
+    )
+    expected = batch.filter(
+        F.col("sequenceNumber") > str(median_seq).rjust(20, "0")
+    ).count()
+    assert 0 < out.count() == expected < n_records
+
+
+def test_latest_sees_only_new_arrivals(spark, records_dir):
+    cutoff = spark.read.parquet(records_dir).agg(
+        F.max("approximateArrivalTimestamp")
+    ).first()[0]
+    cfg = StreamConfig(iterator_type="LATEST")
+    out = run_to_memory(
+        read_record_stream(spark, records_dir, cfg, stream_start_ts=cutoff),
+        output_mode="append",
+        cfg=cfg,
+    )
+    assert out.count() == 0
+
+
+def test_batch_size_controls_microbatches_and_lag_metric(spark, records_dir):
+    """S3: maxFilesPerTrigger=1 over 4 files → ≥4 micro-batches; S7: every
+    progress event carries the observed lag metric."""
+    listener = LagListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = StreamConfig(iterator_type="TRIM_HORIZON", batch_size=1)
+        recs = with_lag_metric(read_record_stream(spark, records_dir, cfg))
+        out = run_to_memory(recs, output_mode="append", cfg=cfg)
+        deadline = time.time() + 30
+        while time.time() < deadline and len(listener.samples) < 4:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    data_batches = [s for s in listener.samples if s["n_records"] > 0]
+    assert len(data_batches) >= 4
+    assert all(s["millis_behind_latest"] > 0 for s in data_batches)
+    assert sum(s["n_records"] for s in data_batches) == out.count()
+
+
+def test_formatted_emission_separator_and_order(spark, records_dir):
+    """K1/K2: formatted payload with separator; per-shard seq order."""
+    chunks: list[str] = []
+    cfg = StreamConfig(iterator_type="TRIM_HORIZON", batch_size=10)
+    recs = read_record_stream(spark, records_dir, cfg)
+    q = (
+        write_formatted(
+            recs,
+            emit=lambda s, _bid: chunks.append(s),
+            fmt="sequence",
+            null_separator=True,
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kc_ckpt_"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    seqs = [s for c in chunks for s in c.split("\0") if s]
+    assert len(seqs) == spark.read.parquet(records_dir).count()
+    assert all(len(s) == 20 and s.isdigit() for s in seqs)  # zero-padded
+
+
+def test_checkpoint_resume_no_reprocessing(spark, records_dir, n_records):
+    """S9 upgrade: a restarted query with the same checkpoint only reads
+    files that arrived after the first run."""
+    src = tempfile.mkdtemp(prefix="kc_inc_")
+    ckpt = tempfile.mkdtemp(prefix="kc_ckpt_")
+    base = spark.read.parquet(records_dir)
+    base.limit(50).write.mode("overwrite").parquet(src)
+
+    def run_once(name):
+        cfg = StreamConfig(iterator_type="TRIM_HORIZON")
+        seen: list[int] = []
+        q = (
+            read_record_stream(spark, src, cfg)
+            .writeStream.foreachBatch(lambda b, _bid: seen.append(b.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sum(seen)
+
+    assert run_once("kc_resume_1") == 50
+    # second file arrives; resumed query must process only the delta
+    base.limit(80).write.mode("append").parquet(src)
+    new_total = spark.read.parquet(src).count()
+    assert run_once("kc_resume_2") == new_total - 50
+
+
+def test_watermark_append_drops_late_data(spark, tmp_path):
+    """X7 watermark semantics: a record later than watermark+gap is dropped
+    from an append-mode windowed aggregation."""
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src, exist_ok=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.unix_micros(F.to_timestamp("ts")) * 1000
+        ).write.mode("append").parquet(src)
+
+    # file 1: one event at 10:00; file 2 advances watermark far past the
+    # first window; file 3 is a late straggler back at 10:05. The file
+    # source orders by modification time — sleep so the order is real.
+    write_file([(1, "2024-01-01 10:00:00", 1, "a", 1.0, "{}")], "f1")
+    time.sleep(1.1)
+    write_file([(2, "2024-01-01 15:00:00", 1, "a", 1.0, "{}")], "f2")
+    time.sleep(1.1)
+    write_file([(3, "2024-01-01 10:05:00", 1, "a", 1.0, "{}")], "f3")
+
+    from kinesiscat_spark.streaming.source import _EVENTS_RAW_SCHEMA
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    out = run_to_memory(agg, output_mode="append", cfg=StreamConfig(batch_size=1))
+    got = {r.ws: r.n for r in out.collect()}
+    # the 10:00 window closed with exactly 1 row; the late event was dropped
+    assert got.get("2024-01-01 10:00:00") == 1
