@@ -1,0 +1,182 @@
+"""kinesiscat CLI on Spark: the reference's exact flag surface
+(`/root/reference/main.go:30-40`) over batch or streaming input.
+
+    python -m kinesiscat_spark.cli -position TRIM_HORIZON -format data \
+        -filter '{k: k}' --events-sf-dir /root/testdata/sf0.001
+
+Flags (reference parity):
+  -debug            log lag per micro-batch (S7; worker.go:226-227)
+  -region/-stream-name  accepted for parity (no AWS in this environment)
+  -position         LATEST | TRIM_HORIZON | AT_SEQUENCE_NUMBER |
+                    AFTER_SEQUENCE_NUMBER (S2; + -start-seq for AT/AFTER)
+  -format           data | partition-key | sequence (K1; main.go:68-83)
+  -separator, -0    separator between records / NUL separator (K2)
+  -batch-size       records per micro-batch (S3)
+  -sleep-time       ms between polls → processingTime trigger (S4)
+  -filter           JMESPath expression applied per record (K3)
+
+Input binding (this environment has no Kinesis service):
+  --source DIR      envelope-schema parquet dir (the stream substrate)
+  --events-sf-dir   adapt the driver's events table into the envelope
+
+We implement the reference's *intended* semantics, fixing its three bugs
+(SURVEY §2.1 note): filtered output is printed (main.go:99-100 drops it),
+partition-key/sequence print values not pointers (main.go:79-81), and the
+filter compiles once per plan, not per record (main.go:91).
+Per the reference's error-skip policy (S9; main.go:92-98), records whose
+payload fails to decode or filter are skipped, not fatal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesiscat_spark.streaming.sink import FORMATS, format_record
+from kinesiscat_spark.streaming.source import (
+    ITERATOR_TYPES,
+    StreamConfig,
+    read_events_stream,
+    read_record_stream,
+    start_position_filter,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kinesiscat-spark", description="netcat for record streams, on Spark"
+    )
+    p.add_argument("-debug", action="store_true", help="enable debug logging")
+    p.add_argument("-region", default="us-west-1", help="accepted for parity")
+    p.add_argument("-stream-name", dest="stream_name", default="events")
+    p.add_argument("-position", default="LATEST", choices=ITERATOR_TYPES)
+    p.add_argument("-start-seq", dest="start_seq", default=None,
+                   help="sequence number for AT/AFTER_SEQUENCE_NUMBER")
+    p.add_argument("-format", dest="fmt", default="data", choices=FORMATS)
+    p.add_argument("-separator", default="\n")
+    p.add_argument("-0", dest="null_separator", action="store_true",
+                   help="use NUL as the separator")
+    p.add_argument("-batch-size", dest="batch_size", type=int, default=1)
+    p.add_argument("-sleep-time", dest="sleep_time", type=int, default=1000,
+                   help="ms between polls")
+    p.add_argument("-filter", dest="json_filter", default="",
+                   help="JMESPath filter applied to each message")
+    p.add_argument("--source", default=None, help="envelope parquet dir")
+    p.add_argument("--events-sf-dir", dest="events_sf_dir", default=None,
+                   help="adapt the driver events table as input")
+    p.add_argument("--follow", action="store_true",
+                   help="run as a continuous stream instead of one batch pass")
+    return p
+
+
+def _safe_filter_udf(expression: str):
+    """K3 with the S9 error-skip policy: bad JSON / failed eval → null."""
+    import pandas as pd
+
+    from kinesiscat_spark.functions.jmespath import compile_expr
+
+    compiled = compile_expr(expression)
+
+    def _eval(payload):
+        def one(doc):
+            try:
+                return compiled.search_json(doc)
+            except Exception:
+                return None  # log-and-continue, main.go:92-98
+
+        return payload.map(one)
+
+    return F.pandas_udf(_eval, T.StringType())
+
+
+def output_column(args) -> F.Column:
+    """The one emitted value per record (K1/K3, intended semantics)."""
+    if args.json_filter and args.fmt == "data":
+        return _safe_filter_udf(args.json_filter)(F.decode(F.col("data"), "UTF-8"))
+    return format_record(args.fmt)
+
+
+def load_records(spark: SparkSession, args, streaming: bool) -> DataFrame:
+    cfg = StreamConfig(
+        iterator_type=args.position,
+        starting_sequence_number=args.start_seq,
+        batch_size=args.batch_size,
+        sleep_time_ms=args.sleep_time,
+    )
+    if args.source:
+        if streaming:
+            return read_record_stream(spark, args.source, cfg)
+        batch = spark.read.parquet(args.source)
+        return start_position_filter(batch, cfg)
+    sf_dir = args.events_sf_dir or "/root/testdata/sf0.001"
+    if streaming:
+        return read_events_stream(spark, sf_dir, cfg, as_records=True)
+    from kinesiscat_spark.envelope import events_as_records
+    from kinesiscat_spark.io_tables import load_table
+
+    return start_position_filter(events_as_records(load_table(spark, sf_dir, "events")), cfg)
+
+
+def run(args, spark: SparkSession, emit: Callable[[str], None]) -> int:
+    sep = "\0" if args.null_separator else args.separator
+    streaming = args.follow
+    records = load_records(spark, args, streaming)
+    out = output_column(args).alias("out")
+
+    if not streaming:
+        ordered = records.orderBy("shardId", "sequenceNumber").select(out)
+        # toLocalIterator: constant driver memory — stdout is the bottleneck
+        for row in ordered.filter(F.col("out").isNotNull()).toLocalIterator():
+            emit(row.out + sep)
+        return 0
+
+    from kinesiscat_spark.streaming.lag import LagListener, with_lag_metric
+
+    listener = None
+    if args.debug:
+        listener = LagListener()
+        spark.streams.addListener(listener)
+
+    def for_each_batch(batch: DataFrame, _bid: int) -> None:
+        rows = (
+            batch.orderBy("shardId", "sequenceNumber")
+            .select(out)
+            .filter(F.col("out").isNotNull())
+            .collect()
+        )
+        emit("".join(r.out + sep for r in rows))
+        if args.debug and listener and listener.samples:
+            print(f"lag: {listener.samples[-1]}", file=sys.stderr)
+
+    q = (
+        with_lag_metric(records)
+        .writeStream.foreachBatch(for_each_batch)
+        .trigger(processingTime=f"{args.sleep_time} milliseconds")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()  # S8 graceful shutdown
+    finally:
+        if listener:
+            spark.streams.removeListener(listener)
+    return 0
+
+
+def main(argv: list[str] | None = None, emit: Callable[[str], None] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if emit is None:
+        emit = lambda s: (sys.stdout.write(s), sys.stdout.flush())  # noqa: E731
+    from kinesiscat_spark.session import get_spark
+
+    return run(args, get_spark("kinesiscat-cli"), emit)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

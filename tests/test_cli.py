@@ -1,0 +1,81 @@
+"""CLI tests: flag surface, K1/K2/K3 emission, S2 positions, S9 error-skip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kinesiscat_spark.cli import build_parser, run
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, *argv: str) -> str:
+    chunks: list[str] = []
+    args = build_parser().parse_args(list(argv))
+    assert run(args, spark, emit=chunks.append) == 0
+    return "".join(chunks)
+
+
+def test_format_sequence_null_separator(spark):
+    out = _run(
+        spark, "-position", "TRIM_HORIZON", "-format", "sequence", "-0",
+        "--events-sf-dir", SF_SMOKE,
+    )
+    seqs = [s for s in out.split("\0") if s]
+    assert all(len(s) == 20 and s.isdigit() for s in seqs)
+    assert seqs == sorted(seqs) or len(set(seqs)) == len(seqs)  # zero-padded unique
+
+
+def test_filter_emits_json_results(spark):
+    out = _run(
+        spark, "-position", "TRIM_HORIZON", "-filter", "{k: k}",
+        "--events-sf-dir", SF_SMOKE,
+    )
+    lines = [ln for ln in out.split("\n") if ln]
+    docs = [json.loads(ln) for ln in lines[:20]]
+    assert all(set(d) == {"k"} for d in docs)
+
+
+def test_after_sequence_number_position(spark):
+    full = _run(
+        spark, "-position", "TRIM_HORIZON", "-format", "sequence",
+        "--events-sf-dir", SF_SMOKE,
+    ).split("\n")
+    full = [s for s in full if s]
+    mid = full[len(full) // 2]
+    after = _run(
+        spark, "-position", "AFTER_SEQUENCE_NUMBER", "-start-seq", str(int(mid)),
+        "-format", "sequence", "--events-sf-dir", SF_SMOKE,
+    ).split("\n")
+    after = [s for s in after if s]
+    assert after and all(s > mid for s in after)
+    assert len(after) < len(full)
+
+
+def test_bad_payload_skipped_not_fatal(spark, tmp_path):
+    """S9: undecodable JSON is dropped, the run succeeds (main.go:92-98)."""
+    from kinesiscat_spark.envelope import ENVELOPE_SCHEMA
+    import datetime as dt
+
+    rows = [
+        (b'{"k": 1}', "pk1", "1".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+        (b"not json {", "pk2", "2".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+        (b'{"k": 3}', "pk3", "3".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+    ]
+    src = str(tmp_path / "envsrc")
+    spark.createDataFrame(rows, ENVELOPE_SCHEMA).write.parquet(src)
+    out = _run(
+        spark, "-position", "TRIM_HORIZON", "-filter", "k", "--source", src,
+    )
+    assert [json.loads(x) for x in out.split("\n") if x] == [1, 3]
+
+
+def test_parser_defaults_match_reference():
+    """main.go:30-40 defaults."""
+    a = build_parser().parse_args([])
+    assert (a.position, a.fmt, a.separator, a.batch_size, a.sleep_time) == (
+        "LATEST", "data", "\n", 1, 1000,
+    )
+    assert a.region == "us-west-1" and a.stream_name == "events"
+    assert not a.null_separator and a.json_filter == ""
