@@ -157,3 +157,133 @@ def lsh_topk(
         sims.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def normalize(vec: Column) -> Column:
+    """Unit-normalize (double math); after this, L2 argmin == cosine argmax."""
+    n = l2_norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(cell, cvec) centroids for an IVF index.
+
+    Deterministic seed: the ``n_cells`` lowest-id corpus vectors,
+    unit-normalized — with ``n_iters=0`` the whole IVF pipeline is
+    reproducible in ANSI SQL (the oracle path). ``n_iters>0`` runs Lloyd
+    refinement distributed (assign via broadcast centroid join, new means
+    via posexplode + per-dimension avg); only k centroid rows ever reach
+    the driver, so the loop scales to any corpus size.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("long")
+            .alias("cell"),
+            normalize(F.col(vec)).alias("cvec"),
+        )
+        .withColumn("cell", F.col("cell") - 1)
+    )
+    cents = seeds
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec)
+        norm_vecs = corpus.select(
+            F.col(id_col), normalize(F.col(vec)).alias("_nvec")
+        )
+        new = (
+            assigned.join(norm_vecs, id_col)
+            .select("cell", F.posexplode("_nvec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        cents = new.select("cell", normalize(F.col("cvec")).alias("cvec"))
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Nearest ``n_probe`` cells per vector: broadcast the centroid table,
+    rank by squared L2 on normalized vectors (ties → lower cell id).
+
+    At 100 TB the cross product row count is |vectors| × n_cells — the
+    standard IVF assign cost; it stays shuffle-free because centroids
+    broadcast and the rank window partitions by the vector id (already
+    the scan's natural grouping after the broadcast join).
+    """
+    nv = df.select(F.col(id_col), normalize(F.col(vec)).alias("_nvec"))
+    pairs = nv.join(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy("_d", "cell")
+    return (
+        pairs.withColumn("_d", sq_l2(F.col("_nvec"), F.col("cvec")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 0,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: search only the ``n_probe`` cells
+    nearest to each query, exact cosine re-rank inside them.
+
+    Scale shape: the corpus is bucketed by cell (shuffle once at index
+    build, reusable across query batches); a query touches
+    n_probe/n_cells of the data. Recall vs exact top-k is asserted in
+    tests; with n_iters=0 the result is deterministic and SQL-checkable.
+    """
+    cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
+    indexed = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
+    ).join(
+        corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
+    )
+    probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
+        probes, query_id
+    )
+    cand = indexed.join(F.broadcast(q), "cell").select(
+        query_id, "cid", cosine(F.col("_qvec"), F.col("_cvec")).alias("sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

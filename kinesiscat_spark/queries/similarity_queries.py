@@ -64,16 +64,164 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
 
 
-@query("similarity_topk_lsh", oracle=None)  # approximate -> rows-only
+def _lsh_oracle(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplanes are inlined as SQL
+    literals (repr round-trips doubles exactly), so bucket assignment,
+    candidate set, and re-rank all reproduce bit-for-bit."""
+    from kinesiscat_spark.operators.similarity import _hyperplanes
+
+    r = n_planes // n_bands
+    planes = _hyperplanes(n_planes, dim, seed=7)
+    rows = ",\n    ".join(
+        f"({pid}, [{', '.join(repr(w) for w in plane)}])"
+        for pid, plane in enumerate(planes)
+    )
+    dot = (
+        "list_sum(list_transform(list_zip({v}, planes.w), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(qe, ce), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH planes(pid, w) AS (VALUES
+    {rows}
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+qb AS (
+  SELECT qid, pid,
+         CASE WHEN {dot.format(v='qe')} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM q CROSS JOIN planes
+),
+cb AS (
+  SELECT cid, pid,
+         CASE WHEN {dot.format(v='ce')} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM c CROSS JOIN planes
+),
+qk AS (
+  SELECT qid, pid // {r} AS band, SUM(bit * (1 << ({r} - 1 - (pid % {r})))) AS key
+  FROM qb GROUP BY 1, 2
+),
+ck AS (
+  SELECT cid, pid // {r} AS band, SUM(bit * (1 << ({r} - 1 - (pid % {r})))) AS key
+  FROM cb GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qid, cid
+  FROM qk JOIN ck ON qk.band = ck.band AND qk.key = ck.key
+),
+sims AS (
+  SELECT qid, cid, {cos} AS sim
+  FROM cand JOIN q USING (qid) JOIN c USING (cid)
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM sims
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_lsh", oracle=_lsh_oracle())
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 approximate: random-hyperplane LSH bucket join + exact re-rank.
 
-    Recall vs the exact result is asserted in tests/test_similarity.py;
-    here the driver records row counts (≤ k rows per query)."""
+    Deterministic (seeded hyperplanes, inlined into the SQL oracle as
+    literals) so bucketing and re-rank hash-check end-to-end; recall vs
+    the exact result is additionally asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     out = lsh_topk(corpus, queries, TOP_K, DIM, n_planes=16, n_bands=4)
+    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+
+
+N_CELLS, N_PROBE = 16, 4
+
+_NORM = (
+    "list_transform({v}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+)
+_SQL2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+nq AS (SELECT qid, qe, {_NORM.format(v='qe')} AS nqe FROM q),
+nc AS (SELECT cid, ce, {_NORM.format(v='ce')} AS nce FROM c),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS BIGINT) AS cell, nce AS cvec
+  FROM (SELECT cid, nce FROM nc ORDER BY cid LIMIT {N_CELLS})
+),
+cassign AS (
+  SELECT cid, cell FROM (
+    SELECT nc.cid, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY nc.cid
+             ORDER BY {_SQL2.format(a='nc.nce', b='cents.cvec')}, cents.cell) AS r
+    FROM nc CROSS JOIN cents
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT nq.qid, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY nq.qid
+             ORDER BY {_SQL2.format(a='nq.nqe', b='cents.cvec')}, cents.cell) AS r
+    FROM nq CROSS JOIN cents
+  ) WHERE r <= {N_PROBE}
+),
+cand AS (
+  SELECT qid, cid, {_COS.format(a='qe', b='ce')} AS sim
+  FROM qprobe
+  JOIN cassign USING (cell)
+  JOIN q USING (qid)
+  JOIN c USING (cid)
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM cand
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_ivf", oracle=_IVF_ORACLE)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF-flat — search only the n_probe nearest cells.
+
+    Deterministic build (seed centroids = lowest-id corpus vectors,
+    n_iters=0) so the whole index+search pipeline hash-checks against
+    ANSI SQL; the Lloyd-refined build (n_iters>0) shares every operator.
+    """
+    from kinesiscat_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE)
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")

@@ -1,4 +1,4 @@
-"""LSH recall vs exact brute force (the approximate lane has no SQL oracle)."""
+"""Recall of the approximate lanes (LSH, IVF) vs exact brute force."""
 
 from __future__ import annotations
 
@@ -22,3 +22,38 @@ def test_lsh_recall_vs_exact(spark):
     # 16 planes / 4 bands on 64-dim gaussian vectors: banded OR-of-ANDs is
     # permissive (4 matching bits ~ cos similarity), so recall stays high.
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_ivf_recall_vs_exact(spark):
+    from kinesiscat_spark.queries.similarity_queries import (
+        similarity_topk_exact,
+        similarity_topk_ivf,
+    )
+
+    exact = {
+        (r.qid, r.cid) for r in similarity_topk_exact(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.qid, r.cid) for r in similarity_topk_ivf(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells of a 495-vector corpus; unrefined seed centroids
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_lloyd_refinement_runs(spark):
+    """n_iters>0 exercises the distributed Lloyd loop (collects only
+    centroids); sanity: still returns k rows per query."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = ivf_topk(corpus, queries, 5, n_cells=8, n_probe=2, n_iters=2)
+    counts = {r.qid: r.n for r in out.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()) and len(counts) == 3
