@@ -52,6 +52,7 @@ def load_all_query_modules() -> None:
         dedup_queries,
         envelope_queries,
         jmespath_queries,
+        join_queries,
         multimodal_queries,
         relational,
         similarity_queries,

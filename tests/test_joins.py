@@ -1,0 +1,81 @@
+"""Unit tests for asof_join / interval_join semantics (small literal data);
+the sf0.01 hash-check vs DuckDB's native ASOF JOIN lives in the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.joins import asof_join, interval_join
+
+
+def _ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 100.0),
+         ("A", "2024-01-01 10:00:05", 101.0),
+         ("B", "2024-01-01 10:00:03", 50.0)],
+        "sym string, qt string, px double",
+    ).withColumn("qt", F.to_timestamp("qt"))
+    trades = spark.createDataFrame(
+        [("A", "2024-01-01 09:59:59"),   # before any quote
+         ("A", "2024-01-01 10:00:05"),   # exactly at a quote -> inclusive
+         ("A", "2024-01-01 10:00:07"),
+         ("B", "2024-01-01 10:00:04"),
+         ("C", "2024-01-01 10:00:00")],  # key with no quotes
+        "sym string, tt string",
+    ).withColumn("tt", F.to_timestamp("tt"))
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, "sym", "sym", "tt", "qt")
+    got = {(r.sym, str(r.tt)): r.px for r in out.collect()}
+    assert got[("A", "2024-01-01 09:59:59")] is None
+    assert got[("A", "2024-01-01 10:00:05")] == 101.0  # inclusive bound
+    assert got[("A", "2024-01-01 10:00:07")] == 101.0
+    assert got[("B", "2024-01-01 10:00:04")] == 50.0
+    assert got[("C", "2024-01-01 10:00:00")] is None
+    assert out.count() == trades.count()  # left join: no row loss
+
+
+def test_asof_forward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, "sym", "sym", "tt", "qt", direction="forward")
+    got = {(r.sym, str(r.tt)): r.px for r in out.collect()}
+    assert got[("A", "2024-01-01 09:59:59")] == 100.0  # next quote
+    assert got[("A", "2024-01-01 10:00:05")] == 101.0  # inclusive bound
+    assert got[("A", "2024-01-01 10:00:07")] is None   # nothing after
+    assert got[("C", "2024-01-01 10:00:00")] is None
+
+
+def test_asof_clash_and_direction_guards(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(trades, quotes.withColumnRenamed("px", "tt"), "sym", "sym", "tt", "qt")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, "sym", "sym", "tt", "qt", direction="nearest")
+
+
+def test_interval_join_bucket_boundaries(spark):
+    """Intervals longer than the bucket width and rows on exact bucket
+    edges: the bucketed equi-join must still find every true match."""
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:30:00"),
+         (1, "2024-01-01 12:59:59"), (1, "2024-01-01 13:00:00"),
+         (2, "2024-01-01 10:30:00")],
+        "uid bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivals = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00", "2024-01-01 13:00:00")],
+        "r_uid bigint, ival_id bigint, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = interval_join(events, ivals, "uid", "r_uid", "ts", "s", "e", bucket="1 hour")
+    got = sorted(str(r.ts) for r in out.collect())
+    # [10:00, 13:00): start inclusive, end exclusive, wrong-key excluded
+    assert got == ["2024-01-01 10:00:00", "2024-01-01 11:30:00", "2024-01-01 12:59:59"]
