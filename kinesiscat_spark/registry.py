@@ -55,6 +55,7 @@ def load_all_query_modules() -> None:
         join_queries,
         multimodal_queries,
         relational,
+        relational_ext,
         similarity_queries,
         stream_queries,
         text_queries,
