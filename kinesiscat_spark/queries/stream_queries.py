@@ -42,6 +42,51 @@ def stream_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
+_STATEFUL_DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       event_id AS first_event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       ROUND(value, 6) AS first_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("stream_stateful_dedup", oracle=_STATEFUL_DEDUP_ORACLE)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    first-seen dedup per (user_id, event_type), state in the checkpoint.
+
+    The file-backed source delivers micro-batches in file order, so
+    first-seen == min event_id and the batch SQL twin is exact; with an
+    unordered source the oracle weakens to rows-only (count per key = 1).
+    """
+    from kinesiscat_spark.streaming.stateful import dedup_first_seen
+
+    ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
+    first = dedup_first_seen(
+        ev.select("user_id", "event_type", "event_id", "ts", "value"),
+        keys=["user_id", "event_type"],
+        order_col="event_id",
+        output_schema=(
+            "user_id bigint, event_type string, event_id bigint, "
+            "ts timestamp, value double"
+        ),
+    )
+    out = run_to_memory(first, output_mode="append")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.round("value", 6).alias("first_value"),
+    )
+
+
 @query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 streaming form: event-time tumbling window over the stream.

@@ -161,18 +161,28 @@ def test_watermark_append_drops_late_data(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
+    # The file source orders micro-batches by modification time: stamp
+    # each written file with a strictly increasing mtime (sleeping for
+    # real mtime gaps is flaky under load).
+    stamped: dict[str, bool] = {}
+    clock = [1_700_000_000]
+
     def write_file(rows, name):
         spark.createDataFrame(rows, cols).withColumn(
             "ts", F.unix_micros(F.to_timestamp("ts")) * 1000
         ).write.mode("append").parquet(src)
+        clock[0] += 10
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(src, "*.parquet")):
+            if p not in stamped:
+                os.utime(p, (clock[0], clock[0]))
+                stamped[p] = True
 
     # file 1: one event at 10:00; file 2 advances watermark far past the
-    # first window; file 3 is a late straggler back at 10:05. The file
-    # source orders by modification time — sleep so the order is real.
+    # first window; file 3 is a late straggler back at 10:05.
     write_file([(1, "2024-01-01 10:00:00", 1, "a", 1.0, "{}")], "f1")
-    time.sleep(1.1)
     write_file([(2, "2024-01-01 15:00:00", 1, "a", 1.0, "{}")], "f2")
-    time.sleep(1.1)
     write_file([(3, "2024-01-01 10:05:00", 1, "a", 1.0, "{}")], "f3")
 
     from kinesiscat_spark.streaming.source import _EVENTS_RAW_SCHEMA
@@ -193,3 +203,60 @@ def test_watermark_append_drops_late_data(spark, tmp_path):
     got = {r.ws: r.n for r in out.collect()}
     # the 10:00 window closed with exactly 1 row; the late event was dropped
     assert got.get("2024-01-01 10:00:00") == 1
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a key recurring in a later
+    micro-batch must be suppressed by state, and within one batch the
+    min-order row wins."""
+    import glob
+
+    from kinesiscat_spark.streaming.source import _EVENTS_RAW_SCHEMA
+    from kinesiscat_spark.streaming.stateful import dedup_first_seen
+
+    src = str(tmp_path / "src")
+    stamped: dict[str, bool] = {}
+    clock = [1_700_000_000]
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).coalesce(1).withColumn(
+            "ts", F.unix_micros(F.to_timestamp("ts")) * 1000
+        ).write.mode("append").parquet(src)
+        clock[0] += 10
+        for p in glob.glob(os.path.join(src, "*.parquet")):
+            if p not in stamped:
+                os.utime(p, (clock[0], clock[0]))
+                stamped[p] = True
+
+    # batch 1: key (1,'a') twice (ids 5, 2 -> 2 wins) and key (2,'b')
+    write_file(
+        [(5, "2024-01-01 10:00:00", 1, "a", 9.0, "{}"),
+         (2, "2024-01-01 10:00:01", 1, "a", 7.0, "{}"),
+         (3, "2024-01-01 10:00:02", 2, "b", 1.0, "{}")],
+        "f1",
+    )
+    # batch 2: (1,'a') again with a SMALLER id -> must be dropped (state),
+    # plus a brand-new key (3,'c')
+    write_file(
+        [(1, "2024-01-01 11:00:00", 1, "a", 0.0, "{}"),
+         (9, "2024-01-01 11:00:01", 3, "c", 4.0, "{}")],
+        "f2",
+    )
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    first = dedup_first_seen(
+        ev.select("user_id", "event_type", "event_id", "value"),
+        keys=["user_id", "event_type"],
+        order_col="event_id",
+        output_schema="user_id bigint, event_type string, event_id bigint, value double",
+    )
+    out = run_to_memory(first, output_mode="append", cfg=StreamConfig(batch_size=1))
+    got = {(r.user_id, r.event_type): r.event_id for r in out.collect()}
+    assert got == {(1, "a"): 2, (2, "b"): 3, (3, "c"): 9}
