@@ -123,6 +123,43 @@ def minhash_signature(text: Column, n_hashes: int = 32, n: int = 3) -> Column:
     return F.array(*[F.array_min(F.transform(hp, g(i))) for i in range(n_hashes)])
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig) DataFrame of minhash signatures — the scalable form of
+    ``minhash_signature``.
+
+    Explodes distinct shingles so each md5 is computed exactly once, then
+    takes the H Carter-Wegman minima as ``min()`` aggregates (map-side
+    partial, one shuffle on id). The Column form recomputes the md5 array
+    once per hash function — and Catalyst duplicates that whole subtree
+    into every consumer (each side of a self-join, the estimate column),
+    which turns quadratic in expression size; the aggregation here is a
+    materialization barrier, so downstream plans reuse ``sig`` as a plain
+    column. Values are bit-identical to ``minhash_signature``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    )
+    hp = sh.select(
+        "id",
+        _hexint(F.md5("s"), 1, 12).alias("h1"),
+        _hexint(F.md5("s"), 13, 12).alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    return hp.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -141,10 +178,7 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, n).alias("sig"),
-    )
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
     bands = sig.select(
         "id",
         "sig",
