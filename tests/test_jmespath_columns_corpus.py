@@ -1,0 +1,166 @@
+"""Run the JMESPath compliance corpus through the NATIVE Column compiler.
+
+The differential suite in ``test_jmespath_columns.py`` pins handwritten
+expressions; this one sweeps the full public compliance corpus (the same 862
+cases the reference runs, SURVEY §5.2): for every non-error case whose
+``given`` document has a faithful static Spark schema, compile the expression
+with ``compile_column`` and evaluate it JVM-side, comparing against the
+golden result.  Cases outside the statically-typeable subset must raise
+``NotColumnCompilable`` (the UDF fallback path, corpus-covered by
+``test_jmespath_compliance.py``) — a wrong *answer* from the native path is
+a failure; a clean refusal is not.
+
+Cases are batched ~40 per single-row DataFrame (each case is one struct
+column + one compiled result column) so the sweep costs a handful of Spark
+jobs, not 862.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesiscat_spark.functions.jmespath.columns import compile_column
+from kinesiscat_spark.functions.jmespath.errors import (
+    JMESPathError,
+    NotColumnCompilable,
+)
+from kinesiscat_spark.functions.jmespath.parser import parse
+from kinesiscat_spark.functions.jmespath.schemas import (
+    Unrepresentable,
+    infer_type,
+    to_spark_value,
+)
+from tests.test_jmespath_compliance import CORPUS, FILES, UNORDERED_HINTS
+
+CHUNK = 40
+
+
+def _has_empty_struct(dt: T.DataType) -> bool:
+    # named_struct() with zero fields is not constructible in Spark.
+    if isinstance(dt, T.StructType):
+        return not dt.fields or any(_has_empty_struct(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_empty_struct(dt.elementType)
+    return False
+
+
+def _load():
+    if not os.path.isdir(CORPUS):
+        return []
+    out = []
+    for fname in FILES:
+        path = os.path.join(CORPUS, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            suites = json.load(f)
+        for si, suite in enumerate(suites):
+            for ci, case in enumerate(suite["cases"]):
+                if "error" in case:
+                    continue
+                out.append((f"{fname}:{si}:{ci}", suite["given"], case))
+    return out
+
+
+def _plainify(v):
+    if isinstance(v, Row):
+        return {k: _plainify(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plainify(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plainify(x) for k, x in v.items()}
+    if isinstance(v, float) and not math.isnan(v) and v == int(v):
+        return int(v)
+    return v
+
+
+def _norm_unordered(v):
+    if isinstance(v, list):
+        return sorted(json.dumps(_norm_unordered(x), sort_keys=True) for x in v)
+    if isinstance(v, dict):
+        return {k: _norm_unordered(x) for k, x in v.items()}
+    return v
+
+
+def _agree(got, want, expression) -> bool:
+    got, want = _plainify(got), _plainify(want)
+    if got == want:
+        # guard bool/number confusion (True == 1 in Python)
+        return json.dumps(got, sort_keys=True) == json.dumps(want, sort_keys=True)
+    if any(h in expression for h in UNORDERED_HINTS):
+        return _norm_unordered(got) == _norm_unordered(want)
+    return False
+
+
+ALL = _load()
+
+
+@pytest.mark.skipif(not ALL, reason="compliance corpus not available")
+def test_corpus_native_column_path(spark):
+    compilable = []  # (case_id, expression, dtype, value, expected)
+    n_unrep = n_refused = 0
+    for case_id, given, case in ALL:
+        expression = case["expression"]
+        try:
+            dtype = infer_type(given)
+        except Unrepresentable:
+            n_unrep += 1
+            continue
+        if _has_empty_struct(dtype):
+            n_unrep += 1
+            continue
+        try:
+            ast = parse(expression)
+            compile_column(ast, F.lit(None), dtype)  # dry-run typecheck
+        except NotColumnCompilable:
+            n_refused += 1
+            continue
+        except JMESPathError:
+            n_refused += 1
+            continue
+        compilable.append((case_id, expression, dtype, given, case["result"]))
+
+    failures = []
+    n_native = 0
+    for lo in range(0, len(compilable), CHUNK):
+        batch = compilable[lo : lo + CHUNK]
+        schema = T.StructType(
+            [T.StructField(f"c{i}", dtype) for i, (_, _, dtype, _, _) in enumerate(batch)]
+        )
+        row = tuple(
+            to_spark_value(given, dtype) for (_, _, dtype, given, _) in batch
+        )
+        df = spark.createDataFrame([row], schema)
+        cols = []
+        for i, (case_id, expression, dtype, _, _) in enumerate(batch):
+            try:
+                typed = compile_column(expression, F.col(f"c{i}"), dtype)
+                cols.append(typed.col.alias(f"r{i}"))
+            except JMESPathError as e:  # dry-run passed but real input failed
+                failures.append(f"{case_id} {expression!r}: compile error {e}")
+                cols.append(F.lit(None).alias(f"r{i}"))
+        out = df.select(*cols).collect()[0]
+        for i, (case_id, expression, _, _, expected) in enumerate(batch):
+            got = out[f"r{i}"]
+            n_native += 1
+            if not _agree(got, expected, expression):
+                failures.append(
+                    f"{case_id} {expression!r}: native={_plainify(got)!r} "
+                    f"want={_plainify(expected)!r}"
+                )
+
+    print(
+        f"\ncorpus native-path sweep: {n_native} evaluated natively, "
+        f"{n_refused} fell back (NotColumnCompilable), "
+        f"{n_unrep} skipped (no static schema)"
+    )
+    assert not failures, "\n".join(failures[:40]) + f"\n({len(failures)} total)"
+    # the native path must carry a substantial share of the corpus
+    assert n_native >= 300, n_native
