@@ -1,0 +1,84 @@
+"""Physical-plan regression tests for the headline queries.
+
+Correctness is the oracle's job (``tools/oracle_check.py``); these tests pin
+the *plan shape* that makes each query viable at 100 TB — filters reaching
+the parquet scan, column pruning, dimension broadcasts, and a Python-free
+hot path (SURVEY §4).  A refactor that silently turns a broadcast join into
+a shuffle or drags a pandas UDF into a scan-agg pipeline fails here long
+before it shows up as a bench regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    qs = entrymod.queries()
+
+    def plan(name: str) -> str:
+        df = qs[name](spark, SF_DIR)
+        return df._jdf.queryExecution().explainString(mode)
+
+    return plan
+
+
+def test_q1_scan_pushdown_and_pruning(plans):
+    s = plans("tpch_q1_pricing_summary")
+    # shipdate filter reaches the parquet reader
+    assert "LessThanOrEqual(l_shipdate" in s
+    # column pruning: the scan must not read join keys the query never uses
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("l_partkey" not in l and "l_suppkey" not in l for l in read)
+    # pure JVM pipeline: partial agg -> exchange -> final agg, no Python
+    assert "EvalPython" not in s
+    assert "HashAggregate" in s
+
+
+def test_q3_selective_filters_and_broadcast(plans):
+    s = plans("tpch_q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in s  # pushed to customer scan
+    assert "LessThan(o_orderdate" in s  # pushed to orders scan
+    assert "GreaterThan(l_shipdate" in s  # pushed to lineitem scan
+    assert "BroadcastHashJoin" in s  # filtered customer broadcasts
+    assert "EvalPython" not in s
+
+
+def test_q5_dims_broadcast(plans):
+    s = plans("tpch_q5_local_supplier")
+    # supplier + nation + region must all broadcast; no shuffle join of a
+    # dim against the fact pipeline at any SF
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in s
+    assert "EvalPython" not in s
+
+
+def test_jmespath_filter_is_native(plans):
+    # the JMESPath expression compiled to Columns — no Python in the plan
+    s = plans("jp_filter_compare")
+    assert "EvalPython" not in s
+    assert "codegen id" in s
+    # json field pruning: the from_json schema narrows to the referenced key
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("user_id" not in l for l in read)
+
+
+def test_exact_dedup_single_shuffle(plans):
+    s = plans("dedup_exact_hash")
+    assert "EvalPython" not in s
+    # one logical shuffle on the dedup key (AQE may print the exchange in
+    # both initial and final sections; assert the *distinct* exchange ids)
+    ex = {l.split("Exchange", 1)[0].strip() for l in s.splitlines() if "Exchange" in l and "Reused" not in l}
+    assert len(ex) >= 1
+
+
+def test_events_topk_native_window(plans):
+    s = plans("events_topk_users_per_type")
+    assert "EvalPython" not in s
