@@ -196,3 +196,110 @@ def jp_udf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == "true")
         .select("event_id", udf(F.col("doc")).alias("record"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Array-operator lanes (J3-J9, F7/F9/F10/F17/F18/F21) over documents.text
+# split into word arrays. Array-valued outputs are serialized with to_json on
+# BOTH sides so the driver's value hash compares strings, not engine-native
+# list types. DuckDB list semantics are 1-based inclusive; the oracles below
+# translate each 0-based exclusive JMESPath slice accordingly.
+# ---------------------------------------------------------------------------
+
+_WORDS_SCHEMA = T.StructType(
+    [T.StructField("words", T.ArrayType(T.StringType()))]
+)
+
+
+def _words_doc(df: DataFrame) -> DataFrame:
+    return df.withColumn("doc", F.struct(F.split("text", " ").alias("words")))
+
+
+def _jpw(expression: str):
+    return compile_column(expression, F.col("doc"), _WORDS_SCHEMA)
+
+
+@query(
+    "jp_array_index_slice",
+    oracle="""
+SELECT doc_id,
+  l[1] AS first_word,
+  l[-1] AS last_word,
+  to_json(l[2:4]) AS mid,
+  to_json(list_slice(l, 1, 6, 2)) AS stride,
+  array_to_string(l[1:3], '-') AS first3,
+  to_json(list_reverse(l)) AS rev,
+  to_json(list_sort(l)) AS sorted_words
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+""",
+)
+def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 index (incl. negative), J4 slice (incl. stride), F7 join, F17
+    reverse, F18 sort — all compiled to native array Columns
+    (jp/interpreter.go:147-170, jp/util.go:54-138, jp/functions.go:715-792).
+    """
+    docs = _words_doc(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        _jpw("words[0]").col.alias("first_word"),
+        _jpw("words[-1]").col.alias("last_word"),
+        F.to_json(_jpw("words[1:4]").col).alias("mid"),
+        F.to_json(_jpw("words[0:6:2]").col).alias("stride"),
+        _jpw("join('-', words[0:3])").col.alias("first3"),
+        F.to_json(_jpw("reverse(words)").col).alias("rev"),
+        F.to_json(_jpw("sort(words)").col).alias("sorted_words"),
+    )
+
+
+@query(
+    "jp_array_hof",
+    oracle="""
+SELECT doc_id,
+  to_json(list_filter(l, x -> length(x) >= 6)) AS long_words,
+  CAST(len(list_filter(l, x -> length(x) >= 6)) AS BIGINT) AS n_long,
+  to_json(list_transform(l, x -> length(x))) AS word_lens,
+  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
+  ROUND(list_avg(list_transform(l, x -> length(x))), 4) AS avg_len,
+  list_aggregate(l, 'max') AS max_word,
+  list_aggregate(l, 'min') AS min_word
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+""",
+)
+def jp_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 filter projection with truthy predicate, F10 map over expref,
+    F9 length, F21 sum, F2 avg, F11 max, F14 min — per-record array HOFs
+    (jp/interpreter.go:84-113, jp/functions.go:404-621), zero Python."""
+    docs = _words_doc(load_table(spark, sf_dir, "documents"))
+    long_words = _jpw("words[?length(@) >= `6`]")
+    lens = _jpw("map(&length(@), words)")
+    return docs.select(
+        "doc_id",
+        F.to_json(long_words.col).alias("long_words"),
+        _jpw("length(words[?length(@) >= `6`])").col.cast("long").alias("n_long"),
+        F.to_json(lens.col).alias("word_lens"),
+        _jpw("sum(map(&length(@), words))").col.cast("long").alias("total_len"),
+        F.round(_jpw("avg(map(&length(@), words))").col, 4).alias("avg_len"),
+        _jpw("max(words)").col.alias("max_word"),
+        _jpw("min(words)").col.alias("min_word"),
+    )
+
+
+@query(
+    "jp_flatten_multiselect",
+    oracle="""
+SELECT doc_id,
+  to_json(flatten([l[1:2], l[3:4]])) AS head4,
+  to_json([l[1], l[-1]]) AS ends
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+""",
+)
+def jp_flatten_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 one-level flatten over a J9 multiselect list of J4 slices:
+    `[words[0:2], words[2:4]][]` (jp/interpreter.go:114-144,
+    jp/interpreter.go:189-201)."""
+    docs = _words_doc(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.to_json(_jpw("[words[0:2], words[2:4]][]").col).alias("head4"),
+        F.to_json(_jpw("[words[0], words[-1]]").col).alias("ends"),
+    )

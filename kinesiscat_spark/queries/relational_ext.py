@@ -268,3 +268,65 @@ def event_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_and_purchase").alias("cohort"), "user_id"
     )
     return click_only.unionAll(both)
+
+
+_Q6_ORACLE = """
+SELECT
+  ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: the pure pushdown query. All three predicates reach
+    the parquet reader (range + between + less-than), the scan reads 4
+    columns of 11, and the aggregation is a single map-side partial ->
+    one-row exchange. At 100 TB this is I/O-bound by exactly the bytes the
+    row-group statistics can't skip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+@query("docs_cube_lang_source", oracle=_CUBE_ORACLE)
+def docs_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four combinations of lang x source) in one
+    expand+aggregate pass — completes the grouping-set taxonomy next to
+    the ROLLUP lane. Both dimensions are low-cardinality, so the expand
+    multiplies rows 4x pre-shuffle but the partial aggregate collapses
+    them immediately; the exchange carries ~|langs x sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    ).select("lang", "source", "gid", "n_docs", "avg_chars")
