@@ -79,6 +79,16 @@ def test_exact_dedup_single_shuffle(plans):
     assert len(ex) >= 1
 
 
+def test_q6_pure_pushdown(plans):
+    s = plans("tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in s
+    assert "GreaterThanOrEqual(l_discount" in s
+    assert "LessThan(l_quantity" in s
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("l_returnflag" not in l for l in read)
+    assert "EvalPython" not in s
+
+
 def test_events_topk_native_window(plans):
     s = plans("events_topk_users_per_type")
     assert "EvalPython" not in s
