@@ -36,3 +36,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div — float division would lose precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a map-heavy input to full parallelism — but only when it
+    is under-partitioned.
+
+    Single small parquet files (the local test corpus) scan as ONE input
+    partition, which serializes every expensive per-row computation
+    (signatures, hashes, per-pair folds) onto one core. At production scale
+    the scan already yields thousands of partitions and this is a no-op —
+    so the extra shuffle is paid exactly when it is cheap (input small
+    enough to fit in few partitions) and skipped when it would be expensive.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    cols = [F.col(c) for c in key_cols]
+    return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -44,13 +44,24 @@ def tokens(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string>; docs shorter than n words
-    produce a single shingle of the whole doc."""
+    produce a single shingle of the whole doc.
+
+    Built as a zip of n shifted slices of the token array, NOT as
+    ``transform(sequence, i -> slice(toks, i, n))`` — a subexpression
+    referenced inside a HOF lambda is re-evaluated per element by Catalyst,
+    which would recompute the full ``split`` once per shingle (O(len²) per
+    document). The shifted-slice zip evaluates ``split`` n+1 times total.
+    ``concat_ws`` skips nulls, which handles both the zip padding and the
+    shorter-than-n single-shingle case.
+    """
     toks = tokens(text)
     count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    out = F.slice(toks, 1, count)
+    for j in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(toks, j, count), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
@@ -76,7 +87,9 @@ def ngram_jaccard_pairs(
     hash (ids ordered to dedupe pairs), count co-occurrences = |A∩B|, then
     |A∪B| = |A| + |B| − |A∩B| from broadcast per-doc cardinalities.
     """
-    sh = docs.select(
+    from kinesiscat_spark.io_tables import spread
+
+    sh = spread(docs, id_col).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
@@ -142,7 +155,9 @@ def minhash_signatures(
     materialization barrier, so downstream plans reuse ``sig`` as a plain
     column. Values are bit-identical to ``minhash_signature``.
     """
-    sh = docs.select(
+    from kinesiscat_spark.io_tables import spread
+
+    sh = spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
     )
@@ -248,13 +263,24 @@ def simhash64(text: Column) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, m: F.zip_with(acc, bits_of(m), lambda x, y: x + y),
     )
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        bitval = (1 << b) if b < 63 else -(1 << 63)
-        out = out + F.when(
-            F.element_at(sums, b + 1) > 0, F.lit(bitval).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    # Pack the 64 sign bits in ONE pass over `sums`. Referencing
+    # element_at(sums, b) in 64 separate terms would make Catalyst inline
+    # (and re-evaluate) the whole token fold 64 times per row.
+    bitvals = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            bitvals,
+            lambda s, bv: F.when(s > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
@@ -268,8 +294,17 @@ def simhash_pairs(
     EXACT for max_distance ≤ 3: with 4 disjoint 16-bit bands, pigeonhole
     guarantees at least one band matches, so the band join misses nothing.
     """
-    sig = docs.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    from kinesiscat_spark.io_tables import spread
+
+    # spread() parallelizes the per-doc signature fold on under-partitioned
+    # input; the repartition barrier materializes `sh` so the 4 band keys +
+    # output below reference an attribute instead of inlining (and
+    # re-evaluating) the whole token fold 5x per row. At scale the barrier
+    # shuffles (id, int64) pairs only.
+    sig = (
+        spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+        .repartition(F.col("id"))
     )
     bands = sig.select(
         "id",
@@ -322,13 +357,29 @@ def embedding_near_dup_pairs(
     pairs (operators.similarity.random_hyperplane_lsh buckets), where the
     pair count scales with duplicate density. The small side broadcasts.
     """
-    from kinesiscat_spark.operators.similarity import cosine
+    from kinesiscat_spark.io_tables import spread
+    from kinesiscat_spark.operators.similarity import dot, l2_norm
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Precompute each row's norm ONCE behind an exchange barrier — naive
+    # cosine(va, vb) re-evaluates both 64-element norm folds per PAIR
+    # (O(n²·d) extra work); with norms as attributes each pair costs one
+    # dot fold. spread() also parallelizes the nested-loop stream side,
+    # which otherwise inherits the (single-partition) scan of the local
+    # corpus. Values are bit-identical: same expressions, evaluated once.
+    v = (
+        spread(emb, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        .repartition(F.col("id"))
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -149,9 +149,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window 4), exploded to (doc_id, fp) rows. Scan-stage only — the
     fingerprint set is computed without any shuffle; downstream provenance
     joins exchange (fp, doc_id) pairs."""
+    from kinesiscat_spark.io_tables import spread
     from kinesiscat_spark.operators.text import winnow_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
     )
