@@ -366,14 +366,10 @@ def embedding_near_dup_pairs(
     # dot fold. spread() also parallelizes the nested-loop stream side,
     # which otherwise inherits the (single-partition) scan of the local
     # corpus. Values are bit-identical: same expressions, evaluated once.
-    v = (
-        spread(emb, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-        )
-        .repartition(F.col("id"))
+    v = spread(emb, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

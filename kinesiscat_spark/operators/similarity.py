@@ -22,8 +22,12 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -61,16 +65,23 @@ def cosine_topk(
     queries is expected to be small (it is broadcast); corpus scans once
     with no shuffle of the vectors — only (qid, cid, sim) tuples move.
     """
+    # Norms are computed once per row in the side projections (below the
+    # join); cosine(_qvec, _cvec) in the pair projection would re-run both
+    # norm folds per PAIR. Same expressions, same FP order — bit-identical.
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("_qvec")
+        F.col(query_id), F.col(vec).alias("_qvec"), l2_norm(F.col(vec)).alias("_qn")
     )
-    pairs = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")).join(
-        F.broadcast(q)
-    )
+    pairs = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec).alias("_cvec"),
+        l2_norm(F.col(vec)).alias("_cn"),
+    ).join(F.broadcast(q))
     sims = pairs.select(
         query_id,
         "cid",
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -84,13 +95,39 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """array<int> of sign bits, one per hyperplane (JVM-side dot products)."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, 1).otherwise(0)
-        for plane in planes
-    ]
-    return F.array(*bits)
+def _band_keys_udf(planes: list[list[float]], n_bands: int):
+    """Arrow-batched band-key kernel: (vec) -> array<long> of n_bands keys.
+
+    Dot products against the plan-time constant hyperplanes are the one
+    numeric kernel where Spark's expression layer loses badly: array HOFs
+    (zip_with/aggregate) are CodegenFallback (interpreted, ~100µs per
+    fold), and unrolling the fold into 1000+ arithmetic nodes blows up
+    optimizer/codegen time instead. A vectorized pandas UDF computes all
+    plane dots for a whole Arrow batch in numpy.
+
+    FP fidelity: the accumulation loops over dimensions SEQUENTIALLY
+    (vectorized across rows), i.e. ((v0*w0 + v1*w1) + v2*w2) + ... — the
+    exact fold order of ``dot`` and of the SQL oracle's list_sum, so sign
+    bits (and therefore keys) are bit-identical to the Column form.
+    """
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    n_planes = P.shape[1]
+    r = n_planes // n_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        dots = np.zeros((V.shape[0], n_planes))
+        for i in range(P.shape[0]):
+            dots += V[:, i : i + 1] * P[i]
+        bits = (dots >= 0).astype(np.int64)
+        keys = np.zeros((V.shape[0], n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for j in range(r):
+                keys[:, b] = keys[:, b] * 2 + bits[:, b * r + j]
+        return pd.Series(list(keys))
+
+    return band_keys
 
 
 def random_hyperplane_lsh(
@@ -107,18 +144,19 @@ def random_hyperplane_lsh(
     same (band_id, band_key) bucket iff they agree on all bits of a band.
     """
     assert n_planes % n_bands == 0
-    r = n_planes // n_bands
     planes = _hyperplanes(n_planes, dim, seed)
-    sig = signature_bits(F.col(vec), planes)
-    with_sig = df.withColumn("_sig", sig)
-    band_cols = []
-    for b in range(n_bands):
-        chunk = F.slice(F.col("_sig"), b * r + 1, r)
-        key = F.aggregate(
-            chunk, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+    keys = _band_keys_udf(planes, n_bands)
+    with_keys = df.withColumn("_keys", keys(F.col(vec)))
+    # _keys is an attribute (ArrowEvalPython output), so the n_bands
+    # references below are free column reads, not recomputation.
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.col("_keys")[b].alias("band_key"),
         )
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    return with_sig.withColumn("bands", F.array(*band_cols)).drop("_sig")
+        for b in range(n_bands)
+    ]
+    return with_keys.withColumn("bands", F.array(*band_cols)).drop("_keys")
 
 
 def lsh_topk(
@@ -137,20 +175,26 @@ def lsh_topk(
     c = random_hyperplane_lsh(corpus, dim, n_planes, n_bands, vec).select(
         F.col(corpus_id).alias("cid"),
         F.col(vec).alias("_cvec"),
+        l2_norm(F.col(vec)).alias("_cn"),
         F.explode("bands").alias("b"),
     )
     q = random_hyperplane_lsh(queries, dim, n_planes, n_bands, vec).select(
         F.col(query_id),
         F.col(vec).alias("_qvec"),
+        l2_norm(F.col(vec)).alias("_qn"),
         F.explode("bands").alias("b"),
     )
     cand = (
         c.join(F.broadcast(q), c.b == q.b)
-        .select(query_id, "cid", "_qvec", "_cvec")
+        .select(query_id, "cid", "_qvec", "_cvec", "_qn", "_cn")
         .dropDuplicates([query_id, "cid"])
     )
     sims = cand.select(
-        query_id, "cid", cosine(F.col("_qvec"), F.col("_cvec")).alias("sim")
+        query_id,
+        "cid",
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -160,7 +204,12 @@ def lsh_topk(
 
 
 def normalize(vec: Column) -> Column:
-    """Unit-normalize (double math); after this, L2 argmin == cosine argmax."""
+    """Unit-normalize (double math); after this, L2 argmin == cosine argmax.
+
+    NB: the norm subexpression is referenced inside the transform lambda,
+    which Catalyst re-evaluates per element — O(dim²) per row. Fine for
+    small inputs (centroid seeds); for corpus-wide use prefer carrying an
+    explicit norm column (see cosine_topk / ivf_assign)."""
     n = l2_norm(vec)
     return F.transform(vec, lambda x: x.cast("double") / n)
 
@@ -238,11 +287,18 @@ def ivf_assign(
     broadcast and the rank window partitions by the vector id (already
     the scan's natural grouping after the broadcast join).
     """
-    nv = df.select(F.col(id_col), normalize(F.col(vec)).alias("_nvec"))
-    pairs = nv.join(F.broadcast(centroids))
+    # Rank by -dot(vec, cvec) instead of sq_l2(normalize(vec), cvec):
+    # within the per-vector window, sq_l2 of the normalized vector equals
+    # 2 - 2*dot(vec, cvec)/||vec|| — a strictly decreasing function of the
+    # raw dot product — so the ranking (and tie set) is identical while
+    # skipping the normalize() transform, whose norm subexpression Catalyst
+    # would re-evaluate per element (O(dim²) per row).
+    pairs = df.select(F.col(id_col), F.col(vec).alias("_v")).join(
+        F.broadcast(centroids)
+    )
     w = Window.partitionBy(id_col).orderBy("_d", "cell")
     return (
-        pairs.withColumn("_d", sq_l2(F.col("_nvec"), F.col("cvec")))
+        pairs.withColumn("_d", -dot(F.col("_v"), F.col("cvec")))
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_probe)
         .select(id_col, "cell")
@@ -271,16 +327,22 @@ def ivf_topk(
     cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
     corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
     indexed = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
+        F.col(corpus_id).alias("cid"),
+        F.col(vec).alias("_cvec"),
+        l2_norm(F.col(vec)).alias("_cn"),
     ).join(
         corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
     )
     probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
-        probes, query_id
-    )
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("_qvec"), l2_norm(F.col(vec)).alias("_qn")
+    ).join(probes, query_id)
     cand = indexed.join(F.broadcast(q), "cell").select(
-        query_id, "cid", cosine(F.col("_qvec"), F.col("_cvec")).alias("sim")
+        query_id,
+        "cid",
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (
