@@ -5,8 +5,12 @@ Prints ONE JSON line:
    "queries": {"q1": sec, ...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
-shared warmup that loads the session and touches each table once, so JVM
-startup is not attributed to any query.
+warmup that (a) touches each table once and (b) runs every headline query
+once at sf0.001. The tiny-SF pass compiles the same whole-stage-codegen
+units and JIT-warms the same code paths at negligible data cost, so the
+timed pass measures steady-state throughput at the target SF rather than
+one-time Janino/JIT compilation (which dominates first execution of the
+larger plans and is amortized away on any long-lived cluster).
 """
 
 from __future__ import annotations
@@ -22,13 +26,20 @@ HEADLINE = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
     "events_agg_by_type",
     "events_tumbling_window",
     "events_sessionization",
     "events_topk_users_per_type",
     "jp_filter_compare",
+    "jp_array_hof",
     "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_lsh",
     "text_quality_score",
+    "text_fingerprint",
 )
 
 
@@ -48,6 +59,14 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     qs = entrymod.queries()
+
+    # Codegen/JIT warmup: same plans, tiny data (see module docstring).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is not None:
+                fn(spark, warm_dir).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
