@@ -168,3 +168,101 @@ def decode_image(media: DataFrame) -> DataFrame:
             "use decode_media_stats/sample_frames for the tested plumbing"
         ) from e
     raise NotImplementedError("real decoder wiring lands with the codec")
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def resize_media(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Nearest-neighbor resize to a fixed (out_h, out_w) grid.
+
+    Fake decode: the payload is read as a row-major grayscale image of the
+    metadata's (height, width), zero-padded/truncated to h*w bytes. The
+    resize itself is the real thing — integer source-index mapping
+    src = (i*h // out_h)*w + (j*w // out_w) — vectorized per Arrow batch
+    via ``np.ix_`` fancy indexing. Pure integer output, so the whole
+    kernel is reproducible in SQL. A real decoder drops in by replacing
+    the frombuffer/pad step only.
+    """
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, p, h, w in zip(
+                pdf["media_id"], pdf["payload"], pdf["height"], pdf["width"]
+            ):
+                h, w = int(h), int(w)
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                img = np.zeros(h * w, dtype=np.int64)
+                img[: min(a.size, h * w)] = a[: h * w]
+                img = img.reshape(h, w)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                ids.append(int(mid))
+                pix.append(img[np.ix_(rows, cols)].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "pixels": pix,
+                }
+            )
+
+    flat = media.select(
+        "media_id", "payload", F.col("meta.height").alias("height"),
+        F.col("meta.width").alias("width"),
+    )
+    return flat.mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
+    """Frame-wise audio feature extraction (deterministic fake decode:
+    payload bytes as unsigned 8-bit PCM). Emits per-frame sample count and
+    exact int64 energy (sum of squares) — RMS and dB are one column away
+    and stay bit-reproducible because the sums are integral. 1→N fan-out
+    inside ``mapInPandas``, no shuffle."""
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ns, es = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n_frames = max((a.size + frame - 1) // frame, 1)
+                for fi in range(n_frames):
+                    seg = a[fi * frame : (fi + 1) * frame]
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    ns.append(seg.size)
+                    es.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _AUDIO_SCHEMA)

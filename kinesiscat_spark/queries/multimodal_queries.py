@@ -91,3 +91,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     video = media.filter(F.col("media_type") == "video")
     return sample_frames(video, frame_size=FRAME_SIZE, every=EVERY)
+
+
+OUT_H, OUT_W = 8, 8
+
+_RESIZE_ORACLE = f"""
+WITH {_CODES_CTE},
+imgs AS (
+  SELECT media_id, cs,
+         CAST((media_id % 9 + 1) * 8 AS BIGINT) AS h,
+         CAST((media_id % 16 + 1) * 8 AS BIGINT) AS w
+  FROM codes WHERE media_id % 3 = 0
+)
+SELECT media_id,
+       CAST({OUT_H} AS INTEGER) AS out_h,
+       CAST({OUT_W} AS INTEGER) AS out_w,
+       to_json(list_transform(generate_series(0, {OUT_H * OUT_W} - 1), k ->
+         CAST(CASE WHEN ((k // {OUT_W}) * h // {OUT_H}) * w
+                        + ((k % {OUT_W}) * w // {OUT_W}) < len(cs)
+              THEN cs[((k // {OUT_W}) * h // {OUT_H}) * w
+                      + ((k % {OUT_W}) * w // {OUT_W}) + 1]
+              ELSE 0 END AS BIGINT))) AS pixels
+FROM imgs
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 resize: nearest-neighbor downsample of each image payload to an
+    8x8 grid via the Arrow-batched kernel; integer pixel output so the
+    SQL twin reproduces the exact source-index mapping."""
+    from kinesiscat_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    images = media.filter(F.col("media_type") == "image")
+    out = resize_media(images, OUT_H, OUT_W)
+    return out.select(
+        "media_id", "out_h", "out_w", F.to_json("pixels").alias("pixels")
+    )
+
+
+AUDIO_FRAME = 256
+
+_AUDIO_ORACLE = f"""
+WITH {_CODES_CTE},
+a AS (SELECT * FROM codes WHERE media_id % 3 = 1),
+frames AS (
+  SELECT media_id,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(len(cs) / {AUDIO_FRAME}.0), 1) AS BIGINT) - 1
+         )) AS fi,
+         cs
+  FROM a
+)
+SELECT media_id, fi AS frame_idx,
+       CAST(len(cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}]) AS BIGINT)
+         AS n_samples,
+       CAST(coalesce(list_sum(list_transform(
+           cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}],
+           c -> c * c)), 0) AS BIGINT) AS energy
+FROM frames
+"""
+
+
+@query("multimodal_audio_energy", oracle=_AUDIO_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 audio feature extraction: per-256-sample-frame energy (exact
+    int64 sum of squares over the fake-PCM payload), 1→N fan-out in the
+    kernel."""
+    from kinesiscat_spark.operators.multimodal import audio_frame_energy
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    audio = media.filter(F.col("media_type") == "audio")
+    return audio_frame_energy(audio, AUDIO_FRAME)
