@@ -390,27 +390,51 @@ def embedding_near_dup_pairs(
 
     O(n²) verify-stage operator: at 100 TB run it only on LSH candidate
     pairs (operators.similarity.random_hyperplane_lsh buckets), where the
-    pair count scales with duplicate density. The small side broadcasts.
-    """
-    from kinesiscat_spark.io_tables import spread
-    from kinesiscat_spark.operators.similarity import dot, l2_norm
+    pair count scales with duplicate density.
 
-    # Precompute each row's norm ONCE behind an exchange barrier — naive
-    # cosine(va, vb) re-evaluates both 64-element norm folds per PAIR
-    # (O(n²·d) extra work); with norms as attributes each pair costs one
-    # dot fold. spread() also parallelizes the nested-loop stream side,
-    # which otherwise inherits the (single-partition) scan of the local
-    # corpus. Values are bit-identical: same expressions, evaluated once.
-    v = spread(emb, id_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+    Physical shape: block nested-loop in numpy. The right side is
+    materialized once to the driver and shipped to every task as a kernel
+    closure — the same "small side fits in memory" contract a broadcast
+    join has, but the per-pair math runs as vectorized (blockA × all-B)
+    array ops instead of ~1µs-per-pair interpreted HOF folds (~50x). FP
+    fidelity: dots and norms accumulate dimension-by-dimension
+    (vectorized across pairs), exactly the fold order of the Column form
+    and the SQL oracle, so `sim` is bit-identical. Per-task memory is
+    bounded by arrow.maxRecordsPerBatch × |B| doubles.
+    """
+    import numpy as np
+
+    from kinesiscat_spark.io_tables import spread
+
+    bp = emb.select(id_col, vec_col).toPandas()
+    B = np.stack(bp[vec_col].to_numpy()).astype(np.float64)  # (nB, d)
+    b_ids = bp[id_col].to_numpy().astype(np.int64)
+
+    def _norms_seq(M: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(M.shape[0])
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    nB = _norms_seq(B)
+    out_schema = (
+        f"id_a long, id_b long, sim double"
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            dots = np.zeros((A.shape[0], B.shape[0]))
+            for i in range(A.shape[1]):
+                dots += A[:, i : i + 1] * B[:, i]
+            sims = dots / (_norms_seq(A)[:, None] * nB)
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids)
+            ia, ib = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": sims[ia, ib]}
+            )
+
+    return spread(emb, id_col).select(id_col, vec_col).mapInPandas(kernel, out_schema)
