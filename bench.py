@@ -33,7 +33,7 @@ HEADLINE = (
     "events_topk_users_per_type",
     "jp_filter_compare",
     "jp_array_hof",
-    "dedup_exact_hash",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -143,11 +143,13 @@ def run(args, spark: SparkSession, emit: Callable[[str], None]) -> int:
         spark.streams.addListener(listener)
 
     def for_each_batch(batch: DataFrame, _bid: int) -> None:
+        # toLocalIterator, as in the batch path above: constant driver
+        # memory regardless of micro-batch size.
         rows = (
             batch.orderBy("shardId", "sequenceNumber")
             .select(out)
             .filter(F.col("out").isNotNull())
-            .collect()
+            .toLocalIterator()
         )
         emit("".join(r.out + sep for r in rows))
         if args.debug and listener and listener.samples:

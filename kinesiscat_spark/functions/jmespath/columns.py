@@ -544,9 +544,15 @@ class ColumnCompiler:
         def key_fn(x: Column) -> Column:
             return self.compile(key_ast, Typed(x, elem)).col
 
-        srt = F.array_sort(a.col, self._key_comparator(key_fn))
-        pick = F.try_element_at(srt, F.lit(-1 if last else 1))
-        return Typed(pick, elem)
+        # Ties keep the FIRST extremal element (go jpfMaxBy/jpfMinBy use
+        # strict >/<, so the earliest winner is never replaced). A stable
+        # sort ascending + element 1 gives first-min; for max we stable-sort
+        # with the REVERSED comparator and take element 1 (first-max) —
+        # taking element -1 of the ascending sort would yield the LAST max.
+        cmp = self._key_comparator(key_fn)
+        order = (lambda l, r: -cmp(l, r)) if last else cmp  # noqa: E741
+        srt = F.array_sort(a.col, order)
+        return Typed(F.try_element_at(srt, F.lit(1)), elem)
 
     def _f_map(self, node: Node, doc: Typed) -> Typed:
         if len(node.children) != 2:

@@ -28,6 +28,14 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Session-independence contract: events.parquet stores ts as parquet
+        # TIMESTAMP(NANOS), which Spark refuses to read unless this legacy
+        # conf is on. We set it at runtime here (it is a plain SQL conf, no
+        # session rebuild needed) so the loader works in ANY SparkSession —
+        # including externally-built harness sessions — not just our own
+        # session.py builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), surfaced as nanos-since-epoch long

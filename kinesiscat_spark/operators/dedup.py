@@ -191,9 +191,13 @@ def minhash_lsh_pairs(
     """Candidate pairs via banded minhash; estimated Jaccard = fraction of
     agreeing minhashes, filtered at `threshold`.
 
-    Band key is the raw r-length slice (array<long>): exact, no collision
-    false-candidates. At 100 TB hash it to one 64-bit key
-    (``F.xxhash64(*slice)``) so the shuffle key is fixed-width.
+    Band key is ``xxhash64`` of the r-length signature slice: a single
+    fixed-width long, so the self-join exchange carries (id, band, 8-byte
+    key) instead of an array<long>. A 64-bit hash collision could admit a
+    false candidate pair, but candidates are re-scored from the FULL
+    signatures before the threshold filter, so a collision only matters
+    if that unrelated pair also estimates ≥ threshold — ~2⁻⁶⁴ per
+    pair-band, negligible against minhash's own estimation variance.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -206,7 +210,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.slice("sig", b * r + 1, r).alias("key"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -298,7 +302,11 @@ def simhash64_udf():
     form; the Column form remains the spec (differential-tested)."""
     import re
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java/RE2 \s (the Column spec and the DuckDB oracle) is
+    # ASCII-only [ \t\n\x0b\f\r]; Python's default \s also matches U+00A0,
+    # U+2028 etc., which would silently break bit-identity on non-ASCII
+    # whitespace.
+    ws = re.compile(r"\s+", re.ASCII)
 
     def one(text: str) -> int:
         sums = [0] * 64
@@ -385,30 +393,52 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 512,
 ) -> DataFrame:
     """All pairs with cosine similarity ≥ threshold (exact, all-pairs).
 
-    O(n²) verify-stage operator: at 100 TB run it only on LSH candidate
-    pairs (operators.similarity.random_hyperplane_lsh buckets), where the
-    pair count scales with duplicate density.
+    O(n²) verify-stage operator; for candidate-driven verification at
+    scale use ``embedding_cosine_verify`` on LSH candidate pairs
+    (operators.similarity.random_hyperplane_lsh buckets), where the pair
+    count scales with duplicate density.
 
-    Physical shape: block nested-loop in numpy. The right side is
-    materialized once to the driver and shipped to every task as a kernel
-    closure — the same "small side fits in memory" contract a broadcast
-    join has, but the per-pair math runs as vectorized (blockA × all-B)
-    array ops instead of ~1µs-per-pair interpreted HOF folds (~50x). FP
-    fidelity: dots and norms accumulate dimension-by-dimension
+    Physical shape: fully DISTRIBUTED block nested-loop. Vectors are
+    packed into chunk rows of ``chunk_rows`` each (one shuffle on the
+    chunk id); the upper-triangle chunk-pair grid is formed with a
+    broadcast join of the packed table against its own chunk ids, and a
+    numpy kernel computes each (chunkA × chunkB) block. Nothing is ever
+    collected to the driver and no task holds more than two chunks
+    (2 × chunk_rows × d doubles), so the plan survives any corpus size
+    the O(n²) math itself can afford; total work parallelizes over
+    ~(n/chunk_rows)²/2 independent block tasks.
+
+    FP fidelity: dots and norms accumulate dimension-by-dimension
     (vectorized across pairs), exactly the fold order of the Column form
-    and the SQL oracle, so `sim` is bit-identical. Per-task memory is
-    bounded by arrow.maxRecordsPerBatch × |B| doubles.
+    and the SQL oracle, so `sim` is bit-identical.
     """
     import numpy as np
 
-    from kinesiscat_spark.io_tables import spread
-
-    bp = emb.select(id_col, vec_col).toPandas()
-    B = np.stack(bp[vec_col].to_numpy()).astype(np.float64)  # (nB, d)
-    b_ids = bp[id_col].to_numpy().astype(np.int64)
+    packed = (
+        emb.select(
+            # Chunk by id range (ids are dense in the corpus); for sparse id
+            # spaces switch to pmod(xxhash64(id), n_chunks) with n_chunks
+            # derived from a count — balance matters more than locality here.
+            F.floor(F.col(id_col) / F.lit(chunk_rows)).cast("long").alias("ck"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .groupBy("ck")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("rows"))
+    )
+    left = packed.select(
+        F.col("ck").alias("ck_a"), F.col("rows").alias("rows_a")
+    )
+    right = packed.select(
+        F.col("ck").alias("ck_b"), F.col("rows").alias("rows_b")
+    )
+    # Upper-triangle grid of chunk pairs; the small side broadcasts, so the
+    # packed table is scanned once and never shuffled again.
+    grid = left.join(F.broadcast(right), F.col("ck_a") <= F.col("ck_b"))
 
     def _norms_seq(M: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(M.shape[0])
@@ -416,25 +446,64 @@ def embedding_near_dup_pairs(
             acc += M[:, i] * M[:, i]
         return np.sqrt(acc)
 
-    nB = _norms_seq(B)
-    out_schema = (
-        f"id_a long, id_b long, sim double"
-    )
+    def _unpack(rows) -> tuple:
+        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
+        M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        return ids, M
 
     def kernel(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            a_ids = pdf[id_col].to_numpy().astype(np.int64)
-            dots = np.zeros((A.shape[0], B.shape[0]))
-            for i in range(A.shape[1]):
-                dots += A[:, i : i + 1] * B[:, i]
-            sims = dots / (_norms_seq(A)[:, None] * nB)
-            mask = (sims >= threshold) & (a_ids[:, None] < b_ids)
-            ia, ib = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": sims[ia, ib]}
-            )
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                a_ids, A = _unpack(rows_a)
+                b_ids, B = _unpack(rows_b)
+                dots = np.zeros((A.shape[0], B.shape[0]))
+                for i in range(A.shape[1]):
+                    dots += A[:, i : i + 1] * B[:, i]
+                sims = dots / (_norms_seq(A)[:, None] * _norms_seq(B))
+                mask = (sims >= threshold) & (a_ids[:, None] < b_ids)
+                ia, ib = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": sims[ia, ib]}
+                )
 
-    return spread(emb, id_col).select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    return grid.mapInPandas(kernel, "id_a long, id_b long, sim double")
+
+
+def embedding_cosine_verify(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine for an explicit candidate-pair set — the 100 TB verify
+    stage: pair count scales with duplicate density (LSH candidates), not
+    n². Two hash joins on the vector id bring both embeddings to the pair,
+    then the JVM fold (same dimension-sequential order as the oracle)
+    computes `sim`. No Python, no driver materialization.
+    """
+    from kinesiscat_spark.operators.similarity import dot, l2_norm
+
+    sides = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = sides.select(
+        F.col("_id").alias(id_a), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = sides.select(
+        F.col("_id").alias(id_b), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        pairs.join(a, id_a)
+        .join(b, id_b)
+        .select(
+            id_a,
+            id_b,
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "sim"
+            ),
+        )
+    )

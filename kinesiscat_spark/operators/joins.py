@@ -112,9 +112,13 @@ def interval_join(
     instead of a nested loop. The exact range filter runs post-join.
     """
     # Width in seconds via a timestamp round-trip — works for any
-    # "N unit" interval string without casting INTERVAL to long.
-    width_s = F.unix_timestamp(
-        F.to_timestamp(F.lit("1970-01-01 00:00:00")) + F.expr(f"INTERVAL {bucket}")
+    # "N unit" interval string without casting INTERVAL to long. Computed
+    # as a DIFFERENCE of two unix_timestamps so the session-timezone offset
+    # of the base timestamp cancels; unix_timestamp(base + INTERVAL) alone
+    # equals the width only in a UTC session (wrong/negative elsewhere).
+    base = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    width_s = F.unix_timestamp(base + F.expr(f"INTERVAL {bucket}")) - F.unix_timestamp(
+        base
     )
     lb = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(left_ts)) / width_s))
     rb = right.withColumn(

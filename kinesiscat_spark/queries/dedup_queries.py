@@ -29,26 +29,6 @@ from kinesiscat_spark.registry import query
     "dedup_exact",
     oracle="""
 SELECT
-  CAST(MIN(doc_id) AS BIGINT) AS doc_id,
-  text,
-  CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM documents
-GROUP BY text
-""",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 exact dedup: keep the lowest doc_id per identical text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count("*").alias("n_copies"),
-    ).select("doc_id", "text", "n_copies")
-
-
-@query(
-    "dedup_exact_hash",
-    oracle="""
-SELECT
   sha256(text) AS text_hash,
   CAST(MIN(doc_id) AS BIGINT) AS doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -56,11 +36,15 @@ FROM documents
 GROUP BY sha256(text)
 """,
 )
-def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 at scale: dedup on a sha-256 digest — fixed-width shuffle key.
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup, scale form: keep the lowest doc_id per identical
+    text, grouping on a sha-256 digest — a fixed-width shuffle key.
 
     At 100 TB the digest is computed in the scan stage (codegen) and only
-    (digest, doc_id) shuffles; the text column never moves.
+    (digest, doc_id) shuffles; the text column never moves. Grouping by
+    the digest is group-equivalent to grouping by the text itself
+    (collision probability ~2⁻²⁵⁶), so this one lane carries both the
+    semantic operator and its scale plan.
     """
     docs = load_table(spark, sf_dir, "documents")
     return (

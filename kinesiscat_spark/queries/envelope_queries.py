@@ -34,33 +34,26 @@ WITH records AS (
 
 
 @query(
-    "envelope_format_data",
-    oracle=_ENVELOPE_CTE + "SELECT data_str AS record FROM records",
+    "envelope_formats",
+    oracle=_ENVELOPE_CTE
+    + """
+SELECT data_str AS record_data,
+       partitionKey AS record_partition_key,
+       sequenceNumber AS record_sequence
+FROM records""",
 )
-def format_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 `-format data`: emit the payload bytes decoded as UTF-8."""
+def envelope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 `-format data | partition-key | sequence`: all three emission
+    modes of ``sink.format_record`` over the same record set — one lane,
+    one column per mode (main.go:74-83, intended semantics)."""
+    from kinesiscat_spark.streaming.sink import format_record
+
     records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.select(F.decode(F.col("data"), "UTF-8").alias("record"))
-
-
-@query(
-    "envelope_format_partition_key",
-    oracle=_ENVELOPE_CTE + "SELECT partitionKey AS record FROM records",
-)
-def format_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 `-format partition-key`: emit the partition key value."""
-    records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.select(F.col("partitionKey").alias("record"))
-
-
-@query(
-    "envelope_format_sequence",
-    oracle=_ENVELOPE_CTE + "SELECT sequenceNumber AS record FROM records",
-)
-def format_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 `-format sequence`: emit the sequence number value."""
-    records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.select(F.col("sequenceNumber").alias("record"))
+    return records.select(
+        format_record("data").alias("record_data"),
+        format_record("partition-key").alias("record_partition_key"),
+        format_record("sequence").alias("record_sequence"),
+    )
 
 
 @query(

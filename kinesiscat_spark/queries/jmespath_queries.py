@@ -60,16 +60,37 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jp_field_access",
+    "jp_access_defaults",
     oracle="""
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+SELECT
+  event_id AS id,
+  event_type AS type,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  COALESCE(CAST(json_extract(props, '$.missing') AS BIGINT), -1) AS v
 FROM events
 """,
 )
-def jp_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 field access `k`, compiled to a native struct-field reference."""
+def jp_access_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 field access, J2 subexpression `payload.k`, J10 multi-select
+    hash, J12 value-returning OR `missing || `-1`` (missing key → null →
+    falsy → literal; jp/interpreter.go:202-213) — compiled over a composed
+    document struct (envelope + payload), all native Columns."""
     ev = _payload(load_table(spark, sf_dir, "events"))
-    return ev.select("event_id", _jp("k").col.alias("k"))
+    doc_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("payload", _PROPS_SCHEMA),
+        ]
+    )
+    doc = F.struct(F.col("event_id"), F.col("event_type"), F.col("payload"))
+    typed = compile_column(
+        "{id: event_id, type: event_type, k: payload.k}", doc, doc_schema
+    )
+    dflt = compile_column("payload.missing || `-1`", doc, doc_schema)
+    return ev.select(typed.col.alias("r"), dflt.col.cast("long").alias("v")).select(
+        "r.id", "r.type", "r.k", "v"
+    )
 
 
 @query(
@@ -87,53 +108,6 @@ def jp_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(truthy(_jp("k > `50`"))).select(
         "event_id", _jp("k").col.alias("k")
     )
-
-
-@query(
-    "jp_multiselect_hash",
-    oracle="""
-SELECT
-  event_id AS id,
-  event_type AS type,
-  CAST(json_extract(props, '$.k') AS BIGINT) AS k
-FROM events
-""",
-)
-def jp_multiselect_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10 multi-select hash `{id: event_id, type: event_type, k: payload.k}`
-    compiled over a composed document struct (envelope + payload)."""
-    ev = _payload(load_table(spark, sf_dir, "events"))
-    doc_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("payload", _PROPS_SCHEMA),
-        ]
-    )
-    doc = F.struct(
-        F.col("event_id"), F.col("event_type"), F.col("payload")
-    )
-    typed = compile_column(
-        "{id: event_id, type: event_type, k: payload.k}", doc, doc_schema
-    )
-    return ev.select(typed.col.alias("r")).select("r.id", "r.type", "r.k")
-
-
-@query(
-    "jp_or_default",
-    oracle="""
-SELECT
-  event_id,
-  COALESCE(CAST(json_extract(props, '$.missing') AS BIGINT), -1) AS v
-FROM events
-""",
-)
-def jp_or_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J12 `missing || `-1``: value-returning OR; missing key → null →
-    falsy → fall through to the literal (jp/interpreter.go:202-213)."""
-    ev = _payload(load_table(spark, sf_dir, "events"))
-    typed = _jp("missing || `-1`")
-    return ev.select("event_id", typed.col.cast("long").alias("v"))
 
 
 @query(
@@ -227,16 +201,26 @@ SELECT doc_id,
   l[-1] AS last_word,
   to_json(l[2:4]) AS mid,
   to_json(list_slice(l, 1, 6, 2)) AS stride,
+  to_json(list_reverse(l)) AS rev_stride,
+  to_json(list_transform(generate_series(least(6, len(l)), 1, -2), i -> l[i]))
+    AS back_stride,
   array_to_string(l[1:3], '-') AS first3,
   to_json(list_reverse(l)) AS rev,
-  to_json(list_sort(l)) AS sorted_words
+  to_json(list_sort(l)) AS sorted_words,
+  to_json(flatten([l[1:2], l[3:4]])) AS head4,
+  to_json([l[1], l[-1]]) AS ends
 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """,
 )
 def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 index (incl. negative), J4 slice (incl. stride), F7 join, F17
-    reverse, F18 sort — all compiled to native array Columns
-    (jp/interpreter.go:147-170, jp/util.go:54-138, jp/functions.go:715-792).
+    """J3 index (incl. negative), J4 slice (incl. positive AND negative
+    stride), J8 one-level flatten over a J9 multi-select list, F7 join,
+    F17 reverse, F18 sort — all compiled to native array Columns
+    (jp/interpreter.go:114-170, jp/util.go:54-138, jp/functions.go:715-792).
+
+    `words[::-1]` (full reverse) and `words[5::-2]` (backward stride with
+    clamped start) pin the general negative-step slice semantics the
+    compliance corpus exercises, with a driver-visible hash check.
     """
     docs = _words_doc(load_table(spark, sf_dir, "documents"))
     return docs.select(
@@ -245,9 +229,13 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jpw("words[-1]").col.alias("last_word"),
         F.to_json(_jpw("words[1:4]").col).alias("mid"),
         F.to_json(_jpw("words[0:6:2]").col).alias("stride"),
+        F.to_json(_jpw("words[::-1]").col).alias("rev_stride"),
+        F.to_json(_jpw("words[5::-2]").col).alias("back_stride"),
         _jpw("join('-', words[0:3])").col.alias("first3"),
         F.to_json(_jpw("reverse(words)").col).alias("rev"),
         F.to_json(_jpw("sort(words)").col).alias("sorted_words"),
+        F.to_json(_jpw("[words[0:2], words[2:4]][]").col).alias("head4"),
+        F.to_json(_jpw("[words[0], words[-1]]").col).alias("ends"),
     )
 
 
@@ -285,21 +273,161 @@ def jp_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jp_flatten_multiselect",
+    "jp_sort_functions",
     oracle="""
-SELECT doc_id,
-  to_json(flatten([l[1:2], l[3:4]])) AS head4,
-  to_json([l[1], l[-1]]) AS ends
-FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+e AS (
+  SELECT doc_id, x, length(x) AS klen, ord
+  FROM (SELECT doc_id, unnest(l) AS x,
+               generate_subscripts(l, 1) AS ord
+        FROM w)
+),
+agg AS (
+  SELECT doc_id,
+    list(x ORDER BY klen ASC, ord ASC) AS sorted_by_len,
+    (list(x ORDER BY klen DESC, ord ASC))[1] AS longest,
+    (list(x ORDER BY klen ASC, ord ASC))[1] AS shortest
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, to_json(sorted_by_len) AS sorted_by_len, longest, shortest
+FROM agg
 """,
 )
-def jp_flatten_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 one-level flatten over a J9 multiselect list of J4 slices:
-    `[words[0:2], words[2:4]][]` (jp/interpreter.go:114-144,
-    jp/interpreter.go:189-201)."""
+def jp_sort_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 sort_by (STABLE sort by expref key — equal keys keep document
+    order), F12 max_by / F15 min_by (FIRST element attaining the extreme
+    key), all native Columns. The comparator-semantics fidelity surface of
+    jp/functions.go:527-575,735-766; the oracle reproduces stability with
+    an (key, original-index) sort and ties-to-first with the same order.
+    """
     docs = _words_doc(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        F.to_json(_jpw("[words[0:2], words[2:4]][]").col).alias("head4"),
-        F.to_json(_jpw("[words[0], words[-1]]").col).alias("ends"),
+        F.to_json(_jpw("sort_by(words, &length(@))").col).alias("sorted_by_len"),
+        _jpw("max_by(words, &length(@))").col.alias("longest"),
+        _jpw("min_by(words, &length(@))").col.alias("shortest"),
     )
+
+
+@query(
+    "jp_object_functions",
+    oracle="""
+SELECT
+  event_id,
+  '["a","b"]' AS ks,
+  to_json([CAST(json_extract(props, '$.k') AS BIGINT), event_id]) AS vs,
+  to_json([CAST(json_extract(props, '$.k') AS BIGINT), event_id]) AS vproj,
+  to_json({'a': CAST(json_extract(props, '$.k') AS BIGINT),
+           'b': event_id, 'c': 1}) AS merged,
+  'number' AS ty,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS nn,
+  to_json([CAST(json_extract(props, '$.k') AS BIGINT)]) AS arr,
+  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS s,
+  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS num,
+  event_id AS and_val,
+  false AS not_val
+FROM events
+""",
+)
+def jp_object_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 keys, F26 values, J6 object-value projection `*`, F13 merge,
+    F25 type, F16 not_null, F22 to_array, F23 to_string, F24 to_number,
+    J13 value-returning AND, J14 not — over a homogeneous two-field
+    document {a: k, b: event_id}, all compiled to native Columns
+    (jp/functions.go:125-324, jp/interpreter.go:171-230).
+
+    Semantics pinned: numbers are always truthy (so `a && b` → b and
+    `!a` → false); `not_null` returns the first non-null argument;
+    `to_number(to_string(x))` is double-valued (go float64).
+    """
+    ev = _payload(load_table(spark, sf_dir, "events"))
+    doc_schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    doc = F.struct(
+        F.col("payload")["k"].alias("a"), F.col("event_id").alias("b")
+    )
+
+    def jpo(expression: str):
+        return compile_column(expression, doc, doc_schema)
+
+    return ev.select(
+        "event_id",
+        F.to_json(jpo("keys(@)").col).alias("ks"),
+        F.to_json(jpo("values(@)").col).alias("vs"),
+        F.to_json(jpo("*").col).alias("vproj"),
+        F.to_json(jpo("merge(@, `{\"c\": 1}`)").col).alias("merged"),
+        jpo("type(a)").col.alias("ty"),
+        jpo("not_null(missing, a)").col.alias("nn"),
+        F.to_json(jpo("to_array(a)").col).alias("arr"),
+        jpo("to_string(a)").col.alias("s"),
+        jpo("to_number(to_string(a))").col.alias("num"),
+        jpo("a && b").col.alias("and_val"),
+        jpo("!a").col.alias("not_val"),
+    )
+
+
+# Error-fidelity cases: (name, expression) pairs that must raise typed
+# errors per the JMESPath spec (jp/functions.go:326-385 arity/type checks,
+# parser syntax errors). The lane evaluates each through the real Python
+# evaluator at plan-build time, catches the typed error, and returns
+# (case, err) rows — giving the error surface a driver-visible hash check.
+_ERROR_CASES = [
+    ("abs_wrong_type", "abs(`\"a\"`)"),
+    ("abs_wrong_arity", "abs(`1`, `2`)"),
+    ("unknown_function", "unknown_function(`1`)"),
+    ("length_wrong_type", "length(`1`)"),
+    ("ceil_wrong_type", "ceil(`\"x\"`)"),
+    ("max_mixed_types", "max(`[1, \"a\"]`)"),
+    ("sort_mixed_types", "sort(`[1, \"a\"]`)"),
+    ("syntax_error", "foo["),
+]
+
+
+@query(
+    "jp_error_fidelity",
+    oracle="""
+SELECT * FROM (VALUES
+  ('abs_wrong_type', 'invalid-type'),
+  ('abs_wrong_arity', 'invalid-arity'),
+  ('unknown_function', 'unknown-function'),
+  ('length_wrong_type', 'invalid-type'),
+  ('ceil_wrong_type', 'invalid-type'),
+  ('max_mixed_types', 'invalid-type'),
+  ('sort_mixed_types', 'invalid-type'),
+  ('syntax_error', 'syntax')
+) AS t(case_name, err)
+""",
+)
+def jp_error_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec error fidelity (SURVEY §2.3): wrong-type and wrong-arity calls
+    and malformed expressions raise the spec's typed errors
+    ('invalid-type' | 'invalid-arity' | 'unknown-function' | 'syntax'),
+    exactly as the compliance corpus demands (jp/functions.go:326-385).
+    Each case runs through the real parser + evaluator; the caught error
+    class is mapped to its corpus error name.
+    """
+    from kinesiscat_spark.functions.jmespath import search
+    from kinesiscat_spark.functions.jmespath.errors import (
+        InvalidArityError,
+        InvalidTypeError,
+        LexerError,
+        ParseError,
+        UnknownFunctionError,
+    )
+
+    def err_name(expression: str) -> str:
+        try:
+            search(expression, {})
+            return "no-error"
+        except InvalidArityError:
+            return "invalid-arity"
+        except InvalidTypeError:
+            return "invalid-type"
+        except UnknownFunctionError:
+            return "unknown-function"
+        except (ParseError, LexerError):
+            return "syntax"
+
+    rows = [(name, err_name(expression)) for name, expression in _ERROR_CASES]
+    return spark.createDataFrame(rows, "case_name string, err string")

@@ -63,34 +63,74 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_SIZE, EVERY = 64, 4
+AUDIO_FRAME = 256
 
-_FRAMES_ORACLE = f"""
+_FRAME_OPS_ORACLE = f"""
 WITH {_CODES_CTE},
 v AS (SELECT * FROM codes WHERE media_id % 3 = 2),
-frames AS (
+vframes AS (
   SELECT media_id,
          unnest(generate_series(
            0, CAST(greatest(ceil(len(cs) / {FRAME_SIZE}.0), 1) AS BIGINT) - 1,
            {EVERY})) AS fi,
          cs
   FROM v
+),
+a AS (SELECT * FROM codes WHERE media_id % 3 = 1),
+aframes AS (
+  SELECT media_id,
+         unnest(generate_series(
+           0, CAST(greatest(ceil(len(cs) / {AUDIO_FRAME}.0), 1) AS BIGINT) - 1
+         )) AS fi,
+         cs
+  FROM a
 )
-SELECT media_id, fi AS frame_idx,
+SELECT 'video' AS kind, media_id, fi AS frame_idx,
        CAST(len(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
-         AS frame_bytes,
+         AS n_units,
        CAST(list_sum(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
-         AS frame_sum
-FROM frames
+         AS measure
+FROM vframes
+UNION ALL
+SELECT 'audio' AS kind, media_id, fi AS frame_idx,
+       CAST(len(cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}]) AS BIGINT)
+         AS n_units,
+       CAST(coalesce(list_sum(list_transform(
+           cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}],
+           c -> c * c)), 0) AS BIGINT) AS measure
+FROM aframes
 """
 
 
-@query("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 frame sampling: every 4th 64-byte frame of each video payload,
-    1→N fan-out inside the mapInPandas kernel (no explode/shuffle)."""
+@query("multimodal_frame_ops", oracle=_FRAME_OPS_ORACLE)
+def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 frame sampling + audio feature extraction in one lane: every 4th
+    64-byte frame of each video payload, and the per-256-sample-frame
+    energy (exact int64 sum of squares over the fake-PCM payload) of each
+    audio payload — both 1→N fan-outs inside the Arrow-batched mapInPandas
+    kernels, no explode/shuffle. Outputs are unioned under a `kind`
+    discriminator with aligned column names (n_units = frame length,
+    measure = byte sum / energy)."""
+    from kinesiscat_spark.operators.multimodal import audio_frame_energy
+
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     video = media.filter(F.col("media_type") == "video")
-    return sample_frames(video, frame_size=FRAME_SIZE, every=EVERY)
+    vf = sample_frames(video, frame_size=FRAME_SIZE, every=EVERY).select(
+        F.lit("video").alias("kind"),
+        "media_id",
+        "frame_idx",
+        F.col("frame_bytes").alias("n_units"),
+        F.col("frame_sum").alias("measure"),
+    )
+    audio = media.filter(F.col("media_type") == "audio")
+    af = audio_frame_energy(audio, AUDIO_FRAME).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        "frame_idx",
+        F.col("n_samples").alias("n_units"),
+        F.col("energy").alias("measure"),
+    )
+    return vf.unionByName(af)
 
 
 OUT_H, OUT_W = 8, 8
@@ -129,38 +169,3 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "out_h", "out_w", F.to_json("pixels").alias("pixels")
     )
-
-
-AUDIO_FRAME = 256
-
-_AUDIO_ORACLE = f"""
-WITH {_CODES_CTE},
-a AS (SELECT * FROM codes WHERE media_id % 3 = 1),
-frames AS (
-  SELECT media_id,
-         unnest(generate_series(
-           0, CAST(greatest(ceil(len(cs) / {AUDIO_FRAME}.0), 1) AS BIGINT) - 1
-         )) AS fi,
-         cs
-  FROM a
-)
-SELECT media_id, fi AS frame_idx,
-       CAST(len(cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}]) AS BIGINT)
-         AS n_samples,
-       CAST(coalesce(list_sum(list_transform(
-           cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}],
-           c -> c * c)), 0) AS BIGINT) AS energy
-FROM frames
-"""
-
-
-@query("multimodal_audio_energy", oracle=_AUDIO_ORACLE)
-def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 audio feature extraction: per-256-sample-frame energy (exact
-    int64 sum of squares over the fake-PCM payload), 1→N fan-out in the
-    kernel."""
-    from kinesiscat_spark.operators.multimodal import audio_frame_energy
-
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    audio = media.filter(F.col("media_type") == "audio")
-    return audio_frame_energy(audio, AUDIO_FRAME)

@@ -225,3 +225,26 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     out = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE)
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+
+
+@query("similarity_topk_ivf_refined")  # iterative build → rows-only check
+def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 Lloyd-refined IVF: two k-means refinement iterations on the
+    centroids before the probe-limited search. The refinement loop is a
+    genuinely iterative distributed algorithm (assign via broadcast
+    centroid join → per-dimension avg re-estimation; only k centroid rows
+    exist anywhere), so there is no ANSI-SQL twin — the driver records
+    the rows-only check, and tests/test_similarity.py asserts recall vs
+    the exact result is >= the unrefined build's on the same corpus.
+    """
+    from kinesiscat_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = ivf_topk(
+        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=2
+    )
+    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")

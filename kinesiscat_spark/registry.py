@@ -48,17 +48,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
+    # Import order == registration order == the order the driver checks
+    # lanes in; keep the operator-coverage lanes (dedup/envelope/jmespath/
+    # joins/multimodal/text) ahead of the relational showcase so a capped
+    # or truncated harness run still verdicts every distinct operator.
     from kinesiscat_spark.queries import (  # noqa: F401
         dedup_queries,
         envelope_queries,
         jmespath_queries,
         join_queries,
         multimodal_queries,
+        text_queries,
         relational,
         relational_ext,
         similarity_queries,
         stream_queries,
-        text_queries,
         window_queries,
     )
 

@@ -42,8 +42,10 @@ def write_formatted(
     separator: str = "\n",
     null_separator: bool = False,
 ):
-    """K1+K2 streaming sink: returns a started StreamingQuery whose every
-    micro-batch calls ``emit(payload_string, batch_id)``.
+    """K1+K2 streaming sink: returns an UN-started ``DataStreamWriter``
+    with the ``foreachBatch`` emission attached — the caller configures
+    trigger/checkpoint and calls ``.start()`` (see cli.py / tests).
+    Every micro-batch calls ``emit(payload_string, batch_id)``.
 
     ``null_separator`` is the ``-0`` flag (main.go:47-49): NUL separator
     for xargs-style consumers. Separator is appended after every record,
@@ -53,10 +55,13 @@ def write_formatted(
     out_col = F.concat(format_record(fmt), F.lit(sep))
 
     def for_each_batch(batch: DataFrame, batch_id: int) -> None:
+        # toLocalIterator streams one partition at a time to the driver —
+        # stdout emission is inherently driver-side (the reference is a
+        # stdout tool), but a large micro-batch must not materialize whole.
         rows = (
             batch.orderBy("shardId", "sequenceNumber")
             .select(out_col.alias("out"))
-            .collect()
+            .toLocalIterator()
         )
         emit("".join(r.out for r in rows), batch_id)
 

@@ -133,6 +133,11 @@ def read_events_stream(
     """Stream the driver's events table (ns→µs ts conversion as in
     io_tables.load_table); optionally wrapped in the record envelope."""
     cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
+    # Session-independence: events.parquet stores TIMESTAMP(NANOS); this
+    # legacy conf lets any SparkSession (incl. harness-owned ones) read it
+    # as a long, which we convert to micros below. Runtime SQL conf — safe
+    # to set here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", cfg.batch_size)

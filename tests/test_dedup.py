@@ -74,6 +74,29 @@ def test_simhash_band_join_is_exhaustive_for_d3(spark, docs):
     assert _pairs(simhash_pairs(docs, max_distance=3)) == brute
 
 
+def test_simhash_udf_matches_column_on_non_ascii_whitespace(spark):
+    """The Arrow kernel must tokenize with ASCII-only \\s (Java/RE2
+    semantics): NBSP (U+00A0), LINE SEP (U+2028), ogham space (U+1680) are
+    NOT token separators for the Column spec, and the kernel must agree."""
+    from kinesiscat_spark.operators.dedup import simhash64_udf
+
+    rows = [
+        (0, "plain ascii words"),
+        (1, "nbsp\u00a0joined\u00a0tokens"),
+        (2, "line\u2028sep\u2029para"),
+        (3, "ogham\u1680space mixed \t real\nws"),
+        (4, "ideographic\u3000space"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        simhash64(F.col("text")).alias("spec"),
+        simhash64_udf()(F.col("text")).alias("kernel"),
+    ).collect()
+    for r in got:
+        assert r.spec == r.kernel, f"doc {r.doc_id}: {r.spec} != {r.kernel}"
+
+
 def test_embedding_near_dup(spark):
     emb = spark.createDataFrame(
         [

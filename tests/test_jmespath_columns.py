@@ -65,6 +65,18 @@ DOCS = [
         "pair": None,
         "items": None,
     },
+    {
+        # tied sort keys: max_by/min_by must keep the FIRST extremal item
+        # (go jpfMaxBy/jpfMinBy strict >/<) and sort_by must be stable
+        "a": 2, "b": 0.5, "s": "tie", "flag": True,
+        "arr": [4, 4, 1, 4, 1], "tags": ["t", "t"],
+        "nested": {"x": 4, "y": "four"},
+        "pair": {"lo": 2, "hi": 2},
+        "items": [
+            {"name": "a", "v": 5}, {"name": "b", "v": 2}, {"name": "c", "v": 5},
+            {"name": "d", "v": 2}, {"name": "e", "v": 5},
+        ],
+    },
 ]
 
 EXPRESSIONS = [
@@ -91,7 +103,8 @@ EXPRESSIONS = [
     "keys(nested)", "values(pair)", "not_null(missing, a, b)",
     "max(arr)", "min(arr)", "sort(arr)", "sort(tags)",
     "sort_by(items, &v)[0].name", "max_by(items, &v).name",
-    "min_by(items, &v).v", "map(&v, items)", "map(&name, items)",
+    "min_by(items, &v).v", "min_by(items, &v).name",
+    "sort_by(items, &v)[*].name", "map(&v, items)", "map(&name, items)",
     "to_array(a)", "to_array(arr)", "to_string(a)", "to_string(nested)",
     "to_number(s)", "to_number(a)", "type(a)", "type(s)", "type(arr)",
     "type(nested)", "type(missing)",

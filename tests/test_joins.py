@@ -79,3 +79,26 @@ def test_interval_join_bucket_boundaries(spark):
     got = sorted(str(r.ts) for r in out.collect())
     # [10:00, 13:00): start inclusive, end exclusive, wrong-key excluded
     assert got == ["2024-01-01 10:00:00", "2024-01-01 11:30:00", "2024-01-01 12:59:59"]
+
+
+def test_interval_join_non_utc_session(spark):
+    """The bucket width must not absorb the session-timezone offset:
+    unix_timestamp('1970-01-01' + INTERVAL) alone is offset-by-zone; the
+    width is computed as a difference so any zone gives the same result."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Karachi")  # UTC+5
+    try:
+        events = spark.createDataFrame(
+            [(1, "2024-01-01 10:30:00"), (1, "2024-01-01 14:00:00")],
+            "uid bigint, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        ivals = spark.createDataFrame(
+            [(1, 7, "2024-01-01 10:00:00", "2024-01-01 13:00:00")],
+            "r_uid bigint, ival_id bigint, s string, e string",
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        out = interval_join(
+            events, ivals, "uid", "r_uid", "ts", "s", "e", bucket="1 hour"
+        )
+        assert [str(r.ts) for r in out.collect()] == ["2024-01-01 10:30:00"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

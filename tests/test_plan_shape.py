@@ -71,7 +71,7 @@ def test_jmespath_filter_is_native(plans):
 
 
 def test_exact_dedup_single_shuffle(plans):
-    s = plans("dedup_exact_hash")
+    s = plans("dedup_exact")
     assert "EvalPython" not in s
     # one logical shuffle on the dedup key (AQE may print the exchange in
     # both initial and final sections; assert the *distinct* exchange ids)

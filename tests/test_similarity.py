@@ -41,6 +41,34 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_refined_recall_not_worse(spark):
+    """The Lloyd-refined lane (similarity_topk_ivf_refined, rows-only in
+    the driver) must recall at least as well as seed centroids minus noise
+    tolerance — refinement moves centroids toward the data, it must not
+    collapse the index."""
+    from kinesiscat_spark.queries.similarity_queries import (
+        similarity_topk_exact,
+        similarity_topk_ivf,
+        similarity_topk_ivf_refined,
+    )
+
+    exact = {
+        (r.qid, r.cid) for r in similarity_topk_exact(spark, SF_ORACLE).collect()
+    }
+    seed = {
+        (r.qid, r.cid) for r in similarity_topk_ivf(spark, SF_ORACLE).collect()
+    }
+    refined = {
+        (r.qid, r.cid)
+        for r in similarity_topk_ivf_refined(spark, SF_ORACLE).collect()
+    }
+    r_seed = len(exact & seed) / len(exact)
+    r_ref = len(exact & refined) / len(exact)
+    assert r_ref >= max(0.3, r_seed - 0.2), (
+        f"refined recall {r_ref:.2f} collapsed vs seed {r_seed:.2f}"
+    )
+
+
 def test_ivf_lloyd_refinement_runs(spark):
     """n_iters>0 exercises the distributed Lloyd loop (collects only
     centroids); sanity: still returns k rows per query."""
