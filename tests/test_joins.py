@@ -89,8 +89,8 @@ def test_interval_join_non_utc_session(spark):
     spark.conf.set("spark.sql.session.timeZone", "Asia/Karachi")  # UTC+5
     try:
         events = spark.createDataFrame(
-            [(1, "2024-01-01 10:30:00"), (1, "2024-01-01 14:00:00")],
-            "uid bigint, ts string",
+            [(100, 1, "2024-01-01 10:30:00"), (200, 1, "2024-01-01 14:00:00")],
+            "eid bigint, uid bigint, ts string",
         ).withColumn("ts", F.to_timestamp("ts"))
         ivals = spark.createDataFrame(
             [(1, 7, "2024-01-01 10:00:00", "2024-01-01 13:00:00")],
@@ -99,6 +99,9 @@ def test_interval_join_non_utc_session(spark):
         out = interval_join(
             events, ivals, "uid", "r_uid", "ts", "s", "e", bucket="1 hour"
         )
-        assert [str(r.ts) for r in out.collect()] == ["2024-01-01 10:30:00"]
+        # event 100 (10:30, inside [10:00,13:00)) matches; 200 (14:00) not.
+        # Compare ids, not rendered timestamps — collect() renders in the
+        # session zone, which is exactly what this test perturbs.
+        assert [r.eid for r in out.collect()] == [100]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
