@@ -19,6 +19,8 @@ ANSI-SQL twins:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -92,3 +94,42 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     for j in range(2, w + 1):
         mins = F.zip_with(mins, F.slice(hs, j, nw), lambda a, b: F.least(a, b))
     return F.array_distinct(mins)
+
+
+def winnow_fingerprints_udf(k: int = 5, w: int = 4):
+    """Arrow-batched winnowing kernel, bit-identical to
+    ``winnow_fingerprints`` (differential-tested).
+
+    The Column form's w shifted slices each re-evaluate the k-gram hash
+    array (Catalyst inlines the transform into every slice), so every
+    document pays w+1 passes of per-window md5. The kernel hashes each
+    k-gram exactly once (hashlib md5, 48 bits = first 6 digest bytes ==
+    conv(substring(hex,1,12))), takes sliding-window minima vectorized in
+    numpy, and dedupes preserving first occurrence (array_distinct order).
+    """
+    import numpy as np
+    from hashlib import md5
+
+    from pyspark.sql import types as T
+
+    def one(t: str) -> list:
+        n = max(len(t) - (k - 1), 1)
+        hs = np.fromiter(
+            (
+                int.from_bytes(md5(t[i : i + k].encode("utf-8")).digest()[:6], "big")
+                for i in range(n)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        if n >= w:
+            mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+        else:
+            mins = hs.min(keepdims=True)
+        return list(dict.fromkeys(mins.tolist()))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return fp

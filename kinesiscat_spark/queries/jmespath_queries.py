@@ -325,20 +325,32 @@ SELECT
   CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS s,
   CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS num,
   event_id AS and_val,
-  false AS not_val
+  false AS not_val,
+  contains(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR), '1')
+    AS has1,
+  starts_with(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR), '1')
+    AS sw1,
+  ends_with(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR), '1')
+    AS ew1,
+  CAST(ceil((CAST(json_extract(props, '$.k') AS BIGINT) + event_id) / 2.0)
+    AS BIGINT) AS ceil_avg,
+  CAST(floor((CAST(json_extract(props, '$.k') AS BIGINT) + event_id) / 2.0)
+    AS BIGINT) AS floor_avg
 FROM events
 """,
 )
 def jp_object_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 keys, F26 values, J6 object-value projection `*`, F13 merge,
     F25 type, F16 not_null, F22 to_array, F23 to_string, F24 to_number,
-    J13 value-returning AND, J14 not — over a homogeneous two-field
-    document {a: k, b: event_id}, all compiled to native Columns
+    F4 contains, F20 starts_with, F5 ends_with, F3 ceil, F6 floor (over
+    F2 avg), J13 value-returning AND, J14 not — over a homogeneous
+    two-field document {a: k, b: event_id}, all compiled to native Columns
     (jp/functions.go:125-324, jp/interpreter.go:171-230).
 
     Semantics pinned: numbers are always truthy (so `a && b` → b and
     `!a` → false); `not_null` returns the first non-null argument;
-    `to_number(to_string(x))` is double-valued (go float64).
+    `to_number(to_string(x))` is double-valued (go float64); ceil/floor
+    of the fractional avg of two integers round half away correctly.
     """
     ev = _payload(load_table(spark, sf_dir, "events"))
     doc_schema = T.StructType(
@@ -364,6 +376,11 @@ def jp_object_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpo("to_number(to_string(a))").col.alias("num"),
         jpo("a && b").col.alias("and_val"),
         jpo("!a").col.alias("not_val"),
+        jpo("contains(to_string(a), '1')").col.alias("has1"),
+        jpo("starts_with(to_string(a), '1')").col.alias("sw1"),
+        jpo("ends_with(to_string(a), '1')").col.alias("ew1"),
+        jpo("ceil(avg([a, b]))").col.cast("long").alias("ceil_avg"),
+        jpo("floor(avg([a, b]))").col.cast("long").alias("floor_avg"),
     )
 
 

@@ -146,13 +146,15 @@ SELECT doc_id, unnest(fps) AS fp FROM fps
 @query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 document fingerprinting: winnowed rolling 5-gram hashes
-    (window 4), exploded to (doc_id, fp) rows. Scan-stage only — the
-    fingerprint set is computed without any shuffle; downstream provenance
-    joins exchange (fp, doc_id) pairs."""
+    (window 4), exploded to (doc_id, fp) rows. Computed by the Arrow
+    winnowing kernel (one md5 per k-gram; the Column form
+    ``operators.text.winnow_fingerprints`` is the differential-tested
+    spec) — no shuffle; downstream provenance joins exchange
+    (fp, doc_id) pairs."""
     from kinesiscat_spark.io_tables import spread
-    from kinesiscat_spark.operators.text import winnow_fingerprints
+    from kinesiscat_spark.operators.text import winnow_fingerprints_udf
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
-        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+        "doc_id", F.explode(winnow_fingerprints_udf()(F.col("text"))).alias("fp")
     )
