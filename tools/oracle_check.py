@@ -6,6 +6,10 @@ order-insensitive value hash (columns sorted by name, rows sorted, values
 canonicalized). Used by tests/test_oracle_parity.py and runnable standalone:
 
     python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py --bare [sf_dir] [query ...]
+
+``--bare`` builds a default SparkSession (no engine confs at all) to mirror
+the driver's harness-owned session — the session-independence gate.
 """
 
 from __future__ import annotations
@@ -74,14 +78,27 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    if bare:
+        argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from kinesiscat_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if bare:
+        # Driver-equivalent session: defaults only, no engine tuning.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").appName(
+            "oracle-check-bare"
+        ).getOrCreate()
+    else:
+        from kinesiscat_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb_con(sf_dir)
     failed = []
