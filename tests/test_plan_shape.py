@@ -92,3 +92,50 @@ def test_q6_pure_pushdown(plans):
 def test_events_topk_native_window(plans):
     s = plans("events_topk_users_per_type")
     assert "EvalPython" not in s
+
+
+def test_minhash_is_python_free(plans):
+    """The whole minhash pipeline — shingles, md5 Carter-Wegman signatures,
+    band keys, candidate join, agreement estimate — compiles to JVM
+    expressions; a refactor that drags a UDF in fails here."""
+    s = plans("dedup_minhash_lsh")
+    assert "EvalPython" not in s
+
+
+def test_fingerprint_single_kernel_pass(plans):
+    """Winnowing runs ONE Arrow kernel (one md5 per k-gram); the Column
+    spec's multi-slice form would show repeated md5 subtrees instead."""
+    s = plans("text_fingerprint")
+    # formatted explain prints each node twice (tree + detail); count the
+    # detail headers "(n) ArrowEvalPython" for the true node count
+    assert sum(1 for l in s.splitlines() if l.strip().endswith("ArrowEvalPython")) == 1
+    assert "md5" not in s  # hashing is inside the kernel, not the plan
+
+
+def test_embedding_near_dup_no_cartesian(plans):
+    """The block nested-loop must pair packed CHUNKS via a broadcast join,
+    never row-level vectors via a cartesian product."""
+    s = plans("dedup_embedding_cosine")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    # chunk packing is one hash aggregation over the chunk id
+    assert "HashAggregate" in s or "ObjectHashAggregate" in s
+    assert "mapInPandas" in s.lower() or "MapInPandas" in s
+
+
+def test_simhash_band_join_shares_signature_exchange(spark):
+    """Both sides of the band self-join must reuse ONE signature
+    computation: after execution the adaptive plan shows a ReusedExchange
+    (or a single python-kernel stage), not two kernel evaluations."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import simhash_pairs
+
+    df = simhash_pairs(load_table(spark, SF_DIR, "documents"), 3)
+    df.collect()  # materialize so the AQE final plan is available
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(mode)
+    kernel_nodes = sum(
+        1 for l in s.splitlines() if l.strip().endswith("ArrowEvalPython")
+    )
+    assert kernel_nodes <= 1 or "ReusedExchange" in s

@@ -1,0 +1,160 @@
+"""Scaling probe: do the headline operators scale ~linearly with input size?
+
+Synthesizes N× copies of the sf0.1 `documents` / `embeddings` / `events`
+tables (ids shifted per copy so keys stay unique; text salted per copy so
+near-dup cluster sizes stay CONSTANT instead of growing N× — growing
+clusters would make candidate-pair counts super-linear by construction,
+which measures the data, not the plan) into /tmp, then times each operator
+at 1× and N× and reports the ratio against the ideal N.
+
+This is the local stand-in for the 100 TB question: a ratio far above N
+means a super-linear plan (all-pairs blow-up, driver collect, skew) that
+would not survive scale-up. The all-pairs embedding verify stage is
+EXPECTED to be ~N²; it is annotated as such.
+
+    python tools/scale_probe.py [N]           # default 4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+
+def synth(spark, n_copies: int) -> str:
+    """N× tables under a temp dir; per-copy id shift + text salt."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix=f"kc_scale_x{n_copies}_")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    copies = []
+    for c in range(n_copies):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + c * n_docs).alias("doc_id"),
+                # salt breaks cross-copy near-duplicates; within-copy
+                # structure (the thing the operators mine) is unchanged
+                F.concat(F.col("text"), F.lit(f" c{c}")).alias("text"),
+                *[col for col in docs.columns if col not in ("doc_id", "text")],
+            )
+        )
+    big_docs = copies[0]
+    for c in copies[1:]:
+        big_docs = big_docs.unionByName(c)
+    big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    ecopies = []
+    for c in range(n_copies):
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + c * n_emb).alias("vec_id"),
+                # rotate one dimension's sign per copy so cross-copy cosine
+                # pairs don't all collapse into near-dups
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(i == c % 64, -x).otherwise(x),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big_emb = ecopies[0]
+    for c in ecopies[1:]:
+        big_emb = big_emb.unionByName(c)
+    big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def probes():
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators import dedup, text
+
+    def p_exact(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return (
+            docs.select(F.sha2("text", 256).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id"))
+            .count()
+        )
+
+    def p_minhash(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.minhash_lsh_pairs(docs, 0.5, 32, 8).count()
+
+    def p_simhash(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.simhash_pairs(docs, 3).count()
+
+    def p_jaccard(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.ngram_jaccard_pairs(docs, 0.4).count()
+
+    def p_fingerprint(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.explode(text.winnow_fingerprints_udf()(F.col("text"))).alias("fp"),
+        ).count()
+
+    def p_embedding_allpairs(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return dedup.embedding_near_dup_pairs(emb, 0.4).count()
+
+    return {
+        "dedup_exact": (p_exact, "linear"),
+        "minhash_lsh": (p_minhash, "linear+dup-density"),
+        "simhash": (p_simhash, "linear+dup-density"),
+        "ngram_jaccard": (p_jaccard, "linear+dup-density"),
+        "winnow_fingerprint": (p_fingerprint, "linear"),
+        "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from kinesiscat_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    small = synth(spark, 1)
+    big = synth(spark, n)
+    results = {}
+    try:
+        for name, (fn, expect) in probes().items():
+            fn(spark, small)  # warm (codegen/JIT)
+            t0 = time.perf_counter()
+            fn(spark, small)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rows = fn(spark, big)
+            tn = time.perf_counter() - t0
+            results[name] = {
+                "t_1x_sec": round(t1, 2),
+                f"t_{n}x_sec": round(tn, 2),
+                "ratio": round(tn / t1, 2),
+                "ideal": float(n),
+                "expected_shape": expect,
+                "rows_at_big": rows,
+            }
+            print(f"{name:22s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  ratio={tn/t1:5.2f} ({expect})")
+    finally:
+        shutil.rmtree(small, ignore_errors=True)
+        shutil.rmtree(big, ignore_errors=True)
+    print(json.dumps({"n_copies": n, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
