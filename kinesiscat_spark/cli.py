@@ -66,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ms between polls")
     p.add_argument("-filter", dest="json_filter", default="",
                    help="JMESPath filter applied to each message")
-    p.add_argument("--source", default=None, help="envelope parquet dir")
+    p.add_argument("--source", default=None, help="envelope parquet/json dir")
+    p.add_argument("--source-format", dest="source_format", default="parquet",
+                   choices=("parquet", "json"),
+                   help="envelope encoding: parquet, or json lines in the "
+                        "`aws kinesis get-records` shape (Data base64)")
     p.add_argument("--events-sf-dir", dest="events_sf_dir", default=None,
                    help="adapt the driver events table as input")
     p.add_argument("--follow", action="store_true",
@@ -109,6 +113,10 @@ def load_records(spark: SparkSession, args, streaming: bool) -> DataFrame:
         sleep_time_ms=args.sleep_time,
     )
     if args.source:
+        if getattr(args, "source_format", "parquet") == "json":
+            from kinesiscat_spark.streaming.source import read_record_json
+
+            return read_record_json(spark, args.source, cfg, streaming=streaming)
         if streaming:
             return read_record_stream(spark, args.source, cfg)
         batch = spark.read.parquet(args.source)

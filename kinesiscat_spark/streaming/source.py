@@ -99,6 +99,49 @@ def read_record_stream(
     return start_position_filter(raw, cfg, stream_start_ts)
 
 
+def _json_envelope_schema() -> T.StructType:
+    """The `aws kinesis get-records` JSON record shape: Data is base64."""
+    return T.StructType(
+        [
+            T.StructField("data", T.StringType()),  # base64 payload
+            T.StructField("partitionKey", T.StringType()),
+            T.StructField("sequenceNumber", T.StringType()),
+            T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+            T.StructField("shardId", T.StringType()),
+        ]
+    )
+
+
+def _decode_json_envelope(raw: DataFrame) -> DataFrame:
+    return raw.withColumn("data", F.unbase64(F.col("data")))
+
+
+def read_record_json(
+    spark: SparkSession,
+    records_dir: str,
+    cfg: StreamConfig | None = None,
+    streaming: bool = False,
+    stream_start_ts=None,
+) -> DataFrame:
+    """Envelope source over JSON-lines records — the shape
+    ``aws kinesis get-records`` emits (``Data`` base64-encoded), so record
+    dumps made with the AWS CLI replay directly through this engine.
+    Batch by default; ``streaming=True`` gives the file-stream twin with
+    the same per-trigger batching as the parquet source.
+    """
+    cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
+    schema = _json_envelope_schema()
+    if streaming:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", cfg.batch_size)
+            .json(records_dir)
+        )
+    else:
+        raw = spark.read.schema(schema).json(records_dir)
+    return start_position_filter(_decode_json_envelope(raw), cfg, stream_start_ts)
+
+
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

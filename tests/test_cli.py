@@ -71,6 +71,31 @@ def test_bad_payload_skipped_not_fatal(spark, tmp_path):
     assert [json.loads(x) for x in out.split("\n") if x] == [1, 3]
 
 
+def test_json_lines_source_roundtrip(spark, tmp_path):
+    """JSON-lines envelope input (`aws kinesis get-records` shape, base64
+    Data) replays through the same pipeline as parquet."""
+    import base64
+
+    recs = [
+        {
+            "data": base64.b64encode(json.dumps({"k": i}).encode()).decode(),
+            "partitionKey": f"pk{i}",
+            "sequenceNumber": str(i).rjust(20, "0"),
+            "approximateArrivalTimestamp": "2024-01-01T00:00:00.000Z",
+            "shardId": "shardId-0",
+        }
+        for i in (1, 2, 3)
+    ]
+    src = tmp_path / "jsonsrc"
+    src.mkdir()
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in recs))
+    out = _run(
+        spark, "-position", "AFTER_SEQUENCE_NUMBER", "-start-seq", "1",
+        "-filter", "k", "--source", str(src), "--source-format", "json",
+    )
+    assert [json.loads(x) for x in out.split("\n") if x] == [2, 3]
+
+
 def test_parser_defaults_match_reference():
     """main.go:30-40 defaults."""
     a = build_parser().parse_args([])
