@@ -52,6 +52,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def pair_cosine_udf():
+    """Arrow-batched per-pair cosine, bit-identical to
+    ``dot(a,b) / (l2_norm(a) * l2_norm(b))`` (differential-tested).
+
+    The Column forms are interpreted HOF folds (CodegenFallback) — ~100µs
+    per 64-dim fold; on thousands of candidate pairs the re-rank dominates
+    a lane. The kernel accumulates dots and both norms dimension-by-
+    dimension (vectorized across pairs) — exactly the fold order of the
+    Column form and the SQL oracle's ``list_sum`` — then divides by the
+    product of the square roots, so ``sim`` carries the same bits.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            dots += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,23 +96,16 @@ def cosine_topk(
     queries is expected to be small (it is broadcast); corpus scans once
     with no shuffle of the vectors — only (qid, cid, sim) tuples move.
     """
-    # Norms are computed once per row in the side projections (below the
-    # join); cosine(_qvec, _cvec) in the pair projection would re-run both
-    # norm folds per PAIR. Same expressions, same FP order — bit-identical.
-    q = queries.select(
-        F.col(query_id), F.col(vec).alias("_qvec"), l2_norm(F.col(vec)).alias("_qn")
-    )
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
     pairs = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec).alias("_cvec"),
-        l2_norm(F.col(vec)).alias("_cn"),
+        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
     ).join(F.broadcast(q))
+    # Arrow pair-cosine kernel: one vectorized pass over all pairs, same
+    # fold order as the Column form/oracle (see pair_cosine_udf).
     sims = pairs.select(
         query_id,
         "cid",
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
-            "sim"
-        ),
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -175,26 +199,23 @@ def lsh_topk(
     c = random_hyperplane_lsh(corpus, dim, n_planes, n_bands, vec).select(
         F.col(corpus_id).alias("cid"),
         F.col(vec).alias("_cvec"),
-        l2_norm(F.col(vec)).alias("_cn"),
         F.explode("bands").alias("b"),
     )
     q = random_hyperplane_lsh(queries, dim, n_planes, n_bands, vec).select(
         F.col(query_id),
         F.col(vec).alias("_qvec"),
-        l2_norm(F.col(vec)).alias("_qn"),
         F.explode("bands").alias("b"),
     )
     cand = (
         c.join(F.broadcast(q), c.b == q.b)
-        .select(query_id, "cid", "_qvec", "_cvec", "_qn", "_cn")
+        .select(query_id, "cid", "_qvec", "_cvec")
         .dropDuplicates([query_id, "cid"])
     )
+    # exact re-rank on candidates only, Arrow pair-cosine kernel
     sims = cand.select(
         query_id,
         "cid",
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
-            "sim"
-        ),
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -327,22 +348,18 @@ def ivf_topk(
     cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
     corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
     indexed = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec).alias("_cvec"),
-        l2_norm(F.col(vec)).alias("_cn"),
+        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
     ).join(
         corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
     )
     probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
-    q = queries.select(
-        F.col(query_id), F.col(vec).alias("_qvec"), l2_norm(F.col(vec)).alias("_qn")
-    ).join(probes, query_id)
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
+        probes, query_id
+    )
     cand = indexed.join(F.broadcast(q), "cell").select(
         query_id,
         "cid",
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
-            "sim"
-        ),
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
     return (

@@ -5,6 +5,30 @@ from __future__ import annotations
 from tests.conftest import SF_ORACLE
 
 
+def test_pair_cosine_kernel_matches_column_form(spark):
+    """The Arrow pair-cosine kernel must be BIT-identical to the Column
+    fold (dot / (l2_norm * l2_norm)) — the oracle hash-compares on it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.similarity import cosine, pair_cosine_udf
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(17)], [rng.gauss(0, 1) for _ in range(17)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        cosine(F.col("a"), F.col("b")).alias("spec"),
+        pair_cosine_udf()(F.col("a"), F.col("b")).alias("kernel"),
+    ).collect()
+    for r in got:
+        assert r.spec == r.kernel, f"row {r.id}: {r.spec!r} != {r.kernel!r}"
+
+
 def test_lsh_recall_vs_exact(spark):
     from kinesiscat_spark.queries.similarity_queries import (
         similarity_topk_exact,
