@@ -179,6 +179,51 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_udf(n_hashes: int = 32, n: int = 3):
+    """Arrow-batched minhash signature kernel, bit-identical to
+    ``minhash_signature`` / ``minhash_signatures`` (differential-tested).
+
+    Same tokenization as the Column spec (lowercase + ASCII ``\\s+`` split,
+    matching Java/RE2 — see simhash64_udf), same shingling (n-gram join,
+    short docs → one shingle), same md5-derived Carter-Wegman family
+    (h1/h2 = first/second 6 digest bytes == conv(substring(hex,1,12)) /
+    conv(substring(hex,13,12))), same ``(h1 + i*h2) mod 2^48`` minima —
+    computed as one numpy (n_hashes × n_shingles) matrix per document.
+    One md5 per DISTINCT shingle, one pass, no exploded-shingle shuffle
+    and no 32-aggregate groupBy.
+    """
+    import re
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
+    i_arr = None  # built lazily so the closure pickles small
+
+    def one(text: str) -> list:
+        nonlocal i_arr
+        if i_arr is None:
+            i_arr = np.arange(n_hashes, dtype=np.int64)[:, None]
+        toks = ws.split(text.lower())
+        cnt = max(len(toks) - (n - 1), 1)
+        seen = dict.fromkeys(" ".join(toks[i : i + n]) for i in range(cnt))
+        h1 = np.empty(len(seen), dtype=np.int64)
+        h2 = np.empty(len(seen), dtype=np.int64)
+        for j, s in enumerate(seen):
+            d = _md5(s.encode("utf-8")).digest()
+            h1[j] = int.from_bytes(d[:6], "big")
+            h2[j] = int.from_bytes(d[6:12], "big")
+        sigs = (h1[None, :] + i_arr * h2[None, :]) % MOD48
+        return sigs.min(axis=1).tolist()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return sig
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -203,25 +248,20 @@ def minhash_lsh_pairs(
     r = n_hashes // n_bands
     from kinesiscat_spark.io_tables import spread
 
-    # Signatures kept as n_hashes SEPARATE long columns (not an array):
-    # the per-pair agreement count then compiles to n_hashes scalar
-    # comparisons inside whole-stage codegen. The array form's
+    # Signatures from the Arrow kernel (one md5 per distinct shingle, no
+    # exploded-shingle shuffle, no 32-aggregate groupBy; bit-identical to
+    # the Column spec — see minhash_signature_udf), unpacked to n_hashes
+    # SEPARATE long columns so the per-pair agreement count below compiles
+    # to scalar comparisons inside whole-stage codegen (the array form's
     # size(filter(zip_with(...))) is an interpreted HOF chain — at ~200k
-    # candidate-band pairs × 32 elements that alone cost ~1 s at sf0.1.
-    sh = spread(docs, id_col).select(
+    # candidate-band pairs × 32 elements that alone cost ~1 s at sf0.1).
+    raw_sig = spread(docs, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+        minhash_signature_udf(n_hashes, n)(F.col(text_col)).alias("_sig"),
     )
-    hp = sh.select(
-        "id",
-        _hexint(F.md5("s"), 1, 12).alias("h1"),
-        _hexint(F.md5("s"), 13, 12).alias("h2"),
+    sig = raw_sig.select(
+        "id", *[F.col("_sig")[i].alias(f"_m{i}") for i in range(n_hashes)]
     )
-    mins = [
-        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    sig = hp.groupBy("id").agg(*mins)
     bands = sig.select(
         "id",
         *[f"_m{i}" for i in range(n_hashes)],
@@ -240,6 +280,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     )
+    # Shuffle on the band key before the self-join (same rationale as
+    # simhash_pairs): one canonical Exchange → the signature kernel runs
+    # once, both aliases reuse it, and the join needs no further shuffle.
+    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bands = bands.repartition(target, "bk")
     a, b = bands.alias("a"), bands.alias("b")
     # Agreement estimate computed IN the join projection (pure codegen);
     # functionally dependent on the pair, so dedupe after the threshold

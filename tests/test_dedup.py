@@ -74,6 +74,31 @@ def test_simhash_band_join_is_exhaustive_for_d3(spark, docs):
     assert _pairs(simhash_pairs(docs, max_distance=3)) == brute
 
 
+def test_minhash_kernel_matches_column_spec(spark):
+    """The Arrow minhash kernel must produce the exact signature array of
+    the Column spec (md5 Carter-Wegman minima), incl. short docs, repeated
+    shingles, and non-ASCII whitespace tokenization."""
+    from kinesiscat_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+    )
+
+    rows = DOCS + [
+        (10, "one"),  # fewer tokens than n → single whole-doc shingle
+        (11, "two words"),
+        (12, "rep rep rep rep rep"),  # one distinct shingle
+        (13, "nbsp stays joined like simhash"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        minhash_signature(F.col("text"), 16, 3).alias("spec"),
+        minhash_signature_udf(16, 3)(F.col("text")).alias("kernel"),
+    ).collect()
+    for r in got:
+        assert r.spec == r.kernel, f"doc {r.doc_id}"
+
+
 def test_simhash_udf_matches_column_on_non_ascii_whitespace(spark):
     """The Arrow kernel must tokenize with ASCII-only \\s (Java/RE2
     semantics): NBSP (U+00A0), LINE SEP (U+2028), ogham space (U+1680) are
@@ -95,6 +120,30 @@ def test_simhash_udf_matches_column_on_non_ascii_whitespace(spark):
     ).collect()
     for r in got:
         assert r.spec == r.kernel, f"doc {r.doc_id}: {r.spec} != {r.kernel}"
+
+
+def test_embedding_cosine_verify_matches_all_pairs(spark):
+    """The candidate-verify stage (the 100 TB path) must score a given
+    pair set with exactly the sims the all-pairs operator computes."""
+    from kinesiscat_spark.operators.dedup import embedding_cosine_verify
+
+    from tests.conftest import SF_ORACLE
+    from kinesiscat_spark.io_tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    allp = embedding_near_dup_pairs(emb, threshold=0.5)
+    expected = {(r.id_a, r.id_b): r.sim for r in allp.collect()}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in expected], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_cosine_verify(pairs, emb).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k in expected:
+        # JVM fold and numpy kernel share the dimension-sequential order
+        assert got[k] == expected[k], k
 
 
 def test_embedding_near_dup(spark):

@@ -94,12 +94,28 @@ def test_events_topk_native_window(plans):
     assert "EvalPython" not in s
 
 
-def test_minhash_is_python_free(plans):
-    """The whole minhash pipeline — shingles, md5 Carter-Wegman signatures,
-    band keys, candidate join, agreement estimate — compiles to JVM
-    expressions; a refactor that drags a UDF in fails here."""
-    s = plans("dedup_minhash_lsh")
-    assert "EvalPython" not in s
+def _final_plan(spark, df) -> str:
+    """Execute and return the AQE FINAL plan section (the plan that ran)."""
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    s = df._jdf.queryExecution().explainString(mode)
+    if "== Final Plan ==" in s:
+        s = s.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+    return s
+
+
+def test_minhash_single_kernel_join_est_codegen(spark):
+    """Minhash runs exactly ONE Arrow signature kernel at runtime — both
+    self-join sides share the band-key exchange (ReusedExchange); the
+    candidate join and the agreement estimate stay JVM-side (scalar column
+    comparisons, no interpreted HOFs over signature arrays)."""
+    df = entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    s = _final_plan(spark, df)
+    assert s.count("ArrowEvalPython") == 1
+    assert "ReusedExchange" in s
+    assert "zip_with" not in s and "ZipWith" not in s
 
 
 def test_fingerprint_single_kernel_pass(plans):
@@ -131,11 +147,6 @@ def test_simhash_band_join_shares_signature_exchange(spark):
     from kinesiscat_spark.operators.dedup import simhash_pairs
 
     df = simhash_pairs(load_table(spark, SF_DIR, "documents"), 3)
-    df.collect()  # materialize so the AQE final plan is available
-    jvm = spark._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    s = df._jdf.queryExecution().explainString(mode)
-    kernel_nodes = sum(
-        1 for l in s.splitlines() if l.strip().endswith("ArrowEvalPython")
-    )
-    assert kernel_nodes <= 1 or "ReusedExchange" in s
+    s = _final_plan(spark, df)
+    assert s.count("ArrowEvalPython") == 1
+    assert "ReusedExchange" in s
