@@ -150,3 +150,23 @@ def test_simhash_band_join_shares_signature_exchange(spark):
     s = _final_plan(spark, df)
     assert s.count("ArrowEvalPython") == 1
     assert "ReusedExchange" in s
+
+
+def test_asof_join_no_nested_loop(plans):
+    """The as-of join must be the union+window single-shuffle form — an
+    inequality-join formulation would plan a BroadcastNestedLoopJoin whose
+    candidate set explodes at scale."""
+    s = plans("events_asof_latest_order")
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "Window" in s
+    assert "Union" in s
+
+
+def test_interval_join_is_equi_join(plans):
+    """The bucketed interval join must plan as an equi-join on
+    (key, bucket) — never a nested loop over the raw inequality."""
+    s = plans("events_interval_purchase_window")
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
