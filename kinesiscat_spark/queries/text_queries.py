@@ -16,22 +16,35 @@ from kinesiscat_spark.registry import query
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset both
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
+
 @query(
     "text_token_count",
-    oracle="""
+    oracle=f"""
 SELECT
   doc_id,
   CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_bpe_tokens,
   CAST(LENGTH(text) AS BIGINT) AS n_chars_measured
 FROM documents
 """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char count per document."""
+    """X5 token counting, both mandated variants: whitespace split and a
+    BPE-ish pre-tokenizer regex (GPT-2 family, lookahead-free so Java and
+    RE2 agree token-for-token), plus char count — all scan-stage Column
+    expressions."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
     )
 
