@@ -74,6 +74,54 @@ def test_simhash_band_join_is_exhaustive_for_d3(spark, docs):
     assert _pairs(simhash_pairs(docs, max_distance=3)) == brute
 
 
+def _nasty_texts(n: int = 60) -> list[tuple[int, str]]:
+    """Seeded adversarial corpus for kernel-vs-spec differentials: unicode
+    whitespace, combining marks, case-folding edge cases, repeats, empties
+    mixed with ordinary prose."""
+    import random
+
+    rng = random.Random(99)
+    fragments = [
+        "plain words here", "MIXED Case TEXT", " ", " ", "　",
+        "\t", "\n", "  ", "ß", "İstanbul", "ﬁligree", "é́", "𝔘𝔫𝔦",
+        "word", "123", "...", "🙂", "'quote'", "a",
+    ]
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 12)
+        rows.append((i, "".join(rng.choice(fragments) for _ in range(k))))
+    return rows
+
+
+def test_all_kernels_match_specs_on_adversarial_corpus(spark):
+    """simhash + minhash + winnow kernels vs their Column specs in one
+    batched differential over seeded adversarial unicode text."""
+    from kinesiscat_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+        simhash64_udf,
+    )
+    from kinesiscat_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_udf,
+    )
+
+    df = spark.createDataFrame(_nasty_texts(), ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        simhash64(F.col("text")).alias("sh_spec"),
+        simhash64_udf()(F.col("text")).alias("sh_kernel"),
+        minhash_signature(F.col("text"), 8, 3).alias("mh_spec"),
+        minhash_signature_udf(8, 3)(F.col("text")).alias("mh_kernel"),
+        winnow_fingerprints(F.col("text")).alias("fp_spec"),
+        winnow_fingerprints_udf()(F.col("text")).alias("fp_kernel"),
+    ).collect()
+    for r in got:
+        assert r.sh_spec == r.sh_kernel, f"simhash doc {r.doc_id}"
+        assert r.mh_spec == r.mh_kernel, f"minhash doc {r.doc_id}"
+        assert r.fp_spec == r.fp_kernel, f"winnow doc {r.doc_id}"
+
+
 def test_minhash_kernel_matches_column_spec(spark):
     """The Arrow minhash kernel must produce the exact signature array of
     the Column spec (md5 Carter-Wegman minima), incl. short docs, repeated
