@@ -74,3 +74,103 @@ def dedup_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-dup detection: banded-minhash candidate pairs ACROSS
+    micro-batches. The ingest-pipeline twin of the batch
+    ``operators.dedup.minhash_lsh_pairs`` — a document arriving now is
+    checked against every document ever seen in any of its LSH buckets,
+    with bucket membership persisted in per-group state (checkpointed, so
+    it survives restarts — strictly more durable than the reference's
+    iterator-string cursor, worker/worker.go:210-243).
+
+    Emits (id_a, id_b, est_jaccard) rows with est ≥ threshold; a pair that
+    collides in several bands is emitted once per colliding band (dedupe
+    downstream — streaming dropDuplicates would hold its own state).
+
+    Scale design: state is partitioned by (band, band_key) — each executor
+    holds only its shard of the bucket space, and per batch the work is one
+    shuffle on the bucket key plus an Arrow call per touched bucket. Bucket
+    state grows with corpus size; production deployments put a TTL on
+    buckets (GroupStateTimeout) or rotate the hash seed per epoch.
+    Signatures come from the same Arrow kernel as the batch path
+    (``minhash_signature_udf``), so batch and stream agree bit-for-bit.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import minhash_signature_udf
+
+    assert n_hashes % n_bands == 0
+    r = n_hashes // n_bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(n_hashes, n)(F.col(text_col)).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (seen_ids, seen_sigs) = state.get
+            seen_ids = list(seen_ids)
+            seen_sigs = [list(s) for s in seen_sigs]
+        else:
+            seen_ids, seen_sigs = [], []
+        out_a, out_b, out_est = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                new_id = int(row["id"])
+                # plain Python ints: numpy scalars in the state tuple break
+                # the JVM unpickler (ClassDict numpy.dtype)
+                new_sig = [int(x) for x in row["sig"]]
+                if seen_ids:
+                    S = np.asarray(seen_sigs, dtype=np.int64)
+                    agree = (S == np.asarray(new_sig, dtype=np.int64)).sum(axis=1)
+                    est = agree / float(n_hashes)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        a, b = sorted((seen_ids[int(j)], new_id))
+                        if a != b:
+                            out_a.append(a)
+                            out_b.append(b)
+                            out_est.append(float(est[int(j)]))
+                seen_ids.append(new_id)
+                seen_sigs.append(new_sig)
+        state.update((seen_ids, seen_sigs))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_est}
+            )
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, est_jaccard double",
+        stateStructType="ids array<long>, sigs array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,53 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     out = run_to_memory(first, output_mode="append", cfg=StreamConfig(batch_size=1))
     got = {(r.user_id, r.event_type): r.event_id for r in out.collect()}
     assert got == {(1, "a"): 2, (2, "b"): 3, (3, "c"): 9}
+
+
+def test_streaming_minhash_candidates_cross_batch(spark, tmp_path):
+    """Streaming banded-minhash near-dup: a document arriving in a LATER
+    micro-batch must pair with bucket-mates from EARLIER batches (state),
+    exact dups estimate 1.0, and estimates equal the batch operator's."""
+    import glob
+
+    from kinesiscat_spark.streaming.stateful import streaming_minhash_candidates
+
+    src = str(tmp_path / "docsrc")
+    clock = [1_700_000_000]
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        clock[0] += 10
+        for p in glob.glob(os.path.join(src, "*.parquet")):
+            os.utime(p, (clock[0], clock[0]))
+
+    d0 = "the quick brown fox jumps over the lazy dog"
+    d2 = "the quick brown fox jumps over the lazy cat"
+    write_file([(0, d0), (3, "completely different text about spark shuffles")])
+    write_file([(1, d0), (2, d2)])  # 1 = exact dup of 0 (EARLIER batch)
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = streaming_minhash_candidates(raw, threshold=0.3)
+    out = run_to_memory(cand, output_mode="append", cfg=StreamConfig(batch_size=1))
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    assert pairs.get((0, 1)) == 1.0  # cross-batch exact dup
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+    # stream estimates must equal the batch operator's (same kernel)
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+
+    batch_docs = spark.createDataFrame(
+        [(0, d0), (1, d0), (2, d2)], "doc_id long, text string"
+    )
+    batch = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(batch_docs, threshold=0.3).collect()
+    }
+    for k, v in batch.items():
+        assert pairs.get(k) == v, k

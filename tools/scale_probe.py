@@ -43,9 +43,15 @@ def synth(spark, n_copies: int) -> str:
         copies.append(
             docs.select(
                 (F.col("doc_id") + c * n_docs).alias("doc_id"),
-                # salt breaks cross-copy near-duplicates; within-copy
-                # structure (the thing the operators mine) is unchanged
-                F.concat(F.col("text"), F.lit(f" c{c}")).alias("text"),
+                # Suffix EVERY token with the copy id: all shingles/tokens
+                # become copy-local (no cross-copy candidates at any level
+                # — shingle, simhash band, minhash band), while every
+                # within-copy relationship is preserved exactly, so dup
+                # CLUSTER SIZES stay constant as N grows. A suffix only at
+                # the document tail leaves ~all shingles shared across
+                # copies and silently turns the corpus into N×-sized
+                # clusters — measuring the data, not the plan.
+                F.regexp_replace("text", r"(\S+)", f"$1c{c}").alias("text"),
                 *[col for col in docs.columns if col not in ("doc_id", "text")],
             )
         )
