@@ -568,7 +568,13 @@ class ColumnCompiler:
     def _f_to_array(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
         if isinstance(a.dtype, T.ArrayType):
-            return a
+            # runtime null is NOT an array — go jpfToArray wraps it:
+            # to_array(null) == [null] (functions.go:793-798)
+            null_elem = F.lit(None).cast(a.dtype.elementType)
+            return Typed(
+                F.when(a.col.isNotNull(), a.col).otherwise(F.array(null_elem)),
+                a.dtype,
+            )
         return Typed(F.array(a.col), T.ArrayType(a.dtype))
 
     def _f_to_string(self, node: Node, doc: Typed) -> Typed:

@@ -79,6 +79,47 @@ DOCS = [
     },
 ]
 
+
+def _random_docs(n: int = 24, seed: int = 17) -> list[dict]:
+    """Seeded random documents conforming to SCHEMA — widens the
+    differential beyond the curated cases (nulls, empties, ties, negative
+    and duplicate values in every position)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def word():
+        return "".join(rng.choice("abcxyz") for _ in range(rng.randint(0, 4)))
+
+    out = []
+    for _ in range(n):
+        out.append(
+            {
+                "a": maybe(rng.randint(-5, 5)),
+                "b": maybe(rng.choice([0.0, -1.5, 2.5, 7.25, -0.0])),
+                "s": maybe(word()),
+                "flag": maybe(rng.choice([True, False])),
+                "arr": maybe([rng.randint(-9, 9) for _ in range(rng.randint(0, 7))], 0.1),
+                "tags": maybe([word() for _ in range(rng.randint(0, 4))], 0.1),
+                "nested": maybe({"x": maybe(rng.randint(0, 20)), "y": maybe(word())}),
+                "pair": maybe({"lo": rng.randint(0, 5), "hi": rng.randint(0, 5)}),
+                "items": maybe(
+                    [
+                        {"name": maybe(word(), 0.1), "v": rng.randint(0, 6)}
+                        for _ in range(rng.randint(0, 5))
+                    ],
+                    0.1,
+                ),
+            }
+        )
+    return out
+
+
+DOCS = DOCS + _random_docs()
+
 EXPRESSIONS = [
     # traversal
     "a", "nested.x", "nested.y", "missing", "nested.missing", "pair.lo",
