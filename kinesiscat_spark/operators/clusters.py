@@ -1,0 +1,91 @@
+"""Duplicate-cluster resolution: near-dup PAIRS → connected components →
+one canonical document per cluster.
+
+The dedup operators (ngram_jaccard_pairs / minhash_lsh_pairs /
+simhash_pairs / embedding_near_dup_pairs) emit pairwise matches; an ingest
+pipeline must then drop all-but-one of each transitive cluster (A~B, B~C ⇒
+{A,B,C} is one duplicate group even if A≁C directly). That is connected
+components over the pair graph.
+
+Algorithm: hash-to-min label propagation — every node's label is the
+smallest node id it has ever heard of; one iteration is
+
+    l(u) ← min(l(u), min over neighbors v of l(v))
+
+which converges in O(graph diameter) rounds (near-dup clusters are
+near-cliques from banded LSH, so diameter is tiny — 2-4 rounds in
+practice). Each round is two hash joins + one groupBy-min, all
+key-partitioned; nothing collects to the driver, and ``localCheckpoint``
+truncates the growing lineage so round N's plan does not replay rounds
+1..N-1. This is the standard scalable CC formulation (cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — the
+hash-to-min variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
+    the smallest id reachable through the pair graph.
+
+    Deterministic (min-id labels), oracle-checkable for small graphs, and
+    scale-shaped: per round the exchanges carry (id, label) pairs only.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("l"))
+
+    for _ in range(max_iters):
+        # neighbor labels: u hears l(v) from every neighbor v
+        heard = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("l").alias("nl"))
+        )
+        new_labels = (
+            labels.join(heard, "u", "left")
+            .select("u", F.least("l", F.coalesce("nl", "l")).alias("l"))
+        )
+        # converged when no label changed
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster: keep the
+    lowest-id document per connected component, and every document that
+    appears in no pair at all. The end-to-end dedup a training pipeline
+    runs after any near-dup detector.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

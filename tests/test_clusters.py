@@ -1,0 +1,56 @@
+"""Connected-components cluster resolution over near-dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.clusters import connected_components, keep_canonical
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+
+
+def test_transitive_chain_one_cluster(spark):
+    # 1-2, 2-3, 3-4: one component even though 1~4 never paired directly
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (5, 6), (6, 7), (10, 11)])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path graph 0-1-...-9: diameter 9 forces multiple label rounds
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_keep_canonical_end_to_end(spark):
+    """minhash pairs → clusters → one survivor per cluster + singletons."""
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines and shuffles"),
+        (4, "totally unrelated text on parquet files and column pruning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    kept = sorted(r.doc_id for r in keep_canonical(docs, pairs).collect())
+    # 0/1/2 collapse into cluster 0; 3 and 4 are untouched singletons
+    assert kept == [0, 3, 4]
+
+
+def test_pairs_only_ids_get_labels(spark):
+    """connected_components labels exactly the ids present in pairs."""
+    pairs = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {3: 3, 7: 3}
