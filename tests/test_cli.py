@@ -104,3 +104,46 @@ def test_parser_defaults_match_reference():
     )
     assert a.region == "us-west-1" and a.stream_name == "events"
     assert not a.null_separator and a.json_filter == ""
+
+
+def test_json_lines_source_streaming(spark, tmp_path):
+    """--source-format json works in -follow (streaming) mode too."""
+    import base64
+
+    from kinesiscat_spark.streaming.source import StreamConfig, read_record_json, run_to_memory
+
+    recs = [
+        {
+            "data": base64.b64encode(json.dumps({"k": i}).encode()).decode(),
+            "partitionKey": f"pk{i}",
+            "sequenceNumber": str(i).rjust(20, "0"),
+            "approximateArrivalTimestamp": "2024-01-01T00:00:00.000Z",
+            "shardId": "shardId-0",
+        }
+        for i in (1, 2, 3)
+    ]
+    src = tmp_path / "jsonstream"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in recs[:2]))
+    (src / "b1.json").write_text(json.dumps(recs[2]))
+    stream = read_record_json(
+        spark, str(src), StreamConfig(iterator_type="TRIM_HORIZON", batch_size=1),
+        streaming=True,
+    )
+    assert stream.isStreaming
+    out = run_to_memory(
+        stream.selectExpr("decode(data, 'UTF-8') AS payload"), output_mode="append"
+    )
+    payloads = sorted(json.loads(r.payload)["k"] for r in out.collect())
+    assert payloads == [1, 2, 3]
+
+
+def test_bench_headline_lanes_are_registered():
+    """Every bench headline must be a registered (and thus driver-checked)
+    lane — a rename that breaks this silently drops the lane from BENCH."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
