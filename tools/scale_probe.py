@@ -118,12 +118,20 @@ def probes():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return dedup.embedding_near_dup_pairs(emb, 0.4).count()
 
+    def p_cluster_resolve(spark, d):
+        from kinesiscat_spark.operators.clusters import keep_canonical
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(docs, 0.5, 32, 8)
+        return keep_canonical(docs, pairs).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
         "simhash": (p_simhash, "linear+dup-density"),
         "ngram_jaccard": (p_jaccard, "linear+dup-density"),
         "winnow_fingerprint": (p_fingerprint, "linear"),
+        "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
     }
 
