@@ -67,11 +67,11 @@ def main() -> None:
             fn = qs.get(name)
             if fn is not None:
                 fn(spark, warm_dir).count()
-    # Two timed passes per lane, report the min: a long-lived cluster's
-    # steady-state throughput, insulated from one-off JIT/GC/host-noise
-    # spikes that a single pass would fold into the measurement.
+    # Three timed passes per lane, report the min: a long-lived cluster's
+    # steady-state throughput, insulated from JIT/GC spikes and the
+    # measured up-to-2x noisy-neighbor variance of the shared host.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
