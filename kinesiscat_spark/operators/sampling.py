@@ -1,0 +1,115 @@
+"""Deterministic sampling and corpus mixing for training-data curation.
+
+Every operator here samples by CONTENT HASH, not ``rand()``: Spark's
+``rand(seed)`` is seeded per partition, so the selected rows change
+whenever partitioning changes (different cluster size, AQE coalescing,
+file split). A training pipeline needs the opposite — the same documents
+selected on every run, every cluster, every retry — so the sampling
+predicate is ``xxhash64(key, salt) / 2^64 < fraction``: a pure scan-stage
+filter (pushdown-friendly, no shuffle, no state) that is reproducible
+anywhere and oracle-checkable in SQL.
+
+- ``hash_sample``: Bernoulli sample at a fraction, keyed on chosen columns.
+- ``stratified_sample``: per-stratum fractions (e.g. downsample by lang).
+- ``exact_stratified_sample``: exactly n rows per stratum — hash-ranked
+  window, deterministic ties.
+- ``mix_corpora``: weighted mixture of sources with per-source salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_U64_SPAN = float(1 << 64)
+
+
+def _unit_hash(cols: Sequence[Column | str], salt: int) -> Column:
+    """Deterministic value in [0, 1) from the row's key columns + salt."""
+    h = F.xxhash64(*cols, F.lit(salt))
+    # shift the signed long into [0, 2^64) then scale; double precision
+    # gives ~2^-53 granularity, plenty for sampling fractions
+    return (h.cast("double") + F.lit(2.0**63)) / F.lit(_U64_SPAN)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: a row is kept iff the unit hash of
+    its key columns falls below ``fraction``. Same keys → same decision on
+    any cluster, any partitioning, any rerun; different ``salt`` values
+    draw independent samples."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_unit_hash(list(key_cols), salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli fractions (e.g. ``{"en": 0.1, "de": 1.0}``);
+    strata absent from ``fractions`` keep ``default_fraction``. One scan,
+    no shuffle — the fraction is a CASE over the stratum column."""
+    frac = F.lit(float(default_fraction))
+    for value, p in fractions.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1], got {p}")
+        frac = F.when(F.col(strata_col) == value, float(p)).otherwise(frac)
+    return df.filter(_unit_hash(list(key_cols), salt) < frac)
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_cols: Sequence[str],
+    salt: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller): rank by the unit hash inside each stratum and keep the first
+    n. Deterministic (hash order, key tie-break) and single-shuffle on the
+    stratum; at scale the rank window's group-limit keeps only n rows per
+    partition before the exchange."""
+    u = _unit_hash(list(key_cols), salt)
+    w = Window.partitionBy(strata_col).orderBy(u, *key_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def mix_corpora(
+    sources: Sequence[tuple[DataFrame, float]],
+    key_cols: Sequence[str],
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted corpus mixture: source i contributes a deterministic
+    ``weight_i`` Bernoulli sample (weights in [0, 1] are per-source keep
+    rates, not normalized shares), tagged with its index. Each source gets
+    an independent salt so mixing the same table twice draws disjoint-ish
+    samples."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        parts.append(
+            hash_sample(df, w, key_cols, salt=salt + i).withColumn(
+                "source_id", F.lit(i)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,79 @@
+"""Deterministic content-hash sampling: reproducibility is the contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.sampling import (
+    exact_stratified_sample,
+    hash_sample,
+    mix_corpora,
+    stratified_sample,
+)
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    a = _ids(hash_sample(docs, 0.3, ["doc_id"]))
+    b = _ids(hash_sample(docs.repartition(7), 0.3, ["doc_id"]))
+    assert a == b and a  # same rows regardless of partitioning
+    # roughly the requested fraction (binomial, 500 docs)
+    assert 0.2 < len(a) / docs.count() < 0.4
+
+
+def test_hash_sample_salts_draw_independent_samples(docs):
+    a = set(_ids(hash_sample(docs, 0.3, ["doc_id"], salt=1)))
+    b = set(_ids(hash_sample(docs, 0.3, ["doc_id"], salt=2)))
+    assert a != b
+    # overlap near fraction^2, far from identical
+    assert len(a & b) < 0.75 * min(len(a), len(b))
+
+
+def test_stratified_fractions_respected(docs):
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, keep_none = langs[0], langs[1]
+    out = stratified_sample(
+        docs, "lang", {keep_all: 1.0, keep_none: 0.0}, ["doc_id"]
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert keep_all in got and keep_none not in got
+    n_all = docs.filter(F.col("lang") == keep_all).count()
+    assert out.filter(F.col("lang") == keep_all).count() == n_all
+
+
+def test_exact_stratified_sample_counts(docs):
+    out = exact_stratified_sample(docs, "lang", 5, ["doc_id"])
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        assert n == min(5, sizes[lang])
+    # deterministic: same selection on rerun
+    assert _ids(out) == _ids(exact_stratified_sample(docs, "lang", 5, ["doc_id"]))
+
+
+def test_mix_corpora_weights_and_tags(docs):
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    out = mix_corpora([(docs, 0.2), (half, 1.0)], ["doc_id"])
+    by_src = {
+        r.source_id: r.n
+        for r in out.groupBy("source_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src[1] == half.count()  # weight 1.0 keeps everything
+    assert 0 < by_src[0] < docs.count() // 2  # ~20% of source 0
