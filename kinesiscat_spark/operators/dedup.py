@@ -464,6 +464,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int = 512,
+    fp_exact: bool = True,
 ) -> DataFrame:
     """All pairs with cosine similarity ≥ threshold (exact, all-pairs).
 
@@ -482,9 +483,14 @@ def embedding_near_dup_pairs(
     the O(n²) math itself can afford; total work parallelizes over
     ~(n/chunk_rows)²/2 independent block tasks.
 
-    FP fidelity: dots and norms accumulate dimension-by-dimension
-    (vectorized across pairs), exactly the fold order of the Column form
-    and the SQL oracle, so `sim` is bit-identical.
+    FP fidelity: with ``fp_exact=True`` (default) dots and norms
+    accumulate dimension-by-dimension (vectorized across pairs), exactly
+    the fold order of the Column form and the SQL oracle, so `sim` is
+    bit-identical. ``fp_exact=False`` switches the block product to BLAS
+    ``A @ B.T`` — 10-50× faster per block and the right choice at real
+    scale, at the cost of last-ulp differences from BLAS's pairwise
+    summation (results differ only within ~1e-15 relative; thresholding
+    may flip pairs sitting exactly on the threshold).
     """
     import numpy as np
 
@@ -526,10 +532,18 @@ def embedding_near_dup_pairs(
             for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
                 a_ids, A = _unpack(rows_a)
                 b_ids, B = _unpack(rows_b)
-                dots = np.zeros((A.shape[0], B.shape[0]))
-                for i in range(A.shape[1]):
-                    dots += A[:, i : i + 1] * B[:, i]
-                sims = dots / (_norms_seq(A)[:, None] * _norms_seq(B))
+                if fp_exact:
+                    dots = np.zeros((A.shape[0], B.shape[0]))
+                    for i in range(A.shape[1]):
+                        dots += A[:, i : i + 1] * B[:, i]
+                    norms = _norms_seq(A)[:, None] * _norms_seq(B)
+                else:
+                    dots = A @ B.T
+                    norms = (
+                        np.sqrt((A * A).sum(axis=1))[:, None]
+                        * np.sqrt((B * B).sum(axis=1))
+                    )
+                sims = dots / norms
                 mask = (sims >= threshold) & (a_ids[:, None] < b_ids)
                 ia, ib = np.nonzero(mask)
                 yield pd.DataFrame(

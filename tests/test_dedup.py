@@ -170,6 +170,27 @@ def test_simhash_udf_matches_column_on_non_ascii_whitespace(spark):
         assert r.spec == r.kernel, f"doc {r.doc_id}: {r.spec} != {r.kernel}"
 
 
+def test_embedding_blas_path_agrees_within_ulps(spark):
+    """fp_exact=False (BLAS blocks) must find the same pairs with sims
+    equal to ~1e-12 of the exact-fold path (pairs at the threshold edge
+    excepted — none in this corpus)."""
+    from tests.conftest import SF_ORACLE
+    from kinesiscat_spark.io_tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_pairs(emb, 0.4, fp_exact=True).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_pairs(emb, 0.4, fp_exact=False).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k, v in exact.items():
+        assert abs(v - fast[k]) < 1e-12
+
+
 def test_embedding_cosine_verify_matches_all_pairs(spark):
     """The candidate-verify stage (the 100 TB path) must score a given
     pair set with exactly the sims the all-pairs operator computes."""
