@@ -1,0 +1,45 @@
+"""End-to-end corpus curation pipeline."""
+
+from __future__ import annotations
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.pipelines import CurationConfig, curate
+from tests.conftest import SF_ORACLE
+
+
+def test_curate_monotone_and_deduped(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.5)
+    out = curate(docs, cfg)
+    counts = cfg.stage_counts
+    # every stage only removes rows
+    order = ["input", "quality", "exact_dedup", "near_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], counts
+    # near-dup dedup actually fired (the corpus has minhash near-dups;
+    # exact dups may or may not exist at this SF)
+    assert counts["near_dedup"] < counts["input"]
+    # result has no exact duplicates left
+    n = out.count()
+    assert out.select("text").distinct().count() == n
+    assert n == counts["near_dedup"]
+
+
+def test_curate_sampling_stage(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    cfg = CurationConfig(min_tokens=1, sample_fraction=0.5)
+    out = curate(docs, cfg)
+    assert 0 < out.count() < cfg.stage_counts["near_dedup"]
+    # deterministic: rerun selects the same documents
+    cfg2 = CurationConfig(min_tokens=1, sample_fraction=0.5)
+    again = curate(docs, cfg2)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_curate_language_gate(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    cfg = CurationConfig(min_tokens=1, keep_langs=("en",))
+    out = curate(docs, cfg)
+    assert 0 < out.count() < docs.count()
