@@ -66,6 +66,69 @@ def language_id(text: Column) -> tuple[Column, Column]:
     return pred, score
 
 
+def unigram_model(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+):
+    """(word, logp) add-k-smoothed unigram model of a corpus.
+
+    One explode + one groupBy (map-side partial) — the model table is tiny
+    relative to the corpus (vocabulary-sized) and broadcastable. ``logp``
+    is ln((count + k) / (N + k·V)); the leftover smoothing mass covers
+    out-of-vocabulary words at scoring time.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n, v = float(totals.n), float(totals.v)
+    model = counts.select(
+        "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("logp")
+    )
+    # OOV logprob rides along as metadata for score_documents
+    model._kc_oov_logp = float(__import__("math").log(k / (n + k * v)))
+    return model
+
+
+def score_documents(
+    docs,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_logp: float | None = None,
+):
+    """(id, n_tokens, avg_logp): mean unigram log-probability of each
+    document under ``model`` — the classic 'looks like the reference
+    corpus' pretraining quality gate (CCNet/DSIR-style importance
+    scoring). Train the model on a trusted corpus, score candidates, keep
+    the high-avg_logp tail.
+
+    Scale shape: explode tokens, join the (broadcast) model on the word,
+    one groupBy on the doc id. Unseen words get the smoothing mass.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if oov_logp is None:
+        oov_logp = getattr(model, "_kc_oov_logp", None)
+    if oov_logp is None:
+        raise ValueError("pass oov_logp when model lacks smoothing metadata")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    scored = toks.join(F.broadcast(model), "w", "left").select(
+        id_col, F.coalesce("logp", F.lit(oov_logp)).alias("lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logp")
+    )
+
+
 def kgram_hashes(text: Column, k: int = 5) -> Column:
     """Rolling k-char-gram hashes: 48-bit ints from md5 of each window."""
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))

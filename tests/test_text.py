@@ -45,3 +45,41 @@ def test_winnow_fingerprint_is_subset_of_kgram_hashes(spark):
     for r in rows:
         assert set(r.fps) <= set(r.hs)
         assert len(r.fps) >= 1
+
+
+def test_unigram_model_is_a_distribution(spark):
+    """Vocabulary probabilities + OOV mass behave like a distribution:
+    in-vocab probs sum to (N + kV)/(N + kV) minus the OOV share."""
+    import math
+
+    from kinesiscat_spark.operators.text import unigram_model
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], ["doc_id", "text"]
+    )
+    model = unigram_model(docs, k=0.5)
+    rows = {r.w: r.logp for r in model.collect()}
+    # counts: a=3, b=2, c=1; N=6, V=3, k=0.5 -> denom 7.5
+    assert math.isclose(math.exp(rows["a"]), 3.5 / 7.5)
+    assert math.isclose(math.exp(rows["b"]), 2.5 / 7.5)
+    assert math.isclose(math.exp(rows["c"]), 1.5 / 7.5)
+    assert math.isclose(math.exp(model._kc_oov_logp), 0.5 / 7.5)
+
+
+def test_score_documents_prefers_in_distribution_text(spark):
+    """A document made of the reference corpus's common words must score
+    higher than one full of unseen words."""
+    from kinesiscat_spark.operators.text import score_documents, unigram_model
+
+    reference = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)], ["doc_id", "text"]
+    )
+    model = unigram_model(reference)
+    candidates = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zyx qwv jkl")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.avg_logp for r in score_documents(candidates, model).collect()}
+    assert got[0] > got[1]
+    # both docs have 3 tokens
+    n = {r.doc_id: r.n_tokens for r in score_documents(candidates, model).collect()}
+    assert n == {0: 3, 1: 3}
