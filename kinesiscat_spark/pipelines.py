@@ -17,7 +17,7 @@ fixed-width keys, and sampling decisions are partition-invariant hashes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,7 +36,10 @@ class CurationConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
-    stage_counts: dict = field(default_factory=dict)  # filled by curate()
+    # Audit opt-in: pass an (empty) dict to have curate() record per-stage
+    # surviving-row counts into it. None (the default) keeps the pipeline a
+    # single lazy plan — no eager counts, no stage re-execution.
+    stage_counts: dict | None = None
 
 
 def quality_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -90,10 +93,14 @@ def near_dedup(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
 
 
 def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
-    """Run the full curation pipeline; per-stage surviving-row counts are
-    recorded in ``cfg.stage_counts`` (each count materializes the stage —
-    pass a cfg with stage tracking only when auditing, not in production
-    plans, where the pipeline composes lazily into one job)."""
+    """Run the full curation pipeline.
+
+    By default the stages compose lazily into ONE plan — no job runs until
+    the caller acts on the result. Auditing is opt-in: pass a cfg with
+    ``stage_counts={}`` and per-stage surviving-row counts are recorded in
+    it (each count materializes its stage — audit runs re-execute the full
+    upstream pipeline once per stage, so never audit in production plans).
+    """
     cfg = cfg or CurationConfig()
     audit = cfg.stage_counts is not None
 

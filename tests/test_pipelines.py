@@ -9,7 +9,7 @@ from tests.conftest import SF_ORACLE
 
 def test_curate_monotone_and_deduped(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
-    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.5)
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.5, stage_counts={})
     out = curate(docs, cfg)
     counts = cfg.stage_counts
     # every stage only removes rows
@@ -27,7 +27,7 @@ def test_curate_monotone_and_deduped(spark):
 
 def test_curate_sampling_stage(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
-    cfg = CurationConfig(min_tokens=1, sample_fraction=0.5)
+    cfg = CurationConfig(min_tokens=1, sample_fraction=0.5, stage_counts={})
     out = curate(docs, cfg)
     assert 0 < out.count() < cfg.stage_counts["near_dedup"]
     # deterministic: rerun selects the same documents
@@ -36,6 +36,34 @@ def test_curate_sampling_stage(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_curate_default_is_lazy(spark, monkeypatch):
+    """Default curate() must build ONE lazy plan: no action (count/collect)
+    may run while composing — audit is strictly opt-in (VERDICT r2 #2)."""
+    from pyspark.sql import DataFrame
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    actions: list[str] = []
+    real_count = DataFrame.count
+
+    def spy_count(self):
+        actions.append("count")
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    out = curate(docs)  # default cfg: no stage_counts dict
+    assert actions == [], "default curate() triggered eager actions"
+    monkeypatch.undo()
+    # the composed plan still executes and dedupes
+    n = out.count()
+    assert 0 < n <= docs.count()
+    # opt-in audit still records every stage
+    cfg = CurationConfig(stage_counts={})
+    curate(docs, cfg)
+    assert set(cfg.stage_counts) == {
+        "input", "quality", "language", "exact_dedup", "near_dedup"
+    }
 
 
 def test_curate_language_gate(spark):
