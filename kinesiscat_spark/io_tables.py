@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -25,25 +26,47 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def events_ts_as_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (a UTC instant) across the
+    generator's schema generations:
+
+    - parquet TIMESTAMP(NANOS), surfaced as a nanos-since-epoch long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros (the
+      same ns→us cast DuckDB applies), tz-independent;
+    - parquet ``timestamp[us]`` (no UTC-adjustment flag), surfaced as
+      TIMESTAMP_NTZ → interpret the wall clock as UTC explicitly via
+      ``to_utc_timestamp(ts, 'UTC')`` so the instant does NOT depend on
+      the session timezone (DuckDB reads the same digits as a naive
+      timestamp, so both engines agree);
+    - already TIMESTAMP (UTC-adjusted parquet) → unchanged.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        # integer div — float division would lose precision above 2^53 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # Session-independence contract: events.parquet stores ts as parquet
-        # TIMESTAMP(NANOS), which Spark refuses to read unless this legacy
-        # conf is on. We set it at runtime here (it is a plain SQL conf, no
-        # session rebuild needed) so the loader works in ANY SparkSession —
-        # including externally-built harness sessions — not just our own
-        # session.py builder.
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy generator: ts stored as parquet TIMESTAMP(NANOS), which
+        # Spark refuses to even schema-resolve unless this legacy conf is
+        # on. Set it at runtime (plain SQL conf, no session rebuild) so the
+        # loader works in ANY SparkSession — including externally-built
+        # harness sessions. Current generators write timestamp[us] and
+        # never reach this branch.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), surfaced as nanos-since-epoch long
-        # (spark.sql.legacy.parquet.nanosAsLong) — truncate to micros, same
-        # as DuckDB's ns→us cast, so both engines see identical timestamps.
-        # integer div — float division would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        df = spark.read.parquet(path)
+    return events_ts_as_timestamp(df)
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

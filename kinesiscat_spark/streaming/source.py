@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesiscat_spark.envelope import _SEQ_WIDTH, events_as_records
+from kinesiscat_spark.io_tables import events_ts_as_timestamp
 
 ITERATOR_TYPES = (
     "LATEST",
@@ -142,10 +143,13 @@ def read_record_json(
     return start_position_filter(_decode_json_envelope(raw), cfg, stream_start_ts)
 
 
+# Legacy generator schema (ts = TIMESTAMP(NANOS) read as a nanos long);
+# kept for fixtures that write this shape. read_events_stream probes the
+# actual file schema instead of assuming it.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -176,17 +180,23 @@ def read_events_stream(
     """Stream the driver's events table (ns→µs ts conversion as in
     io_tables.load_table); optionally wrapped in the record envelope."""
     cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
-    # Session-independence: events.parquet stores TIMESTAMP(NANOS); this
-    # legacy conf lets any SparkSession (incl. harness-owned ones) read it
-    # as a long, which we convert to micros below. Runtime SQL conf — safe
-    # to set here.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = _as_stream_dir(sf_dir)
+    # File streams need an explicit schema; probe the batch footer so both
+    # generator schemas work (legacy TIMESTAMP(NANOS)-as-long and current
+    # timestamp[us]). The legacy form additionally needs the nanosAsLong
+    # conf to schema-resolve at all — a runtime SQL conf, safe to set here
+    # in any SparkSession (incl. harness-owned ones).
+    try:
+        schema = spark.read.parquet(src_dir).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(src_dir).schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", cfg.batch_size)
-        .parquet(_as_stream_dir(sf_dir))
+        .parquet(src_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_ts_as_timestamp(raw)
     return events_as_records(ev, cfg.n_shards) if as_records else ev
 
 
