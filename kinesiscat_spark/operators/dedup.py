@@ -232,6 +232,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs via banded minhash; estimated Jaccard = fraction of
     agreeing minhashes, filtered at `threshold`.
@@ -243,6 +244,18 @@ def minhash_lsh_pairs(
     signatures before the threshold filter, so a collision only matters
     if that unrelated pair also estimates ≥ threshold — ~2⁻⁶⁴ per
     pair-band, negligible against minhash's own estimation variance.
+
+    Hot-bucket skew guard: a band key shared by m documents yields m²/2
+    candidate pairs inside ONE join task — real corpora have
+    boilerplate-heavy buckets with m ~ 10⁵, a within-key cartesian that
+    AQE skew splitting cannot divide. Buckets larger than ``max_bucket``
+    are diverted out of the self-join and STAR-LINKED instead: every
+    member pairs with the bucket's minimum id only (m−1 pairs, est
+    re-scored from full signatures as usual). Docs sharing a giant LSH
+    bucket are near-certain duplicates, and for downstream cluster
+    resolution (``keep_canonical``) a star is equivalent to the clique —
+    same connected components. Pairwise-complete output is guaranteed for
+    buckets ≤ ``max_bucket``; pass ``max_bucket=None`` to disable.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -285,7 +298,21 @@ def minhash_lsh_pairs(
     # once, both aliases reuse it, and the join needs no further shuffle.
     target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bands = bands.repartition(target, "bk")
-    a, b = bands.alias("a"), bands.alias("b")
+    if max_bucket is not None:
+        # Per-band-key counts consume the SAME canonical exchange as the
+        # join sides (already partitioned by bk → no extra shuffle); the
+        # hot-key set is tiny by construction, so it broadcasts.
+        hot_keys = (
+            bands.groupBy("bk")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("bk")
+        )
+        cold = bands.join(F.broadcast(hot_keys), "bk", "left_anti")
+        hot = bands.join(F.broadcast(hot_keys), "bk", "left_semi")
+    else:
+        cold, hot = bands, None
+    a, b = cold.alias("a"), cold.alias("b")
     # Agreement estimate computed IN the join projection (pure codegen);
     # functionally dependent on the pair, so dedupe after the threshold
     # filter carries just three narrow columns.
@@ -293,19 +320,42 @@ def minhash_lsh_pairs(
         F.when(F.col(f"a._m{i}") == F.col(f"b._m{i}"), 1).otherwise(0)
         for i in range(n_hashes)
     )
+    pairs = a.join(
+        b,
+        (F.col("a.bk.band") == F.col("b.bk.band"))
+        & (F.col("a.bk.key") == F.col("b.bk.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (n_agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+    )
+    if hot is not None:
+        # Star-link each hot bucket to its min-id member: the co-partitioned
+        # hub join emits m−1 pairs per bucket (not m²/2), each re-scored
+        # from the full signatures exactly like the cold path, so a pair
+        # reachable both ways carries identical est_jaccard for the dedupe.
+        hub = hot.groupBy("bk").agg(
+            F.min(F.struct("id", *[f"_m{i}" for i in range(n_hashes)])).alias("_h")
+        )
+        hub_agree = sum(
+            F.when(F.col(f"_h._m{i}") == F.col(f"_m{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        hot_pairs = (
+            hot.join(hub, "bk")
+            .filter(F.col("id") != F.col("_h.id"))
+            .select(
+                F.col("_h.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                (hub_agree.cast("double") / F.lit(float(n_hashes))).alias(
+                    "est_jaccard"
+                ),
+            )
+        )
+        pairs = pairs.unionByName(hot_pairs)
     return (
-        a.join(
-            b,
-            (F.col("a.bk.band") == F.col("b.bk.band"))
-            & (F.col("a.bk.key") == F.col("b.bk.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (n_agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+        pairs.filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -396,11 +446,21 @@ def simhash_pairs(
     max_distance: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ max_distance.
 
-    EXACT for max_distance ≤ 3: with 4 disjoint 16-bit bands, pigeonhole
+    EXACT for max_distance ≤ 3 when every band bucket holds at most
+    ``max_bucket`` members: with 4 disjoint 16-bit bands, pigeonhole
     guarantees at least one band matches, so the band join misses nothing.
+
+    Hot-bucket skew guard (same rationale as ``minhash_lsh_pairs``):
+    buckets larger than ``max_bucket`` would put m²/2 candidate pairs in
+    one join task, so they are star-linked to the bucket's min-id member
+    instead (m−1 pairs, Hamming-filtered as usual). Such buckets are
+    boilerplate-duplicate pileups in practice; the star preserves
+    connected components for downstream ``keep_canonical``. Pass
+    ``max_bucket=None`` for unconditionally-exact pairwise output.
     """
     from kinesiscat_spark.io_tables import spread
 
@@ -436,20 +496,41 @@ def simhash_pairs(
     # that doubles the dominant cost. Measured 1.6s → 1.1s at sf0.1.)
     target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bands = bands.repartition(target, "bk")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+    if max_bucket is not None:
+        hot_keys = (
+            bands.groupBy("bk")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("bk")
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        cold = bands.join(F.broadcast(hot_keys), "bk", "left_anti")
+        hot = bands.join(F.broadcast(hot_keys), "bk", "left_semi")
+    else:
+        cold, hot = bands, None
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
     )
+    if hot is not None:
+        hub = hot.groupBy("bk").agg(F.min(F.struct("id", "sh")).alias("_h"))
+        hot_cand = (
+            hot.join(hub, "bk")
+            .filter(F.col("id") != F.col("_h.id"))
+            .select(
+                F.col("_h.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("_h.sh").alias("sh_a"),
+                F.col("sh").alias("sh_b"),
+            )
+        )
+        cand = cand.unionByName(hot_cand)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         cand.withColumn("hamming", dist)
