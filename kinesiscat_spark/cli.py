@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ms between polls")
     p.add_argument("-filter", dest="json_filter", default="",
                    help="JMESPath filter applied to each message")
+    p.add_argument("--payload-schema", dest="payload_schema", default=None,
+                   help="Spark DDL schema of the JSON payload (e.g. 'k long'); "
+                        "when given (or for the built-in events source) the "
+                        "filter compiles to native Columns, with the Arrow "
+                        "UDF as fallback. Payloads not matching the declared "
+                        "object shape are skipped as corrupt (S9).")
     p.add_argument("--source", default=None, help="envelope parquet/json dir")
     p.add_argument("--source-format", dest="source_format", default="parquet",
                    choices=("parquet", "json"),
@@ -98,10 +104,37 @@ def _safe_filter_udf(expression: str):
     return F.pandas_udf(_eval, T.StringType())
 
 
+def _payload_schema(args) -> T.StructType | None:
+    """The declared payload shape, if any: an explicit --payload-schema DDL,
+    or the known props shape of the built-in events source."""
+    ddl = getattr(args, "payload_schema", None)
+    if ddl:
+        return T.StructType.fromDDL(ddl)
+    if not args.source:  # events-backed: props is {"k": int} by contract
+        return T.StructType([T.StructField("k", T.LongType())])
+    return None
+
+
 def output_column(args) -> F.Column:
-    """The one emitted value per record (K1/K3, intended semantics)."""
+    """The one emitted value per record (K1/K3, intended semantics).
+
+    The filter prefers the native Column compiler (JVM-side, whole-stage
+    codegen) whenever a payload schema is known; only expressions outside
+    the statically-typeable subset fall back to the Arrow-batched UDF.
+    Both paths skip corrupt payloads (S9) and emit identical JSON text.
+    """
     if args.json_filter and args.fmt == "data":
-        return _safe_filter_udf(args.json_filter)(F.decode(F.col("data"), "UTF-8"))
+        doc = F.decode(F.col("data"), "UTF-8")
+        schema = _payload_schema(args)
+        if schema is not None:
+            from kinesiscat_spark.functions.jmespath import NotColumnCompilable
+            from kinesiscat_spark.functions.jmespath.api import jmespath_native_json
+
+            try:
+                return jmespath_native_json(args.json_filter, doc, schema)
+            except NotColumnCompilable:
+                pass
+        return _safe_filter_udf(args.json_filter)(doc)
     return format_record(args.fmt)
 
 

@@ -64,3 +64,51 @@ def jmespath_udf(expression: str):
     # inline hints into strings pandas_udf can't resolve
     _eval.__annotations__ = {"payload": pd.Series, "return": pd.Series}
     return F.pandas_udf(_eval, T.StringType())
+
+
+def jmespath_native_json(expression: str, json_col, schema):
+    """Native-path K3: JSON-string column → JSON-string result column,
+    entirely JVM-side (whole-stage codegen), matching ``jmespath_udf``
+    byte-for-byte on documents that fit ``schema``.
+
+    ``schema`` (a StructType) declares the payload's object shape — the
+    static-typing contract that makes native compilation possible. Rows
+    whose payload is corrupt JSON (or not an object of that shape) yield
+    NULL, the same skip policy as the UDF path
+    (`/root/reference/main.go:92-98`). Raises ``NotColumnCompilable`` when
+    the expression leaves the statically-typeable subset or its output
+    type can't be serialized faithfully (float repr differs between
+    Java and Python) — callers fall back to ``jmespath_udf``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kinesiscat_spark.functions.jmespath.columns import (
+        compile_column,
+        json_faithful,
+        to_json_string,
+    )
+    from kinesiscat_spark.functions.jmespath.errors import NotColumnCompilable
+
+    corrupt = "_kc_corrupt"
+    if any(f.name == corrupt for f in schema.fields):  # pragma: no cover
+        raise NotColumnCompilable(f"payload schema uses reserved field {corrupt}")
+    probe_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    parsed = F.from_json(
+        json_col, probe_schema, {"columnNameOfCorruptRecord": corrupt}
+    )
+    # PERMISSIVE from_json yields an all-null row (not NULL) for corrupt
+    # input; gate on the corrupt-record column so bad payloads become a
+    # NULL document — which every JMESPath construct propagates to NULL.
+    payload = F.when(
+        parsed[corrupt].isNull(),
+        F.struct(*[parsed[f.name].alias(f.name) for f in schema.fields]),
+    )
+    tc = compile_column(expression, payload, schema)
+    if not json_faithful(tc.dtype):
+        raise NotColumnCompilable(
+            f"output type {tc.dtype.simpleString()} has no faithful JSON form"
+        )
+    return to_json_string(tc)

@@ -722,3 +722,51 @@ def compile_column(expression: str | Node, col: Column, dtype: T.DataType) -> Ty
     """
     ast = parse(expression) if isinstance(expression, str) else expression
     return ColumnCompiler().compile(ast, Typed(col, dtype))
+
+
+# --- JSON-string output (the CLI's K3 emission shape) ---------------------
+
+_JSON_EXACT_SCALARS = (
+    T.NullType, T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+    T.LongType, T.StringType,
+)
+
+
+def json_faithful(dt: T.DataType) -> bool:
+    """True when serializing ``dt`` with ``to_json`` is byte-identical to
+    Python's ``json.dumps(..., ensure_ascii=False)`` of the evaluator's
+    result. Floats/decimals are excluded: Java's shortest-repr and
+    E-notation thresholds differ from Python's (1e23 → "1.0E23" vs
+    "1e+23"), so float-typed results take the Arrow-UDF path instead.
+    """
+    if isinstance(dt, _JSON_EXACT_SCALARS):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return json_faithful(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return isinstance(dt.keyType, T.StringType) and json_faithful(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return all(json_faithful(f.dataType) for f in dt.fields)
+    return False
+
+
+def to_json_string(tc: Typed) -> Column:
+    """JSON-encode a Typed result the way ``CompiledExpression.search_json``
+    does: NULL result → NULL (record skipped, S9), everything else → its
+    compact JSON text. Caller must have checked ``json_faithful``.
+    """
+    dt = tc.dtype
+    if isinstance(dt, T.NullType):
+        return F.lit(None).cast("string")
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.when(
+            tc.col.isNotNull(), F.to_json(tc.col, {"ignoreNullFields": "false"})
+        )
+    if isinstance(dt, T.StringType):
+        # quote + escape via a 1-element array round-trip through to_json
+        # (Jackson's string escaping matches json.dumps(ensure_ascii=False))
+        j = F.to_json(F.array(tc.col), {"ignoreNullFields": "false"})
+        return F.when(tc.col.isNotNull(), j.substr(F.lit(2), F.length(j) - 2))
+    if isinstance(dt, T.BooleanType):
+        return F.when(tc.col, "true").otherwise(F.when(~tc.col, "false"))
+    return tc.col.cast("string")  # integral scalars

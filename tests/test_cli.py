@@ -147,3 +147,67 @@ def test_bench_headline_lanes_are_registered():
     qs = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_filter_plan_is_native(spark):
+    """VERDICT r2 #3: a compilable -filter must run JVM-side — no Python
+    eval node in the plan (match test_jmespath_filter_is_native)."""
+    from kinesiscat_spark.cli import load_records, output_column
+
+    args = build_parser().parse_args(
+        ["-position", "TRIM_HORIZON", "-filter", "{k: k}",
+         "--events-sf-dir", SF_SMOKE]
+    )
+    df = load_records(spark, args, streaming=False).select(
+        output_column(args).alias("out")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_filter_native_matches_udf_with_corrupt_rows(spark, tmp_path):
+    """Native and UDF paths emit byte-identical output, including skipping
+    corrupt-JSON payloads (S9 on the native path via PERMISSIVE decode)."""
+    from kinesiscat_spark.envelope import ENVELOPE_SCHEMA
+    import datetime as dt
+
+    rows = [
+        (b'{"k": 1}', "pk1", "1".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+        (b"corrupt {", "pk2", "2".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+        (b'{"k": null}', "pk3", "3".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+        (b'{"k": 7}', "pk4", "4".rjust(20, "0"), dt.datetime(2024, 1, 1), "shardId-0"),
+    ]
+    src = str(tmp_path / "envsrc")
+    spark.createDataFrame(rows, ENVELOPE_SCHEMA).write.parquet(src)
+    for expr in ("k", "{k: k}", "k > `2` && k || `-1`"):
+        native = _run(
+            spark, "-position", "TRIM_HORIZON", "-filter", expr,
+            "--source", src, "--payload-schema", "k long",
+        )
+        udf = _run(
+            spark, "-position", "TRIM_HORIZON", "-filter", expr, "--source", src,
+        )
+        assert native == udf, expr
+    # corrupt row pk2 was skipped on both paths
+    assert "corrupt" not in native
+
+
+def test_filter_uncompilable_falls_back_to_udf(spark):
+    """Expressions outside the native subset still work via the Arrow UDF."""
+    from kinesiscat_spark.cli import load_records, output_column
+
+    # avg() yields a double → no faithful JSON form → UDF path
+    args = build_parser().parse_args(
+        ["-position", "TRIM_HORIZON", "-filter", "avg([k, k])",
+         "--events-sf-dir", SF_SMOKE]
+    )
+    df = load_records(spark, args, streaming=False).select(
+        output_column(args).alias("out")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan
+    got = _run(
+        spark, "-position", "TRIM_HORIZON", "-filter", "avg([k, k])",
+        "--events-sf-dir", SF_SMOKE,
+    )
+    assert got  # produced output through the fallback
