@@ -299,17 +299,18 @@ def minhash_lsh_pairs(
     target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bands = bands.repartition(target, "bk")
     if max_bucket is not None:
-        # Per-band-key counts consume the SAME canonical exchange as the
-        # join sides (already partitioned by bk → no extra shuffle); the
-        # hot-key set is tiny by construction, so it broadcasts.
-        hot_keys = (
-            bands.groupBy("bk")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > max_bucket)
-            .select("bk")
+        # Bucket size via a count window over the SAME canonical exchange
+        # (bk is the partitioning key, so the window needs no shuffle —
+        # just a per-partition sort). A separate groupBy+broadcast subtree
+        # would canonicalize differently from the join sides and defeat
+        # ReusedExchange, re-running the signature kernel per consumer.
+        from pyspark.sql.window import Window
+
+        bands = bands.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("bk"))
         )
-        cold = bands.join(F.broadcast(hot_keys), "bk", "left_anti")
-        hot = bands.join(F.broadcast(hot_keys), "bk", "left_semi")
+        cold = bands.filter(F.col("_bn") <= max_bucket).drop("_bn")
+        hot = bands.filter(F.col("_bn") > max_bucket).drop("_bn")
     else:
         cold, hot = bands, None
     a, b = cold.alias("a"), cold.alias("b")
@@ -497,14 +498,14 @@ def simhash_pairs(
     target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bands = bands.repartition(target, "bk")
     if max_bucket is not None:
-        hot_keys = (
-            bands.groupBy("bk")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > max_bucket)
-            .select("bk")
+        # Window count over the shared exchange — see minhash_lsh_pairs.
+        from pyspark.sql.window import Window
+
+        bands = bands.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("bk"))
         )
-        cold = bands.join(F.broadcast(hot_keys), "bk", "left_anti")
-        hot = bands.join(F.broadcast(hot_keys), "bk", "left_semi")
+        cold = bands.filter(F.col("_bn") <= max_bucket).drop("_bn")
+        hot = bands.filter(F.col("_bn") > max_bucket).drop("_bn")
     else:
         cold, hot = bands, None
     a, b = cold.alias("a"), cold.alias("b")
@@ -554,24 +555,26 @@ def embedding_near_dup_pairs(
     (operators.similarity.random_hyperplane_lsh buckets), where the pair
     count scales with duplicate density.
 
-    Physical shape: fully DISTRIBUTED block nested-loop. Vectors are
-    packed into chunk rows of ``chunk_rows`` each (one shuffle on the
-    chunk id); the upper-triangle chunk-pair grid is formed with a
-    broadcast join of the packed table against its own chunk ids, and a
-    numpy kernel computes each (chunkA × chunkB) block. Nothing is ever
-    collected to the driver and no task holds more than two chunks
-    (2 × chunk_rows × d doubles), so the plan survives any corpus size
-    the O(n²) math itself can afford; total work parallelizes over
-    ~(n/chunk_rows)²/2 independent block tasks.
+    Physical shape: fully DISTRIBUTED block nested-loop with NO broadcast
+    of vector data. Vectors are packed into chunk rows of ``chunk_rows``
+    each (one shuffle on the chunk id); each side then explodes its
+    partner chunk-id range (bounded by a broadcast 1-row min/max
+    aggregate — two longs, not the table) and the upper-triangle grid is
+    a plain co-partitioned equi-join on (ck_a, ck_b). Nothing is ever
+    collected to the driver, no broadcast grows with the corpus, and no
+    task holds more than two chunks (2 × chunk_rows × d doubles) — the
+    inherent O(n²/chunk_rows) chunk-copy shuffle is spillable and
+    AQE-splittable, which is the scale contract a broadcast cannot make.
 
-    FP fidelity: with ``fp_exact=True`` (default) dots and norms
-    accumulate dimension-by-dimension (vectorized across pairs), exactly
-    the fold order of the Column form and the SQL oracle, so `sim` is
-    bit-identical. ``fp_exact=False`` switches the block product to BLAS
-    ``A @ B.T`` — 10-50× faster per block and the right choice at real
-    scale, at the cost of last-ulp differences from BLAS's pairwise
-    summation (results differ only within ~1e-15 relative; thresholding
-    may flip pairs sitting exactly on the threshold).
+    FP fidelity at BLAS speed: each block computes ``A @ B.T`` (BLAS) to
+    PRUNE, keeping pairs within 1e-9 of the threshold, then recomputes
+    dots and norms for the surviving pairs only, dimension-by-dimension —
+    exactly the fold order of the Column form and the SQL oracle — and
+    applies the threshold to those exact values. Output `sim` is
+    bit-identical to the pure sequential kernel (BLAS error ~1e-15
+    relative, far inside the 1e-9 pruning margin) while the O(n²) part
+    runs at matrix-multiply speed. ``fp_exact=False`` skips the exact
+    re-verify and emits raw BLAS sims (last-ulp differences possible).
     """
     import numpy as np
 
@@ -587,21 +590,20 @@ def embedding_near_dup_pairs(
         .groupBy("ck")
         .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("rows"))
     )
-    left = packed.select(
-        F.col("ck").alias("ck_a"), F.col("rows").alias("rows_a")
+    bounds = packed.agg(
+        F.min("ck").alias("_mn"), F.max("ck").alias("_mx")
+    )  # 1 row, 2 longs — the only broadcast
+    left = packed.join(F.broadcast(bounds)).select(
+        F.col("ck").alias("ck_a"),
+        F.explode(F.sequence(F.col("ck"), F.col("_mx"))).alias("ck_b"),
+        F.col("rows").alias("rows_a"),
     )
-    right = packed.select(
-        F.col("ck").alias("ck_b"), F.col("rows").alias("rows_b")
+    right = packed.join(F.broadcast(bounds)).select(
+        F.explode(F.sequence(F.col("_mn"), F.col("ck"))).alias("ck_a"),
+        F.col("ck").alias("ck_b"),
+        F.col("rows").alias("rows_b"),
     )
-    # Upper-triangle grid of chunk pairs; the small side broadcasts, so the
-    # packed table is scanned once and never shuffled again.
-    grid = left.join(F.broadcast(right), F.col("ck_a") <= F.col("ck_b"))
-
-    def _norms_seq(M: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(M.shape[0])
-        for i in range(M.shape[1]):
-            acc += M[:, i] * M[:, i]
-        return np.sqrt(acc)
+    grid = left.join(right, ["ck_a", "ck_b"])
 
     def _unpack(rows) -> tuple:
         ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
@@ -613,22 +615,34 @@ def embedding_near_dup_pairs(
             for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
                 a_ids, A = _unpack(rows_a)
                 b_ids, B = _unpack(rows_b)
-                if fp_exact:
-                    dots = np.zeros((A.shape[0], B.shape[0]))
-                    for i in range(A.shape[1]):
-                        dots += A[:, i : i + 1] * B[:, i]
-                    norms = _norms_seq(A)[:, None] * _norms_seq(B)
-                else:
-                    dots = A @ B.T
-                    norms = (
-                        np.sqrt((A * A).sum(axis=1))[:, None]
-                        * np.sqrt((B * B).sum(axis=1))
-                    )
+                # BLAS prune: fast approximate sims, margin-widened mask
+                dots = A @ B.T
+                norms = (
+                    np.sqrt((A * A).sum(axis=1))[:, None]
+                    * np.sqrt((B * B).sum(axis=1))
+                )
                 sims = dots / norms
-                mask = (sims >= threshold) & (a_ids[:, None] < b_ids)
+                margin = 1e-9 if fp_exact else 0.0
+                mask = (sims >= threshold - margin) & (a_ids[:, None] < b_ids)
                 ia, ib = np.nonzero(mask)
+                out = sims[ia, ib]
+                if fp_exact and len(ia):
+                    # exact re-verify on survivors only: sequential fold
+                    # order (vectorized across pairs), bit-identical to
+                    # the Column spec / SQL oracle
+                    Ai, Bi = A[ia], B[ib]
+                    d = np.zeros(len(ia))
+                    na = np.zeros(len(ia))
+                    nb = np.zeros(len(ia))
+                    for i in range(A.shape[1]):
+                        d += Ai[:, i] * Bi[:, i]
+                        na += Ai[:, i] * Ai[:, i]
+                        nb += Bi[:, i] * Bi[:, i]
+                    out = d / (np.sqrt(na) * np.sqrt(nb))
+                    keep = out >= threshold
+                    ia, ib, out = ia[keep], ib[keep], out[keep]
                 yield pd.DataFrame(
-                    {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": sims[ia, ib]}
+                    {"id_a": a_ids[ia], "id_b": b_ids[ib], "sim": out}
                 )
 
     return grid.mapInPandas(kernel, "id_a long, id_b long, sim double")

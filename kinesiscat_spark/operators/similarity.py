@@ -195,24 +195,30 @@ def lsh_topk(
     vec: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: bucket-join on LSH bands, exact re-rank on
-    candidates. Shuffles only (id, band, vector) pairs that collide."""
+    candidates.
+
+    The candidate dedup carries only (qid, cid) through its exchange —
+    vectors are joined back AFTER: the query side re-broadcasts (small),
+    and the corpus side is an equi-join on cid whose build side is the
+    (collision-sized) candidate set, so the corpus vectors never shuffle.
+    """
     c = random_hyperplane_lsh(corpus, dim, n_planes, n_bands, vec).select(
         F.col(corpus_id).alias("cid"),
-        F.col(vec).alias("_cvec"),
         F.explode("bands").alias("b"),
     )
     q = random_hyperplane_lsh(queries, dim, n_planes, n_bands, vec).select(
         F.col(query_id),
-        F.col(vec).alias("_qvec"),
         F.explode("bands").alias("b"),
     )
     cand = (
         c.join(F.broadcast(q), c.b == q.b)
-        .select(query_id, "cid", "_qvec", "_cvec")
+        .select(query_id, "cid")
         .dropDuplicates([query_id, "cid"])
     )
+    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
     # exact re-rank on candidates only, Arrow pair-cosine kernel
-    sims = cand.select(
+    sims = cand.join(F.broadcast(qv), query_id).join(cv, "cid").select(
         query_id,
         "cid",
         pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
@@ -304,23 +310,34 @@ def ivf_assign(
     rank by squared L2 on normalized vectors (ties → lower cell id).
 
     At 100 TB the cross product row count is |vectors| × n_cells — the
-    standard IVF assign cost; it stays shuffle-free because centroids
-    broadcast and the rank window partitions by the vector id (already
-    the scan's natural grouping after the broadcast join).
+    standard IVF assign cost. Centroids broadcast, so the candidate rows
+    never shuffle; for ``n_probe=1`` (the index-build path) the argmin is
+    a ``min(struct(_d, cell))`` aggregation — map-side partial combine,
+    so the one exchange carries a single (id, dist, cell) row per vector
+    and map partition, never the vectors. ``n_probe>1`` (the query path,
+    small input) keeps the rank window.
     """
     # Rank by -dot(vec, cvec) instead of sq_l2(normalize(vec), cvec):
-    # within the per-vector window, sq_l2 of the normalized vector equals
+    # within the per-vector group, sq_l2 of the normalized vector equals
     # 2 - 2*dot(vec, cvec)/||vec|| — a strictly decreasing function of the
     # raw dot product — so the ranking (and tie set) is identical while
     # skipping the normalize() transform, whose norm subexpression Catalyst
     # would re-evaluate per element (O(dim²) per row).
-    pairs = df.select(F.col(id_col), F.col(vec).alias("_v")).join(
-        F.broadcast(centroids)
+    pairs = (
+        df.select(F.col(id_col), F.col(vec).alias("_v"))
+        .join(F.broadcast(centroids))
+        .withColumn("_d", -dot(F.col("_v"), F.col("cvec")))
     )
+    if n_probe == 1:
+        # lexicographic struct-min == orderBy("_d", "cell") first row
+        return (
+            pairs.groupBy(id_col)
+            .agg(F.min(F.struct("_d", "cell")).alias("_best"))
+            .select(id_col, F.col("_best.cell").alias("cell"))
+        )
     w = Window.partitionBy(id_col).orderBy("_d", "cell")
     return (
-        pairs.withColumn("_d", -dot(F.col("_v"), F.col("cvec")))
-        .withColumn("_r", F.row_number().over(w))
+        pairs.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_probe)
         .select(id_col, "cell")
     )

@@ -128,15 +128,40 @@ def test_fingerprint_single_kernel_pass(plans):
     assert "md5" not in s  # hashing is inside the kernel, not the plan
 
 
-def test_embedding_near_dup_no_cartesian(plans):
-    """The block nested-loop must pair packed CHUNKS via a broadcast join,
-    never row-level vectors via a cartesian product."""
+def test_embedding_near_dup_no_cartesian_no_table_broadcast(plans, spark):
+    """The block nested-loop pairs packed CHUNKS via a co-partitioned
+    equi-join on (ck_a, ck_b) — never a cartesian of row-level vectors,
+    and never a FORCED broadcast of the packed vector table (VERDICT r2
+    #4: the only broadcast hint is the 1-row chunk-id bounds aggregate).
+    AQE may still elect to broadcast a small side at test scale, so the
+    forced-broadcast check runs with auto-broadcast disabled: any
+    BroadcastExchange that survives is hint-driven."""
     s = plans("dedup_embedding_cosine")
     assert "CartesianProduct" not in s
-    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
     # chunk packing is one hash aggregation over the chunk id
     assert "HashAggregate" in s or "ObjectHashAggregate" in s
     assert "mapInPandas" in s.lower() or "MapInPandas" in s
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        df = entrymod.queries()["dedup_embedding_cosine"](spark, SF_DIR)
+        for block in _explain_blocks(df):
+            if "BroadcastExchange" in block:
+                assert "rows" not in block, "packed vector table is broadcast"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_simhash_band_join_shares_signature_exchange(spark):
@@ -170,3 +195,41 @@ def test_interval_join_is_equi_join(plans):
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
+
+
+def _explain_blocks(df) -> list[str]:
+    """Formatted-explain detail blocks, one per physical node."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return s.split("\n\n")
+
+
+def test_ivf_assign_exchange_carries_no_vectors(spark):
+    """VERDICT r2 #6: the n_probe=1 assign is a partial-combined min-struct
+    aggregation — the shuffle ships (id, dist, cell), never the vectors."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ivf_assign(emb, ivf_centroids(emb, 8), n_probe=1)
+    blocks = _explain_blocks(df)
+    assert any("partial_min" in b for b in blocks)  # map-side combine
+    shuffles = [b for b in blocks if "hashpartitioning(vec_id" in b]
+    assert shuffles
+    for b in shuffles:
+        assert "_v#" not in b and "cvec#" not in b and "embedding#" not in b
+
+
+def test_lsh_topk_dedup_exchange_carries_no_vectors(spark):
+    """VERDICT r2 #7: the candidate dedup shuffles (qid, cid) only;
+    vectors are joined back after deduplication."""
+    df = entrymod.queries()["similarity_topk_lsh"](spark, SF_DIR)
+    blocks = _explain_blocks(df)
+    dedup = [
+        b for b in blocks
+        if "Exchange" in b and "hashpartitioning(qid" in b and "cid" in b
+    ]
+    assert dedup
+    for b in dedup:
+        assert "_qvec" not in b and "_cvec" not in b and "embedding" not in b
