@@ -227,15 +227,98 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
 
 
-@query("similarity_topk_ivf_refined")  # iterative build → rows-only check
+N_ITERS = 2
+
+
+def _ivf_refined_oracle(n_iters: int = N_ITERS) -> str:
+    """Generated SQL twin of the n_iters-step Lloyd refinement (the same
+    technique as the language-ID oracle): each iteration is one CTE layer
+    of assign (argmin squared-L2 over normalized vectors, ties → lowest
+    cell) → per-cell per-dimension AVG of member vectors → renormalize.
+    DuckDB's parallel UNNESTs zip positionally, mirroring Spark's
+    posexplode → groupBy(cell, pos) → avg → array_sort(collect_list)."""
+    layers = [
+        f"""
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS BIGINT) AS cell, nce AS cvec
+  FROM (SELECT cid, nce FROM nc ORDER BY cid LIMIT {N_CELLS})
+)"""
+    ]
+    for t in range(n_iters):
+        layers.append(f"""
+a{t} AS (
+  SELECT cid, cell FROM (
+    SELECT nc.cid, c{t}.cell,
+           ROW_NUMBER() OVER (PARTITION BY nc.cid
+             ORDER BY {_SQL2.format(a='nc.nce', b=f'c{t}.cvec')}, c{t}.cell) AS r
+    FROM nc CROSS JOIN c{t}
+  ) WHERE r = 1
+),
+m{t} AS (
+  SELECT cell, pos, AVG(x) AS m FROM (
+    SELECT a{t}.cell, UNNEST(nc.nce) AS x, UNNEST(range({DIM})) AS pos
+    FROM a{t} JOIN nc USING (cid)
+  ) GROUP BY cell, pos
+),
+c{t + 1} AS (
+  SELECT cell, {_NORM.format(v='mv')} AS cvec FROM (
+    SELECT cell, list(m ORDER BY pos) AS mv FROM m{t} GROUP BY cell
+  )
+)""")
+    final = f"c{n_iters}"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+nq AS (SELECT qid, qe, {_NORM.format(v='qe')} AS nqe FROM q),
+nc AS (SELECT cid, ce, {_NORM.format(v='ce')} AS nce FROM c),
+{','.join(layers)},
+cassign AS (
+  SELECT cid, cell FROM (
+    SELECT nc.cid, {final}.cell,
+           ROW_NUMBER() OVER (PARTITION BY nc.cid
+             ORDER BY {_SQL2.format(a='nc.nce', b=f'{final}.cvec')}, {final}.cell) AS r
+    FROM nc CROSS JOIN {final}
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT nq.qid, {final}.cell,
+           ROW_NUMBER() OVER (PARTITION BY nq.qid
+             ORDER BY {_SQL2.format(a='nq.nqe', b=f'{final}.cvec')}, {final}.cell) AS r
+    FROM nq CROSS JOIN {final}
+  ) WHERE r <= {N_PROBE}
+),
+cand AS (
+  SELECT qid, cid, {_COS.format(a='qe', b='ce')} AS sim
+  FROM qprobe
+  JOIN cassign USING (cell)
+  JOIN q USING (qid)
+  JOIN c USING (cid)
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM cand
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_ivf_refined", oracle=_ivf_refined_oracle())
 def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 Lloyd-refined IVF: two k-means refinement iterations on the
     centroids before the probe-limited search. The refinement loop is a
-    genuinely iterative distributed algorithm (assign via broadcast
-    centroid join → per-dimension avg re-estimation; only k centroid rows
-    exist anywhere), so there is no ANSI-SQL twin — the driver records
-    the rows-only check, and tests/test_similarity.py asserts recall vs
-    the exact result is >= the unrefined build's on the same corpus.
+    distributed iterative algorithm (assign via broadcast centroid join →
+    per-dimension avg re-estimation; only k centroid rows exist anywhere),
+    but it is DETERMINISTIC, so its ANSI-SQL twin is generated by
+    unrolling the two iterations into CTE layers (``_ivf_refined_oracle``)
+    — the driver hash-checks it like every other lane.
+    tests/test_similarity.py additionally asserts recall vs exact.
     """
     from kinesiscat_spark.operators.similarity import ivf_topk
 
@@ -245,6 +328,6 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     out = ivf_topk(
-        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=2
+        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
     )
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
