@@ -47,6 +47,7 @@ def connected_components(
     )
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("l"))
 
+    changed = -1
     for _ in range(max_iters):
         # neighbor labels: u hears l(v) from every neighbor v
         heard = (
@@ -69,6 +70,18 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels would make keep_canonical split clusters and
+        # silently retain duplicates — make that observable (a pair graph
+        # with diameter > max_iters, e.g. a chain of near-dups).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; labels may split clusters — raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
 
 

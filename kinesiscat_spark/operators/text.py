@@ -19,9 +19,12 @@ ANSI-SQL twins:
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 import pandas as pd
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Characteristic character n-grams per language (word-boundary padded where
@@ -66,10 +69,22 @@ def language_id(text: Column) -> tuple[Column, Column]:
     return pred, score
 
 
+class UnigramModel(NamedTuple):
+    """A trained unigram model: the (word, logp) table plus the smoothing
+    log-probability for out-of-vocabulary words. An explicit pair — not
+    DataFrame metadata — so it survives cache()/checkpoint()/write+reload
+    of the table (reconstruct with ``UnigramModel(reloaded_df, oov_logp)``).
+    """
+
+    df: "DataFrame"
+    oov_logp: float
+
+
 def unigram_model(
     docs, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
-):
-    """(word, logp) add-k-smoothed unigram model of a corpus.
+) -> UnigramModel:
+    """Add-k-smoothed unigram model of a corpus: ``UnigramModel`` of the
+    (word, logp) table and the OOV log-probability.
 
     One explode + one groupBy (map-side partial) — the model table is tiny
     relative to the corpus (vocabulary-sized) and broadcastable. ``logp``
@@ -89,9 +104,7 @@ def unigram_model(
     model = counts.select(
         "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("logp")
     )
-    # OOV logprob rides along as metadata for score_documents
-    model._kc_oov_logp = float(__import__("math").log(k / (n + k * v)))
-    return model
+    return UnigramModel(model, float(math.log(k / (n + k * v))))
 
 
 def score_documents(
@@ -109,15 +122,20 @@ def score_documents(
 
     Scale shape: explode tokens, join the (broadcast) model on the word,
     one groupBy on the doc id. Unseen words get the smoothing mass.
+
+    ``model`` is a ``UnigramModel`` (or a bare (word, logp) DataFrame with
+    ``oov_logp`` passed explicitly).
     """
     from pyspark.sql import functions as F
 
     from kinesiscat_spark.operators.dedup import tokens
 
+    if isinstance(model, UnigramModel):
+        if oov_logp is None:
+            oov_logp = model.oov_logp
+        model = model.df
     if oov_logp is None:
-        oov_logp = getattr(model, "_kc_oov_logp", None)
-    if oov_logp is None:
-        raise ValueError("pass oov_logp when model lacks smoothing metadata")
+        raise ValueError("pass a UnigramModel or an explicit oov_logp")
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )

@@ -54,3 +54,26 @@ def test_pairs_only_ids_get_labels(spark):
     pairs = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A chain graph with diameter > max_iters must not silently return
+    split clusters (ADVICE r2): the convergence failure is warned."""
+    import warnings
+
+    from kinesiscat_spark.operators.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iters=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # enough iterations: no warning, one cluster
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cc = connected_components(chain, max_iters=20)
+        labels = {r.cluster_id for r in cc.collect()}
+    assert labels == {0}
+    assert not any("did not converge" in str(w.message) for w in caught)

@@ -58,12 +58,30 @@ def test_unigram_model_is_a_distribution(spark):
         [(0, "a a a b"), (1, "b c")], ["doc_id", "text"]
     )
     model = unigram_model(docs, k=0.5)
-    rows = {r.w: r.logp for r in model.collect()}
+    rows = {r.w: r.logp for r in model.df.collect()}
     # counts: a=3, b=2, c=1; N=6, V=3, k=0.5 -> denom 7.5
     assert math.isclose(math.exp(rows["a"]), 3.5 / 7.5)
     assert math.isclose(math.exp(rows["b"]), 2.5 / 7.5)
     assert math.isclose(math.exp(rows["c"]), 1.5 / 7.5)
-    assert math.isclose(math.exp(model._kc_oov_logp), 0.5 / 7.5)
+    assert math.isclose(math.exp(model.oov_logp), 0.5 / 7.5)
+
+
+def test_unigram_model_survives_table_roundtrip(spark, tmp_path):
+    """The OOV mass is explicit state, not DataFrame metadata — a model
+    table written and reloaded still scores (ADVICE r2)."""
+    from kinesiscat_spark.operators.text import (
+        UnigramModel,
+        score_documents,
+        unigram_model,
+    )
+
+    docs = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+    model = unigram_model(docs, k=0.5)
+    path = str(tmp_path / "model.parquet")
+    model.df.write.parquet(path)
+    reloaded = UnigramModel(spark.read.parquet(path), model.oov_logp)
+    out = score_documents(docs, reloaded).collect()
+    assert out and out[0].n_tokens == 3
 
 
 def test_score_documents_prefers_in_distribution_text(spark):
