@@ -34,10 +34,13 @@ def events_ts_as_timestamp(df: DataFrame) -> DataFrame:
       ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros (the
       same ns→us cast DuckDB applies), tz-independent;
     - parquet ``timestamp[us]`` (no UTC-adjustment flag), surfaced as
-      TIMESTAMP_NTZ → interpret the wall clock as UTC explicitly via
-      ``to_utc_timestamp(ts, 'UTC')`` so the instant does NOT depend on
-      the session timezone (DuckDB reads the same digits as a naive
-      timestamp, so both engines agree);
+      TIMESTAMP_NTZ → interpret the wall clock as UTC: epoch micros are
+      computed by pure NTZ arithmetic (``timestampdiff`` from the epoch),
+      which is session-timezone independent. NB: ``to_utc_timestamp(ts,
+      'UTC')`` is NOT — the implicit NTZ→TIMESTAMP cast applies the
+      session zone first, shifting the instant under TZ≠UTC (caught by
+      the non-UTC parity sweep). DuckDB reads the same digits as a naive
+      timestamp, so both engines agree;
     - already TIMESTAMP (UTC-adjusted parquet) → unchanged.
     """
     t = df.schema["ts"].dataType
@@ -45,8 +48,26 @@ def events_ts_as_timestamp(df: DataFrame) -> DataFrame:
         # integer div — float division would lose precision above 2^53 ns
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(t, T.TimestampNTZType):
-        return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
+
+
+def utc_wall(c) -> F.Column:
+    """The UTC wall clock of a TIMESTAMP instant as TIMESTAMP_NTZ —
+    session-timezone independent (``date_format`` on a plain TIMESTAMP
+    renders in the session zone, shifting output under TZ≠UTC; NTZ digits
+    render as-is). Pure epoch arithmetic, so also DST-proof.
+    """
+    epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_add("MICROSECOND", F.unix_micros(c), epoch)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

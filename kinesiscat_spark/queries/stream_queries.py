@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesiscat_spark.queries.window_queries import _TUMBLING_ORACLE
+from kinesiscat_spark.io_tables import utc_wall
 from kinesiscat_spark.registry import query
 from kinesiscat_spark.streaming import StreamConfig, read_events_stream, run_to_memory
 
@@ -82,7 +83,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("event_id").alias("first_event_id"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(utc_wall(F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.round("value", 6).alias("first_value"),
     )
 
@@ -102,7 +103,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(utc_wall(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.io_tables import load_table, utc_wall
 from kinesiscat_spark.registry import query
 
 _TUMBLING_ORACLE = """
@@ -41,7 +41,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            # utc_wall: render UTC digits regardless of session timezone
+            F.date_format(utc_wall(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
             "event_type",
             "n_events",
             "total_value",
