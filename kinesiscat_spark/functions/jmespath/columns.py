@@ -32,6 +32,7 @@ from kinesiscat_spark.functions.jmespath.errors import (
     UnknownFunctionError,
 )
 from kinesiscat_spark.functions.jmespath.parser import Node, parse
+from kinesiscat_spark.functions.jmespath.schemas import OPAQUE, has_markers
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -41,6 +42,13 @@ _NUMERIC = (
 
 def _is_num(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC)
+
+
+def _no_markers(dt: T.DataType, what: str) -> None:
+    """Refuse operations that could observe absent-vs-null on key-union
+    (PADDED) or value-dropped (OPAQUE) schema fields — see schemas.py."""
+    if has_markers(dt):
+        raise NotColumnCompilable(f"{what} on a schema-padded object type")
 
 
 @dataclass(frozen=True)
@@ -67,6 +75,10 @@ def truthy(tc: Typed) -> Column:
     if isinstance(dt, (T.ArrayType, T.MapType)):
         return tc.col.isNotNull() & (F.size(tc.col) > 0)
     if isinstance(dt, T.StructType):
+        if has_markers(dt):
+            # a key-union struct may represent {} (all fields padded-null),
+            # whose truthiness (falsy) is not statically decidable
+            raise NotColumnCompilable("truthiness of a schema-padded object")
         return tc.col.isNotNull() if dt.fields else F.lit(False)
     # numbers (0 included) and anything else non-null are truthy
     return tc.col.isNotNull()
@@ -110,6 +122,10 @@ class ColumnCompiler:
         if isinstance(dt, T.StructType):
             if name in dt.fieldNames():
                 f = dt[name]
+                if (f.metadata or {}).get(OPAQUE):
+                    raise NotColumnCompilable(
+                        f"field {name!r} has no static type (OPAQUE)"
+                    )
                 return Typed(doc.col.getField(name), f.dataType)
             return _null()  # missing key -> null (jp/interpreter.go:78-83)
         if isinstance(dt, T.MapType) and isinstance(dt.keyType, T.StringType):
@@ -208,6 +224,7 @@ class ColumnCompiler:
             mapped = F.transform(F.map_values(base.col), fn)
             return Typed(F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype))
         if isinstance(dt, T.StructType):
+            _no_markers(dt, "object-value projection")
             # static object: project each field value through rhs
             outs = []
             rtypes = []
@@ -261,6 +278,8 @@ class ColumnCompiler:
         a, b = self.compile(left, doc), self.compile(right, doc)
         op = node.value
         if op in ("==", "!="):
+            _no_markers(a.dtype, "equality")
+            _no_markers(b.dtype, "equality")
             if _is_num(a.dtype) and _is_num(b.dtype):
                 eq = a.col.eqNullSafe(b.col)
             elif a.dtype == b.dtype or isinstance(a.dtype, T.NullType) or isinstance(
@@ -392,6 +411,7 @@ class ColumnCompiler:
         if isinstance(dt, (T.ArrayType, T.MapType)):
             return Typed(F.size(a.col).cast("long"), T.LongType())
         if isinstance(dt, T.StructType):
+            _no_markers(dt, "length()")
             return Typed(
                 F.when(a.col.isNotNull(), F.lit(len(dt.fields)).cast("long")),
                 T.LongType(),
@@ -405,6 +425,8 @@ class ColumnCompiler:
                 return Typed(F.lit(False), T.BooleanType())
             return Typed(a.col.contains(b.col), T.BooleanType())
         if isinstance(a.dtype, T.ArrayType):
+            _no_markers(a.dtype, "contains()")
+            _no_markers(b.dtype, "contains()")
             u = _unify(a.dtype.elementType, b.dtype)
             if u is None:
                 return Typed(
@@ -453,6 +475,7 @@ class ColumnCompiler:
         if isinstance(a.dtype, T.MapType):
             return Typed(F.map_keys(a.col), T.ArrayType(a.dtype.keyType))
         if isinstance(a.dtype, T.StructType):
+            _no_markers(a.dtype, "keys()")
             arr = F.array(*[F.lit(f.name) for f in a.dtype.fields])
             return Typed(
                 F.when(a.col.isNotNull(), arr), T.ArrayType(T.StringType())
@@ -464,6 +487,7 @@ class ColumnCompiler:
         if isinstance(a.dtype, T.MapType):
             return Typed(F.map_values(a.col), T.ArrayType(a.dtype.valueType))
         if isinstance(a.dtype, T.StructType):
+            _no_markers(a.dtype, "values()")
             target: T.DataType = T.NullType()
             for f in a.dtype.fields:
                 u = _unify(target, f.dataType)
@@ -579,12 +603,24 @@ class ColumnCompiler:
 
     def _f_to_string(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        _no_markers(a.dtype, "to_string()")
         if isinstance(a.dtype, T.StringType):
             return a
         if isinstance(a.dtype, (T.StructType, T.ArrayType, T.MapType)):
             out = F.to_json(a.col, {"ignoreNullFields": "false"})
         elif isinstance(a.dtype, T.BooleanType):
             out = F.when(a.col, "true").otherwise("false")
+        elif isinstance(a.dtype, (T.DoubleType, T.FloatType)):
+            # JSON renders integral doubles without a decimal point (Go's
+            # Marshal of float64(-1) is "-1"; Spark's cast gives "-1.0").
+            # Doubles are exact integers only below 2^53.
+            exact = F.lit(1 << 53).cast("double")
+            integral = (
+                (a.col == F.floor(a.col)) & (a.col < exact) & (a.col > -exact)
+            )
+            out = F.when(integral, a.col.cast("long").cast("string")).otherwise(
+                a.col.cast("string")
+            )
         else:
             out = a.col.cast("string")
         # JSON serialization of null is the string "null"
@@ -627,6 +663,8 @@ class ColumnCompiler:
             # last-wins needs mapKeyDedupPolicy=LAST_WIN (set in session)
             return Typed(F.map_concat(*[o.col for o in outs]), outs[0].dtype)
         if all(isinstance(o.dtype, T.StructType) for o in outs):
+            for o in outs:
+                _no_markers(o.dtype, "merge()")
             # static right-wins field merge; null operand -> null result
             # (evaluator raises there — null-on-native-path deviation)
             merged: dict[str, tuple[Column, T.DataType]] = {}
@@ -721,7 +759,12 @@ def compile_column(expression: str | Node, col: Column, dtype: T.DataType) -> Ty
     typeable subset — callers then use ``api.jmespath_udf``.
     """
     ast = parse(expression) if isinstance(expression, str) else expression
-    return ColumnCompiler().compile(ast, Typed(col, dtype))
+    out = ColumnCompiler().compile(ast, Typed(col, dtype))
+    # A padded struct is faithful to traverse but not to RETURN: absent
+    # keys would surface as JSON nulls in the result value.
+    if has_markers(out.dtype):
+        raise NotColumnCompilable("result type is schema-padded")
+    return out
 
 
 # --- JSON-string output (the CLI's K3 emission shape) ---------------------
@@ -739,6 +782,8 @@ def json_faithful(dt: T.DataType) -> bool:
     E-notation thresholds differ from Python's (1e23 → "1.0E23" vs
     "1e+23"), so float-typed results take the Arrow-UDF path instead.
     """
+    if has_markers(dt):
+        return False  # padded NULLs would serialize as JSON null
     if isinstance(dt, _JSON_EXACT_SCALARS):
         return True
     if isinstance(dt, T.ArrayType):

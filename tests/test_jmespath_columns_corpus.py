@@ -163,4 +163,5 @@ def test_corpus_native_column_path(spark):
     )
     assert not failures, "\n".join(failures[:40]) + f"\n({len(failures)} total)"
     # the native path must carry a substantial share of the corpus
-    assert n_native >= 300, n_native
+    # (key-union padding + opaque-field schemas: 608 as of round 3)
+    assert n_native >= 600, n_native
