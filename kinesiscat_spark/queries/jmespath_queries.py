@@ -208,14 +208,16 @@ SELECT doc_id,
   to_json(list_reverse(l)) AS rev,
   to_json(list_sort(l)) AS sorted_words,
   to_json(flatten([l[1:2], l[3:4]])) AS head4,
-  to_json([l[1], l[-1]]) AS ends
+  to_json([l[1], l[-1]]) AS ends,
+  to_json(list_transform(l, x -> CAST(length(x) AS BIGINT))) AS lens_proj
 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """,
 )
 def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 index (incl. negative), J4 slice (incl. positive AND negative
-    stride), J8 one-level flatten over a J9 multi-select list, F7 join,
-    F17 reverse, F18 sort — all compiled to native array Columns
+    stride), J5 list projection `[*]`
+    (with a per-element RHS), J8 one-level flatten over a J9 multi-select
+    list, F7 join, F17 reverse, F18 sort — all compiled to native array Columns
     (jp/interpreter.go:114-170, jp/util.go:54-138, jp/functions.go:715-792).
 
     `words[::-1]` (full reverse) and `words[5::-2]` (backward stride with
@@ -236,6 +238,8 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(_jpw("sort(words)").col).alias("sorted_words"),
         F.to_json(_jpw("[words[0:2], words[2:4]][]").col).alias("head4"),
         F.to_json(_jpw("[words[0], words[-1]]").col).alias("ends"),
+        # J5 list projection `[*]` with a per-element RHS (driver-visible)
+        F.to_json(_jpw("words[*].length(@)").col).alias("lens_proj"),
     )
 
 

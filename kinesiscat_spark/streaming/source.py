@@ -185,12 +185,15 @@ def read_events_stream(
     # generator schemas work (legacy TIMESTAMP(NANOS)-as-long and current
     # timestamp[us]). The legacy form additionally needs the nanosAsLong
     # conf to schema-resolve at all — a runtime SQL conf, safe to set here
-    # in any SparkSession (incl. harness-owned ones).
+    # in any SparkSession (incl. harness-owned ones). Probe the REAL table
+    # path, not the symlinked scratch dir (batch listing does not descend
+    # through the symlink on some layouts, e.g. zero-row tables).
+    probe = f"{sf_dir}/events.parquet"
     try:
-        schema = spark.read.parquet(src_dir).schema
+        schema = spark.read.parquet(probe).schema
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(src_dir).schema
+        schema = spark.read.parquet(probe).schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", cfg.batch_size)
