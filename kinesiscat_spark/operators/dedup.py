@@ -84,38 +84,95 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
-    Inverted-index plan: explode distinct shingle hashes, self-join on the
-    hash (ids ordered to dedupe pairs), count co-occurrences = |A∩B|, then
-    |A∪B| = |A| + |B| − |A∩B| from broadcast per-doc cardinalities.
+    ``prefix_filter=True`` (default): PPJoin-style prefix-filtered plan
+    (Xiao et al., WWW'08 — public algorithm). Shingles are globally
+    ordered by (document frequency, hash); a pair with Jaccard ≥ t must
+    share an element within the first ``|d| − ⌈t·|d|⌉ + 1`` shingles of
+    BOTH docs under that ordering (pigeonhole on the required overlap
+    ⌈t·|d|⌉), so only the rare-first prefixes are indexed and the
+    frequent boilerplate shingles — the m²-posting hot spots of a plain
+    inverted index — never meet in the candidate join. Candidates are
+    then verified EXACTLY with a JVM ``array_intersect`` of the full
+    hash sets, so the output is identical to the naive plan (and to the
+    SQL oracle); only the candidate-generation cost changes. The verify
+    exchange carries shingle arrays for candidate pairs only — its
+    volume scales with near-dup density, not with posting-list skew.
+
+    ``prefix_filter=False``: the classic inverted-index count plan
+    (explode → self-join on hash → count collisions) — fewer shuffles,
+    right when posting lists are known to be short.
     """
     from kinesiscat_spark.io_tables import spread
 
     sh = spread(docs, id_col).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    if not prefix_filter:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+        inv = sh.select("id", F.explode("sh").alias("h"))
+        a, b = inv.alias("a"), inv.alias("b")
+        common = (
+            a.join(
+                b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        sim = (
+            common.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            )
+        )
+        return sim.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+
     inv = sh.select("id", F.explode("sh").alias("h"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
+    # rare-first global order per doc: sort (df, h) pairs, keep the prefix
+    ordered = (
+        inv.join(df_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
+        .select(
+            "id",
+            F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    sim = (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+    n_sh = F.size("ord_h")
+    p_len = n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("ord_h", 1, p_len)).alias("h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify on candidates: set intersection of the full hash sets
+    full = sh.select("id", F.col("sh").alias("_hs"))
+    verified = (
+        cand.join(full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_ha", "_hb")))
         .withColumn(
             "jaccard",
             F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            / (F.size("_ha") + F.size("_hb") - F.col("n_common")).cast("double"),
         )
     )
-    return sim.filter(F.col("jaccard") >= threshold).select(
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
 

@@ -87,3 +87,54 @@ def test_cold_buckets_unchanged_by_guard(spark):
         guarded = fn(docs, max_bucket=1000, **kw).sort("id_a", "id_b").collect()
         clique = fn(docs, max_bucket=None, **kw).sort("id_a", "id_b").collect()
         assert guarded == clique
+
+
+def test_ngram_prefix_filter_matches_naive_plan(spark):
+    """PPJoin prefix filtering is exact: identical output to the naive
+    inverted-index plan on a mixed corpus."""
+    from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _hot_corpus(spark, 25, n_unique=15)
+    fast = ngram_jaccard_pairs(docs, 0.4, prefix_filter=True).sort(
+        "id_a", "id_b"
+    ).collect()
+    naive = ngram_jaccard_pairs(docs, 0.4, prefix_filter=False).sort(
+        "id_a", "id_b"
+    ).collect()
+    assert fast == naive
+    assert fast  # the boilerplate cluster produced pairs
+
+
+def test_ngram_prefix_excludes_frequent_shingles(spark):
+    """A shingle present in every document must not appear in any prefix
+    (it sorts last by document frequency), so the candidate join never
+    builds its m² posting pairs."""
+    from kinesiscat_spark.operators.dedup import shingle_hashes
+    from pyspark.sql import functions as F
+
+    common = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(i, f"{common} unique{i} words{i} tail{i} here{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # the shared shingle's hash
+    shared_h = (
+        spark.createDataFrame([(common,)], "t string")
+        .select(F.explode(shingle_hashes(F.col("t"), 3)).alias("h"))
+        .collect()[0]["h"]
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
+    )
+    inv = sh.select("id", F.explode("sh").alias("h"))
+    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
+    ordered = (
+        inv.join(df_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("o"))
+        .select("id", F.transform(F.col("o"), lambda s: s["h"]).alias("ord_h"))
+    )
+    n_sh = F.size("ord_h")
+    p_len = n_sh - F.ceil(F.lit(0.4) * n_sh).cast("int") + 1
+    prefixes = ordered.select(F.explode(F.slice("ord_h", 1, p_len)).alias("h"))
+    assert prefixes.filter(F.col("h") == shared_h).count() == 0
