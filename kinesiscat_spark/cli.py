@@ -74,9 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "object shape are skipped as corrupt (S9).")
     p.add_argument("--source", default=None, help="envelope parquet/json dir")
     p.add_argument("--source-format", dest="source_format", default="parquet",
-                   choices=("parquet", "json"),
-                   help="envelope encoding: parquet, or json lines in the "
-                        "`aws kinesis get-records` shape (Data base64)")
+                   choices=("parquet", "json", "text"),
+                   help="envelope encoding: parquet; json lines in the "
+                        "`aws kinesis get-records` shape (Data base64); or "
+                        "text — separator-delimited payload dumps (the K2 "
+                        "sink's own output replays), envelope synthesized")
     p.add_argument("--events-sf-dir", dest="events_sf_dir", default=None,
                    help="adapt the driver events table as input")
     p.add_argument("--follow", action="store_true",
@@ -146,10 +148,18 @@ def load_records(spark: SparkSession, args, streaming: bool) -> DataFrame:
         sleep_time_ms=args.sleep_time,
     )
     if args.source:
-        if getattr(args, "source_format", "parquet") == "json":
+        fmt = getattr(args, "source_format", "parquet")
+        if fmt == "json":
             from kinesiscat_spark.streaming.source import read_record_json
 
             return read_record_json(spark, args.source, cfg, streaming=streaming)
+        if fmt == "text":
+            from kinesiscat_spark.streaming.source import read_record_text
+
+            sep = "\0" if args.null_separator else args.separator
+            return read_record_text(
+                spark, args.source, cfg, separator=sep, streaming=streaming
+            )
         if streaming:
             return read_record_stream(spark, args.source, cfg)
         batch = spark.read.parquet(args.source)

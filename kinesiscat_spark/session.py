@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dims like region/nation/supplier always fit.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # JMESPath merge() on map-typed payloads is right-wins (map_concat
+        # needs LAST_WIN; the default EXCEPTION policy throws on dup keys).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()

@@ -143,6 +143,51 @@ def read_record_json(
     return start_position_filter(_decode_json_envelope(raw), cfg, stream_start_ts)
 
 
+def read_record_text(
+    spark: SparkSession,
+    records_dir: str,
+    cfg: StreamConfig | None = None,
+    separator: str = "\n",
+    streaming: bool = False,
+) -> DataFrame:
+    """Envelope source over separator-delimited text dumps — the inverse of
+    the K2 `-format data -separator ...` sink, so the engine's own stdout
+    output (or any netcat-style capture) replays through the same pipeline.
+
+    A text dump is payload-only, so the envelope metadata is synthesized:
+    ``partitionKey`` = md5 of the payload (matching how the reference's
+    producers commonly derive keys from content), ``sequenceNumber`` = the
+    zero-padded intake order (batch) or a content-derived stable id
+    (streaming — monotonic ids are not available there), ``shardId`` from
+    the partition-key hash range (envelope.py semantics), arrival
+    timestamp = current batch time. Works batch or streaming
+    (``lineSep``-aware file stream).
+    """
+    from kinesiscat_spark.envelope import _SEQ_WIDTH, shard_id
+
+    cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
+    if streaming:
+        raw = (
+            spark.readStream.option("lineSep", separator)
+            .option("maxFilesPerTrigger", cfg.batch_size)
+            .text(records_dir)
+        )
+        seq_src = F.abs(F.xxhash64("value"))
+    else:
+        raw = spark.read.option("lineSep", separator).text(records_dir)
+        seq_src = F.monotonically_increasing_id()
+    seq = F.lpad(seq_src.cast("string"), _SEQ_WIDTH, "0")
+    pk = F.md5(F.col("value"))
+    rec = raw.select(
+        F.encode(F.col("value"), "UTF-8").alias("data"),
+        pk.alias("partitionKey"),
+        seq.alias("sequenceNumber"),
+        F.current_timestamp().alias("approximateArrivalTimestamp"),
+        shard_id(pk, cfg.n_shards).alias("shardId"),
+    )
+    return start_position_filter(rec, cfg)
+
+
 # Legacy generator schema (ts = TIMESTAMP(NANOS) read as a nanos long);
 # kept for fixtures that write this shape. read_events_stream probes the
 # actual file schema instead of assuming it.

@@ -211,3 +211,25 @@ def test_filter_uncompilable_falls_back_to_udf(spark):
         "--events-sf-dir", SF_SMOKE,
     )
     assert got  # produced output through the fallback
+
+
+def test_text_dump_roundtrip(spark, tmp_path):
+    """K2 symmetry: a separator-delimited dump of payloads (the data-format
+    sink's own output shape) replays through --source-format text with the
+    synthesized envelope, preserving payload bytes and intake order."""
+    payloads = ['{"k": 1}', '{"k": 2}', "plain text record", '{"k": 4}']
+    src = tmp_path / "dump"
+    src.mkdir()
+    (src / "part0.txt").write_text("\n".join(payloads) + "\n")
+    out = _run(
+        spark, "-position", "TRIM_HORIZON", "-format", "data",
+        "--source", str(src), "--source-format", "text",
+    )
+    lines = [ln for ln in out.split("\n") if ln]
+    assert sorted(lines) == sorted(payloads)
+    # filters work over the replayed payloads (corrupt JSON skipped, S9)
+    got = _run(
+        spark, "-position", "TRIM_HORIZON", "-filter", "k",
+        "--source", str(src), "--source-format", "text",
+    )
+    assert sorted(json.loads(x) for x in got.split("\n") if x) == [1, 2, 4]

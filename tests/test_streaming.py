@@ -310,3 +310,22 @@ def test_streaming_minhash_candidates_cross_batch(spark, tmp_path):
     }
     for k, v in batch.items():
         assert pairs.get(k) == v, k
+
+
+def test_text_source_streaming(spark, tmp_path):
+    """--source-format text works as a file stream too (lineSep-aware;
+    content-derived sequence numbers since monotonic ids are unavailable
+    in streaming plans)."""
+    from kinesiscat_spark.queries.stream_queries import run_to_memory
+    from kinesiscat_spark.streaming.source import StreamConfig, read_record_text
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "p0.txt").write_text('{"k":1}\n{"k":2}\n')
+    df = read_record_text(
+        spark, str(d), StreamConfig(iterator_type="TRIM_HORIZON"), streaming=True
+    )
+    assert df.isStreaming
+    rows = run_to_memory(df.select("data", "shardId"), output_mode="append").collect()
+    assert sorted(bytes(r.data).decode() for r in rows) == ['{"k":1}', '{"k":2}']
+    assert all(r.shardId.startswith("shardId-") for r in rows)
