@@ -90,11 +90,58 @@ def jmespath_native_json(expression: str, json_col, schema):
     )
     from kinesiscat_spark.functions.jmespath.errors import NotColumnCompilable
 
+    from kinesiscat_spark.functions.jmespath.schemas import OPAQUE
+
+    def _opaque(f: T.StructField) -> bool:
+        return bool((f.metadata or {}).get(OPAQUE))
+
+    def _strip(dt: T.DataType) -> T.DataType:
+        """Parse schema without OPAQUE fields: their runtime values are
+        non-null JSON of an unrepresentable type, and PERMISSIVE from_json
+        poisons the rest of the row when coercion into a declared void
+        field fails. Undeclared keys are simply skipped instead."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _strip(f.dataType))
+                    for f in dt.fields
+                    if not _opaque(f)
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_strip(dt.elementType))
+        return dt
+
+    def _rebuild(col, dt: T.DataType):
+        """Re-insert stripped OPAQUE fields as typed NULLs so the compile
+        schema and the runtime value shape agree."""
+        if isinstance(dt, T.StructType):
+            if not any(_opaque(f) or _differs(f.dataType) for f in dt.fields):
+                return col
+            fields = [
+                F.lit(None).alias(f.name)
+                if _opaque(f)
+                else _rebuild(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+            return F.when(col.isNotNull(), F.struct(*fields))
+        if isinstance(dt, T.ArrayType) and _differs(dt.elementType):
+            return F.transform(col, lambda x: _rebuild(x, dt.elementType))
+        return col
+
+    def _differs(dt: T.DataType) -> bool:
+        if isinstance(dt, T.StructType):
+            return any(_opaque(f) or _differs(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _differs(dt.elementType)
+        return False
+
     corrupt = "_kc_corrupt"
     if any(f.name == corrupt for f in schema.fields):  # pragma: no cover
         raise NotColumnCompilable(f"payload schema uses reserved field {corrupt}")
+    parse_schema = _strip(schema)
     probe_schema = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+        list(parse_schema.fields) + [T.StructField(corrupt, T.StringType())]
     )
     parsed = F.from_json(
         json_col, probe_schema, {"columnNameOfCorruptRecord": corrupt}
@@ -102,9 +149,18 @@ def jmespath_native_json(expression: str, json_col, schema):
     # PERMISSIVE from_json yields an all-null row (not NULL) for corrupt
     # input; gate on the corrupt-record column so bad payloads become a
     # NULL document — which every JMESPath construct propagates to NULL.
+    # The explicit isNotNull matters: for a NULL input, parsed is NULL and
+    # NULL[corrupt].isNull() is TRUE, which would fabricate a document.
     payload = F.when(
-        parsed[corrupt].isNull(),
-        F.struct(*[parsed[f.name].alias(f.name) for f in schema.fields]),
+        json_col.isNotNull() & parsed[corrupt].isNull(),
+        F.struct(
+            *[
+                F.lit(None).alias(f.name)
+                if _opaque(f)
+                else _rebuild(parsed[f.name], f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        ),
     )
     tc = compile_column(expression, payload, schema)
     if not json_faithful(tc.dtype):
