@@ -38,6 +38,8 @@ HEADLINE = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_ngram_jaccard",
     "text_quality_score",
     "text_fingerprint",
 )

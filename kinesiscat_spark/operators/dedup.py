@@ -6,10 +6,12 @@ never shuffle the documents themselves — shuffle fixed-width keys
 
 - ``shingles``: word n-grams as an array column (JVM transform over a
   sequence — no Python, no explode until needed).
-- ``ngram_jaccard_pairs``: EXACT pairwise Jaccard ≥ t via an inverted
-  index (explode shingle hashes → self-join on hash → count intersections
-  → |A∪B| from per-doc counts). The join key is a 64-bit xxhash: at 100 TB
-  the exchange carries (hash, doc_id) pairs only, never text.
+- ``ngram_jaccard_pairs``: EXACT pairwise Jaccard ≥ t. Default plan is
+  PPJoin-style: candidates from rare-first prefixes under a global
+  (doc-frequency, hash) order — frequent boilerplate shingles never meet
+  in the join — then exact array_intersect verification. The join keys
+  are 64-bit xxhashes: at 100 TB the exchanges carry (hash, doc_id)
+  pairs and candidate-pair hash sets, never text.
 - ``minhash_signature`` / ``minhash_lsh_pairs``: approximate candidates via
   banded minhash, then estimated-similarity filter. Collision work scales
   with actual near-dup density, not n².
