@@ -138,3 +138,68 @@ def test_ngram_prefix_excludes_frequent_shingles(spark):
     p_len = n_sh - F.ceil(F.lit(0.4) * n_sh).cast("int") + 1
     prefixes = ordered.select(F.explode(F.slice("ord_h", 1, p_len)).alias("h"))
     assert prefixes.filter(F.col("h") == shared_h).count() == 0
+
+
+def test_ngram_prefix_property_random_corpora(spark):
+    """Property check: on randomized corpora drawn from a small word pool
+    (maximal shingle sharing — the adversarial case for prefix filtering),
+    the prefix-filtered plan emits exactly the naive plan's pairs."""
+    import random
+
+    from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(1234)
+    pool = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(3, 12))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t = rng.choice([0.3, 0.5, 0.8, 1.0])
+        fast = ngram_jaccard_pairs(df, t, prefix_filter=True).sort(
+            "id_a", "id_b"
+        ).collect()
+        naive = ngram_jaccard_pairs(df, t, prefix_filter=False).sort(
+            "id_a", "id_b"
+        ).collect()
+        assert fast == naive, f"trial {trial} t={t}"
+
+
+def test_utc_wall_is_dst_proof(spark):
+    """utc_wall must render the UTC digits of instants on both sides of a
+    DST transition identically under any session timezone (the naive
+    to_utc_timestamp(current_timezone()) trick is off by an hour around
+    the spring-forward gap; pure epoch arithmetic is not)."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.io_tables import utc_wall
+
+    import datetime as dt
+
+    # 2024-03-10 07:00 UTC is 01:59 EST / 03:00 EDT — the transition
+    instants = ["2024-03-10 06:59:00", "2024-03-10 07:00:00",
+                "2024-11-03 05:30:00", "2024-11-03 06:30:00"]
+    epoch_us = [
+        int(
+            dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+        )
+        * 1_000_000
+        for s in instants
+    ]
+    df = spark.createDataFrame([(u,) for u in epoch_us], "us long")
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        rendered = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ts = F.timestamp_micros(F.col("us"))  # instant, tz-independent
+            out = df.select(
+                F.date_format(utc_wall(ts), "yyyy-MM-dd HH:mm:ss").alias("w")
+            ).collect()
+            rendered[tz] = [r.w for r in out]
+        assert rendered["UTC"] == rendered["America/New_York"] == instants
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
