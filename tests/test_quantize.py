@@ -1,0 +1,75 @@
+"""int8 scalar quantization for the ANN surface (operators/quantize.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.quantize import quantize_embeddings, quantized_topk
+from kinesiscat_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_SMOKE
+
+K = 10
+N_QUERIES = 5
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized values are within half a quantization step of the
+    original (|x - code*scale| <= scale/2), and codes stay in int8 range."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "codes",
+                lambda x, c: F.abs(x.cast("double") - c.cast("double") * F.col("scale")),
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+        F.array_max(F.transform("codes", lambda c: F.abs(c.cast("int")))).alias(
+            "max_code"
+        ),
+    )
+    bad = joined.filter(
+        (F.col("max_err") > F.col("scale") / 2 + 1e-12) | (F.col("max_code") > 127)
+    )
+    assert bad.count() == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """With a 4k re-rank frontier, int8 phase-1 ranking must recover at
+    least 90% of the exact top-k (same split as the similarity lanes)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = cosine_topk(corpus, queries, K)
+    quant = quantized_topk(corpus, queries, K)
+    e = {(r.qid, r.cid) for r in exact.select("qid", "cid").collect()}
+    g = {(r.qid, r.cid) for r in quant.select("qid", "cid").collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.9, recall
+    # returned sims are EXACT (float re-rank), so overlapping pairs agree
+    es = {(r.qid, r.cid): r.sim for r in exact.collect()}
+    qs = {(r.qid, r.cid): r.sim for r in quant.collect()}
+    for pair in e & g:
+        assert qs[pair] == pytest.approx(es[pair], abs=0, rel=0)
+
+
+def test_quantize_zero_vectors_are_safe(spark):
+    """All-zero embeddings quantize to scale 0 / zero codes and never rank
+    above real candidates (null approx score sorts last)."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(emb)
+    z = q.filter(F.col("vec_id") == 0).collect()[0]
+    assert z.scale == 0.0 and all(c == 0 for c in z.codes)
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") != 1)
+    out = quantized_topk(corpus, queries, k=1, rerank_k=1).collect()
+    assert [r.cid for r in out] == [2]  # the zero vector never wins
