@@ -90,14 +90,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
-    ``prefix_filter=True`` (default): PPJoin-style prefix-filtered plan
+    ``prefix_filter=True`` (default): PPJoin prefix-filtered plan
     (Xiao et al., WWW'08 — public algorithm). Shingles are globally
     ordered by (document frequency, hash); a pair with Jaccard ≥ t must
     share an element within the first ``|d| − ⌈t·|d|⌉ + 1`` shingles of
     BOTH docs under that ordering (pigeonhole on the required overlap
     ⌈t·|d|⌉), so only the rare-first prefixes are indexed and the
     frequent boilerplate shingles — the m²-posting hot spots of a plain
-    inverted index — never meet in the candidate join. Candidates are
+    inverted index — never meet in the candidate join. Matched prefix
+    rows then pass PPJoin's length filter (min size ≥ t·max size) and
+    positional filter (1 + min remaining-after-match ≥ required overlap
+    α) inside the join's codegen — both prune only pairs that cannot
+    reach t, bounding the within-key blowup of a moderately common
+    prefix shingle BEFORE the dedupe exchange. Candidates are
     then verified EXACTLY with a JVM ``array_intersect`` of the full
     hash sets, so the output is identical to the naive plan (and to the
     SQL oracle); only the candidate-generation cost changes. The verify
@@ -153,12 +158,53 @@ def ngram_jaccard_pairs(
     )
     n_sh = F.size("ord_h")
     p_len = n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1
+    # carry doc size and the 1-based position of each prefix shingle: both
+    # PPJoin filters below need them, and they ride the same (h, id)
+    # exchange as two ints — no extra shuffle.
     prefix = ordered.select(
-        "id", F.explode(F.slice("ord_h", 1, p_len)).alias("h")
-    )
+        "id",
+        n_sh.alias("n_sh"),
+        F.posexplode(F.slice("ord_h", 1, p_len)).alias("pos0", "h"),
+    ).select("id", "n_sh", (F.col("pos0") + 1).alias("pos"), "h")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin filters (Xiao et al. WWW'08 §3; both exactness-preserving —
+    # they prune only pairs that CANNOT reach Jaccard ≥ t, so the verified
+    # output is unchanged):
+    #  - length filter: J ≤ min/max, so a valid pair needs
+    #    min(|a|,|b|) ≥ t·max(|a|,|b|).
+    #  - positional filter: for the FIRST shingle the two prefixes share
+    #    (under the global rare-first order), no common shingle can rank
+    #    before it in either doc, so overlap ≤ 1 + min(|a|−pa, |b|−pb);
+    #    a valid pair needs overlap ≥ α = ⌈t·(|a|+|b|)/(1+t)⌉. Applied
+    #    per matched row with overlap-so-far = 1: the first-shared-shingle
+    #    row of every valid pair passes, so the pair survives the
+    #    dropDuplicates; later-shingle rows it prunes were redundant.
+    # The 1e-9 slack keeps FP rounding of t·size from pruning boundary
+    # pairs. Both run inside the join's codegen, BEFORE the dedupe
+    # exchange — candidate volume, not just verify cost, shrinks.
+    alpha = F.ceil(
+        (F.col("a.n_sh") + F.col("b.n_sh"))
+        * F.lit(float(threshold) / (1.0 + float(threshold)))
+        - F.lit(1e-9)
+    )
+    length_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
+        F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(float(threshold))
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        1
+        + F.least(
+            F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+        )
+    ) >= alpha
     cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok
+            & pos_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
