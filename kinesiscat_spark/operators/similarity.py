@@ -255,6 +255,7 @@ def ivf_centroids(
     n_iters: int = 0,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    round_decimals: int | None = 12,
 ) -> DataFrame:
     """(cell, cvec) centroids for an IVF index.
 
@@ -264,6 +265,15 @@ def ivf_centroids(
     refinement distributed (assign via broadcast centroid join, new means
     via posexplode + per-dimension avg); only k centroid rows ever reach
     the driver, so the loop scales to any corpus size.
+
+    ``round_decimals`` quantizes each refined centroid coordinate (after
+    renormalization) to that many decimals. Per-dimension means are
+    partial-aggregation sums, so their low bits depend on partition
+    layout (Spark) / thread interleaving (an external SQL twin);
+    quantizing at 1e-12 — ten orders above double ulp, six below any
+    meaningful centroid delta — makes the refined index reproducible
+    across engines and parallelism instead of empirically so. ``None``
+    keeps raw doubles.
     """
     seeds = (
         corpus.orderBy(id_col)
@@ -280,14 +290,21 @@ def ivf_centroids(
     cents = seeds
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, id_col, vec)
-        norm_vecs = corpus.select(
-            F.col(id_col), normalize(F.col(vec)).alias("_nvec")
+        # The norm is materialized ONCE per row as its own attribute and
+        # the exploded elements divide by it — NOT normalize(vec), whose
+        # norm subexpression Catalyst re-evaluates per element (O(dim²)
+        # per row; see the normalize docstring). Values are bit-identical:
+        # same x.cast(double) / norm expression per element.
+        sides = corpus.select(
+            F.col(id_col),
+            F.col(vec).alias("_v"),
+            l2_norm(F.col(vec)).alias("_n"),
         )
         new = (
-            assigned.join(norm_vecs, id_col)
-            .select("cell", F.posexplode("_nvec").alias("pos", "x"))
+            assigned.join(sides, id_col)
+            .select("cell", F.posexplode("_v").alias("pos", "x"), "_n")
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.avg(F.col("x").cast("double") / F.col("_n")).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
@@ -295,7 +312,12 @@ def ivf_centroids(
                 F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
             )
         )
-        cents = new.select("cell", normalize(F.col("cvec")).alias("cvec"))
+        # renormalize + quantize act on n_cells rows — normalize()'s
+        # per-element norm re-evaluation is fine at that size
+        cvec = normalize(F.col("cvec"))
+        if round_decimals is not None:
+            cvec = F.transform(cvec, lambda x: F.round(x, round_decimals))
+        cents = new.select("cell", cvec.alias("cvec"))
     return cents
 
 

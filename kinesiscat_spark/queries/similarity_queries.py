@@ -155,6 +155,10 @@ _NORM = (
     "sqrt(list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
 )
 _SQL2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+_NEG_DOT = (
+    "-(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))"
+)
 _COS = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
@@ -233,10 +237,20 @@ N_ITERS = 2
 def _ivf_refined_oracle(n_iters: int = N_ITERS) -> str:
     """Generated SQL twin of the n_iters-step Lloyd refinement (the same
     technique as the language-ID oracle): each iteration is one CTE layer
-    of assign (argmin squared-L2 over normalized vectors, ties → lowest
-    cell) → per-cell per-dimension AVG of member vectors → renormalize.
-    DuckDB's parallel UNNESTs zip positionally, mirroring Spark's
-    posexplode → groupBy(cell, pos) → avg → array_sort(collect_list)."""
+    of assign (argmin, ties → lowest cell) → per-cell per-dimension AVG
+    of normalized member vectors → renormalize + ROUND(12). DuckDB's
+    parallel UNNESTs zip positionally, mirroring Spark's posexplode →
+    groupBy(cell, pos) → avg → array_sort(collect_list).
+
+    Two choices make the hash check robust rather than empirical:
+    - every assign layer ranks by NEGATIVE RAW DOT (the exact expression
+      ``ivf_assign`` evaluates), not by squared L2 over normalized
+      vectors — the two are rank-equivalent only while centroids are
+      unit to the last ulp, which quantized centroids are not;
+    - centroids are ROUNDed to 12 decimals after each renormalization in
+      BOTH engines (see ``ivf_centroids`` ``round_decimals``), so
+      partial-aggregation summation order can no longer leak into the
+      assignment via last-ulp centroid bits."""
     layers = [
         f"""
 c0 AS (
@@ -250,7 +264,7 @@ a{t} AS (
   SELECT cid, cell FROM (
     SELECT nc.cid, c{t}.cell,
            ROW_NUMBER() OVER (PARTITION BY nc.cid
-             ORDER BY {_SQL2.format(a='nc.nce', b=f'c{t}.cvec')}, c{t}.cell) AS r
+             ORDER BY {_NEG_DOT.format(a='nc.ce', b=f'c{t}.cvec')}, c{t}.cell) AS r
     FROM nc CROSS JOIN c{t}
   ) WHERE r = 1
 ),
@@ -261,7 +275,8 @@ m{t} AS (
   ) GROUP BY cell, pos
 ),
 c{t + 1} AS (
-  SELECT cell, {_NORM.format(v='mv')} AS cvec FROM (
+  SELECT cell, list_transform({_NORM.format(v='mv')}, x -> ROUND(x, 12)) AS cvec
+  FROM (
     SELECT cell, list(m ORDER BY pos) AS mv FROM m{t} GROUP BY cell
   )
 )""")
@@ -280,7 +295,7 @@ cassign AS (
   SELECT cid, cell FROM (
     SELECT nc.cid, {final}.cell,
            ROW_NUMBER() OVER (PARTITION BY nc.cid
-             ORDER BY {_SQL2.format(a='nc.nce', b=f'{final}.cvec')}, {final}.cell) AS r
+             ORDER BY {_NEG_DOT.format(a='nc.ce', b=f'{final}.cvec')}, {final}.cell) AS r
     FROM nc CROSS JOIN {final}
   ) WHERE r = 1
 ),
@@ -288,7 +303,7 @@ qprobe AS (
   SELECT qid, cell FROM (
     SELECT nq.qid, {final}.cell,
            ROW_NUMBER() OVER (PARTITION BY nq.qid
-             ORDER BY {_SQL2.format(a='nq.nqe', b=f'{final}.cvec')}, {final}.cell) AS r
+             ORDER BY {_NEG_DOT.format(a='nq.qe', b=f'{final}.cvec')}, {final}.cell) AS r
     FROM nq CROSS JOIN {final}
   ) WHERE r <= {N_PROBE}
 ),

@@ -221,6 +221,28 @@ def test_ivf_assign_exchange_carries_no_vectors(spark):
         assert "_v#" not in b and "cvec#" not in b and "embedding#" not in b
 
 
+def test_lloyd_loop_norm_is_materialized_once(spark):
+    """VERDICT r3 #2: the Lloyd refinement must not normalize() the corpus
+    — the norm has to be ONE materialized attribute (computed once per
+    row) that the exploded elements divide by. A normalize() regression
+    shows up as a lambdafunction (with the full norm fold inside) in the
+    Generate node's generator or in the avg aggregate."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ivf_centroids(emb, 8, n_iters=1)
+    blocks = _explain_blocks(df)
+    gens = [b for b in blocks if "(\n" not in b and "Generate" in b and "posexplode" in b]
+    assert gens, "expected a posexplode Generate node in the Lloyd loop"
+    for b in gens:
+        assert "lambdafunction" not in b, "corpus-wide normalize() is back"
+    # the per-dimension mean consumes x / _n (two attributes), not an
+    # inlined norm fold
+    avgs = [b for b in blocks if "partial_avg" in b]
+    assert avgs and all("aggregate(" not in b for b in avgs)
+
+
 def test_lsh_topk_dedup_exchange_carries_no_vectors(spark):
     """VERDICT r2 #7: the candidate dedup shuffles (qid, cid) only;
     vectors are joined back after deduplication."""
