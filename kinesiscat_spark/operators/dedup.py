@@ -355,12 +355,22 @@ def minhash_lsh_pairs(
     boilerplate-heavy buckets with m ~ 10⁵, a within-key cartesian that
     AQE skew splitting cannot divide. Buckets larger than ``max_bucket``
     are diverted out of the self-join and STAR-LINKED instead: every
-    member pairs with the bucket's minimum id only (m−1 pairs, est
-    re-scored from full signatures as usual). Docs sharing a giant LSH
-    bucket are near-certain duplicates, and for downstream cluster
-    resolution (``keep_canonical``) a star is equivalent to the clique —
-    same connected components. Pairwise-complete output is guaranteed for
-    buckets ≤ ``max_bucket``; pass ``max_bucket=None`` to disable.
+    member pairs with the bucket's minimum id only (m−1 pairs).
+
+    Star pairs BYPASS the ``threshold`` filter (cold pairs do not): m
+    documents agreeing on a full signature band is stronger duplicate
+    evidence than the per-pair estimate, and an est-filtered star would
+    disconnect the whole bucket whenever the min-id member happens to be
+    its one outlier (est(hub, member) < t for every member even though
+    the members are mutual duplicates) — for a dedup pipeline, silently
+    letting 10⁵ duplicates through. The documented trade-off is the
+    mirror case: a hot bucket's outlier is linked INTO the cluster (the
+    unguarded clique would have left it out), i.e. the guard can
+    over-merge a hot bucket but never under-merge one. ``est_jaccard``
+    still carries the true estimate for star rows, so callers that need
+    the conservative behavior can re-filter. Pairwise-complete,
+    threshold-filtered output is guaranteed for buckets ≤ ``max_bucket``;
+    pass ``max_bucket=None`` to disable the guard entirely.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -436,11 +446,14 @@ def minhash_lsh_pairs(
         F.col("b.id").alias("id_b"),
         (n_agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
     )
+    # threshold applies to COLD pairs only — star pairs bypass it (see
+    # docstring); a pair reachable both ways carries identical
+    # est_jaccard, so the dedupe's arbitrary pick is value-stable.
+    pairs = pairs.filter(F.col("est_jaccard") >= threshold)
     if hot is not None:
         # Star-link each hot bucket to its min-id member: the co-partitioned
-        # hub join emits m−1 pairs per bucket (not m²/2), each re-scored
-        # from the full signatures exactly like the cold path, so a pair
-        # reachable both ways carries identical est_jaccard for the dedupe.
+        # hub join emits m−1 pairs per bucket (not m²/2), each carrying the
+        # true full-signature estimate (unfiltered).
         hub = hot.groupBy("bk").agg(
             F.min(F.struct("id", *[f"_m{i}" for i in range(n_hashes)])).alias("_h")
         )
@@ -460,10 +473,7 @@ def minhash_lsh_pairs(
             )
         )
         pairs = pairs.unionByName(hot_pairs)
-    return (
-        pairs.filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def simhash64(text: Column) -> Column:
@@ -552,21 +562,27 @@ def simhash_pairs(
     max_distance: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ max_distance.
 
-    EXACT for max_distance ≤ 3 when every band bucket holds at most
-    ``max_bucket`` members: with 4 disjoint 16-bit bands, pigeonhole
-    guarantees at least one band matches, so the band join misses nothing.
+    EXACT for max_distance ≤ 3 with the default ``max_bucket=None``: with
+    4 disjoint 16-bit bands, pigeonhole guarantees at least one band
+    matches, so the band join misses nothing.
 
-    Hot-bucket skew guard (same rationale as ``minhash_lsh_pairs``):
-    buckets larger than ``max_bucket`` would put m²/2 candidate pairs in
-    one join task, so they are star-linked to the bucket's min-id member
-    instead (m−1 pairs, Hamming-filtered as usual). Such buckets are
-    boilerplate-duplicate pileups in practice; the star preserves
-    connected components for downstream ``keep_canonical``. Pass
-    ``max_bucket=None`` for unconditionally-exact pairwise output.
+    Setting ``max_bucket`` (the 100 TB skew posture — see
+    ``minhash_lsh_pairs`` for the m²-in-one-task rationale) trades that
+    contract for a bounded plan: buckets above the cap are star-linked to
+    their min-id member (m−1 pairs, still Hamming-filtered, so every
+    emitted pair honors ``hamming ≤ max_distance``). The output is then a
+    SUBSET of the exact result, and the precise drop case is: a
+    member-member pair of a hot bucket is lost iff BOTH its endpoints are
+    beyond ``max_distance`` from the bucket's min-id member in every hot
+    bucket the pair shares and the pair collides in no cold band — i.e. a
+    hub-outlier hot bucket can under-link its members (unlike
+    ``minhash_lsh_pairs``, whose unfiltered star can only over-link).
+    Pileup buckets whose members sit within ``max_distance`` of the hub
+    keep their components for downstream ``keep_canonical``.
     """
     from kinesiscat_spark.io_tables import spread
 

@@ -76,6 +76,57 @@ def test_star_equals_clique_for_cluster_resolution(spark):
     assert 0 in survivors[10] and 1 not in survivors[10]
 
 
+def test_minhash_hot_star_pairs_bypass_threshold(spark):
+    """ADVICE r3: star pairs must NOT be est-filtered. When the hot
+    bucket's min-id member is an outlier (est(hub, member) < threshold for
+    every member), an est-filtered star would emit zero pairs for the
+    bucket — disconnecting mutual duplicates that the star exists to keep
+    linked. The fixed guard emits the star unfiltered (with the true
+    estimate), accepting the documented mirror trade-off: the outlier is
+    linked INTO the cluster, where the unguarded clique would drop it.
+
+    The outlier text was found by offline search over the deterministic
+    md5 Carter-Wegman family: it shares exactly one full signature band
+    (band 7) with the base text at est_jaccard = 15/32 < 0.5."""
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    outlier = (
+        "the quick brown fox jumps over the lazy dog near "
+        "suffix0 tail0 extra0 more0"
+    )
+    docs = spark.createDataFrame(
+        [(0, outlier)] + [(i, base) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    # the outlier is hub of the band-7 pileup: its star pairs carry
+    # est < threshold and MUST survive
+    for i in range(1, 9):
+        assert got.get((0, i)) == 15 / 32, got
+    # the identical docs stay linked through their own hot buckets
+    for i in range(2, 9):
+        assert got.get((1, i)) == 1.0
+    # contrast: the unguarded clique est-filters the outlier pairs away
+    clique = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=None)
+    cl = {(r["id_a"], r["id_b"]) for r in clique.collect()}
+    assert (0, 1) not in cl and (1, 2) in cl
+
+
+def test_simhash_default_is_exact(spark):
+    """ADVICE r3: simhash_pairs' documented EXACT contract (d ≤ 3) must
+    hold with default arguments — the skew cap is opt-in."""
+    import inspect
+
+    from kinesiscat_spark.operators.dedup import simhash_pairs
+
+    assert inspect.signature(simhash_pairs).parameters["max_bucket"].default is None
+    # 40 identical docs: default (uncapped) output is the full clique
+    docs = _hot_corpus(spark, 40, n_unique=5)
+    assert simhash_pairs(docs, max_distance=3).count() == 40 * 39 // 2
+
+
 def test_cold_buckets_unchanged_by_guard(spark):
     """Below the cap, guarded output is bit-identical to the unguarded
     operator (the driver lanes rely on this at sf0.01/sf0.1)."""
