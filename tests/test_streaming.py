@@ -161,37 +161,14 @@ def test_watermark_append_drops_late_data(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
-    # The file source orders micro-batches by modification time: stamp
-    # each written file with a strictly increasing mtime (sleeping for
-    # real mtime gaps is flaky under load).
-    stamped: dict[str, bool] = {}
-    clock = [1_700_000_000]
-
-    def write_file(rows, name):
+    def write_file(rows):
         spark.createDataFrame(rows, cols).withColumn(
             "ts", F.unix_micros(F.to_timestamp("ts")) * 1000
-        ).write.mode("append").parquet(src)
-        clock[0] += 10
-        import glob as _glob
-
-        for p in _glob.glob(os.path.join(src, "*.parquet")):
-            if p not in stamped:
-                os.utime(p, (clock[0], clock[0]))
-                stamped[p] = True
-
-    # file 1: one event at 10:00; file 2 advances watermark far past the
-    # first window; file 3 is a late straggler back at 10:05.
-    write_file([(1, "2024-01-01 10:00:00", 1, "a", 1.0, "{}")], "f1")
-    write_file([(2, "2024-01-01 15:00:00", 1, "a", 1.0, "{}")], "f2")
-    write_file([(3, "2024-01-01 10:05:00", 1, "a", 1.0, "{}")], "f3")
+        ).coalesce(1).write.mode("append").parquet(src)
 
     from kinesiscat_spark.streaming.source import _EVENTS_RAW_SCHEMA
 
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
     ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -199,8 +176,33 @@ def test_watermark_append_drops_late_data(spark, tmp_path):
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").cast("string").alias("ws"), "n")
     )
-    out = run_to_memory(agg, output_mode="append", cfg=StreamConfig(batch_size=1))
-    got = {r.ws: r.n for r in out.collect()}
+
+    # Drive batch boundaries explicitly (write -> drain -> write): the file
+    # source's intra-listing order is not contractual, so relying on mtimes
+    # to sequence "watermark advances, THEN the straggler arrives" is flaky.
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    name = f"kc_wm_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="kc_ckpt_"))
+        .start()
+    )
+    try:
+        # batch 1: one event at 10:00; batch 2 advances the watermark far
+        # past the first window; batch 3 is a late straggler back at 10:05.
+        write_file([(1, "2024-01-01 10:00:00", 1, "a", 1.0, "{}")])
+        q.processAllAvailable()
+        write_file([(2, "2024-01-01 15:00:00", 1, "a", 1.0, "{}")])
+        q.processAllAvailable()
+        write_file([(3, "2024-01-01 10:05:00", 1, "a", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ws: r.n for r in spark.table(name).collect()}
     # the 10:00 window closed with exactly 1 row; the late event was dropped
     assert got.get("2024-01-01 10:00:00") == 1
 
