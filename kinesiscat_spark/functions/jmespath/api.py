@@ -90,7 +90,12 @@ def jmespath_native_json(expression: str, json_col, schema):
     )
     from kinesiscat_spark.functions.jmespath.errors import NotColumnCompilable
 
-    from kinesiscat_spark.functions.jmespath.schemas import OPAQUE
+    from kinesiscat_spark.functions.jmespath.schemas import OPAQUE, demote_boxes
+
+    # BOXED/SHADOW fields (infer_type-derived schemas) are only realizable
+    # from createDataFrame-shaped input, not from_json — demote them so
+    # expressions touching them fall back to the UDF.
+    schema = demote_boxes(schema)
 
     def _opaque(f: T.StructField) -> bool:
         return bool((f.metadata or {}).get(OPAQUE))

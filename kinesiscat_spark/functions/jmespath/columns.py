@@ -20,6 +20,7 @@ Key semantic bridges (SURVEY §1.3, §2.2):
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -32,7 +33,16 @@ from kinesiscat_spark.functions.jmespath.errors import (
     UnknownFunctionError,
 )
 from kinesiscat_spark.functions.jmespath.parser import Node, parse
-from kinesiscat_spark.functions.jmespath.schemas import OPAQUE, has_markers
+from kinesiscat_spark.functions.jmespath.schemas import (
+    BOXED,
+    BOXED_ELEM,
+    OPAQUE,
+    PADDED,
+    SHADOW,
+    SHADOW_NAME,
+    canonical_json,
+    has_markers,
+)
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -51,6 +61,61 @@ def _no_markers(dt: T.DataType, what: str) -> None:
         raise NotColumnCompilable(f"{what} on a schema-padded object type")
 
 
+class JsonBoxType(T.DataType):
+    """Compiler-internal sentinel: the column is a STRING holding the
+    value's canonical JSON text (schemas.canonical_json — sorted keys,
+    compact, integral floats as ints), with SQL NULL encoding JMESPath
+    null. Never appears in a real Spark schema — ``_storage`` maps it to
+    StringType wherever an actual cast target is needed.
+
+    Boxes are how the dynamically-typed tail of JMESPath (heterogeneous
+    or/and, mixed multiselects, BOXED schema fields) stays on the native
+    path: truthiness, deep equality, and JSON-total functions operate on
+    the canonical text directly. Two divergences from the evaluator, by
+    design: (a) invalid-type errors inside boxed operands yield null
+    instead of raising (the static path cannot see the type mismatch;
+    callers that need error fidelity use the UDF), and (b) float repr
+    outside ±2^53 follows Java, so ``json_faithful`` stays False for
+    boxes and the byte-exact CLI path falls back to the UDF.
+    """
+
+    def simpleString(self) -> str:
+        return "jsonbox"
+
+
+_JSONBOX = JsonBoxType()
+
+
+def _is_box(dt: T.DataType) -> bool:
+    return isinstance(dt, JsonBoxType)
+
+
+def _contains_box(dt: T.DataType) -> bool:
+    if _is_box(dt):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_box(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_box(f.dataType) for f in dt.fields)
+    return False
+
+
+def _storage(dt: T.DataType) -> T.DataType:
+    """The real Spark type underlying a (possibly box-bearing) dtype."""
+    if _is_box(dt):
+        return T.StringType()
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_storage(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _storage(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 @dataclass(frozen=True)
 class Typed:
     """A Column plus its statically-known Spark type."""
@@ -60,21 +125,32 @@ class Typed:
 
 
 def _null(dtype: T.DataType = T.NullType()) -> Typed:
-    return Typed(F.lit(None).cast(dtype), dtype)
+    return Typed(F.lit(None).cast(_storage(dtype)), dtype)
 
 
 def truthy(tc: Typed) -> Column:
     """JMESPath truthiness as a non-null BooleanType Column."""
     dt = tc.dtype
+    if _is_box(dt):
+        # canonical text of every falsy value is one of these four
+        return tc.col.isNotNull() & ~tc.col.isin("false", '""', "[]", "{}")
     if isinstance(dt, T.NullType):
         return F.lit(False)
     if isinstance(dt, T.BooleanType):
         return tc.col.eqNullSafe(F.lit(True))
     if isinstance(dt, T.StringType):
         return tc.col.isNotNull() & (F.length(tc.col) > 0)
-    if isinstance(dt, (T.ArrayType, T.MapType)):
+    if isinstance(dt, T.ArrayType):
+        return tc.col.isNotNull() & (F.size(tc.col) > 0)
+    if isinstance(dt, T.MapType):
         return tc.col.isNotNull() & (F.size(tc.col) > 0)
     if isinstance(dt, T.StructType):
+        shadow = _shadow_field(dt)
+        if shadow is not None:
+            # key presence is dynamic, but the shadow text decides {}
+            return tc.col.isNotNull() & (
+                tc.col.getField(SHADOW_NAME) != F.lit("{}")
+            )
         if has_markers(dt):
             # a key-union struct may represent {} (all fields padded-null),
             # whose truthiness (falsy) is not statically decidable
@@ -82,6 +158,91 @@ def truthy(tc: Typed) -> Column:
         return tc.col.isNotNull() if dt.fields else F.lit(False)
     # numbers (0 included) and anything else non-null are truthy
     return tc.col.isNotNull()
+
+
+def _shadow_field(dt: T.DataType) -> T.StructField | None:
+    if not isinstance(dt, T.StructType):
+        return None
+    for f in dt.fields:
+        if (f.metadata or {}).get(SHADOW):
+            return f
+    return None
+
+
+def _json_text(tc: Typed) -> Column:
+    """Canonical JSON text of a Typed value (NULL for JMESPath null) —
+    the Column-side twin of ``schemas.canonical_json``. Raises
+    ``NotColumnCompilable`` for shapes whose text cannot be reconstructed
+    (PADDED structs without a shadow, maps, opaque fields)."""
+    dt, col = tc.dtype, tc.col
+    if _is_box(dt):
+        return col
+    if isinstance(dt, T.NullType):
+        return F.lit(None).cast("string")
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, "true").when(~col, "false")
+    if _is_num(dt):
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            d = col.cast("double")
+            exact = F.lit(2.0**53)
+            lng = d.cast("long")
+            integral = (d >= -exact) & (d <= exact) & (d == lng.cast("double"))
+            return F.when(integral, lng.cast("string")).otherwise(
+                d.cast("string")
+            )
+        return col.cast("string")
+    if isinstance(dt, T.StringType):
+        # quote + escape via a 1-element array round-trip through to_json
+        j = F.to_json(F.array(col), {"ignoreNullFields": "false"})
+        return F.when(col.isNotNull(), j.substr(F.lit(2), F.length(j) - 2))
+    if isinstance(dt, T.ArrayType):
+        elem = dt.elementType
+        inner = F.transform(
+            col,
+            lambda e: F.coalesce(_json_text(Typed(e, elem)), F.lit("null")),
+        )
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit("["), F.array_join(inner, ","), F.lit("]")),
+        )
+    if isinstance(dt, T.StructType):
+        shadow = _shadow_field(dt)
+        if shadow is not None:
+            return col.getField(SHADOW_NAME)
+        parts = []
+        for f in sorted(dt.fields, key=lambda f: f.name):
+            md = f.metadata or {}
+            if md.get(PADDED) or md.get(OPAQUE):
+                raise NotColumnCompilable(
+                    "cannot serialize a padded object without a shadow"
+                )
+            if md.get(BOXED):
+                val = F.coalesce(col.getField(f.name), F.lit("null"))
+            elif md.get(BOXED_ELEM):
+                val = F.coalesce(
+                    _json_text(
+                        Typed(col.getField(f.name), T.ArrayType(_JSONBOX))
+                    ),
+                    F.lit("null"),
+                )
+            else:
+                val = F.coalesce(
+                    _json_text(Typed(col.getField(f.name), f.dataType)),
+                    F.lit("null"),
+                )
+            parts.append(F.concat(F.lit(json.dumps(f.name) + ":"), val))
+        body = F.concat_ws(",", *parts) if parts else F.lit("")
+        return F.when(
+            col.isNotNull(), F.concat(F.lit("{"), body, F.lit("}"))
+        )
+    raise NotColumnCompilable(f"cannot box {dt.simpleString()}")
+
+
+def box(tc: Typed) -> Typed:
+    """Re-express any serializable Typed value as a JsonBox."""
+    if _is_box(tc.dtype):
+        return tc
+    return Typed(_json_text(tc), _JSONBOX)
 
 
 def _unify(a: T.DataType, b: T.DataType) -> T.DataType | None:
@@ -105,7 +266,7 @@ def _unify(a: T.DataType, b: T.DataType) -> T.DataType | None:
 def _coerce(tc: Typed, target: T.DataType) -> Typed:
     if tc.dtype == target:
         return tc
-    return Typed(tc.col.cast(target), target)
+    return Typed(tc.col.cast(_storage(target)), target)
 
 
 class ColumnCompiler:
@@ -119,12 +280,25 @@ class ColumnCompiler:
     def _c_field(self, node: Node, doc: Typed) -> Typed:
         name = node.value
         dt = doc.dtype
+        if _is_box(dt):
+            # the box may hold an object at runtime; refusing (not null!)
+            # keeps dynamic member access on the evaluator path
+            raise NotColumnCompilable("field access into a json box")
         if isinstance(dt, T.StructType):
             if name in dt.fieldNames():
                 f = dt[name]
-                if (f.metadata or {}).get(OPAQUE):
+                md = f.metadata or {}
+                if md.get(OPAQUE):
                     raise NotColumnCompilable(
                         f"field {name!r} has no static type (OPAQUE)"
+                    )
+                if md.get(SHADOW):
+                    return _null()  # synthetic field, not a document key
+                if md.get(BOXED):
+                    return Typed(doc.col.getField(name), _JSONBOX)
+                if md.get(BOXED_ELEM):
+                    return Typed(
+                        doc.col.getField(name), T.ArrayType(_JSONBOX)
                     )
                 return Typed(doc.col.getField(name), f.dataType)
             return _null()  # missing key -> null (jp/interpreter.go:78-83)
@@ -146,6 +320,8 @@ class ColumnCompiler:
 
     def _c_index(self, node: Node, doc: Typed) -> Typed:
         dt = doc.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("index into a json box")
         if isinstance(dt, T.NullType):
             return _null()
         if not isinstance(dt, T.ArrayType):
@@ -157,6 +333,8 @@ class ColumnCompiler:
 
     def _c_slice(self, node: Node, doc: Typed) -> Typed:
         dt = doc.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("slice of a json box")
         if not isinstance(dt, T.ArrayType):
             return _null()
         start, stop, step = node.value
@@ -195,7 +373,9 @@ class ColumnCompiler:
         against a placeholder; Spark lambda variables are only materialized
         inside the HOF call, so we compile per invocation.
         """
-        probe = self.compile(rhs, Typed(F.lit(None).cast(elem_type), elem_type))
+        probe = self.compile(
+            rhs, Typed(F.lit(None).cast(_storage(elem_type)), elem_type)
+        )
 
         def fn(x: Column) -> Column:
             return self.compile(rhs, Typed(x, elem_type)).col
@@ -206,6 +386,8 @@ class ColumnCompiler:
         left, right = node.children
         base = self.compile(left, doc)
         dt = base.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("projection over a json box")
         if isinstance(dt, T.NullType):
             return _null()
         if not isinstance(dt, T.ArrayType):
@@ -219,6 +401,8 @@ class ColumnCompiler:
         left, right = node.children
         base = self.compile(left, doc)
         dt = base.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("value projection over a json box")
         if isinstance(dt, T.MapType):
             fn, rtype = self._lambda_body(right, dt.valueType)
             mapped = F.transform(F.map_values(base.col), fn)
@@ -250,6 +434,8 @@ class ColumnCompiler:
         left, right, condition = node.children
         base = self.compile(left, doc)
         dt = base.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("filter projection over a json box")
         if not isinstance(dt, T.ArrayType):
             return _null()
         elem = dt.elementType
@@ -265,8 +451,14 @@ class ColumnCompiler:
     def _c_flatten(self, node: Node, doc: Typed) -> Typed:
         base = self.compile(node.children[0], doc)
         dt = base.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("flatten of a json box")
         if not isinstance(dt, T.ArrayType):
             return _null()
+        if _is_box(dt.elementType):
+            # elements may themselves be arrays at runtime — splicing JSON
+            # text is the evaluator's job
+            raise NotColumnCompilable("flatten over boxed elements")
         if isinstance(dt.elementType, T.ArrayType):
             return Typed(F.flatten(base.col), dt.elementType)
         # flatten of non-nested array keeps elements as-is (jp one-level rule)
@@ -278,9 +470,17 @@ class ColumnCompiler:
         a, b = self.compile(left, doc), self.compile(right, doc)
         op = node.value
         if op in ("==", "!="):
-            _no_markers(a.dtype, "equality")
-            _no_markers(b.dtype, "equality")
-            if _is_num(a.dtype) and _is_num(b.dtype):
+            boxish = (
+                _contains_box(a.dtype)
+                or _contains_box(b.dtype)
+                or has_markers(a.dtype)
+                or has_markers(b.dtype)
+            )
+            if boxish:
+                # deep equality over dynamic/padded values: compare the
+                # canonical JSON texts (raises if a side is unserializable)
+                eq = _json_text(a).eqNullSafe(_json_text(b))
+            elif _is_num(a.dtype) and _is_num(b.dtype):
                 eq = a.col.eqNullSafe(b.col)
             elif a.dtype == b.dtype or isinstance(a.dtype, T.NullType) or isinstance(
                 b.dtype, T.NullType
@@ -305,7 +505,12 @@ class ColumnCompiler:
         b = self.compile(node.children[1], doc)
         target = _unify(a.dtype, b.dtype)
         if target is None:
-            raise NotColumnCompilable("or: incompatible operand types")
+            # incompatible operand types: pick by truthiness on the typed
+            # sides, return the winner boxed
+            ba, bb = box(a), box(b)
+            return Typed(
+                F.when(truthy(a), ba.col).otherwise(bb.col), _JSONBOX
+            )
         a, b = _coerce(a, target), _coerce(b, target)
         return Typed(F.when(truthy(a), a.col).otherwise(b.col), target)
 
@@ -314,7 +519,10 @@ class ColumnCompiler:
         b = self.compile(node.children[1], doc)
         target = _unify(a.dtype, b.dtype)
         if target is None:
-            raise NotColumnCompilable("and: incompatible operand types")
+            ba, bb = box(a), box(b)
+            return Typed(
+                F.when(truthy(a), bb.col).otherwise(ba.col), _JSONBOX
+            )
         a, b = _coerce(a, target), _coerce(b, target)
         return Typed(F.when(truthy(a), b.col).otherwise(a.col), target)
 
@@ -327,25 +535,45 @@ class ColumnCompiler:
 
     def _c_multiselect_list(self, node: Node, doc: Typed) -> Typed:
         outs = [self.compile(c, doc) for c in node.children]
-        target: T.DataType = T.NullType()
+        target: T.DataType | None = T.NullType()
         for o in outs:
-            u = _unify(target, o.dtype)
-            if u is None:
-                raise NotColumnCompilable("heterogeneous multiselect list")
-            target = u
+            target = _unify(target, o.dtype)
+            if target is None:
+                break
+        if target is None:
+            # heterogeneous members: emit the list as one boxed JSON value
+            parts = [
+                F.coalesce(_json_text(o), F.lit("null")) for o in outs
+            ]
+            arr_txt = F.concat(
+                F.lit("["), F.concat_ws(",", *parts), F.lit("]")
+            )
+            return Typed(
+                F.when(doc.col.isNotNull(), arr_txt), _JSONBOX
+            )
         arr = F.array(*[_coerce(o, target).col for o in outs])
         # multiselect on null input -> null (spec)
-        if not isinstance(doc.dtype, T.StructType) or True:
-            arr = F.when(doc.col.isNotNull(), arr)
+        arr = F.when(doc.col.isNotNull(), arr)
         return Typed(arr, T.ArrayType(target))
 
     def _c_multiselect_dict(self, node: Node, doc: Typed) -> Typed:
-        fields = []
-        out_fields = []
-        for kv in node.children:
-            val = self.compile(kv.children[0], doc)
-            fields.append(val.col.alias(kv.value))
-            out_fields.append(T.StructField(kv.value, val.dtype))
+        vals = [(kv.value, self.compile(kv.children[0], doc)) for kv in node.children]
+        if any(
+            _contains_box(v.dtype) or has_markers(v.dtype) for _, v in vals
+        ):
+            # a member carries boxed/padded content: emit the whole hash as
+            # one boxed JSON value (canonical key order)
+            parts = [
+                F.concat(
+                    F.lit(json.dumps(k) + ":"),
+                    F.coalesce(_json_text(v), F.lit("null")),
+                )
+                for k, v in sorted(vals, key=lambda kv: kv[0])
+            ]
+            txt = F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+            return Typed(F.when(doc.col.isNotNull(), txt), _JSONBOX)
+        fields = [v.col.alias(k) for k, v in vals]
+        out_fields = [T.StructField(k, v.dtype) for k, v in vals]
         struct = F.when(doc.col.isNotNull(), F.struct(*fields))
         return Typed(struct, T.StructType(out_fields))
 
@@ -372,23 +600,41 @@ class ColumnCompiler:
             raise NotColumnCompilable(f"{node.value}() argument {i} must be &expr")
         return child.children[0]
 
+    @staticmethod
+    def _box_as_num(tc: Typed) -> Typed:
+        """A boxed operand where a number is required: canonical number
+        text casts cleanly; any other JSON shape casts to NULL (the
+        evaluator raises invalid-type there — documented box deviation)."""
+        return Typed(tc.col.try_cast("double"), T.DoubleType())
+
     def _f_abs(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            a = self._box_as_num(a)
         _require_num(a, "abs")
         return Typed(F.abs(a.col), a.dtype)
 
     def _f_ceil(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            a = self._box_as_num(a)
         _require_num(a, "ceil")
         return Typed(F.ceil(a.col).cast("long"), T.LongType())
 
     def _f_floor(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            a = self._box_as_num(a)
         _require_num(a, "floor")
         return Typed(F.floor(a.col).cast("long"), T.LongType())
 
     def _f_sum(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if self._all_null_array(a.dtype) or (
+            node.children[0].type == "literal" and node.children[0].value == []
+        ):
+            # sum([]) is 0
+            return Typed(F.when(a.col.isNotNull(), F.lit(0.0)), T.DoubleType())
         et = _require_num_array(a, "sum")
         zero = F.lit(0.0) if isinstance(et, (T.DoubleType, T.FloatType)) else F.lit(0).cast("long")
         rt = T.DoubleType() if isinstance(et, (T.DoubleType, T.FloatType)) else T.LongType()
@@ -406,14 +652,32 @@ class ColumnCompiler:
     def _f_length(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
         dt = a.dtype
+        if _is_box(dt):
+            raise NotColumnCompilable("length() of a json box")
         if isinstance(dt, T.StringType):
             return Typed(F.length(a.col).cast("long"), T.LongType())
         if isinstance(dt, (T.ArrayType, T.MapType)):
             return Typed(F.size(a.col).cast("long"), T.LongType())
         if isinstance(dt, T.StructType):
-            _no_markers(dt, "length()")
+            # only DIRECT padding makes the key count dynamic; nested
+            # markers and boxed values don't change how many keys exist
+            direct = [
+                f for f in dt.fields if not (f.metadata or {}).get(SHADOW)
+            ]
+            if any((f.metadata or {}).get(PADDED) for f in direct):
+                shadow = _shadow_field(dt)
+                if shadow is not None:
+                    return Typed(
+                        F.size(
+                            F.json_object_keys(a.col.getField(SHADOW_NAME))
+                        ).cast("long"),
+                        T.LongType(),
+                    )
+                raise NotColumnCompilable(
+                    "length() on a schema-padded object type"
+                )
             return Typed(
-                F.when(a.col.isNotNull(), F.lit(len(dt.fields)).cast("long")),
+                F.when(a.col.isNotNull(), F.lit(len(direct)).cast("long")),
                 T.LongType(),
             )
         raise NotColumnCompilable("length() on unsupported static type")
@@ -457,9 +721,15 @@ class ColumnCompiler:
         if sep_node.type != "literal" or not isinstance(sep_node.value, str):
             raise NotColumnCompilable("join() separator must be a string literal")
         a = self.compile(node.children[1], doc)
+        if self._all_null_array(a.dtype):
+            # join(sep, []) is ''
+            return Typed(
+                F.when(a.col.isNotNull(), F.lit("")), T.StringType()
+            )
         if not (
             isinstance(a.dtype, T.ArrayType)
             and isinstance(a.dtype.elementType, T.StringType)
+            and not _is_box(a.dtype.elementType)
         ):
             raise NotColumnCompilable("join() needs array<string>")
         return Typed(F.array_join(a.col, sep_node.value), T.StringType())
@@ -472,9 +742,18 @@ class ColumnCompiler:
 
     def _f_keys(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # null for non-object boxes (evaluator raises — box deviation)
+            return Typed(F.json_object_keys(a.col), T.ArrayType(T.StringType()))
         if isinstance(a.dtype, T.MapType):
             return Typed(F.map_keys(a.col), T.ArrayType(a.dtype.keyType))
         if isinstance(a.dtype, T.StructType):
+            shadow = _shadow_field(a.dtype)
+            if shadow is not None:
+                return Typed(
+                    F.json_object_keys(a.col.getField(SHADOW_NAME)),
+                    T.ArrayType(T.StringType()),
+                )
             _no_markers(a.dtype, "keys()")
             arr = F.array(*[F.lit(f.name) for f in a.dtype.fields])
             return Typed(
@@ -504,28 +783,48 @@ class ColumnCompiler:
         outs = self._args(node, doc)
         if not outs:
             raise InvalidArityError("not_null() needs at least one argument")
-        target: T.DataType = T.NullType()
+        target: T.DataType | None = T.NullType()
         for o in outs:
-            u = _unify(target, o.dtype)
-            if u is None:
-                raise NotColumnCompilable("not_null() heterogeneous args")
-            target = u
+            target = _unify(target, o.dtype)
+            if target is None:
+                break
+        if target is None:
+            # heterogeneous args: coalesce their boxed forms
+            return Typed(
+                F.coalesce(*[box(o).col for o in outs]), _JSONBOX
+            )
         return Typed(
             F.coalesce(*[_coerce(o, target).col for o in outs]), target
         )
 
+    @staticmethod
+    def _all_null_array(dt: T.DataType) -> bool:
+        """array<null>: every element the schema can hold is null, so a
+        non-error document can only supply [] here (a NONEMPTY array of
+        nulls is an invalid-type error on the evaluator — box deviation:
+        the native path treats it as empty)."""
+        return isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, T.NullType
+        )
+
     def _f_max(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if self._all_null_array(a.dtype):
+            return _null()  # max([]) is null
         et = _require_ord_array(a, "max")
         return Typed(F.array_max(a.col), et)
 
     def _f_min(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if self._all_null_array(a.dtype):
+            return _null()  # min([]) is null
         et = _require_ord_array(a, "min")
         return Typed(F.array_min(a.col), et)
 
     def _f_sort(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if self._all_null_array(a.dtype):
+            return a  # sort([]) is []
         _require_ord_array(a, "sort")
         return Typed(F.array_sort(a.col), a.dtype)
 
@@ -591,6 +890,9 @@ class ColumnCompiler:
 
     def _f_to_array(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # runtime arrays must pass through unwrapped — not decidable
+            raise NotColumnCompilable("to_array() of a json box")
         if isinstance(a.dtype, T.ArrayType):
             # runtime null is NOT an array — go jpfToArray wraps it:
             # to_array(null) == [null] (functions.go:793-798)
@@ -603,6 +905,11 @@ class ColumnCompiler:
 
     def _f_to_string(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # a box that holds a string must round-trip unquoted — not
+            # statically decidable, so only the quoted-JSON cases would be
+            # right; refuse rather than guess
+            raise NotColumnCompilable("to_string() of a json box")
         _no_markers(a.dtype, "to_string()")
         if isinstance(a.dtype, T.StringType):
             return a
@@ -628,6 +935,17 @@ class ColumnCompiler:
 
     def _f_to_number(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # number text casts directly; quoted numeric strings are
+            # unquoted first (canonical numeric text has no escapes);
+            # any other shape -> null (to_number is total: go
+            # functions.go jpfToNumber returns null for non-numbers)
+            col = a.col
+            unq = F.when(
+                col.startswith('"') & col.endswith('"'),
+                col.substr(F.lit(2), F.length(col) - 2),
+            ).otherwise(col)
+            return Typed(unq.try_cast("double"), T.DoubleType())
         if _is_num(a.dtype):
             return a
         if isinstance(a.dtype, T.StringType):
@@ -637,6 +955,18 @@ class ColumnCompiler:
     def _f_type(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
         dt = a.dtype
+        if _is_box(dt):
+            c = a.col
+            head = c.substr(1, 1)
+            out = (
+                F.when(c.isNull(), "null")
+                .when(head == '"', "string")
+                .when(head == "[", "array")
+                .when(head == "{", "object")
+                .when(c.isin("true", "false"), "boolean")
+                .otherwise("number")
+            )
+            return Typed(out, T.StringType())
         if isinstance(dt, T.NullType):
             name = "null"
         elif isinstance(dt, T.BooleanType):
@@ -656,9 +986,18 @@ class ColumnCompiler:
         )
 
     def _f_merge(self, node: Node, doc: Typed) -> Typed:
-        outs = self._args(node, doc)
-        if not outs:
+        if not node.children:
             raise InvalidArityError("merge() needs at least one argument")
+        # empty-object literals contribute no keys; drop them at compile
+        # time (they have no struct form) — merge(`{}`) and friends
+        kept = [
+            c
+            for c in node.children
+            if not (c.type == "literal" and c.value == {})
+        ]
+        if not kept:
+            return Typed(F.lit("{}"), _JSONBOX)
+        outs = [self.compile(c, doc) for c in kept]
         if all(isinstance(o.dtype, T.MapType) for o in outs):
             # last-wins needs mapKeyDedupPolicy=LAST_WIN (set in session)
             return Typed(F.map_concat(*[o.col for o in outs]), outs[0].dtype)
@@ -740,13 +1079,14 @@ def _lit_typed(value) -> Typed:
             F.array(*[_coerce(o, target).col for o in outs]), T.ArrayType(target)
         )
     if isinstance(value, dict):
+        if not value:
+            # {} has no Spark struct form; as a VALUE it lives in a box
+            return Typed(F.lit("{}"), _JSONBOX)
         fields, st = [], []
         for k, v in value.items():
             tv = _lit_typed(v)
             fields.append(tv.col.alias(k))
             st.append(T.StructField(k, tv.dtype))
-        if not fields:
-            raise NotColumnCompilable("empty object literal")
         return Typed(F.struct(*fields), T.StructType(st))
     raise NotColumnCompilable(f"unsupported literal {value!r}")
 
@@ -760,10 +1100,17 @@ def compile_column(expression: str | Node, col: Column, dtype: T.DataType) -> Ty
     """
     ast = parse(expression) if isinstance(expression, str) else expression
     out = ColumnCompiler().compile(ast, Typed(col, dtype))
-    # A padded struct is faithful to traverse but not to RETURN: absent
-    # keys would surface as JSON nulls in the result value.
-    if has_markers(out.dtype):
-        raise NotColumnCompilable("result type is schema-padded")
+    # A padded/boxed result is faithful to traverse but not to RETURN as a
+    # plain Spark value (absent keys would surface as JSON nulls; boxed
+    # members are raw JSON text). If the shape is serializable — shadows
+    # cover the padded parts — return it as ONE JsonBox column; else refuse.
+    if has_markers(out.dtype) or (
+        _contains_box(out.dtype) and not _is_box(out.dtype)
+    ):
+        try:
+            return box(out)
+        except NotColumnCompilable:
+            raise NotColumnCompilable("result type is schema-padded") from None
     return out
 
 

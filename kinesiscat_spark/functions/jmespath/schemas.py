@@ -16,6 +16,8 @@ so every JSON number infers as ``DoubleType``.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import types as T
 
 
@@ -32,6 +34,28 @@ class Unrepresentable(ValueError):
 # even accessing it must refuse.
 PADDED = "kc_padded"
 OPAQUE = "kc_opaque"
+
+# BOXED: the field's value type has no static Spark form, but the value is
+# KEPT — stored as a StringType column holding the value's canonical JSON
+# text (sorted keys, compact separators, integral floats as ints; SQL NULL
+# encodes both JSON null and an absent key, which JMESPath cannot tell
+# apart anyway). The compiler treats such columns as dynamically-typed
+# "json box" values: truthiness, equality, or/and, and a handful of
+# functions operate on the text directly (columns.py JsonBoxType).
+# BOXED_ELEM: same, but the field is a heterogeneous ARRAY — stored as
+# array<string> of per-element canonical JSON, preserving native index/
+# slice/size/reverse on the array shape.
+BOXED = "kc_boxed"
+BOXED_ELEM = "kc_boxed_elem"
+
+# SHADOW: a synthetic `_kc_raw` StringType field appended to any struct
+# that carries PADDED/BOXED/BOXED_ELEM/OPAQUE members, holding the WHOLE
+# object's canonical JSON. It restores what padding/boxing lost — key
+# presence and dropped values — so such structs can still be returned,
+# compared, and serialized faithfully (columns.py boxes them via the
+# shadow). Never addressable from a JMESPath expression.
+SHADOW = "kc_shadow"
+SHADOW_NAME = "_kc_raw"
 
 
 def _mark(f: T.StructField, key: str) -> T.StructField:
@@ -59,14 +83,16 @@ def contains_empty_struct(dt: T.DataType) -> bool:
     return False
 
 
+_ALL_MARKERS = (PADDED, OPAQUE, BOXED, BOXED_ELEM, SHADOW)
+
+
 def has_markers(dt: T.DataType) -> bool:
-    """True if ``dt`` (recursively) contains PADDED or OPAQUE fields —
-    i.e. some runtime NULLs inside it encode "absent"/"dropped" rather
-    than JSON null."""
+    """True if ``dt`` (recursively) contains marker-bearing fields — i.e.
+    some runtime values inside it are not what their plain Spark type says
+    (absent-vs-null padding, dropped values, or boxed JSON text)."""
     if isinstance(dt, T.StructType):
         return any(
-            (f.metadata or {}).get(PADDED)
-            or (f.metadata or {}).get(OPAQUE)
+            any((f.metadata or {}).get(m) for m in _ALL_MARKERS)
             or has_markers(f.dataType)
             for f in dt.fields
         )
@@ -75,6 +101,34 @@ def has_markers(dt: T.DataType) -> bool:
     if isinstance(dt, T.MapType):
         return has_markers(dt.valueType)
     return False
+
+
+def canonical_json(v) -> str | None:
+    """Canonical JSON text of a JSON-shaped Python value: sorted keys,
+    compact separators, integral floats printed as ints (JMESPath has one
+    number type; 1.0 and 1 are the same value and must box identically).
+    The int conversion is bounded at 2**53 to match what the Column-side
+    serializer (columns.py ``_json_text``) can reproduce with a long cast.
+    Top-level ``None`` boxes to SQL NULL (returns None), matching the
+    compiler's NULL ⇔ JMESPath-null convention; nested nulls stay "null".
+    """
+    if v is None:
+        return None
+    return json.dumps(
+        _canon_nums(v), separators=(",", ":"), ensure_ascii=False, sort_keys=True
+    )
+
+
+def _canon_nums(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and abs(v) <= 2.0**53 and v == int(v):
+        return int(v)
+    if isinstance(v, list):
+        return [_canon_nums(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_nums(x) for k, x in v.items()}
+    return v
 
 
 def unify(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -109,10 +163,28 @@ def unify(a: T.DataType, b: T.DataType) -> T.DataType:
                 continue
             g = bf[f.name]
             md = _merge_meta(f.metadata, g.metadata)
-            try:
-                dt = unify(f.dataType, g.dataType)
-            except Unrepresentable:
-                dt, md = T.NullType(), {**md, OPAQUE: True}
+            if md.get(OPAQUE):
+                dt: T.DataType = T.NullType()
+            elif md.get(BOXED):
+                # one side already boxes the whole value: box both
+                dt = T.StringType()
+                md.pop(BOXED_ELEM, None)
+            elif md.get(BOXED_ELEM):
+                if isinstance(f.dataType, T.ArrayType) and isinstance(
+                    g.dataType, T.ArrayType
+                ):
+                    dt = T.ArrayType(T.StringType())
+                else:  # array on one side, scalar/object on the other
+                    dt = T.StringType()
+                    md.pop(BOXED_ELEM, None)
+                    md[BOXED] = True
+            else:
+                try:
+                    dt = unify(f.dataType, g.dataType)
+                except Unrepresentable:
+                    # genuinely conflicting value types: keep the values as
+                    # canonical JSON text instead of dropping them
+                    dt, md = T.StringType(), {**md, BOXED: True}
             out.append(T.StructField(f.name, dt, True, md))
         out.extend(_mark(g, PADDED) for g in b.fields if g.name not in af)
         return T.StructType(out)
@@ -138,7 +210,7 @@ def infer_type(doc) -> T.DataType:
         elem: T.DataType = T.NullType()
         for x in doc:
             elem = unify(elem, infer_type(x))
-        return T.ArrayType(elem)
+        return T.ArrayType(_ensure_shadow(elem))
     if isinstance(doc, dict):
         if not all(isinstance(k, str) for k in doc):
             raise Unrepresentable("object with non-string keys")
@@ -150,22 +222,105 @@ def infer_type(doc) -> T.DataType:
                     raise Unrepresentable("empty object has no Spark struct")
                 fields.append(T.StructField(k, vt))
             except Unrepresentable:
-                fields.append(T.StructField(k, T.NullType(), True, {OPAQUE: True}))
-        return T.StructType(fields)
+                fields.append(_boxed_field(k, v))
+        return _ensure_shadow(T.StructType(fields))
     raise Unrepresentable(f"no Spark type for {type(doc).__name__}")
+
+
+def _boxed_field(k: str, v) -> T.StructField:
+    """Field for a value with no static Spark type: keep it as canonical
+    JSON (BOXED / BOXED_ELEM) when serializable, else drop it (OPAQUE)."""
+    try:
+        canonical_json(v)
+    except (TypeError, ValueError):
+        return T.StructField(k, T.NullType(), True, {OPAQUE: True})
+    if isinstance(v, list):
+        return T.StructField(
+            k, T.ArrayType(T.StringType()), True, {BOXED_ELEM: True}
+        )
+    return T.StructField(k, T.StringType(), True, {BOXED: True})
+
+
+def _ensure_shadow(dt: T.DataType) -> T.DataType:
+    """Append the SHADOW field to a struct whose direct members carry
+    markers (the usual source: unifying array elements with differing key
+    sets or conflicting value types), so the element's original JSON is
+    recoverable at runtime."""
+    if not isinstance(dt, T.StructType):
+        return dt
+    names = dt.fieldNames()
+    if SHADOW_NAME in names:
+        return dt
+    marked = any(
+        any((f.metadata or {}).get(m) for m in _ALL_MARKERS) for f in dt.fields
+    )
+    if not marked:
+        return dt
+    return T.StructType(
+        list(dt.fields)
+        + [T.StructField(SHADOW_NAME, T.StringType(), True, {SHADOW: True})]
+    )
+
+
+def demote_boxes(dt: T.DataType) -> T.DataType:
+    """Schema variant for ``from_json``-backed evaluation (api.py): boxed
+    and shadow fields cannot be reconstructed from a parsed payload —
+    ``from_json`` keeps no raw text per subtree — so BOXED/BOXED_ELEM
+    demote to OPAQUE (expressions touching them refuse to the UDF) and
+    SHADOW fields are dropped entirely."""
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            if md.get(SHADOW):
+                continue
+            if md.get(BOXED) or md.get(BOXED_ELEM):
+                md.pop(BOXED, None)
+                md.pop(BOXED_ELEM, None)
+                md[OPAQUE] = True
+                out.append(T.StructField(f.name, T.NullType(), True, md))
+            else:
+                out.append(
+                    T.StructField(
+                        f.name, demote_boxes(f.dataType), f.nullable, md
+                    )
+                )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(demote_boxes(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            dt.keyType, demote_boxes(dt.valueType), dt.valueContainsNull
+        )
+    return dt
 
 
 def to_spark_value(doc, dtype: T.DataType):
     """Convert a JSON-shaped value to the shape createDataFrame expects
-    under ``dtype`` (structs → tuples in field order, numbers → float)."""
+    under ``dtype`` (structs → tuples in field order, numbers → float;
+    BOXED/SHADOW fields → canonical JSON text)."""
     if doc is None:
         return None
     if isinstance(dtype, T.NullType):
         return None  # OPAQUE field: the unrepresentable value is dropped
     if isinstance(dtype, T.StructType):
-        return tuple(
-            to_spark_value(doc.get(f.name), f.dataType) for f in dtype.fields
-        )
+        out = []
+        for f in dtype.fields:
+            md = f.metadata or {}
+            if md.get(SHADOW):
+                out.append(canonical_json(doc))
+            elif md.get(OPAQUE):
+                out.append(None)
+            elif md.get(BOXED):
+                out.append(canonical_json(doc.get(f.name)))
+            elif md.get(BOXED_ELEM):
+                v = doc.get(f.name)
+                out.append(
+                    None if v is None else [canonical_json(x) for x in v]
+                )
+            else:
+                out.append(to_spark_value(doc.get(f.name), f.dataType))
+        return tuple(out)
     if isinstance(dtype, T.ArrayType):
         return [to_spark_value(x, dtype.elementType) for x in doc]
     if isinstance(dtype, T.DoubleType):

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesiscat_spark.functions.jmespath import compile_expr
-from kinesiscat_spark.functions.jmespath.columns import compile_column
+from kinesiscat_spark.functions.jmespath.columns import (
+    JsonBoxType,
+    compile_column,
+)
 from kinesiscat_spark.functions.jmespath.errors import NotColumnCompilable
 
 def _f(name, dt):
@@ -206,6 +209,10 @@ def test_column_matches_evaluator(spark, typed_df, expression):
     except NotColumnCompilable as e:
         pytest.skip(f"not column-compilable: {e}")
     got = [_plainify(r[0]) for r in typed_df.select(typed.col).collect()]
+    if isinstance(typed.dtype, JsonBoxType):
+        import json as _json
+
+        got = [None if g is None else _plainify(_json.loads(g)) for g in got]
     for g, e, doc in zip(got, expected, DOCS):
         if e is _RAISES:
             # Documented deviation: per-row runtime type errors cannot raise
@@ -218,3 +225,82 @@ def test_column_matches_evaluator(spark, typed_df, expression):
         assert _agree(g, e), (
             f"{expression!r} on {doc!r}:\n  column   = {g!r}\n  evaluator= {e!r}"
         )
+
+
+# --- json-box machinery pins ------------------------------------------------
+# The compliance-corpus sweep (test_jmespath_columns_corpus) covers values
+# broadly; these pin the box-specific invariants directly.
+
+
+def _box_schema_and_rows():
+    """A table whose `v` field is dynamically typed (BOXED) and whose
+    elements pad against each other (SHADOW), built via infer_type."""
+    from kinesiscat_spark.functions.jmespath.schemas import (
+        infer_type,
+        to_spark_value,
+    )
+
+    docs = [
+        {"items": [{"v": 1}, {"v": 1.0}, {"v": "1"}, {"v": True},
+                   {"v": [1, 2]}, {"v": {"b": 2, "a": 1}}, {"v": None}, {}]},
+    ]
+    dtype = infer_type(docs[0])
+    rows = [(to_spark_value(d, dtype),) for d in docs]
+    schema = T.StructType([T.StructField("doc", dtype)])
+    return schema, rows, dtype
+
+
+def test_boxed_equality_canonicalizes_numbers(spark):
+    """1 and 1.0 are the same JMESPath number; a boxed 1.0 must equal the
+    literal `1`, while the STRING "1" and boolean true must not."""
+    schema, rows, dtype = _box_schema_and_rows()
+    df = spark.createDataFrame(rows, schema)
+    typed = compile_column("items[?v == `1`]", F.col("doc"), dtype)
+    assert isinstance(typed.dtype, JsonBoxType)
+    import json as _json
+
+    got = _json.loads(df.select(typed.col).collect()[0][0])
+    assert got == [{"v": 1}, {"v": 1.0}]
+
+
+def test_boxed_object_equality_sorts_keys(spark):
+    """Deep equality on boxed objects must not depend on key order."""
+    schema, rows, dtype = _box_schema_and_rows()
+    df = spark.createDataFrame(rows, schema)
+    typed = compile_column('items[?v == `{"a": 1, "b": 2}`]', F.col("doc"), dtype)
+    import json as _json
+
+    got = _json.loads(df.select(typed.col).collect()[0][0])
+    assert got == [{"v": {"a": 1, "b": 2}}]
+
+
+def test_shadow_preserves_key_absence(spark):
+    """A padded element that never had the key must round-trip as {} —
+    not as {"v": null} — through a boxed result."""
+    schema, rows, dtype = _box_schema_and_rows()
+    df = spark.createDataFrame(rows, schema)
+    typed = compile_column("items[-1:]", F.col("doc"), dtype)
+    import json as _json
+
+    got = _json.loads(df.select(typed.col).collect()[0][0])
+    assert got == [{}]
+
+
+def test_boxed_null_vs_missing_both_equal_null(spark):
+    """`v == null` matches explicit null; the no-key element also matches
+    (JMESPath missing-key access yields null)."""
+    schema, rows, dtype = _box_schema_and_rows()
+    df = spark.createDataFrame(rows, schema)
+    typed = compile_column("length(items[?v == `null`])", F.col("doc"), dtype)
+    got = df.select(typed.col).collect()[0][0]
+    assert got == 2
+
+
+def test_box_path_is_python_free(spark):
+    """The whole box pipeline must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes in the plan of a boxed expression."""
+    schema, rows, dtype = _box_schema_and_rows()
+    df = spark.createDataFrame(rows, schema)
+    typed = compile_column("items[?v]", F.col("doc"), dtype)
+    plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -26,7 +26,10 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesiscat_spark.functions.jmespath.columns import compile_column
+from kinesiscat_spark.functions.jmespath.columns import (
+    JsonBoxType,
+    compile_column,
+)
 from kinesiscat_spark.functions.jmespath.errors import (
     JMESPathError,
     NotColumnCompilable,
@@ -139,9 +142,12 @@ def test_corpus_native_column_path(spark):
         )
         df = spark.createDataFrame([row], schema)
         cols = []
+        boxed: set[int] = set()
         for i, (case_id, expression, dtype, _, _) in enumerate(batch):
             try:
                 typed = compile_column(expression, F.col(f"c{i}"), dtype)
+                if isinstance(typed.dtype, JsonBoxType):
+                    boxed.add(i)
                 cols.append(typed.col.alias(f"r{i}"))
             except JMESPathError as e:  # dry-run passed but real input failed
                 failures.append(f"{case_id} {expression!r}: compile error {e}")
@@ -149,6 +155,8 @@ def test_corpus_native_column_path(spark):
         out = df.select(*cols).collect()[0]
         for i, (case_id, expression, _, _, expected) in enumerate(batch):
             got = out[f"r{i}"]
+            if i in boxed and got is not None:
+                got = json.loads(got)  # JsonBox results are canonical JSON
             n_native += 1
             if not _agree(got, expected, expression):
                 failures.append(
@@ -163,5 +171,6 @@ def test_corpus_native_column_path(spark):
     )
     assert not failures, "\n".join(failures[:40]) + f"\n({len(failures)} total)"
     # the native path must carry a substantial share of the corpus
-    # (key-union padding + opaque-field schemas: 608 as of round 3)
-    assert n_native >= 600, n_native
+    # (key-union padding + opaque-field schemas: 608 as of round 3;
+    # json-box dynamic values + shadowed padded results: 705 in round 4)
+    assert n_native >= 700, n_native
