@@ -117,17 +117,80 @@ def _payload_schema(args) -> T.StructType | None:
     return None
 
 
-def output_column(args) -> F.Column:
+_INFER_SAMPLE = 1000
+
+
+def infer_payload_schema(records, expression: str) -> T.StructType | None:
+    """Derive a payload schema from the source itself so arbitrary
+    ``--source`` inputs get the native filter path without a declared
+    ``--payload-schema``.
+
+    A bounded sample (first 1000 records — one small job at startup,
+    independent of source size) goes through Spark's JVM JSON inference
+    (``spark.read.json``). Inferred types are kept as-is: integer fields
+    stay LongType (byte-faithful JSON output; a double would fail the
+    ``json_faithful`` gate and defeat the native path for every
+    number-returning filter). The schema is then validated by dry-running
+    the native filter against the UDF on the same sample: any
+    disagreement — heterogeneous fields widened to string, fractional
+    values, shapes outside the static subset — refuses inference and
+    keeps the UDF path. The check makes the heuristic safe on sampled
+    data; payload shapes that only appear beyond the sample (e.g. a
+    long-inferred field later carrying 1.5) are skipped as corrupt by
+    the native parse — declare ``--payload-schema`` for strict parity
+    on such feeds.
+    """
+    spark = records.sparkSession
+    sample = (
+        records.select(F.decode(F.col("data"), "UTF-8").alias("doc"))
+        .limit(_INFER_SAMPLE)
+        .cache()
+    )
+    try:
+        docs = sample.rdd.map(lambda r: r.doc).filter(lambda d: d is not None)
+        inferred = spark.read.json(docs)
+        fields = [
+            f for f in inferred.schema.fields if f.name != "_corrupt_record"
+        ]
+        if not fields:
+            return None
+        schema = T.StructType(fields)
+        from kinesiscat_spark.functions.jmespath import NotColumnCompilable
+        from kinesiscat_spark.functions.jmespath.api import jmespath_native_json
+
+        try:
+            native = jmespath_native_json(expression, F.col("doc"), schema)
+        except NotColumnCompilable:
+            return None
+        udf_out = _safe_filter_udf(expression)(F.col("doc"))
+        diverged = (
+            sample.select(native.alias("n"), udf_out.alias("u"))
+            .where(~F.col("n").eqNullSafe(F.col("u")))
+            .take(1)
+        )
+        return None if diverged else schema
+    except Exception:  # inference is best-effort; the UDF path always works
+        return None
+    finally:
+        sample.unpersist()
+
+
+def output_column(args, sample_records=None) -> F.Column:
     """The one emitted value per record (K1/K3, intended semantics).
 
     The filter prefers the native Column compiler (JVM-side, whole-stage
-    codegen) whenever a payload schema is known; only expressions outside
-    the statically-typeable subset fall back to the Arrow-batched UDF.
-    Both paths skip corrupt payloads (S9) and emit identical JSON text.
+    codegen) whenever a payload schema is known — declared, contractual
+    (events source), or inferred from a source sample (``sample_records``:
+    a zero-arg callable returning a BATCH DataFrame of the same source) —
+    and only expressions outside the statically-typeable subset fall back
+    to the Arrow-batched UDF. Both paths skip corrupt payloads (S9) and
+    emit identical JSON text.
     """
     if args.json_filter and args.fmt == "data":
         doc = F.decode(F.col("data"), "UTF-8")
         schema = _payload_schema(args)
+        if schema is None and sample_records is not None:
+            schema = infer_payload_schema(sample_records(), args.json_filter)
         if schema is not None:
             from kinesiscat_spark.functions.jmespath import NotColumnCompilable
             from kinesiscat_spark.functions.jmespath.api import jmespath_native_json
@@ -177,10 +240,23 @@ def run(args, spark: SparkSession, emit: Callable[[str], None]) -> int:
     sep = "\0" if args.null_separator else args.separator
     streaming = args.follow
     records = load_records(spark, args, streaming)
-    out = output_column(args).alias("out")
+    # schema inference samples the BATCH twin of the source (a streaming
+    # DataFrame can't be sampled); only invoked when no schema is declared
+    sample = lambda: records if not streaming else load_records(spark, args, False)  # noqa: E731
+    out = output_column(args, sample_records=sample).alias("out")
 
     if not streaming:
-        ordered = records.orderBy("shardId", "sequenceNumber").select(out)
+        # The reference guarantees ordering only WITHIN a shard (SURVEY
+        # §1.1): range-partition by shardId + sortWithinPartitions gives
+        # exactly that contract without a global total-order exchange
+        # (no corpus-wide (shard, seq) sampling; sequence skew inside one
+        # shard never rebalances the whole sort). toLocalIterator walks
+        # partitions in range order, so shards still emit grouped.
+        ordered = (
+            records.repartitionByRange("shardId")
+            .sortWithinPartitions("shardId", "sequenceNumber")
+            .select(out)
+        )
         # toLocalIterator: constant driver memory — stdout is the bottleneck
         for row in ordered.filter(F.col("out").isNotNull()).toLocalIterator():
             emit(row.out + sep)
@@ -197,7 +273,8 @@ def run(args, spark: SparkSession, emit: Callable[[str], None]) -> int:
         # toLocalIterator, as in the batch path above: constant driver
         # memory regardless of micro-batch size.
         rows = (
-            batch.orderBy("shardId", "sequenceNumber")
+            batch.repartitionByRange("shardId")
+            .sortWithinPartitions("shardId", "sequenceNumber")
             .select(out)
             .filter(F.col("out").isNotNull())
             .toLocalIterator()
