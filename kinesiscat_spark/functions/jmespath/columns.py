@@ -999,7 +999,24 @@ class ColumnCompiler:
             return Typed(F.lit("{}"), _JSONBOX)
         outs = [self.compile(c, doc) for c in kept]
         if all(isinstance(o.dtype, T.MapType) for o in outs):
-            # last-wins needs mapKeyDedupPolicy=LAST_WIN (set in session)
+            # map_concat is right-wins ONLY under mapKeyDedupPolicy=
+            # LAST_WIN (session.py sets it; a foreign session may not —
+            # default EXCEPTION throws at runtime on overlapping keys,
+            # which is exactly the merge use case). Verify the ACTIVE
+            # session rather than mutating it under the user.
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            policy = (
+                active.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+                if active is not None
+                else "EXCEPTION"
+            )
+            if policy != "LAST_WIN":
+                raise NotColumnCompilable(
+                    "merge() on maps needs spark.sql.mapKeyDedupPolicy="
+                    "LAST_WIN in the active session"
+                )
             return Typed(F.map_concat(*[o.col for o in outs]), outs[0].dtype)
         if all(isinstance(o.dtype, T.StructType) for o in outs):
             for o in outs:

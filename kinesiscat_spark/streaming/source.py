@@ -157,8 +157,15 @@ def read_record_text(
     A text dump is payload-only, so the envelope metadata is synthesized:
     ``partitionKey`` = md5 of the payload (matching how the reference's
     producers commonly derive keys from content), ``sequenceNumber`` = the
-    zero-padded intake order (batch) or a content-derived stable id
-    (streaming — monotonic ids are not available there), ``shardId`` from
+    zero-padded intake order (batch) or a synthetic stable id (streaming:
+    pmod-folded hash of source file + payload — non-negative even at
+    Long.MIN_VALUE, distinct for the same payload replayed in different
+    files). Two caveats, inherent to a payload-only stream (no per-row
+    index exists in a streaming text scan — monotonic ids are rejected
+    there): byte-identical duplicate lines WITHIN one file share their
+    synthetic (partitionKey, sequenceNumber), and the id is not an intake
+    order, so AT/AFTER_SEQUENCE over a streaming text source selects an
+    arbitrary stable subset rather than a point in time. ``shardId`` from
     the partition-key hash range (envelope.py semantics), arrival
     timestamp = current batch time. Works batch or streaming
     (``lineSep``-aware file stream).
@@ -172,7 +179,13 @@ def read_record_text(
             .option("maxFilesPerTrigger", cfg.batch_size)
             .text(records_dir)
         )
-        seq_src = F.abs(F.xxhash64("value"))
+        # file name disambiguates the same payload across files/batches;
+        # pmod (not abs — abs(Long.MIN_VALUE) stays negative) keeps the
+        # fixed-width zero-padded ordering contract
+        seq_src = F.pmod(
+            F.xxhash64(F.input_file_name(), F.col("value")),
+            F.lit((1 << 63) - 1),
+        )
     else:
         raw = spark.read.option("lineSep", separator).text(records_dir)
         seq_src = F.monotonically_increasing_id()

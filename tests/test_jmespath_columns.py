@@ -304,3 +304,31 @@ def test_box_path_is_python_free(spark):
     typed = compile_column("items[?v]", F.col("doc"), dtype)
     plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_merge_on_maps_requires_last_win_policy(spark):
+    """merge() compiles to map_concat, whose right-wins semantics exist
+    only under mapKeyDedupPolicy=LAST_WIN; in a session with the default
+    EXCEPTION policy the compiler must refuse (UDF fallback) instead of
+    throwing at runtime on overlapping keys."""
+    map_schema = T.StructType(
+        [
+            T.StructField("m1", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("m2", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    old = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        with pytest.raises(NotColumnCompilable, match="LAST_WIN"):
+            compile_column("merge(m1, m2)", F.col("doc"), map_schema)
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        typed = compile_column("merge(m1, m2)", F.col("doc"), map_schema)
+        df = spark.createDataFrame(
+            [(({"a": 1, "b": 2}, {"b": 9}),)],
+            T.StructType([T.StructField("doc", map_schema)]),
+        )
+        got = df.select(typed.col.alias("r")).collect()[0].r
+        assert got == {"a": 1, "b": 9}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", old)

@@ -331,3 +331,32 @@ def test_text_source_streaming(spark, tmp_path):
     rows = run_to_memory(df.select("data", "shardId"), output_mode="append").collect()
     assert sorted(bytes(r.data).decode() for r in rows) == ['{"k":1}', '{"k":2}']
     assert all(r.shardId.startswith("shardId-") for r in rows)
+
+
+def test_text_stream_sequence_distinct_across_files(spark, tmp_path):
+    """ADVICE r3: the streaming text source must give the SAME payload
+    different sequenceNumbers when it arrives in different files, and all
+    synthesized sequence numbers must be non-negative fixed-width (the
+    old abs(xxhash64) construction collapsed replays and could emit a
+    negative at Long.MIN_VALUE)."""
+    import os as _os
+
+    from kinesiscat_spark.streaming.source import read_record_text
+
+    src = str(tmp_path / "txt_replay")
+    _os.makedirs(src)
+    for fname in ("a.txt", "b.txt"):
+        with open(_os.path.join(src, fname), "w") as f:
+            f.write("same-payload\n")
+
+    rec = read_record_text(
+        spark, src, StreamConfig(iterator_type="TRIM_HORIZON"), streaming=True
+    )
+    out = run_to_memory(rec, output_mode="append")
+    rows = out.select("partitionKey", "sequenceNumber").collect()
+    assert len(rows) == 2
+    assert rows[0].partitionKey == rows[1].partitionKey  # content-derived
+    seqs = {r.sequenceNumber for r in rows}
+    assert len(seqs) == 2  # file identity mixed into the sequence
+    for s in seqs:
+        assert len(s) == 20 and not s.startswith("-")
