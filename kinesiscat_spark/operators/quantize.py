@@ -117,9 +117,12 @@ def quantized_topk(
         .filter(F.col("_r") <= rerank_k)
         .select(query_id, "cid")
     )
+    # candidate side broadcasts (k-proportional) so the corpus float
+    # column is scanned in place, never exchanged — see ivf_sq_topk
     qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
     cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
-    sims = cand.join(F.broadcast(qv), query_id).join(cv, "cid").select(
+    cand_q = cand.join(F.broadcast(qv), query_id)
+    sims = cv.join(F.broadcast(cand_q), "cid").select(
         query_id,
         "cid",
         pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),

@@ -405,3 +405,99 @@ def ivf_topk(
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 0,
+    rerank_k: int | None = None,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with SQ8 cell scans: the probed cells are ranked on int8
+    codes, and only the ``rerank_k`` survivors (default ``4k``) touch the
+    float vectors for an exact cosine re-rank — the standard SQ8+IVF
+    pairing (FAISS ``IVF,SQ8``).
+
+    Scale shape: the stored index is (cell, codes: array<tinyint>) — the
+    cell-scan and its candidate exchange move 4 bytes/dim less than
+    float64 arrays (4× under float32, 8× under this table's doubles);
+    queries broadcast as codes too. Only ``rerank_k`` (cid, qid) pairs
+    per query reach the float join, so the expensive column is read for a
+    k-proportional row count, not per candidate. Returned ``sim`` values
+    are exact; membership beyond the re-rank frontier inherits SQ8
+    approximation on top of IVF cell pruning (recall vs exact is pinned
+    in tests/test_quantize.py).
+    """
+    from kinesiscat_spark.operators.quantize import (
+        int8_dot,
+        quantize_embeddings,
+    )
+
+    rerank_k = rerank_k or 4 * k
+    cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
+    # the stored index: cell + codes + code norm, no float vectors
+    indexed = (
+        quantize_embeddings(corpus, corpus_id, vec)
+        .select(
+            F.col(corpus_id).alias("cid"),
+            F.col("codes").alias("_cc"),
+        )
+        .withColumn(
+            "_cn", F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double"))
+        )
+        .join(
+            corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
+        )
+    )
+    probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
+    q = (
+        quantize_embeddings(queries, query_id, vec)
+        .select(F.col(query_id), F.col("codes").alias("_qc"))
+        .withColumn(
+            "_qn", F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double"))
+        )
+        .join(probes, query_id)
+    )
+    # phase 1: integer-dot cosine inside the probed cells (per-vector SQ8
+    # scales cancel against the code norms; zero vectors score null → last)
+    approx = indexed.join(F.broadcast(q), "cell").select(
+        query_id,
+        "cid",
+        F.try_divide(
+            int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
+            F.col("_qn") * F.col("_cn"),
+        ).alias("_asim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc_nulls_last("_asim"), F.asc("cid")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank_k)
+        .select(query_id, "cid")
+    )
+    # phase 2: exact float re-rank for the survivors only. The CANDIDATE
+    # side broadcasts (rerank_k x |queries| rows — k-proportional), so the
+    # corpus float column is scanned in place and never exchanged; letting
+    # Catalyst pick by stats here can flip to shuffling the whole corpus
+    # vector table at scale.
+    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
+    cand_q = cand.join(F.broadcast(qv), query_id)
+    sims = cv.join(F.broadcast(cand_q), "cid").select(
+        query_id,
+        "cid",
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

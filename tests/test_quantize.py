@@ -73,3 +73,73 @@ def test_quantize_zero_vectors_are_safe(spark):
     corpus = emb.filter(F.col("vec_id") != 1)
     out = quantized_topk(corpus, queries, k=1, rerank_k=1).collect()
     assert [r.cid for r in out] == [2]  # the zero vector never wins
+
+
+def test_ivf_sq_topk_recall_vs_ivf_flat(spark):
+    """SQ8 cell scans must not cost recall beyond what IVF pruning already
+    costs: (a) with pruning OFF (probe every cell) the int8 phase-1 +
+    float re-rank recovers >= 90% of exact top-k — the pure quantization
+    effect; (b) with the same cells/probes, recall matches the float IVF
+    lane within one k-th; (c) survivors carry exact sims."""
+    from kinesiscat_spark.operators.similarity import ivf_sq_topk, ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = cosine_topk(corpus, queries, K)
+    e = {(r.qid, r.cid) for r in exact.select("qid", "cid").collect()}
+
+    # (a) pruning off: SQ8 is the only approximation
+    full = ivf_sq_topk(corpus, queries, K, n_cells=8, n_probe=8)
+    s_full = {(r.qid, r.cid) for r in full.select("qid", "cid").collect()}
+    recall_sq_only = len(e & s_full) / len(e)
+    assert recall_sq_only >= 0.9, recall_sq_only
+
+    # (b) same pruning: SQ8 within one k-th of the float cell scan
+    flat = ivf_topk(corpus, queries, K, n_cells=8, n_probe=4)
+    sq = ivf_sq_topk(corpus, queries, K, n_cells=8, n_probe=4)
+    f = {(r.qid, r.cid) for r in flat.select("qid", "cid").collect()}
+    s = {(r.qid, r.cid) for r in sq.select("qid", "cid").collect()}
+    recall_sq = len(e & s) / len(e)
+    recall_flat = len(e & f) / len(e)
+    assert recall_sq >= recall_flat - 1 / K, (recall_sq, recall_flat)
+
+    # (c) survivors carry exact sims
+    es = {(r.qid, r.cid): r.sim for r in exact.collect()}
+    ss = {(r.qid, r.cid): r.sim for r in sq.collect()}
+    for pair in e & s:
+        assert ss[pair] == pytest.approx(es[pair], abs=0, rel=0)
+
+
+def test_ivf_sq_cell_scan_carries_no_float_vectors(spark):
+    """SQ8-IVF exchange contract: (a) the phase-1 ranking exchange ships
+    (qid, cid, approx-sim) — no codes, no vectors; (b) the corpus float
+    column NEVER moves through any exchange (candidates broadcast into
+    it, the 4x/8x scan-byte cut plus a zero-shuffle re-rank)."""
+    from kinesiscat_spark.operators.similarity import ivf_sq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    df = ivf_sq_topk(corpus, queries, K, n_cells=8, n_probe=4)
+    s = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    blocks = s.split("\n\n")
+    rank_exchanges = [
+        b for b in blocks
+        if "Exchange" in b and "hashpartitioning(qid" in b and "_asim" in b
+    ]
+    assert rank_exchanges
+    for b in rank_exchanges:
+        assert "_cc" not in b and "_qc" not in b
+        assert "embedding" not in b and "_cvec" not in b and "_qvec" not in b
+    # the corpus float column is joined via broadcast of the candidate
+    # side; it must not appear in any exchange input
+    for b in blocks:
+        if "Exchange" in b.split("\n")[0] and "BroadcastExchange" not in b:
+            assert "_cvec" not in b, b
