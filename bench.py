@@ -39,6 +39,7 @@ HEADLINE = (
     "dedup_embedding_cosine",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_quantized",
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_fingerprint",

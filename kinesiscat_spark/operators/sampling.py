@@ -26,6 +26,10 @@ from pyspark.sql.window import Window
 
 _U64_SPAN = float(1 << 64)
 
+# md5-method prefix length: 12 hex chars = 48 bits of threshold
+# granularity (bias < 2^-48 on any fraction)
+_MD5_PREFIX = 12
+
 
 def _unit_hash(cols: Sequence[Column | str], salt: int) -> Column:
     """Deterministic value in [0, 1) from the row's key columns + salt."""
@@ -35,18 +39,52 @@ def _unit_hash(cols: Sequence[Column | str], salt: int) -> Column:
     return (h.cast("double") + F.lit(2.0**63)) / F.lit(_U64_SPAN)
 
 
+def _md5_prefix(cols: Sequence[Column | str], salt: int) -> Column:
+    """First 12 hex chars of md5 over the \\x1f-joined key columns + salt.
+
+    The cross-engine twin of ``_unit_hash``: md5 of the same text is
+    identical in every engine (DuckDB, Trino, BigQuery...), and the hex
+    prefix compares lexicographically == numerically, so a sampling
+    decision is reproducible OUTSIDE Spark too — the property the
+    sampling oracle lanes verify. Key columns are rendered with their
+    engine-default string casts, so stick to string/integer keys.
+    """
+    to_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    joined = F.concat_ws("\x1f", *to_cols, F.lit(str(salt)))
+    return F.substring(F.md5(joined), 1, _MD5_PREFIX)
+
+
+def md5_threshold(fraction: float) -> str:
+    """Hex threshold such that P(md5_prefix < threshold) == fraction
+    (to within 2^-48)."""
+    return format(int(fraction * (16**_MD5_PREFIX)), f"0{_MD5_PREFIX}x")
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
     key_cols: Sequence[str],
     salt: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic Bernoulli sample: a row is kept iff the unit hash of
     its key columns falls below ``fraction``. Same keys → same decision on
     any cluster, any partitioning, any rerun; different ``salt`` values
-    draw independent samples."""
+    draw independent samples.
+
+    ``method="xxhash64"`` (default) is the cheapest JVM path;
+    ``method="md5"`` costs a digest per row but reproduces the exact
+    same selection in any engine with md5 (cross-engine pipelines, and
+    the DuckDB oracle lane).
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if method == "md5":
+        return df.filter(
+            _md5_prefix(list(key_cols), salt) < F.lit(md5_threshold(fraction))
+        )
+    if method != "xxhash64":
+        raise ValueError(f"unknown hash method {method!r}")
     return df.filter(_unit_hash(list(key_cols), salt) < F.lit(fraction))
 
 
@@ -94,6 +132,7 @@ def mix_corpora(
     sources: Sequence[tuple[DataFrame, float]],
     key_cols: Sequence[str],
     salt: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Weighted corpus mixture: source i contributes a deterministic
     ``weight_i`` Bernoulli sample (weights in [0, 1] are per-source keep
@@ -105,7 +144,7 @@ def mix_corpora(
     parts = []
     for i, (df, w) in enumerate(sources):
         parts.append(
-            hash_sample(df, w, key_cols, salt=salt + i).withColumn(
+            hash_sample(df, w, key_cols, salt=salt + i, method=method).withColumn(
                 "source_id", F.lit(i)
             )
         )

@@ -39,13 +39,17 @@ WITH records AS (
     + """
 SELECT data_str AS record_data,
        partitionKey AS record_partition_key,
-       sequenceNumber AS record_sequence
+       sequenceNumber AS record_sequence,
+       data_str || '|' AS record_separated
 FROM records""",
 )
 def envelope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 `-format data | partition-key | sequence`: all three emission
     modes of ``sink.format_record`` over the same record set — one lane,
-    one column per mode (main.go:74-83, intended semantics)."""
+    one column per mode (main.go:74-83, intended semantics). Plus K2
+    `-separator` (record + separator, ready for a byte-stream sink —
+    main.go:35-36,103), folded from the former envelope_emit_separated
+    lane."""
     from kinesiscat_spark.streaming.sink import format_record
 
     records = events_as_records(load_table(spark, sf_dir, "events"))
@@ -53,18 +57,9 @@ def envelope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         format_record("data").alias("record_data"),
         format_record("partition-key").alias("record_partition_key"),
         format_record("sequence").alias("record_sequence"),
-    )
-
-
-@query(
-    "envelope_emit_separated",
-    oracle=_ENVELOPE_CTE + "SELECT data_str || '|' AS record FROM records",
-)
-def emit_separated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 `-separator`: record + separator, ready for a byte-stream sink."""
-    records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.select(
-        F.concat(F.decode(F.col("data"), "UTF-8"), F.lit("|")).alias("record")
+        F.concat(F.decode(F.col("data"), "UTF-8"), F.lit("|")).alias(
+            "record_separated"
+        ),
     )
 
 

@@ -60,21 +60,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jp_access_defaults",
+    "jp_filter_compare",
     oracle="""
 SELECT
+  event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
   event_id AS id,
   event_type AS type,
-  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
   COALESCE(CAST(json_extract(props, '$.missing') AS BIGINT), -1) AS v
 FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
 """,
 )
-def jp_access_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 field access, J2 subexpression `payload.k`, J10 multi-select
-    hash, J12 value-returning OR `missing || `-1`` (missing key → null →
-    falsy → literal; jp/interpreter.go:202-213) — compiled over a composed
-    document struct (envelope + payload), all native Columns."""
+def jp_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 comparator `k > `50`` as a filter predicate (truthiness applied,
+    SURVEY §1.3) — a plain JVM-side predicate — plus the access surface
+    folded from the former jp_access_defaults lane: J1 field access, J2
+    subexpression `payload.k`, J10 multi-select hash, J12 value-returning
+    OR `missing || `-1`` (missing key → null → falsy → literal;
+    jp/interpreter.go:202-213), compiled over a composed document struct
+    (envelope + payload)."""
     ev = _payload(load_table(spark, sf_dir, "events"))
     doc_schema = T.StructType(
         [
@@ -84,55 +89,16 @@ def jp_access_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     doc = F.struct(F.col("event_id"), F.col("event_type"), F.col("payload"))
-    typed = compile_column(
+    sel = compile_column(
         "{id: event_id, type: event_type, k: payload.k}", doc, doc_schema
     )
     dflt = compile_column("payload.missing || `-1`", doc, doc_schema)
-    return ev.select(typed.col.alias("r"), dflt.col.cast("long").alias("v")).select(
-        "r.id", "r.type", "r.k", "v"
-    )
-
-
-@query(
-    "jp_filter_compare",
-    oracle="""
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
-FROM events
-WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
-""",
-)
-def jp_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 comparator `k > `50`` as a filter predicate (truthiness applied,
-    SURVEY §1.3); compiles to a plain JVM-side predicate."""
-    ev = _payload(load_table(spark, sf_dir, "events"))
     return ev.filter(truthy(_jp("k > `50`"))).select(
-        "event_id", _jp("k").col.alias("k")
-    )
-
-
-@query(
-    "jp_function_math",
-    oracle="""
-SELECT
-  event_id,
-  CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS k_next,
-  ABS(CAST(json_extract(props, '$.k') AS BIGINT) - 50) AS dist50
-FROM events
-""",
-)
-def jp_function_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F21 function calls `sum([k, `1`])`, `abs(k - `50`)` — native
-    aggregate-within-array + abs, no Python in the loop.
-
-    (JMESPath has no infix minus; `k - 50` is spelled `sum([k, `-50`])`.)
-    """
-    ev = _payload(load_table(spark, sf_dir, "events"))
-    k_next = _jp("sum([k, `1`])")
-    dist = _jp("abs(sum([k, `-50`]))")
-    return ev.select(
         "event_id",
-        k_next.col.cast("long").alias("k_next"),
-        dist.col.cast("long").alias("dist50"),
+        _jp("k").col.alias("k"),
+        sel.col.getField("id").alias("id"),
+        sel.col.getField("type").alias("type"),
+        dflt.col.cast("long").alias("v"),
     )
 
 
@@ -339,7 +305,9 @@ SELECT
   CAST(ceil((CAST(json_extract(props, '$.k') AS BIGINT) + event_id) / 2.0)
     AS BIGINT) AS ceil_avg,
   CAST(floor((CAST(json_extract(props, '$.k') AS BIGINT) + event_id) / 2.0)
-    AS BIGINT) AS floor_avg
+    AS BIGINT) AS floor_avg,
+  CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS k_next,
+  ABS(CAST(json_extract(props, '$.k') AS BIGINT) - 50) AS dist50
 FROM events
 """,
 )
@@ -385,6 +353,10 @@ def jp_object_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpo("ends_with(to_string(a), '1')").col.alias("ew1"),
         jpo("ceil(avg([a, b]))").col.cast("long").alias("ceil_avg"),
         jpo("floor(avg([a, b]))").col.cast("long").alias("floor_avg"),
+        # F1/F21 math (folded from the former jp_function_math lane);
+        # JMESPath has no infix minus — `a - 50` is `sum([a, `-50`])`
+        jpo("sum([a, `1`])").col.cast("long").alias("k_next"),
+        jpo("abs(sum([a, `-50`]))").col.cast("long").alias("dist50"),
     )
 
 

@@ -346,3 +346,89 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
     )
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+
+
+RERANK_K = 4 * TOP_K
+
+_INT8 = {
+    "amax": "list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE))))",
+    "codes": (
+        "CASE WHEN {amax} > 0 THEN list_transform({v}, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / {amax}) AS BIGINT)) "
+        "ELSE list_transform({v}, x -> CAST(0 AS BIGINT)) END"
+    ),
+    "dot": "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))",
+    "norm": "sqrt(CAST(list_sum(list_transform({c}, x -> x * x)) AS DOUBLE))",
+}
+
+_QUANT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+qq AS (
+  SELECT qid, qe, {_INT8['codes'].format(v='qe', amax=_INT8['amax'].format(v='qe'))} AS qc
+  FROM q
+),
+cc AS (
+  SELECT cid, ce, {_INT8['codes'].format(v='ce', amax=_INT8['amax'].format(v='ce'))} AS ccodes
+  FROM c
+),
+qn AS (SELECT qid, qe, qc, {_INT8['norm'].format(c='qc')} AS qn8 FROM qq),
+cn AS (SELECT cid, ce, ccodes, {_INT8['norm'].format(c='ccodes')} AS cn8 FROM cc),
+approx AS (
+  SELECT qid, cid,
+         CASE WHEN qn8 * cn8 > 0
+              THEN CAST({_INT8['dot'].format(a='qc', b='ccodes')} AS DOUBLE) / (qn8 * cn8)
+         END AS asim
+  FROM cn CROSS JOIN qn
+),
+cand AS (
+  SELECT qid, cid
+  FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC NULLS LAST, cid) AS r
+    FROM approx
+  ) WHERE r <= {RERANK_K}
+),
+sims AS (
+  SELECT qid, cid,
+         list_sum(list_transform(list_zip(qe, ce),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+  FROM cand JOIN qn USING (qid) JOIN cn USING (cid)
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM sims
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_quantized", oracle=_QUANT_ORACLE)
+def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 SQ8 path (operators/quantize.py): rank by integer dot products
+    over per-vector max-abs int8 codes, then re-rank the 4k survivors with
+    the exact float cosine kernel. Fully deterministic — the quantizer is
+    round-half-away int math and the phase-1 ranking ties break on cid —
+    so the whole two-phase pipeline hash-checks against the SQL twin.
+    Scale: the corpus scans as codes (4-8x fewer bytes); the float column
+    is touched only for rerank_k rows per query via a candidate-side
+    broadcast (tests/test_quantize.py pins recall >= 0.9 and the
+    no-vector-shuffle plan shape).
+    """
+    from kinesiscat_spark.operators.quantize import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = quantized_topk(corpus, queries, TOP_K, rerank_k=RERANK_K)
+    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")

@@ -54,6 +54,7 @@ def load_all_query_modules() -> None:
     # or truncated harness run still verdicts every distinct operator.
     from kinesiscat_spark.queries import (  # noqa: F401
         dedup_queries,
+        curation_queries,
         envelope_queries,
         jmespath_queries,
         join_queries,

@@ -12,7 +12,7 @@ from kinesiscat_spark.operators.sampling import (
     mix_corpora,
     stratified_sample,
 )
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -77,3 +77,30 @@ def test_mix_corpora_weights_and_tags(docs):
     }
     assert by_src[1] == half.count()  # weight 1.0 keeps everything
     assert 0 < by_src[0] < docs.count() // 2  # ~20% of source 0
+
+
+def test_md5_method_matches_duckdb_selection(spark):
+    """The md5 hash method exists for cross-engine reproducibility: the
+    exact same rows must be selected by the equivalent DuckDB predicate
+    (this is what makes the sampling_mix driver lane hash-checkable)."""
+    import duckdb
+
+    from kinesiscat_spark.operators.sampling import hash_sample, md5_threshold
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        r.doc_id
+        for r in hash_sample(docs, 0.3, ["doc_id"], salt=3, method="md5")
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{SF_SMOKE}/documents.parquet' "
+            f"WHERE substr(md5(doc_id || chr(31) || '3'), 1, 12) "
+            f"< '{md5_threshold(0.3)}'"
+        ).fetchall()
+    )
+    assert got == want and got
