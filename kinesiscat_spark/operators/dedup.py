@@ -144,7 +144,11 @@ def ngram_jaccard_pairs(
             "id_a", "id_b", "jaccard"
         )
 
-    inv = sh.select("id", F.explode("sh").alias("h"))
+    # One explicit hash exchange on h feeds BOTH the document-frequency
+    # aggregate and the inv ⋈ df_h join (ReusedExchange): the shingle
+    # scan + explode — the widest stage of the plan — runs once, not once
+    # per consumer. At 100 TB that's one pass over the text, not three.
+    inv = sh.select("id", F.explode("sh").alias("h")).repartition("h")
     df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
     # rare-first global order per doc: sort (df, h) pairs, keep the prefix
     ordered = (
@@ -208,8 +212,11 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on candidates: set intersection of the full hash sets
-    full = sh.select("id", F.col("sh").alias("_hs"))
+    # exact verify on candidates: set intersection of the full hash sets.
+    # ord_h carries the SAME distinct hash set as sh (just rare-first
+    # ordered — array_intersect is order-blind), so reusing it avoids a
+    # third shingle scan.
+    full = ordered.select("id", F.col("ord_h").alias("_hs"))
     verified = (
         cand.join(full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")), "id_a")
         .join(full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")), "id_b")
