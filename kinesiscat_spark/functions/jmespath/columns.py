@@ -21,6 +21,7 @@ Key semantic bridges (SURVEY §1.3, §2.2):
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -277,13 +278,30 @@ class ColumnCompiler:
         return method(node, doc)
 
     # --- structure traversal ---------------------------------------------
+    @staticmethod
+    def _box_get(box: Column, path: str) -> Column:
+        """Dynamic member access inside a boxed JSON value, JVM-side via
+        the variant runtime: parse the canonical text, extract ``path`` as
+        a variant, serialize back. Variant objects serialize with SORTED
+        keys and canonical number forms, so the result is again a valid
+        box. Missing member / non-container → SQL NULL (JMESPath null);
+        an explicit JSON null serializes to the 4-char text 'null', which
+        no other value produces, and normalizes to SQL NULL.
+        """
+        g = F.try_variant_get(F.try_parse_json(box), path, "variant")
+        txt = F.to_json(g)
+        return F.when(txt != F.lit("null"), txt)
+
+    _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
     def _c_field(self, node: Node, doc: Typed) -> Typed:
         name = node.value
         dt = doc.dtype
         if _is_box(dt):
-            # the box may hold an object at runtime; refusing (not null!)
-            # keeps dynamic member access on the evaluator path
-            raise NotColumnCompilable("field access into a json box")
+            if not self._IDENT.match(name):
+                # variant path syntax can't address exotic keys safely
+                raise NotColumnCompilable("field access into a json box")
+            return Typed(self._box_get(doc.col, f"$.{name}"), _JSONBOX)
         if isinstance(dt, T.StructType):
             if name in dt.fieldNames():
                 f = dt[name]
@@ -321,7 +339,12 @@ class ColumnCompiler:
     def _c_index(self, node: Node, doc: Typed) -> Typed:
         dt = doc.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("index into a json box")
+            if node.value < 0:
+                # variant paths have no negative-index form
+                raise NotColumnCompilable("negative index into a json box")
+            return Typed(
+                self._box_get(doc.col, f"$[{node.value}]"), _JSONBOX
+            )
         if isinstance(dt, T.NullType):
             return _null()
         if not isinstance(dt, T.ArrayType):

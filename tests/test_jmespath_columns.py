@@ -332,3 +332,45 @@ def test_merge_on_maps_requires_last_win_policy(spark):
         assert got == {"a": 1, "b": 9}
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+
+
+def test_box_member_access_via_variant(spark):
+    """Field and index access INTO a boxed dynamic value runs JVM-side
+    through the variant runtime: missing members and non-containers yield
+    null, explicit JSON nulls normalize to null, and extracted values are
+    again canonical boxes (sorted keys)."""
+    from kinesiscat_spark.functions.jmespath.schemas import (
+        infer_type,
+        to_spark_value,
+    )
+
+    doc = {
+        "items": [
+            {"v": {"kind": "basic", "n": 1}},
+            {"v": [10, 20]},
+            {"v": "scalar"},
+            {"v": None},
+            {"v": {"kind": None}},
+        ]
+    }
+    dtype = infer_type(doc)
+    schema = T.StructType([T.StructField("doc", dtype)])
+    df = spark.createDataFrame([(to_spark_value(doc, dtype),)], schema)
+    import json as _json
+
+    def run(expression):
+        typed = compile_column(expression, F.col("doc"), dtype)
+        assert isinstance(typed.dtype, JsonBoxType), expression
+        raw = df.select(typed.col).collect()[0][0]
+        return None if raw is None else _json.loads(raw)
+
+    assert run("items[*].v.kind") == ["basic"]  # others -> null -> dropped
+    assert run("items[0].v.n") == 1
+    assert run("items[1].v[1]") == 20
+    assert run("items[1].v[5]") is None
+    assert run("items[2].v.kind") is None  # member of a string -> null
+    assert run("items[0].v") == {"kind": "basic", "n": 1}
+    # plan stays JVM-only
+    typed = compile_column("items[*].v.kind", F.col("doc"), dtype)
+    plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
