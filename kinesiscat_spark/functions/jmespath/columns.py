@@ -72,12 +72,19 @@ class JsonBoxType(T.DataType):
     Boxes are how the dynamically-typed tail of JMESPath (heterogeneous
     or/and, mixed multiselects, BOXED schema fields) stays on the native
     path: truthiness, deep equality, and JSON-total functions operate on
-    the canonical text directly. Two divergences from the evaluator, by
-    design: (a) invalid-type errors inside boxed operands yield null
-    instead of raising (the static path cannot see the type mismatch;
-    callers that need error fidelity use the UDF), and (b) float repr
-    outside ±2^53 follows Java, so ``json_faithful`` stays False for
-    boxes and the byte-exact CLI path falls back to the UDF.
+    the canonical text directly, and traversal/iteration (member access,
+    index, slice, the three projections, flatten, to_array/to_string/
+    length/keys/values/reverse/contains) runs through the variant runtime
+    (``try_parse_json`` + ``from_json`` to array<variant>/map<string,
+    variant>). Ordered/arithmetic folds over boxes (sum/avg/min/max/sort
+    and the &expr functions) still take the UDF path — a runtime type
+    mismatch there must error, which a static Column cannot. Two
+    divergences from the evaluator, by design: (a) invalid-type errors
+    inside boxed operands yield null instead of raising (the static path
+    cannot see the type mismatch; callers that need error fidelity use
+    the UDF), and (b) float repr outside ±2^53 follows Java, so
+    ``json_faithful`` stays False for boxes and the byte-exact CLI path
+    falls back to the UDF.
     """
 
     def simpleString(self) -> str:
@@ -292,6 +299,41 @@ class ColumnCompiler:
         txt = F.to_json(g)
         return F.when(txt != F.lit("null"), txt)
 
+    @staticmethod
+    def _variant_box(v: Column) -> Column:
+        """A variant value re-serialized as box text (canonical: sorted
+        object keys, canonical number forms); explicit JSON null → SQL
+        NULL (the box encoding of JMESPath null)."""
+        txt = F.to_json(v)
+        return F.when(txt != F.lit("null"), txt)
+
+    @staticmethod
+    def _box_elems(box: Column) -> Column:
+        """array<jsonbox> of a boxed JSON *array*'s elements; SQL NULL when
+        the box does not hold an array (from_json to array<variant> yields
+        NULL for any non-array JSON text — exactly JMESPath's
+        projection/index-on-non-array → null rule)."""
+        arr = F.from_json(box, "array<variant>")
+        return F.transform(arr, ColumnCompiler._variant_box)
+
+    @staticmethod
+    def _box_vals(box: Column) -> Column:
+        """array<jsonbox> of a boxed JSON *object*'s values in document
+        (canonical, i.e. sorted-key) order; SQL NULL for non-objects.
+        Object-value order is unordered by contract (SURVEY §2.2 J6 — Go
+        map iteration is random), so sorted-key order is a valid order."""
+        m = F.from_json(box, "map<string,variant>")
+        return F.transform(F.map_values(m), ColumnCompiler._variant_box)
+
+    @staticmethod
+    def _box_str(box: Column) -> Column:
+        """The decoded (unquoted, unescaped) string when the box holds a
+        JSON string, else SQL NULL."""
+        return F.when(
+            box.startswith('"'),
+            F.try_variant_get(F.try_parse_json(box), "$", "string"),
+        )
+
     _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
     def _c_field(self, node: Node, doc: Typed) -> Typed:
@@ -299,8 +341,12 @@ class ColumnCompiler:
         dt = doc.dtype
         if _is_box(dt):
             if not self._IDENT.match(name):
-                # variant path syntax can't address exotic keys safely
-                raise NotColumnCompilable("field access into a json box")
+                # variant path syntax can't address exotic keys; go through
+                # the full object map instead (absent key and explicit null
+                # value both normalize to SQL NULL — JMESPath null either way)
+                m = F.from_json(doc.col, "map<string,variant>")
+                v = F.try_element_at(m, F.lit(name))
+                return Typed(self._variant_box(v), _JSONBOX)
             return Typed(self._box_get(doc.col, f"$.{name}"), _JSONBOX)
         if isinstance(dt, T.StructType):
             if name in dt.fieldNames():
@@ -340,8 +386,14 @@ class ColumnCompiler:
         dt = doc.dtype
         if _is_box(dt):
             if node.value < 0:
-                # variant paths have no negative-index form
-                raise NotColumnCompilable("negative index into a json box")
+                # variant paths have no negative-index form; element_at
+                # counts from the end (non-array box → NULL elems → NULL)
+                return Typed(
+                    F.try_element_at(
+                        self._box_elems(doc.col), F.lit(node.value)
+                    ),
+                    _JSONBOX,
+                )
             return Typed(
                 self._box_get(doc.col, f"$[{node.value}]"), _JSONBOX
             )
@@ -357,7 +409,9 @@ class ColumnCompiler:
     def _c_slice(self, node: Node, doc: Typed) -> Typed:
         dt = doc.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("slice of a json box")
+            # slice the box's element array (NULL for non-array boxes)
+            doc = Typed(self._box_elems(doc.col), T.ArrayType(_JSONBOX))
+            dt = doc.dtype
         if not isinstance(dt, T.ArrayType):
             return _null()
         start, stop, step = node.value
@@ -410,7 +464,11 @@ class ColumnCompiler:
         base = self.compile(left, doc)
         dt = base.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("projection over a json box")
+            # project over the box's element array: elements are boxes
+            # themselves; null RESULTS drop per the projection rule (a JSON
+            # null element under identity is itself a null result)
+            base = Typed(self._box_elems(base.col), T.ArrayType(_JSONBOX))
+            dt = base.dtype
         if isinstance(dt, T.NullType):
             return _null()
         if not isinstance(dt, T.ArrayType):
@@ -425,7 +483,16 @@ class ColumnCompiler:
         base = self.compile(left, doc)
         dt = base.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("value projection over a json box")
+            # object-value projection over a box: values in canonical
+            # (sorted-key) order — a valid order for the unordered J6
+            # contract (Go map iteration is random, SURVEY §2.2)
+            base = Typed(self._box_vals(base.col), T.ArrayType(_JSONBOX))
+            dt = base.dtype
+            fn, rtype = self._lambda_body(right, _JSONBOX)
+            mapped = F.transform(base.col, fn)
+            return Typed(
+                F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype)
+            )
         if isinstance(dt, T.MapType):
             fn, rtype = self._lambda_body(right, dt.valueType)
             mapped = F.transform(F.map_values(base.col), fn)
@@ -441,12 +508,18 @@ class ColumnCompiler:
                 )
                 outs.append(r)
                 rtypes.append(r.dtype)
-            target = rtypes[0] if rtypes else T.NullType()
+            target: T.DataType | None = rtypes[0] if rtypes else T.NullType()
             for rt in rtypes[1:]:
-                u = _unify(target, rt)
-                if u is None:
-                    raise NotColumnCompilable("heterogeneous value projection")
-                target = u
+                target = _unify(target, rt)
+                if target is None:
+                    break
+            if target is None:
+                # heterogeneous results: carry them as boxes
+                arr = F.array(*[box(o).col for o in outs])
+                return Typed(
+                    F.filter(arr, lambda r: r.isNotNull()),
+                    T.ArrayType(_JSONBOX),
+                )
             arr = F.array(*[_coerce(o, target).col for o in outs])
             return Typed(
                 F.filter(arr, lambda r: r.isNotNull()), T.ArrayType(target)
@@ -458,7 +531,10 @@ class ColumnCompiler:
         base = self.compile(left, doc)
         dt = base.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("filter projection over a json box")
+            # filter the box's element array; the condition sees box-typed
+            # elements (truthiness on canonical text is exact)
+            base = Typed(self._box_elems(base.col), T.ArrayType(_JSONBOX))
+            dt = base.dtype
         if not isinstance(dt, T.ArrayType):
             return _null()
         elem = dt.elementType
@@ -475,13 +551,21 @@ class ColumnCompiler:
         base = self.compile(node.children[0], doc)
         dt = base.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("flatten of a json box")
+            base = Typed(self._box_elems(base.col), T.ArrayType(_JSONBOX))
+            dt = base.dtype
         if not isinstance(dt, T.ArrayType):
             return _null()
         if _is_box(dt.elementType):
-            # elements may themselves be arrays at runtime — splicing JSON
-            # text is the evaluator's job
-            raise NotColumnCompilable("flatten over boxed elements")
+            # one-level splice of dynamic elements: an element that is
+            # itself an array contributes its members; every other element
+            # (including JSON null, kept per jp/interpreter.go:114-144)
+            # contributes itself. Canonical text starts with '[' iff array,
+            # and _box_elems(non-array) is NULL, so coalesce wraps it.
+            spliced = F.transform(
+                base.col,
+                lambda e: F.coalesce(self._box_elems(e), F.array(e)),
+            )
+            return Typed(F.flatten(spliced), T.ArrayType(_JSONBOX))
         if isinstance(dt.elementType, T.ArrayType):
             return Typed(F.flatten(base.col), dt.elementType)
         # flatten of non-nested array keeps elements as-is (jp one-level rule)
@@ -676,7 +760,20 @@ class ColumnCompiler:
         (a,) = self._args(node, doc, 1)
         dt = a.dtype
         if _is_box(dt):
-            raise NotColumnCompilable("length() of a json box")
+            # string → decoded rune count; array/object → member count;
+            # any other shape → null (evaluator raises invalid-type there —
+            # documented box deviation)
+            c = a.col
+            head = c.substr(1, 1)
+            out = (
+                F.when(head == '"', F.length(self._box_str(c)))
+                .when(head == "[", F.size(self._box_elems(c)))
+                .when(
+                    head == "{",
+                    F.size(F.from_json(c, "map<string,variant>")),
+                )
+            )
+            return Typed(out.cast("long"), T.LongType())
         if isinstance(dt, T.StringType):
             return Typed(F.length(a.col).cast("long"), T.LongType())
         if isinstance(dt, (T.ArrayType, T.MapType)):
@@ -707,10 +804,43 @@ class ColumnCompiler:
 
     def _f_contains(self, node: Node, doc: Typed) -> Typed:
         a, b = self._args(node, doc, 2)
+        if _is_box(a.dtype):
+            # array subject: membership by deep equality = canonical-text
+            # equality (a JMESPath-null needle matches a null element);
+            # string subject: substring, non-string needle → false (mirrors
+            # the static path); other subjects → null (box deviation)
+            elems = self._box_elems(a.col)
+            needle = _json_text(b)  # NULL iff b is JMESPath null
+            arr_case = F.when(
+                needle.isNull(), F.exists(elems, lambda e: e.isNull())
+            ).otherwise(F.array_contains(elems, needle))
+            if isinstance(b.dtype, T.StringType):
+                bs = b.col
+            elif _is_box(b.dtype):
+                bs = self._box_str(b.col)
+            else:
+                bs = None
+            subj = self._box_str(a.col)
+            if bs is None:
+                str_case = F.lit(False)
+            else:
+                # needle decodes to NULL when b's box isn't a string
+                str_case = F.coalesce(subj.contains(bs), F.lit(False))
+            head = a.col.substr(1, 1)
+            out = F.when(head == "[", arr_case).when(head == '"', str_case)
+            return Typed(out, T.BooleanType())
         if isinstance(a.dtype, T.StringType):
             if not isinstance(b.dtype, T.StringType):
                 return Typed(F.lit(False), T.BooleanType())
             return Typed(a.col.contains(b.col), T.BooleanType())
+        if isinstance(a.dtype, T.ArrayType) and _is_box(a.dtype.elementType):
+            # membership by deep equality = canonical-text equality; a
+            # JMESPath-null needle matches a null element
+            needle = _json_text(b)
+            out = F.when(
+                needle.isNull(), F.exists(a.col, lambda e: e.isNull())
+            ).otherwise(F.array_contains(a.col, needle))
+            return Typed(out, T.BooleanType())
         if isinstance(a.dtype, T.ArrayType):
             _no_markers(a.dtype, "contains()")
             _no_markers(b.dtype, "contains()")
@@ -759,6 +889,17 @@ class ColumnCompiler:
 
     def _f_reverse(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # array box → reversed elements re-serialized; string box →
+            # reversed decoded string re-encoded; other shapes → null
+            # (evaluator raises invalid-type — box deviation)
+            arr_txt = _json_text(
+                Typed(F.reverse(self._box_elems(a.col)), T.ArrayType(_JSONBOX))
+            )
+            str_txt = _json_text(
+                Typed(F.reverse(self._box_str(a.col)), T.StringType())
+            )
+            return Typed(F.coalesce(arr_txt, str_txt), _JSONBOX)
         if isinstance(a.dtype, (T.StringType, T.ArrayType)):
             return Typed(F.reverse(a.col), a.dtype)
         raise NotColumnCompilable("reverse() needs string or array")
@@ -786,16 +927,31 @@ class ColumnCompiler:
 
     def _f_values(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # canonical (sorted-key) value order — valid for the unordered
+            # contract; null for non-object boxes (evaluator raises — box
+            # deviation, same as keys())
+            return Typed(self._box_vals(a.col), T.ArrayType(_JSONBOX))
         if isinstance(a.dtype, T.MapType):
             return Typed(F.map_values(a.col), T.ArrayType(a.dtype.valueType))
         if isinstance(a.dtype, T.StructType):
             _no_markers(a.dtype, "values()")
-            target: T.DataType = T.NullType()
+            target: T.DataType | None = T.NullType()
             for f in a.dtype.fields:
-                u = _unify(target, f.dataType)
-                if u is None:
-                    raise NotColumnCompilable("values() heterogeneous struct")
-                target = u
+                target = _unify(target, f.dataType)
+                if target is None:
+                    break
+            if target is None:
+                # heterogeneous field types: carry the values as boxes
+                arr = F.array(
+                    *[
+                        box(Typed(a.col.getField(f.name), f.dataType)).col
+                        for f in a.dtype.fields
+                    ]
+                )
+                return Typed(
+                    F.when(a.col.isNotNull(), arr), T.ArrayType(_JSONBOX)
+                )
             arr = F.array(
                 *[a.col.getField(f.name).cast(target) for f in a.dtype.fields]
             )
@@ -914,8 +1070,12 @@ class ColumnCompiler:
     def _f_to_array(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
         if _is_box(a.dtype):
-            # runtime arrays must pass through unwrapped — not decidable
-            raise NotColumnCompilable("to_array() of a json box")
+            # runtime array → its elements unwrapped; anything else
+            # (including null, go jpfToArray wraps it) → 1-element array
+            return Typed(
+                F.coalesce(self._box_elems(a.col), F.array(a.col)),
+                T.ArrayType(_JSONBOX),
+            )
         if isinstance(a.dtype, T.ArrayType):
             # runtime null is NOT an array — go jpfToArray wraps it:
             # to_array(null) == [null] (functions.go:793-798)
@@ -929,10 +1089,10 @@ class ColumnCompiler:
     def _f_to_string(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
         if _is_box(a.dtype):
-            # a box that holds a string must round-trip unquoted — not
-            # statically decidable, so only the quoted-JSON cases would be
-            # right; refuse rather than guess
-            raise NotColumnCompilable("to_string() of a json box")
+            # a box holding a string round-trips unquoted (identity); every
+            # other shape's JSON text IS the box text; null → "null"
+            out = F.coalesce(self._box_str(a.col), a.col, F.lit("null"))
+            return Typed(out, T.StringType())
         _no_markers(a.dtype, "to_string()")
         if isinstance(a.dtype, T.StringType):
             return a

@@ -175,8 +175,10 @@ def _length(x):
 @_register("contains", Arg(("array", "string")), Arg())
 def _contains(subject, search):
     if isinstance(subject, str):
+        # non-string needle in a string → false, not an error
+        # (go jpfContains, functions.go:443-460)
         if not isinstance(search, str):
-            raise InvalidTypeError("contains(): search in a string must be a string")
+            return False
         return search in subject
     return any(deep_equal(e, search) for e in subject)
 

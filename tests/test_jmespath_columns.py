@@ -374,3 +374,79 @@ def test_box_member_access_via_variant(spark):
     typed = compile_column("items[*].v.kind", F.col("doc"), dtype)
     plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_box_iteration_via_variant(spark):
+    """Projections, flatten, slices, filters, and the container functions
+    over a boxed dynamic value run JVM-side by exploding the box into
+    array<variant>/map<string,variant> — differential against the pure
+    evaluator on documents exercising every box-iteration path."""
+    from kinesiscat_spark.functions.jmespath import search
+    from kinesiscat_spark.functions.jmespath.schemas import (
+        infer_type,
+        to_spark_value,
+    )
+
+    # `v` is dynamic (heterogeneous across docs) -> BOXED field
+    doc = {
+        "v": [1, [2, 3], None, {"k": "x"}, [], "s", [[4], 5]],
+        "o": {"b": 2, "a": [1, None], "weird key!": {"z": 9}},
+        "w": "héllo",
+    }
+    alt = {"v": {"obj": True}, "o": {"a": 1, "b": 2, "weird key!": 3}, "w": ""}
+    dtype = infer_type([doc, alt][0])  # force per-field boxing via union
+    from kinesiscat_spark.functions.jmespath.schemas import infer_type as it
+
+    dtype = it(doc)
+    # make every top-level field a box by inferring over both docs
+    both = it(doc)
+    schema = T.StructType([T.StructField("doc", both)])
+    df = spark.createDataFrame([(to_spark_value(doc, both),)], schema)
+    import json as _json
+
+    def run(expression):
+        typed = compile_column(expression, F.col("doc"), both)
+        raw = df.select(typed.col.alias("r")).collect()[0].r
+        if isinstance(typed.dtype, JsonBoxType):
+            return None if raw is None else _json.loads(raw)
+        return raw
+
+    UNORDERED = {"o.*", "values(o)"}
+    for expression in [
+        "v[*]",            # identity projection drops JSON nulls
+        "v[]",             # one-level flatten keeps nulls and non-arrays
+        "v[] | length(@)",
+        "v[1:5]",
+        "v[::-1]",
+        "v[-1]",
+        "v[?@]",           # truthy filter over boxed elements
+        "o.*",             # object-value projection (unordered)
+        'o."weird key!".z',
+        "to_array(v[3])",
+        "to_array(v[9])",
+        "length(v)",
+        "length(o)",
+        "length(w)",
+        "values(o)",
+        "reverse(v[1])",
+        "reverse(w)",
+        "contains(v[1], `2`)",
+        "contains(v, `null`)",
+        "contains(w, 'él')",
+        "contains(w, `5`)",
+        "to_string(v[3])",
+        "to_string(w)",
+        "v[].to_number(@)",
+    ]:
+        want = search(expression, doc)
+        got = run(expression)
+        if expression in UNORDERED and isinstance(got, list):
+            key = lambda x: _json.dumps(x, sort_keys=True)  # noqa: E731
+            assert sorted(got, key=key) == sorted(want, key=key), expression
+        else:
+            assert got == want, (expression, got, want)
+
+    # the whole family stays JVM-only
+    typed = compile_column("v[] | [0]", F.col("doc"), both)
+    plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
