@@ -1,0 +1,212 @@
+"""Corpus-curation signals: repetition statistics, PII detection, and
+benchmark decontamination.
+
+These are the quality gates a training-data pipeline runs between dedup
+and sampling (the repetition heuristics follow the public Gopher rules,
+Rae et al. 2021 §A1.1; decontamination follows the n-gram-overlap method
+of the GPT-3 paper, Brown et al. 2020 §C). All three are Spark-first:
+
+- ``repetition_signals`` / ``top_ngram_char_frac`` / ``dup_ngram_char_frac``
+  are pure built-in Column expressions over the document's own line/word
+  arrays — scan-stage, whole-stage codegen, zero shuffle. Per-row cost is
+  O(distinct × total) in the doc's lines/grams (the within-array count is
+  a ``filter`` per distinct element); that is a per-document constant
+  independent of corpus size, so the operator scales linearly to 100 TB.
+- ``pii_signals`` / ``redact_pii`` are ``regexp_count``/``regexp_replace``
+  chains — scan-stage, no Python.
+- ``contamination_report`` explodes each document's distinct word n-grams
+  and joins them against the benchmark's n-gram set. Benchmarks (test
+  sets) are small by construction, so the join side is broadcast — the
+  corpus never shuffles; the only aggregation is the per-document hit
+  count, partially aggregated map-side. At 100 TB swap the join key from
+  the raw n-gram string to ``xxhash64(gram)`` to cut exchange bytes; the
+  string form is kept here so the DuckDB oracle matches byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- word n-grams ----------------------------------------------------------
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens, empty-safe (split of '' yields [''] — drop it)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when fewer than n words)."""
+    ws = words(text)
+    idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _count_in(arr: Column, elem: Column) -> Column:
+    return F.size(F.filter(arr, lambda x: x == elem))
+
+
+# --- repetition (Gopher §A1.1) --------------------------------------------
+
+
+def repetition_signals(text: Column) -> Column:
+    """Struct of line-level repetition statistics:
+
+    - ``n_lines``: number of lines;
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line
+      (1 − distinct/total);
+    - ``dup_line_char_frac``: fraction of line characters inside repeated
+      occurrences (for a line of length l occurring c times, (c−1)·l
+      characters count as duplicated).
+
+    Gopher drops documents with dup_line_frac > 0.30 or
+    dup_line_char_frac > 0.20.
+    """
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    distinct = F.array_distinct(lines)
+    zero = F.lit(0).cast("long")
+    total_chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x))
+    dup_chars = F.aggregate(
+        distinct,
+        zero,
+        lambda acc, d: acc + (_count_in(lines, d) - 1) * F.length(d),
+    )
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(distinct) / n_lines.cast("double"),
+        ).alias("dup_line_frac"),
+        F.when(total_chars > 0, dup_chars / total_chars.cast("double")).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
+def top_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of the text's characters covered by the single most
+    frequent word n-gram (count × gram length / text length). Ties break
+    to the lexicographically largest gram (struct max), deterministically.
+    Gopher's thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4.
+    """
+    grams = word_ngrams(text, n)
+    distinct = F.array_distinct(grams)
+    best = F.array_max(
+        F.transform(
+            distinct, lambda g: F.struct(_count_in(grams, g).alias("c"), g.alias("g"))
+        )
+    )
+    covered = best["c"] * F.length(best["g"])
+    return F.when(
+        F.size(distinct) > 0, covered / F.greatest(F.length(text), F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of characters inside word n-grams that occur more than
+    once (sum over duplicated grams of count × length, over text length,
+    capped at 1.0 — overlapping grams can double-count; the cap keeps the
+    signal a fraction, and the Gopher thresholds 0.15…0.10 for n = 5…10
+    sit far below it). 0.0 when there are no n-grams."""
+    grams = word_ngrams(text, n)
+    distinct = F.array_distinct(grams)
+    zero = F.lit(0).cast("long")
+    dup_chars = F.aggregate(
+        distinct,
+        zero,
+        lambda acc, g: acc
+        + F.when(_count_in(grams, g) > 1, _count_in(grams, g) * F.length(g)).otherwise(
+            zero
+        ),
+    )
+    return F.least(
+        dup_chars / F.greatest(F.length(text), F.lit(1)).cast("double"), F.lit(1.0)
+    )
+
+
+# --- PII -------------------------------------------------------------------
+
+# Deterministic, oracle-reproducible patterns (Java regex ∩ RE2 subset so
+# Spark and DuckDB agree): pragmatic detectors, not validators.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d\-. ]{6,}\d"
+
+
+def pii_signals(text: Column) -> Column:
+    """Struct of PII match counts (emails, IPv4 addresses, +-prefixed
+    international phone numbers). Pure ``regexp_count`` — scan-stage."""
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def redact_pii(text: Column, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token``. Email first: an address
+    would otherwise leave its domain after IP/phone passes."""
+    out = F.regexp_replace(text, EMAIL_RE, token)
+    out = F.regexp_replace(out, IPV4_RE, token)
+    out = F.regexp_replace(out, PHONE_RE, token)
+    return out
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Documents sharing ≥ ``min_hits`` distinct word ``n``-grams with the
+    benchmark set (train/test overlap, Brown et al. 2020 §C).
+
+    Returns (id, n_gram_hits, n_grams, contamination_frac) — the fraction
+    of the document's distinct n-grams that appear anywhere in the
+    benchmark. The benchmark n-gram set is broadcast (test sets are small
+    by construction); the corpus side explodes its distinct grams and
+    partially aggregates hit counts map-side, so the only exchange is the
+    per-document count rows.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    per_doc = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_gram_hits"))
+    )
+    return (
+        per_doc.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            "n_grams",
+            F.round(
+                F.coalesce("n_gram_hits", F.lit(0)) / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contamination_frac"),
+        )
+        .filter(F.col("n_gram_hits") >= min_hits)
+    )

@@ -3,7 +3,10 @@ actually runs, built entirely from this engine's operators.
 
     raw documents
       → quality gate        (text heuristics — scan-stage filter)
+      → repetition gate     (Gopher dup-line / top-n-gram fractions)
       → language gate       (char-n-gram language ID)
+      → PII policy          (redact or drop — regexp, scan-stage)
+      → decontamination     (benchmark n-gram overlap, broadcast anti-join)
       → exact dedup         (sha-256 digest, keep lowest id)
       → near-dup dedup      (minhash LSH pairs → connected components →
                              keep one canonical doc per cluster)
@@ -33,6 +36,18 @@ class CurationConfig:
     minhash_bands: int = 8
     sample_fraction: float = 1.0  # 1.0 disables sampling
     sample_salt: int = 0
+    # Gopher-style repetition gates (0 disables each; the published
+    # thresholds are dup_line_frac 0.30, top-2-gram char fraction 0.20)
+    max_dup_line_frac: float = 0.0
+    max_top_ngram_char_frac: float = 0.0
+    top_ngram_n: int = 2
+    # PII handling: "keep" (default), "redact" (mask in place), or "drop"
+    # (remove documents with any match)
+    pii_policy: str = "keep"
+    # Benchmark decontamination: a DataFrame of held-out text to exclude
+    # by n-gram overlap (None disables)
+    benchmark: DataFrame | None = None
+    contamination_ngram: int = 8
     id_col: str = "doc_id"
     text_col: str = "text"
     stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
@@ -54,6 +69,56 @@ def quality_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
             n_stop.cast("double") / n_tokens >= cfg.min_stopword_ratio
         )
     return out
+
+
+def repetition_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Drop repetition-heavy documents (Gopher §A1.1) — scan-stage."""
+    from kinesiscat_spark.operators.curation import (
+        repetition_signals,
+        top_ngram_char_frac,
+    )
+
+    out = docs
+    if cfg.max_dup_line_frac > 0:
+        dlf = repetition_signals(F.col(cfg.text_col))["dup_line_frac"]
+        out = out.filter(F.coalesce(dlf, F.lit(0.0)) <= cfg.max_dup_line_frac)
+    if cfg.max_top_ngram_char_frac > 0:
+        frac = top_ngram_char_frac(F.col(cfg.text_col), cfg.top_ngram_n)
+        out = out.filter(frac <= cfg.max_top_ngram_char_frac)
+    return out
+
+
+def pii_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Apply the PII policy: redact in place or drop matching docs."""
+    from kinesiscat_spark.operators.curation import pii_signals, redact_pii
+
+    if cfg.pii_policy == "keep":
+        return docs
+    if cfg.pii_policy == "redact":
+        return docs.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
+    if cfg.pii_policy == "drop":
+        p = pii_signals(F.col(cfg.text_col))
+        return docs.filter(
+            (p["n_emails"] + p["n_ipv4"] + p["n_phones"]) == 0
+        )
+    raise ValueError(f"unknown pii_policy {cfg.pii_policy!r}")
+
+
+def decontaminate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Remove documents overlapping the held-out benchmark (broadcast
+    anti-join on the contamination report's doc ids)."""
+    if cfg.benchmark is None:
+        return docs
+    from kinesiscat_spark.operators.curation import contamination_report
+
+    dirty = contamination_report(
+        docs,
+        cfg.benchmark,
+        n=cfg.contamination_ngram,
+        id_col=cfg.id_col,
+        text_col=cfg.text_col,
+    ).select(F.col("id").alias(cfg.id_col))
+    return docs.join(F.broadcast(dirty), cfg.id_col, "left_anti")
 
 
 def language_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -111,7 +176,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
 
     out = step("input", docs)
     out = step("quality", quality_gate(out, cfg))
+    out = step("repetition", repetition_gate(out, cfg))
     out = step("language", language_gate(out, cfg))
+    out = step("pii", pii_gate(out, cfg))
+    out = step("decontaminate", decontaminate(out, cfg))
     out = step("exact_dedup", exact_dedup(out, cfg))
     out = step("near_dedup", near_dedup(out, cfg))
     if cfg.sample_fraction < 1.0:

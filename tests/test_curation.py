@@ -1,0 +1,216 @@
+"""Curation operators: Gopher-style repetition signals, PII detection, and
+benchmark decontamination — exact-value unit tests plus DuckDB
+differentials on the real documents table (same harness as the driver's
+t2 gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    contamination_report,
+    dup_ngram_char_frac,
+    pii_signals,
+    redact_pii,
+    repetition_signals,
+    top_ngram_char_frac,
+    word_ngrams,
+)
+from tests.conftest import SF_ORACLE
+from tools.oracle_check import compare
+
+# DuckDB twin of curation.words / word_ngrams
+_WORDS = "list_filter(string_split_regex(trim({t}), '\\s+'), x -> len(x) > 0)"
+
+
+def _ngrams_sql(t: str, n: int) -> str:
+    ws = _WORDS.format(t=t)
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({ws}) - {n} + 1), "
+        f"i -> array_to_string(({ws})[i:i+{n}-1], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    rows = [
+        (0, "a b c\na b c\nx y z\na b c"),           # dup lines
+        (1, "one two one two one two one two end"),   # dominant 2-gram
+        (2, ""),                                      # empty
+        (3, "solo"),                                  # single word
+        (4, "mail me at bob.smith+x@corp.example.com or 10.0.0.1 "
+            "or +1 555-123-4567 thanks"),
+        (5, "unique words only here today friend"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_exact_values(synth):
+    out = {
+        r.doc_id: r
+        for r in synth.withColumn("s", repetition_signals(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("s.n_lines").alias("n_lines"),
+            F.col("s.dup_line_frac").alias("dlf"),
+            F.col("s.dup_line_char_frac").alias("dlcf"),
+            top_ngram_char_frac(F.col("text"), 2).alias("top2"),
+            dup_ngram_char_frac(F.col("text"), 2).alias("dup2"),
+        )
+        .collect()
+    }
+    # doc 0: 4 lines, 2 distinct -> dup_line_frac = 0.5; "a b c" (len 5)
+    # repeats 3x -> 2 duplicated occurrences -> 10 dup chars / 20 total
+    assert out[0].n_lines == 4
+    assert out[0].dlf == pytest.approx(0.5)
+    assert out[0].dlcf == pytest.approx(10 / 20)
+    # doc 1: "one two" x4 among 8 bigrams, covered = 4*7=28 of 35 chars
+    assert out[1].top2 == pytest.approx(28 / 35)
+    # dup2: "one two" 4x (28) + "two one" 3x (21) = 49 -> capped at 1.0
+    assert out[1].dup2 == pytest.approx(1.0)
+    # empty + single-word docs: all-zero signals, no nulls/NaNs
+    for d in (2, 3):
+        assert out[d].top2 == 0.0 and out[d].dup2 == 0.0
+    assert out[5].dlf == pytest.approx(0.0)
+
+
+def test_pii_exact_values(synth):
+    r = {
+        x.doc_id: x
+        for x in synth.select(
+            "doc_id",
+            pii_signals(F.col("text")).alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (r[4].p.n_emails, r[4].p.n_ipv4, r[4].p.n_phones) == (1, 1, 1)
+    assert "corp.example.com" not in r[4].red
+    assert "10.0.0.1" not in r[4].red
+    assert "555-123-4567" not in r[4].red
+    assert r[4].red.count("<PII>") == 3
+    assert (r[0].p.n_emails, r[0].p.n_ipv4, r[0].p.n_phones) == (0, 0, 0)
+
+
+def test_repetition_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = docs.withColumn("s", repetition_signals(F.col("text"))).select(
+        "doc_id",
+        F.round(top_ngram_char_frac(F.col("text"), 2), 6).alias("top2"),
+        F.round(dup_ngram_char_frac(F.col("text"), 3), 6).alias("dup3"),
+        F.col("s.dup_line_frac").alias("dlf"),
+    )
+    g2, g3 = _ngrams_sql("text", 2), _ngrams_sql("text", 3)
+    want = duck.sql(
+        f"""
+        WITH g AS (
+          SELECT doc_id, text, {g2} AS grams2, {g3} AS grams3,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN len(list_distinct(grams2)) > 0 THEN round(
+            (SELECT cnt * len(g) FROM (
+               SELECT g, len(list_filter(grams2, x -> x = g)) AS cnt
+               FROM unnest(list_distinct(grams2)) AS t(g))
+             ORDER BY cnt DESC, g DESC LIMIT 1)
+            / greatest(len(text), 1)::double, 6) ELSE 0.0 END AS top2,
+          round(least(coalesce((
+            SELECT sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) FROM (
+               SELECT g, len(list_filter(grams3, x -> x = g)) AS cnt
+               FROM unnest(list_distinct(grams3)) AS t(g))), 0)
+            / greatest(len(text), 1)::double, 1.0), 6) AS dup3,
+          CASE WHEN len(lines) > 0
+               THEN 1.0 - len(list_distinct(lines)) / len(lines)::double
+          END AS dlf
+        FROM g
+        """
+    ).df()
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_pii_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = docs.withColumn("p", pii_signals(F.col("text"))).select(
+        "doc_id",
+        F.col("p.n_emails").alias("n_emails"),
+        F.col("p.n_ipv4").alias("n_ipv4"),
+        F.col("p.n_phones").alias("n_phones"),
+    )
+    want = duck.sql(
+        f"""
+        SELECT doc_id,
+          len(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
+          len(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ipv4,
+          len(regexp_extract_all(text, '{PHONE_RE}'))::bigint AS n_phones
+        FROM documents
+        """
+    ).df()
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_contamination_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # benchmark = substrings of some real docs (guaranteed overlap) plus
+    # a disjoint control row
+    bench = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " ").alias(
+                "text"
+            )
+        )
+        .union(spark.createDataFrame([("zz qq ww ee rr tt yy uu",)], ["text"]))
+    )
+    got = contamination_report(docs, bench, n=5)
+    bench.toPandas().to_parquet("/tmp/curation_bench.parquet")
+    g5 = _ngrams_sql("text", 5)
+    want = duck.sql(
+        f"""
+        WITH bg AS (
+          SELECT DISTINCT g
+          FROM (SELECT unnest({g5}) AS g
+                FROM read_parquet('/tmp/curation_bench.parquet'))
+        ),
+        dg AS (
+          SELECT doc_id AS id, unnest(list_distinct({g5})) AS g FROM documents
+        ),
+        per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
+        hits AS (
+          SELECT id, count(*) AS n_gram_hits FROM dg JOIN bg USING (g) GROUP BY id
+        )
+        SELECT id, n_gram_hits, n_grams,
+               round(n_gram_hits / n_grams::double, 6) AS contamination_frac
+        FROM per_doc JOIN hits USING (id)
+        WHERE n_gram_hits >= 1
+        """
+    ).df()
+    assert got.count() > 0  # the planted substrings must be found
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_curation_plan_shape(spark, synth):
+    """Repetition/PII stay Python-free scan-stage; contamination
+    broadcasts the benchmark side."""
+    sig = synth.select(
+        repetition_signals(F.col("text")).alias("s"),
+        pii_signals(F.col("text")).alias("p"),
+        top_ngram_char_frac(F.col("text"), 2).alias("t2"),
+    )
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # scan-stage: no shuffle at all
+    rep = contamination_report(synth, synth.select("text"), n=2)
+    jplan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan or "BroadcastExchange" in jplan
+    assert "EvalPython" not in jplan

@@ -62,7 +62,8 @@ def test_curate_default_is_lazy(spark, monkeypatch):
     cfg = CurationConfig(stage_counts={})
     curate(docs, cfg)
     assert set(cfg.stage_counts) == {
-        "input", "quality", "language", "exact_dedup", "near_dedup"
+        "input", "quality", "repetition", "language", "pii",
+        "decontaminate", "exact_dedup", "near_dedup",
     }
 
 
@@ -71,3 +72,46 @@ def test_curate_language_gate(spark):
     cfg = CurationConfig(min_tokens=1, keep_langs=("en",))
     out = curate(docs, cfg)
     assert 0 < out.count() < docs.count()
+
+
+def test_curate_repetition_pii_decontamination_gates(spark):
+    from pyspark.sql import functions as F
+
+    def filler(tag):  # distinct per doc: keeps top-2-gram frac low without
+        return " ".join(f"{tag}{i}" for i in range(40))  # creating near-dups
+
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta eta theta {filler('a')}"),
+        (2, "spam spam spam spam spam spam spam spam"),          # repetitive
+        (3, f"write to admin@site.example.org for details {filler('b')}"),  # PII
+        (4, f"the quick brown fox jumps over the lazy dog {filler('c')}"),
+        (5, f"totally unrelated clean document text goes here {filler('d')}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    cfg = CurationConfig(
+        min_tokens=1,
+        near_dup_threshold=0.99,
+        max_top_ngram_char_frac=0.2,
+        pii_policy="drop",
+        benchmark=bench,
+        contamination_ngram=5,
+        stage_counts={},
+    )
+    kept = {r.doc_id for r in curate(docs, cfg).collect()}
+    assert 2 not in kept  # repetition gate
+    assert 3 not in kept  # pii drop
+    assert 4 not in kept  # contaminated vs benchmark
+    assert {1, 5} <= kept
+    c = cfg.stage_counts
+    assert c["repetition"] == c["quality"] - 1
+    assert c["pii"] == c["repetition"] - 1
+    assert c["decontaminate"] == c["pii"] - 1
+
+    # redact policy keeps the doc but masks the address
+    cfg2 = CurationConfig(min_tokens=1, near_dup_threshold=0.99, pii_policy="redact")
+    red = {r.doc_id: r.text for r in curate(docs, cfg2).collect()}
+    assert 3 in red and "admin@site.example.org" not in red[3]
+    assert "<PII>" in red[3]
