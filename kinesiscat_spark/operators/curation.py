@@ -159,6 +159,71 @@ def redact_pii(text: Column, token: str = "<PII>") -> Column:
     return out
 
 
+# --- cross-document repeated spans ----------------------------------------
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word ``n``-gram spans appearing in ≥ ``min_docs`` distinct documents
+    — the word-granularity analogue of exact substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"; the
+    suffix-array construction there finds character spans, this finds the
+    boilerplate at span length ``n`` with one aggregation).
+
+    Returns (span, n_docs). Scale shape: per-document DISTINCT grams
+    explode into one exchange keyed on the span, and the count is
+    partially aggregated map-side — a span repeated in every document
+    costs one partial count per task, not a posting list. At 100 TB key
+    the exchange on ``xxhash64(span)`` and keep an example span per hash.
+    """
+    grams = docs.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("span")
+    )
+    return (
+        grams.groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dup_frac(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of its distinct word ``n``-grams that also
+    appear in ≥ ``min_docs`` − 1 OTHER documents (cross-document
+    boilerplate load). Returns (id, n_repeated, n_grams, span_dup_frac);
+    documents with no n-grams are omitted. Two span-keyed exchanges (the
+    count and the membership join) — both partial-aggregated."""
+    spans = cross_doc_spans(docs, n, id_col, text_col, min_docs)
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("span"),
+    )
+    per_doc = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    rep = (
+        doc_grams.join(spans.select("span"), "span")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    return per_doc.join(rep, "id", "left").select(
+        "id",
+        F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+        "n_grams",
+        F.round(
+            F.coalesce("n_repeated", F.lit(0)) / F.col("n_grams").cast("double"), 6
+        ).alias("span_dup_frac"),
+    )
+
+
 # --- benchmark decontamination --------------------------------------------
 
 

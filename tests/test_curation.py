@@ -214,3 +214,39 @@ def test_curation_plan_shape(spark, synth):
     jplan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan or "BroadcastExchange" in jplan
     assert "EvalPython" not in jplan
+
+
+def test_repeated_spans_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    from kinesiscat_spark.operators.curation import cross_doc_spans, span_dup_frac
+
+    got_spans = cross_doc_spans(docs, n=6)
+    got_frac = span_dup_frac(docs, n=6)
+    g6 = _ngrams_sql("text", 6)
+    want_spans = duck.sql(
+        f"""
+        SELECT span, count(*)::bigint AS n_docs
+        FROM (SELECT unnest(list_distinct({g6})) AS span FROM documents)
+        GROUP BY span HAVING count(*) >= 2
+        """
+    ).df()
+    want_frac = duck.sql(
+        f"""
+        WITH dg AS (
+          SELECT doc_id AS id, unnest(list_distinct({g6})) AS span FROM documents
+        ),
+        spans AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
+        per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
+        rep AS (
+          SELECT id, count(*) AS n_repeated FROM dg JOIN spans USING (span) GROUP BY id
+        )
+        SELECT id, coalesce(n_repeated, 0)::bigint AS n_repeated, n_grams,
+               round(coalesce(n_repeated, 0) / n_grams::double, 6) AS span_dup_frac
+        FROM per_doc LEFT JOIN rep USING (id)
+        """
+    ).df()
+    assert got_spans.count() > 0  # the synthetic corpus has boilerplate
+    ok, msg = compare(got_spans, want_spans)
+    assert ok, msg
+    ok, msg = compare(got_frac, want_frac)
+    assert ok, msg
