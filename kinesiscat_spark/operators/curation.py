@@ -201,26 +201,36 @@ def span_dup_frac(
     """Per-document fraction of its distinct word ``n``-grams that also
     appear in ≥ ``min_docs`` − 1 OTHER documents (cross-document
     boilerplate load). Returns (id, n_repeated, n_grams, span_dup_frac);
-    documents with no n-grams are omitted. Two span-keyed exchanges (the
-    count and the membership join) — both partial-aggregated."""
-    spans = cross_doc_spans(docs, n, id_col, text_col, min_docs)
+    documents with no n-grams are omitted.
+
+    Scale shape: the text scan + n-gram explode — the widest stage — runs
+    ONCE: the cross-document count is a window over the span partitioning
+    (one hash exchange keyed on the span), and the per-document rollup is
+    then a plain (id, counts) aggregation, partially combined map-side.
+    No joins, no second scan — the same rides-the-exchange trick the
+    minhash guard uses (``dedup.minhash_lsh_pairs``)."""
+    from pyspark.sql import Window
+
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("span"),
     )
-    per_doc = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    rep = (
-        doc_grams.join(spans.select("span"), "span")
+    n_docs = F.count("*").over(Window.partitionBy("span"))
+    return (
+        doc_grams.withColumn("n_docs", n_docs)
         .groupBy("id")
-        .agg(F.count("*").alias("n_repeated"))
-    )
-    return per_doc.join(rep, "id", "left").select(
-        "id",
-        F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
-        "n_grams",
-        F.round(
-            F.coalesce("n_repeated", F.lit(0)) / F.col("n_grams").cast("double"), 6
-        ).alias("span_dup_frac"),
+        .agg(
+            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_repeated"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "id",
+            "n_repeated",
+            "n_grams",
+            F.round(
+                F.col("n_repeated") / F.col("n_grams").cast("double"), 6
+            ).alias("span_dup_frac"),
+        )
     )
 
 
@@ -235,6 +245,7 @@ def contamination_report(
     text_col: str = "text",
     bench_text_col: str = "text",
     min_hits: int = 1,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Documents sharing ≥ ``min_hits`` distinct word ``n``-grams with the
     benchmark set (train/test overlap, Brown et al. 2020 §C).
@@ -257,8 +268,11 @@ def contamination_report(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
     )
     per_doc = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    # broadcast by default (test sets are small); pass False for an
+    # outsized benchmark to fall back to a shuffle join on the gram
+    bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "g")
+        doc_grams.join(bench_side, "g")
         .groupBy("id")
         .agg(F.count("*").alias("n_gram_hits"))
     )

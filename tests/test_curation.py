@@ -250,3 +250,15 @@ def test_repeated_spans_matches_duckdb(spark, duck):
     assert ok, msg
     ok, msg = compare(got_frac, want_frac)
     assert ok, msg
+
+
+def test_span_dup_frac_single_scan(spark):
+    """The span_dup_frac plan scans the text ONCE: the cross-doc count is
+    a window riding the span exchange, not a join against a second
+    explode of the corpus."""
+    from kinesiscat_spark.operators.curation import span_dup_frac
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = span_dup_frac(docs, n=6)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan
