@@ -125,6 +125,22 @@ def probes():
         pairs = dedup.minhash_lsh_pairs(docs, 0.5, 32, 8)
         return keep_canonical(docs, pairs).count()
 
+    def p_repetition(spark, d):
+        from kinesiscat_spark.operators import curation
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return docs.select(
+            curation.repetition_signals(F.col("text")).alias("s"),
+            curation.top_ngram_char_frac(F.col("text"), 2).alias("t2"),
+            curation.pii_signals(F.col("text")).alias("p"),
+        ).count()
+
+    def p_span_dup(spark, d):
+        from kinesiscat_spark.operators import curation
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return curation.span_dup_frac(docs, n=6).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
@@ -133,6 +149,8 @@ def probes():
         "winnow_fingerprint": (p_fingerprint, "linear"),
         "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
+        "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
+        "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
     }
 
 
