@@ -499,16 +499,38 @@ class ColumnCompiler:
 
         return fn, probe.dtype
 
+    def _box_lambda(self, rhs: Node):
+        """Compile ``rhs`` as a function of a VARIANT lambda variable (an
+        element of a box exploded with ``from_json`` to array<variant> /
+        map<string,variant>). The element is presented as a _VariantPath
+        box rooted at the element variant itself, so member accesses
+        inside the lambda extend the variant path instead of re-parsing
+        the element's serialized text once per element."""
+
+        def mk(v: Column) -> Typed:
+            return Typed(self._variant_box(v), _VariantPath(v, "$"))
+
+        probe = self.compile(rhs, mk(F.try_parse_json(F.lit(None).cast("string"))))
+
+        def fn(v: Column) -> Column:
+            return self.compile(rhs, mk(v)).col
+
+        return fn, probe.dtype
+
     def _c_projection(self, node: Node, doc: Typed) -> Typed:
         left, right = node.children
         base = self.compile(left, doc)
         dt = base.dtype
         if _is_box(dt):
-            # project over the box's element array: elements are boxes
-            # themselves; null RESULTS drop per the projection rule (a JSON
-            # null element under identity is itself a null result)
-            base = Typed(self._box_elems(base.col), T.ArrayType(_JSONBOX))
-            dt = base.dtype
+            # project over the box's element array (variant elements, so
+            # member accesses inside the lambda need no re-parse); null
+            # RESULTS drop per the projection rule (a JSON null element
+            # under identity is itself a null result)
+            arr = F.from_json(base.col, "array<variant>")
+            fn, rtype = self._box_lambda(right)
+            mapped = F.transform(arr, fn)
+            kept = F.filter(mapped, lambda r: r.isNotNull())
+            return Typed(kept, T.ArrayType(rtype))
         if isinstance(dt, T.NullType):
             return _null()
         if not isinstance(dt, T.ArrayType):
@@ -526,10 +548,9 @@ class ColumnCompiler:
             # object-value projection over a box: values in canonical
             # (sorted-key) order — a valid order for the unordered J6
             # contract (Go map iteration is random, SURVEY §2.2)
-            base = Typed(self._box_vals(base.col), T.ArrayType(_JSONBOX))
-            dt = base.dtype
-            fn, rtype = self._lambda_body(right, _JSONBOX)
-            mapped = F.transform(base.col, fn)
+            vals = F.map_values(F.from_json(base.col, "map<string,variant>"))
+            fn, rtype = self._box_lambda(right)
+            mapped = F.transform(vals, fn)
             return Typed(
                 F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype)
             )
@@ -571,10 +592,21 @@ class ColumnCompiler:
         base = self.compile(left, doc)
         dt = base.dtype
         if _is_box(dt):
-            # filter the box's element array; the condition sees box-typed
-            # elements (truthiness on canonical text is exact)
-            base = Typed(self._box_elems(base.col), T.ArrayType(_JSONBOX))
-            dt = base.dtype
+            # filter the box's element array (variant elements — the
+            # condition AND the projection body both see path-extendable
+            # boxes; truthiness on canonical text is exact)
+            arr = F.from_json(base.col, "array<variant>")
+
+            def cond_v(v: Column) -> Column:
+                elem_box = Typed(self._variant_box(v), _VariantPath(v, "$"))
+                return truthy(self.compile(condition, elem_box))
+
+            filtered = F.filter(arr, cond_v)
+            fn, rtype = self._box_lambda(right)
+            mapped = F.transform(filtered, fn)
+            return Typed(
+                F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype)
+            )
         if not isinstance(dt, T.ArrayType):
             return _null()
         elem = dt.elementType
