@@ -76,9 +76,11 @@ class JsonBoxType(T.DataType):
     index, slice, the three projections, flatten, to_array/to_string/
     length/keys/values/reverse/contains) runs through the variant runtime
     (``try_parse_json`` + ``from_json`` to array<variant>/map<string,
-    variant>). Ordered/arithmetic folds over boxes (sum/avg/min/max/sort
-    and the &expr functions) still take the UDF path — a runtime type
-    mismatch there must error, which a static Column cannot. Two
+    variant>), including the arithmetic/ordered folds (sum/avg/min/max/
+    sort/map, guarded by all-numbers / all-strings runtime checks). Only
+    the &expr-comparator folds over boxes (sort_by/min_by/max_by) still
+    take the UDF path — their comparator's runtime type errors have no
+    Column form. Two
     divergences from the evaluator, by design: (a) invalid-type errors
     inside boxed operands yield null instead of raising (the static path
     cannot see the type mismatch; callers that need error fidelity use
@@ -368,6 +370,30 @@ class ColumnCompiler:
             box.startswith('"'),
             F.try_variant_get(F.try_parse_json(box), "$", "string"),
         )
+
+    @staticmethod
+    def _box_num_elems(elems: Column) -> tuple[Column, Column]:
+        """(all-numbers?, array<double>) for an array of box-text elements.
+        Canonical number text casts cleanly; any other shape (strings are
+        quoted, so '\"2\"' does NOT cast) yields NULL and fails the guard."""
+        nums = F.transform(elems, lambda e: e.try_cast("double"))
+        valid = F.forall(
+            F.zip_with(elems, nums, lambda e, x: e.isNotNull() & x.isNotNull()),
+            lambda ok: ok,
+        )
+        return valid, nums
+
+    @staticmethod
+    def _box_str_elems(elems: Column) -> tuple[Column, Column]:
+        """(all-strings?, array<string> decoded) for box-text elements."""
+        valid = F.forall(
+            elems, lambda e: e.isNotNull() & e.startswith('"')
+        )
+        dec = F.transform(
+            elems,
+            lambda e: F.try_variant_get(F.try_parse_json(e), "$", "string"),
+        )
+        return valid, dec
 
     _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -809,6 +835,15 @@ class ColumnCompiler:
 
     def _f_sum(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # runtime array of numbers → exact sum (0 on empty); any other
+            # shape → null (evaluator raises invalid-type — box deviation)
+            elems = self._box_elems(a.col)
+            valid, nums = self._box_num_elems(elems)
+            total = F.aggregate(
+                nums, F.lit(0.0), lambda acc, x: acc + x
+            )
+            return Typed(F.when(valid, total), T.DoubleType())
         if self._all_null_array(a.dtype) or (
             node.children[0].type == "literal" and node.children[0].value == []
         ):
@@ -823,6 +858,13 @@ class ColumnCompiler:
 
     def _f_avg(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            elems = self._box_elems(a.col)
+            valid, nums = self._box_num_elems(elems)
+            total = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
+            n = F.size(elems)
+            # avg([]) is null (0/0); non-number shapes → null (deviation)
+            return Typed(F.when(valid & (n > 0), total / n), T.DoubleType())
         _require_num_array(a, "avg")
         total = F.aggregate(a.col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
         n = F.size(a.col)
@@ -1058,8 +1100,27 @@ class ColumnCompiler:
             dt.elementType, T.NullType
         )
 
+    def _box_minmax(self, a: Typed, take_max: bool) -> Typed:
+        """min/max over a boxed runtime array: exact for all-number and
+        all-string arrays (result re-encoded canonically), null on empty,
+        null for any other shape (evaluator raises — box deviation)."""
+        elems = self._box_elems(a.col)
+        nvalid, nums = self._box_num_elems(elems)
+        svalid, dec = self._box_str_elems(elems)
+        pick = F.array_max if take_max else F.array_min
+        num_out = _json_text(Typed(pick(nums), T.DoubleType()))
+        str_out = _json_text(Typed(pick(dec), T.StringType()))
+        out = (
+            F.when(F.size(elems) == 0, F.lit(None).cast("string"))
+            .when(nvalid, num_out)
+            .when(svalid, str_out)
+        )
+        return Typed(out, _JSONBOX)
+
     def _f_max(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            return self._box_minmax(a, take_max=True)
         if self._all_null_array(a.dtype):
             return _null()  # max([]) is null
         et = _require_ord_array(a, "max")
@@ -1067,6 +1128,8 @@ class ColumnCompiler:
 
     def _f_min(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            return self._box_minmax(a, take_max=False)
         if self._all_null_array(a.dtype):
             return _null()  # min([]) is null
         et = _require_ord_array(a, "min")
@@ -1074,6 +1137,33 @@ class ColumnCompiler:
 
     def _f_sort(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        if _is_box(a.dtype):
+            # sort a boxed runtime array: numbers or strings, re-encoded
+            # canonically; sort([]) is []; other shapes → null (deviation)
+            elems = self._box_elems(a.col)
+            nvalid, nums = self._box_num_elems(elems)
+            svalid, dec = self._box_str_elems(elems)
+            num_arr = F.transform(
+                F.array_sort(nums),
+                lambda x: F.coalesce(
+                    _json_text(Typed(x, T.DoubleType())), F.lit("null")
+                ),
+            )
+            str_arr = F.transform(
+                F.array_sort(dec),
+                lambda s: F.coalesce(
+                    _json_text(Typed(s, T.StringType())), F.lit("null")
+                ),
+            )
+            wrap = lambda arr: F.concat(  # noqa: E731
+                F.lit("["), F.array_join(arr, ","), F.lit("]")
+            )
+            out = (
+                F.when(F.size(elems) == 0, F.lit("[]"))
+                .when(nvalid, wrap(num_arr))
+                .when(svalid, wrap(str_arr))
+            )
+            return Typed(out, _JSONBOX)
         if self._all_null_array(a.dtype):
             return a  # sort([]) is []
         _require_ord_array(a, "sort")
@@ -1133,6 +1223,13 @@ class ColumnCompiler:
             raise InvalidArityError("map() takes 2 args")
         fn_ast = self._expref_child(node, 0)
         a = self.compile(node.children[1], doc)
+        if _is_box(a.dtype):
+            # map over a boxed runtime array (variant elements, nulls
+            # KEPT — unlike projections); non-array box → null (the
+            # evaluator raises invalid-type — box deviation)
+            arr = F.from_json(a.col, "array<variant>")
+            fn, rtype = self._box_lambda(fn_ast)
+            return Typed(F.transform(arr, fn), T.ArrayType(rtype))
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable("map() needs array")
         fn, rtype = self._lambda_body(fn_ast, a.dtype.elementType)

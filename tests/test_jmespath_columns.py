@@ -487,3 +487,53 @@ def test_box_chain_parses_once(spark):
         t = compile_column(expr, F.col("v"), JsonBoxType())
         got = df.select(t.col.alias("r")).collect()[0].r
         assert got == want, (expr, got, want)
+
+
+def test_box_folds_via_variant(spark):
+    """sum/avg/min/max/sort/map over boxed runtime arrays run JVM-side,
+    differential against the pure evaluator on valid inputs; invalid
+    shapes yield null (documented box deviation, evaluator raises)."""
+    import json as _json
+
+    from kinesiscat_spark.functions.jmespath import search
+    from kinesiscat_spark.functions.jmespath.errors import JMESPathError
+
+    docs = {
+        "nums": [3, 1.5, 2],
+        "strs": ["b", "a", "c"],
+        "empty": [],
+        "mixed": [1, "a"],
+        "nested": [[1], [2, 3]],
+    }
+    box_txt = _json.dumps(docs, separators=(",", ":"), sort_keys=True)
+    df = spark.createDataFrame([(box_txt,)], ["v"])
+
+    def run(expression):
+        typed = compile_column(expression, F.col("v"), JsonBoxType())
+        raw = df.select(typed.col.alias("r")).collect()[0].r
+        if isinstance(typed.dtype, JsonBoxType):
+            return None if raw is None else _json.loads(raw)
+        return raw
+
+    valid = [
+        "sum(nums)", "avg(nums)", "min(nums)", "max(nums)", "sort(nums)",
+        "min(strs)", "max(strs)", "sort(strs)",
+        "sum(empty)", "min(empty)", "max(empty)", "sort(empty)",
+        "map(&@, nums)", "map(&to_string(@), nums)", "map(&[0], nested)",
+    ]
+    doc = docs
+    for expression in valid:
+        want = search(expression, doc)
+        got = run(expression)
+        assert got == want, (expression, got, want)
+    # avg([]) is null on both paths
+    assert run("avg(empty)") is None and search("avg(empty)", doc) is None
+    # invalid shapes: evaluator raises, box path yields null (deviation)
+    for expression in ["sum(mixed)", "min(mixed)", "sort(mixed)", "sum(strs)"]:
+        with pytest.raises(JMESPathError):
+            search(expression, doc)
+        assert run(expression) is None, expression
+    # plan stays JVM-only
+    typed = compile_column("sort(nums)", F.col("v"), JsonBoxType())
+    plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
