@@ -360,3 +360,50 @@ def test_text_stream_sequence_distinct_across_files(spark, tmp_path):
     assert len(seqs) == 2  # file identity mixed into the sequence
     for s in seqs:
         assert len(s) == 20 and not s.startswith("-")
+
+
+def test_streaming_curation_gates(spark, tmp_path):
+    """The scan-stage curation signals (repetition, PII, quality) are
+    plain Columns, so they compose directly into a streaming pipeline:
+    readStream → gates → memory sink, per-record, no state required."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import (
+        pii_signals,
+        redact_pii,
+        repetition_signals,
+        top_ngram_char_frac,
+    )
+
+    src = str(tmp_path / "stream_docs")
+    spark.createDataFrame(
+        [
+            (1, "good clean text with plenty of distinct words here"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "contact me at leak@example.net for additional notes on "
+                "the planned rollout schedule and various other details"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    raw = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = (
+        raw.withColumn("rep", repetition_signals(F.col("text")))
+        .withColumn("top2", top_ngram_char_frac(F.col("text"), 2))
+        .withColumn("pii", pii_signals(F.col("text")))
+        .filter(F.col("top2") <= 0.3)
+        .withColumn("text", redact_pii(F.col("text")))
+        .select("doc_id", "text", "top2", F.col("pii.n_emails").alias("n_emails"))
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curation_gates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("select * from curation_gates").collect()}
+    assert set(rows) == {1, 3}  # repetitive doc 2 gated out
+    assert rows[3].n_emails == 1
+    assert "leak@example.net" not in rows[3].text and "<PII>" in rows[3].text
