@@ -77,10 +77,9 @@ class JsonBoxType(T.DataType):
     length/keys/values/reverse/contains) runs through the variant runtime
     (``try_parse_json`` + ``from_json`` to array<variant>/map<string,
     variant>), including the arithmetic/ordered folds (sum/avg/min/max/
-    sort/map, guarded by all-numbers / all-strings runtime checks). Only
-    the &expr-comparator folds over boxes (sort_by/min_by/max_by) still
-    take the UDF path — their comparator's runtime type errors have no
-    Column form. Two
+    sort/map) and the &expr-keyed folds (sort_by/min_by/max_by), all
+    guarded by all-numbers / all-strings runtime checks — the ENTIRE
+    operator and function surface evaluates boxes natively. Two
     divergences from the evaluator, by design: (a) invalid-type errors
     inside boxed operands yield null instead of raising (the static path
     cannot see the type mismatch; callers that need error fidelity use
@@ -1176,13 +1175,53 @@ class ColumnCompiler:
 
         return cmp
 
+    def _box_keyed(self, a: Typed, key_ast: Node):
+        """(pairs, cmp, valid) for &expr-keyed folds over a boxed runtime
+        array: pairs = array<struct<k: box-text key, e: box-text elem>>,
+        cmp a comparator choosing numeric or string ordering by the
+        row-level all-numbers/all-strings guards (captured outer columns),
+        valid = keys uniformly ordered (else the fold yields null — the
+        evaluator raises invalid-type there, documented box deviation)."""
+        arr = F.from_json(a.col, "array<variant>")
+
+        def kv(v: Column) -> Column:
+            elem_box = Typed(self._variant_box(v), _VariantPath(v, "$"))
+            k = box(self.compile(key_ast, elem_box)).col
+            return F.struct(k.alias("k"), self._variant_box(v).alias("e"))
+
+        pairs = F.transform(arr, kv)
+        keys = F.transform(pairs, lambda p: p["k"])
+        knum, _ = self._box_num_elems(keys)
+        kstr, _ = self._box_str_elems(keys)
+
+        def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            ln, rn = l["k"].try_cast("double"), r["k"].try_cast("double")
+            ls = F.try_variant_get(F.try_parse_json(l["k"]), "$", "string")
+            rs = F.try_variant_get(F.try_parse_json(r["k"]), "$", "string")
+            num = F.when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+            st = F.when(ls < rs, -1).when(ls > rs, 1).otherwise(0)
+            return F.when(knum, num).otherwise(st)
+
+        return pairs, cmp, knum | kstr
+
     def _f_sort_by(self, node: Node, doc: Typed) -> Typed:
         if len(node.children) != 2:
             raise InvalidArityError("sort_by() takes 2 args")
         a = self.compile(node.children[0], doc)
+        key_ast = self._expref_child(node, 1)
+        if _is_box(a.dtype):
+            pairs, cmp, valid = self._box_keyed(a, key_ast)
+            srt = F.array_sort(pairs, cmp)
+            body = F.array_join(
+                F.transform(srt, lambda p: F.coalesce(p["e"], F.lit("null"))),
+                ",",
+            )
+            out = F.when(F.size(pairs) == 0, F.lit("[]")).when(
+                valid, F.concat(F.lit("["), body, F.lit("]"))
+            )
+            return Typed(out, _JSONBOX)
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable("sort_by() needs array")
-        key_ast = self._expref_child(node, 1)
         elem = a.dtype.elementType
 
         def key_fn(x: Column) -> Column:
@@ -1200,9 +1239,17 @@ class ColumnCompiler:
         if len(node.children) != 2:
             raise InvalidArityError(f"{node.value}() takes 2 args")
         a = self.compile(node.children[0], doc)
+        key_ast = self._expref_child(node, 1)
+        if _is_box(a.dtype):
+            pairs, cmp, valid = self._box_keyed(a, key_ast)
+            order = (lambda l, r: -cmp(l, r)) if last else cmp  # noqa: E741
+            srt = F.array_sort(pairs, order)
+            first = F.try_element_at(srt, F.lit(1))
+            return Typed(
+                F.when(valid & (F.size(pairs) > 0), first["e"]), _JSONBOX
+            )
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable(f"{node.value}() needs array")
-        key_ast = self._expref_child(node, 1)
         elem = a.dtype.elementType
 
         def key_fn(x: Column) -> Column:

@@ -537,3 +537,52 @@ def test_box_folds_via_variant(spark):
     typed = compile_column("sort(nums)", F.col("v"), JsonBoxType())
     plan = df.select(typed.col)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_box_keyed_folds_via_variant(spark):
+    """sort_by/min_by/max_by over boxed runtime arrays: numeric and
+    string keys, stability and first-extremal tie rules, null on
+    non-uniform keys (box deviation; evaluator raises)."""
+    import json as _json
+
+    from kinesiscat_spark.functions.jmespath import search
+    from kinesiscat_spark.functions.jmespath.errors import JMESPathError
+
+    doc = {
+        "items": [
+            {"n": "a", "v": 5}, {"n": "b", "v": 2}, {"n": "c", "v": 5},
+            {"n": "d", "v": 2}, {"n": "e", "v": 5},
+        ],
+        "strk": [{"k": "z", "i": 0}, {"k": "a", "i": 1}, {"k": "z", "i": 2}],
+        "empty": [],
+        "badkey": [{"v": 1}, {"v": "x"}],
+    }
+    box_txt = _json.dumps(doc, separators=(",", ":"), sort_keys=True)
+    df = spark.createDataFrame([(box_txt,)], ["v"])
+
+    def run(expression):
+        typed = compile_column(expression, F.col("v"), JsonBoxType())
+        raw = df.select(typed.col.alias("r")).collect()[0].r
+        if isinstance(typed.dtype, JsonBoxType):
+            return None if raw is None else _json.loads(raw)
+        return raw
+
+    for expression in [
+        "sort_by(items, &v)",          # stable on tied keys
+        "sort_by(items, &n)",
+        "sort_by(strk, &k)",
+        "max_by(items, &v)",           # FIRST max on ties
+        "min_by(items, &v)",           # FIRST min on ties
+        "max_by(strk, &k)",
+        "min_by(strk, &k)",
+        "sort_by(empty, &v)",
+        "max_by(empty, &v)",
+    ]:
+        want = search(expression, doc)
+        got = run(expression)
+        assert got == want, (expression, got, want)
+    # non-uniform key types: evaluator raises, box path yields null
+    with pytest.raises(JMESPathError):
+        search("sort_by(badkey, &v)", doc)
+    assert run("sort_by(badkey, &v)") is None
+    assert run("max_by(badkey, &v)") is None
