@@ -262,3 +262,48 @@ def test_span_dup_frac_single_scan(spark):
     plan = span_dup_frac(docs, n=6)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_curation_invariants_random_texts(spark):
+    """Batch-property sweep on adversarial random texts (one Spark job,
+    many generated rows): all fractions land in [0, 1], empty/degenerate
+    docs yield zeros not nulls/NaNs, and redact_pii removes every match
+    its own detectors count."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = ["word", "the", "a@b.cd", "1.2.3.4", "+1 23456789", "x",
+                "", " ", "\n", "ümlaut", "列車", "a" * 50, ".", "@", "+"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(300)
+    ] + ["", " ", "\n\n\n", "a", "a b", "\x00weird\x01"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    out = (
+        df.withColumn("s", repetition_signals(F.col("text")))
+        .select(
+            "i",
+            F.col("s.dup_line_frac").alias("dlf"),
+            F.col("s.dup_line_char_frac").alias("dlcf"),
+            top_ngram_char_frac(F.col("text"), 2).alias("top2"),
+            dup_ngram_char_frac(F.col("text"), 3).alias("dup3"),
+            pii_signals(F.col("text")).alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        )
+        .collect()
+    )
+    import math as _math
+
+    for r in out:
+        for v in (r.dlf, r.dlcf, r.top2, r.dup3):
+            if v is not None:
+                assert not _math.isnan(v) and 0.0 <= v <= 1.0, (r.i, v)
+        assert r.top2 is not None and r.dup3 is not None  # total functions
+    # redaction is complete by its own detectors
+    red_df = spark.createDataFrame([(r.i, r.red) for r in out], ["i", "text"])
+    residue = (
+        red_df.select(pii_signals(F.col("text")).alias("p"))
+        .filter((F.col("p.n_emails") + F.col("p.n_ipv4") + F.col("p.n_phones")) > 0)
+        .count()
+    )
+    assert residue == 0
