@@ -27,7 +27,6 @@ HEADLINE = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
-    "events_agg_by_type",
     "events_tumbling_window",
     "events_sessionization",
     "events_topk_users_per_type",
@@ -43,6 +42,9 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_fingerprint",
+    "curation_signals",
+    "curation_span_dup",
+    "curation_decontaminate",
 )
 
 

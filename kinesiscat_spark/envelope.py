@@ -10,9 +10,9 @@ and ordering; we add shardId so one Spark input partition maps to one shard.
 ``events_as_records`` adapts the driver's ``events`` table into this
 envelope (FIXTURES.md role mapping: props -> Data, user_id -> PartitionKey,
 event_id -> SequenceNumber, ts -> arrival timestamp). Shard assignment
-mirrors Kinesis: hash of the partition key routed to one of N contiguous
-hash ranges (`api.go:1141-1149`) — here pmod(xxhash64(key), n_shards),
-computed JVM-side so it stays in whole-stage codegen.
+mirrors Kinesis exactly: the MD5 hash of the partition key routed to one
+of N contiguous hash ranges (`api.go:1141-1149`), computed JVM-side so it
+stays in whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -42,8 +42,22 @@ def sequence_number(col: F.Column) -> F.Column:
 
 
 def shard_id(partition_key: F.Column, n_shards: int) -> F.Column:
+    """Kinesis-faithful hash-range routing (`api.go:1141-1149`): the MD5 of
+    the partition key, read as an unsigned integer, falls into one of
+    ``n_shards`` contiguous equal hash ranges. The top 48 bits (12 hex
+    chars) decide the range exactly for any ``n_shards`` ≤ 2^20 or so —
+    and md5 is reproducible in DuckDB (``('0x' || hex)::BIGINT``), so
+    shard assignment itself is oracle-checkable, unlike a JVM-only hash.
+    All math stays in whole-stage codegen."""
+    h = F.conv(F.substring(F.md5(partition_key), 1, 12), 16, 10).cast("long")
+    # h·n / 2^48 is exact in double arithmetic (numerator ≤ 2^51 for sane
+    # n_shards; dividing by a power of two only shifts the exponent), so
+    # floor == the integer hash-range index with no rounding hazard.
     return F.format_string(
-        "shardId-%012d", F.pmod(F.xxhash64(partition_key), F.lit(n_shards))
+        "shardId-%012d",
+        F.floor((h * F.lit(n_shards)).cast("double") / F.lit(float(1 << 48))).cast(
+            "long"
+        ),
     )
 
 

@@ -114,3 +114,173 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3)
     return keep_canonical(docs, pairs).select("doc_id")
+
+
+# DuckDB twin of curation.words / word_ngrams (also imported by
+# tests/test_curation.py so the lane oracle and the pytest differential
+# can never drift).
+_WORDS = "list_filter(string_split_regex(trim({t}), '\\s+'), x -> len(x) > 0)"
+
+
+def _ngrams_sql(t: str, n: int) -> str:
+    ws = _WORDS.format(t=t)
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({ws}) - {n} + 1), "
+        f"i -> array_to_string(({ws})[i:i+{n}-1], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _signals_oracle() -> str:
+    from kinesiscat_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    g2, g3 = _ngrams_sql("text", 2), _ngrams_sql("text", 3)
+    return f"""
+WITH g AS (
+  SELECT doc_id, text, {g2} AS grams2, {g3} AS grams3,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(list_distinct(grams2)) > 0 THEN round(
+    (SELECT cnt * len(g) FROM (
+       SELECT g, len(list_filter(grams2, x -> x = g)) AS cnt
+       FROM unnest(list_distinct(grams2)) AS t(g))
+     ORDER BY cnt DESC, g DESC LIMIT 1)
+    / greatest(len(text), 1)::double, 6) ELSE 0.0 END AS top2,
+  round(least(coalesce((
+    SELECT sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) FROM (
+       SELECT g, len(list_filter(grams3, x -> x = g)) AS cnt
+       FROM unnest(list_distinct(grams3)) AS t(g))), 0)
+    / greatest(len(text), 1)::double, 1.0), 6) AS dup3,
+  CASE WHEN len(lines) > 0
+       THEN 1.0 - len(list_distinct(lines)) / len(lines)::double
+  END AS dup_line_frac,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
+  len(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ipv4,
+  len(regexp_extract_all(text, '{PHONE_RE}'))::bigint AS n_phones
+FROM g
+"""
+
+
+@query("curation_signals", oracle=_signals_oracle())
+def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate signals a training-data pipeline computes per document
+    (operators/curation.py): Gopher-style repetition statistics (top-2-gram
+    char fraction, duplicated-3-gram char fraction, duplicate-line
+    fraction; Rae et al. 2021 §A1.1) and PII detector counts (emails,
+    IPv4, phone numbers — the redaction twin is differential-tested in
+    tests/test_curation.py).
+
+    All columns are pure built-in Column expressions over the document's
+    own line/word arrays — scan-stage, whole-stage codegen, ZERO shuffle —
+    so the operator scales linearly to 100 TB (per-row cost is a
+    per-document constant, independent of corpus size)."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import (
+        dup_ngram_char_frac,
+        pii_signals,
+        repetition_signals,
+        top_ngram_char_frac,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(top_ngram_char_frac(F.col("text"), 2), 6).alias("top2"),
+        F.round(dup_ngram_char_frac(F.col("text"), 3), 6).alias("dup3"),
+        repetition_signals(F.col("text"))["dup_line_frac"].alias("dup_line_frac"),
+        pii_signals(F.col("text"))["n_emails"].alias("n_emails"),
+        pii_signals(F.col("text"))["n_ipv4"].alias("n_ipv4"),
+        pii_signals(F.col("text"))["n_phones"].alias("n_phones"),
+    )
+
+
+_SPAN_N = 6
+
+_SPAN_DUP_ORACLE = f"""
+WITH dg AS (
+  SELECT doc_id AS id, unnest(list_distinct({_ngrams_sql("text", _SPAN_N)})) AS span
+  FROM documents
+),
+spans AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
+per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
+rep AS (
+  SELECT id, count(*) AS n_repeated FROM dg JOIN spans USING (span) GROUP BY id
+)
+SELECT id, coalesce(n_repeated, 0)::bigint AS n_repeated, n_grams,
+       round(coalesce(n_repeated, 0) / n_grams::double, 6) AS span_dup_frac
+FROM per_doc LEFT JOIN rep USING (id)
+"""
+
+
+@query("curation_span_dup", oracle=_SPAN_DUP_ORACLE)
+def curation_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span load (operators/curation.py
+    span_dup_frac): per document, the fraction of its distinct word
+    6-grams that also appear in ≥ 1 other document — the word-granularity
+    analogue of exact substring dedup (Lee et al. 2022).
+
+    Scale shape: the text scan + n-gram explode — the widest stage — runs
+    ONCE; the cross-document count is a window riding the span-keyed
+    exchange (no join, no second scan), and the per-document rollup is a
+    plain (id, counts) aggregation, partially combined map-side."""
+    from kinesiscat_spark.operators.curation import span_dup_frac
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_frac(docs, n=_SPAN_N)
+
+
+_DECON_N = 5
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT array_to_string(
+           (string_split_regex(trim(text), '\\s+'))[3:14], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+bg AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest({_ngrams_sql("text", _DECON_N)}) AS g FROM bench)
+),
+dg AS (
+  SELECT doc_id AS id, unnest(list_distinct({_ngrams_sql("text", _DECON_N)})) AS g
+  FROM documents
+),
+per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
+hits AS (
+  SELECT id, count(*) AS n_gram_hits FROM dg JOIN bg USING (g) GROUP BY id
+)
+SELECT id, n_gram_hits, n_grams,
+       round(n_gram_hits / n_grams::double, 6) AS contamination_frac
+FROM per_doc JOIN hits USING (id)
+WHERE n_gram_hits >= 1
+"""
+
+
+@query("curation_decontaminate", oracle=_DECON_ORACLE)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py
+    contamination_report; Brown et al. 2020 §C): documents sharing ≥ 1
+    distinct word 5-gram with a benchmark set. The benchmark here is
+    derived in-query — a 12-word window from every 7th document — so the
+    oracle can rebuild it from the same tables (real pipelines pass the
+    actual test sets).
+
+    Scale shape: the benchmark n-gram set is broadcast (test sets are
+    small by construction); the corpus side explodes its distinct grams
+    and partially aggregates hit counts map-side — the corpus itself never
+    shuffles by gram."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " "
+        ).alias("text")
+    )
+    return contamination_report(docs, bench, n=_DECON_N)

@@ -41,19 +41,30 @@ SELECT data_str AS record_data,
        partitionKey AS record_partition_key,
        sequenceNumber AS record_sequence,
        data_str || '|' AS record_separated
-FROM records""",
+FROM records
+WHERE sequenceNumber > LPAD('5000', 20, '0')""",
 )
 def envelope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 `-format data | partition-key | sequence`: all three emission
-    modes of ``sink.format_record`` over the same record set — one lane,
-    one column per mode (main.go:74-83, intended semantics). Plus K2
-    `-separator` (record + separator, ready for a byte-stream sink —
-    main.go:35-36,103), folded from the former envelope_emit_separated
-    lane."""
+    """K1 + K2 + S2 in one lane (folded to free registry slots for the
+    curation surface; each contract is still hash-checked):
+
+    - K1 `-format data | partition-key | sequence`: all three emission
+      modes of ``sink.format_record`` over the same record set — one
+      column per mode (main.go:74-83, intended semantics);
+    - K2 `-separator` (record + separator, ready for a byte-stream sink —
+      main.go:35-36,103);
+    - S2 AFTER_SEQUENCE_NUMBER as the row filter: zero-padded sequence
+      strings compare lexicographically == numerically, so the predicate
+      pushes down to the parquet scan (PushedFilters shows a GreaterThan
+      on the source column) instead of needing a post-scan cast.
+    """
+    from kinesiscat_spark.envelope import sequence_number
     from kinesiscat_spark.streaming.sink import format_record
 
     records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.select(
+    return records.filter(
+        F.col("sequenceNumber") > sequence_number(F.lit(5000))
+    ).select(
         format_record("data").alias("record_data"),
         format_record("partition-key").alias("record_partition_key"),
         format_record("sequence").alias("record_sequence"),
@@ -61,27 +72,3 @@ def envelope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_separated"
         ),
     )
-
-
-@query(
-    "envelope_start_after_sequence",
-    oracle=_ENVELOPE_CTE
-    + """
-SELECT sequenceNumber, data_str
-FROM records
-WHERE sequenceNumber > LPAD('5000', 20, '0')
-""",
-)
-def start_after_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 AFTER_SEQUENCE_NUMBER as a sargable predicate.
-
-    Zero-padded sequence strings compare lexicographically == numerically,
-    so the filter pushes down to the parquet scan (PushedFilters shows a
-    GreaterThan on the source column) instead of needing a post-scan cast.
-    """
-    from kinesiscat_spark.envelope import sequence_number
-
-    records = events_as_records(load_table(spark, sf_dir, "events"))
-    return records.filter(
-        F.col("sequenceNumber") > sequence_number(F.lit(5000))
-    ).select("sequenceNumber", F.decode(F.col("data"), "UTF-8").alias("data_str"))

@@ -64,6 +64,7 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_SIZE, EVERY = 64, 4
 AUDIO_FRAME = 256
+OUT_H, OUT_W = 8, 8
 
 _FRAME_OPS_ORACLE = f"""
 WITH {_CODES_CTE},
@@ -84,12 +85,29 @@ aframes AS (
          )) AS fi,
          cs
   FROM a
+),
+imgs AS (
+  SELECT media_id, cs,
+         CAST((media_id % 9 + 1) * 8 AS BIGINT) AS h,
+         CAST((media_id % 16 + 1) * 8 AS BIGINT) AS w
+  FROM codes WHERE media_id % 3 = 0
+),
+resized AS (
+  SELECT media_id,
+         list_transform(generate_series(0, {OUT_H * OUT_W} - 1), k ->
+           CAST(CASE WHEN ((k // {OUT_W}) * h // {OUT_H}) * w
+                          + ((k % {OUT_W}) * w // {OUT_W}) < len(cs)
+                THEN cs[((k // {OUT_W}) * h // {OUT_H}) * w
+                        + ((k % {OUT_W}) * w // {OUT_W}) + 1]
+                ELSE 0 END AS BIGINT)) AS px
+  FROM imgs
 )
 SELECT 'video' AS kind, media_id, fi AS frame_idx,
        CAST(len(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
          AS n_units,
        CAST(list_sum(cs[fi*{FRAME_SIZE} + 1 : fi*{FRAME_SIZE} + {FRAME_SIZE}]) AS BIGINT)
-         AS measure
+         AS measure,
+       CAST(NULL AS VARCHAR) AS payload
 FROM vframes
 UNION ALL
 SELECT 'audio' AS kind, media_id, fi AS frame_idx,
@@ -97,21 +115,35 @@ SELECT 'audio' AS kind, media_id, fi AS frame_idx,
          AS n_units,
        CAST(coalesce(list_sum(list_transform(
            cs[fi*{AUDIO_FRAME} + 1 : fi*{AUDIO_FRAME} + {AUDIO_FRAME}],
-           c -> c * c)), 0) AS BIGINT) AS measure
+           c -> c * c)), 0) AS BIGINT) AS measure,
+       CAST(NULL AS VARCHAR) AS payload
 FROM aframes
+UNION ALL
+SELECT 'image' AS kind, media_id, CAST(0 AS BIGINT) AS frame_idx,
+       CAST({OUT_H * OUT_W} AS BIGINT) AS n_units,
+       CAST(list_sum(px) AS BIGINT) AS measure,
+       to_json(px) AS payload
+FROM resized
 """
 
 
 @query("multimodal_frame_ops", oracle=_FRAME_OPS_ORACLE)
 def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 frame sampling + audio feature extraction in one lane: every 4th
-    64-byte frame of each video payload, and the per-256-sample-frame
-    energy (exact int64 sum of squares over the fake-PCM payload) of each
-    audio payload — both 1→N fan-outs inside the Arrow-batched mapInPandas
-    kernels, no explode/shuffle. Outputs are unioned under a `kind`
-    discriminator with aligned column names (n_units = frame length,
-    measure = byte sum / energy)."""
-    from kinesiscat_spark.operators.multimodal import audio_frame_energy
+    """X6 decode/feature-extract over all three media kinds in one lane
+    (formerly multimodal_frame_ops + multimodal_resize; folded to free a
+    registry slot — every kernel is still hash-checked):
+
+    - video: every 4th 64-byte frame (frame sampling);
+    - audio: per-256-sample-frame energy (exact int64 sum of squares over
+      the fake-PCM payload);
+    - image: nearest-neighbor 8x8 downsample (full pixel grid as the
+      payload JSON, plus its sum as the aligned `measure`).
+
+    All three are 1→N fan-outs inside Arrow-batched mapInPandas kernels —
+    no explode, no shuffle — unioned under a `kind` discriminator with
+    aligned column names (n_units = frame length / pixel count, measure =
+    byte sum / energy / pixel sum)."""
+    from kinesiscat_spark.operators.multimodal import audio_frame_energy, resize_media
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     video = media.filter(F.col("media_type") == "video")
@@ -121,6 +153,7 @@ def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.col("frame_bytes").alias("n_units"),
         F.col("frame_sum").alias("measure"),
+        F.lit(None).cast("string").alias("payload"),
     )
     audio = media.filter(F.col("media_type") == "audio")
     af = audio_frame_energy(audio, AUDIO_FRAME).select(
@@ -129,43 +162,17 @@ def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.col("n_samples").alias("n_units"),
         F.col("energy").alias("measure"),
+        F.lit(None).cast("string").alias("payload"),
     )
-    return vf.unionByName(af)
-
-
-OUT_H, OUT_W = 8, 8
-
-_RESIZE_ORACLE = f"""
-WITH {_CODES_CTE},
-imgs AS (
-  SELECT media_id, cs,
-         CAST((media_id % 9 + 1) * 8 AS BIGINT) AS h,
-         CAST((media_id % 16 + 1) * 8 AS BIGINT) AS w
-  FROM codes WHERE media_id % 3 = 0
-)
-SELECT media_id,
-       CAST({OUT_H} AS INTEGER) AS out_h,
-       CAST({OUT_W} AS INTEGER) AS out_w,
-       to_json(list_transform(generate_series(0, {OUT_H * OUT_W} - 1), k ->
-         CAST(CASE WHEN ((k // {OUT_W}) * h // {OUT_H}) * w
-                        + ((k % {OUT_W}) * w // {OUT_W}) < len(cs)
-              THEN cs[((k // {OUT_W}) * h // {OUT_H}) * w
-                      + ((k % {OUT_W}) * w // {OUT_W}) + 1]
-              ELSE 0 END AS BIGINT))) AS pixels
-FROM imgs
-"""
-
-
-@query("multimodal_resize", oracle=_RESIZE_ORACLE)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 resize: nearest-neighbor downsample of each image payload to an
-    8x8 grid via the Arrow-batched kernel; integer pixel output so the
-    SQL twin reproduces the exact source-index mapping."""
-    from kinesiscat_spark.operators.multimodal import resize_media
-
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
     images = media.filter(F.col("media_type") == "image")
-    out = resize_media(images, OUT_H, OUT_W)
-    return out.select(
-        "media_id", "out_h", "out_w", F.to_json("pixels").alias("pixels")
+    rf = resize_media(images, OUT_H, OUT_W).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        F.lit(0).cast("long").alias("frame_idx"),
+        F.lit(OUT_H * OUT_W).cast("long").alias("n_units"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("measure"),
+        F.to_json("pixels").alias("payload"),
     )
+    return vf.unionByName(af).unionByName(rf)

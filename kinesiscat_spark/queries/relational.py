@@ -163,25 +163,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_AGG_ORACLE = """
-SELECT
-  event_type,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  ROUND(SUM(value), 2) AS total_value,
-  ROUND(AVG(value), 4) AS avg_value,
-  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events
-GROUP BY event_type
-"""
-
-
-@query("events_agg_by_type", oracle=_EVENTS_AGG_ORACLE)
-def events_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-by over the stream-shaped table (count / sum / avg / distinct)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
+# The former events_agg_by_type lane was folded out: stream_agg_by_type
+# runs the identical aggregation through the streaming path (proving the
+# stronger micro-batch == batch invariant), and its count-distinct moved
+# into revenue_rollup_nation_segment (distinct aggregation under grouping
+# sets). The registry stays at the driver's 50-lane cap with every
+# distinct operator still hash-checked.

@@ -86,7 +86,8 @@ _ROLLUP_ORACLE = """
 SELECT n.n_name, c.c_mktsegment,
        CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid,
        ROUND(SUM(o.o_totalprice), 2) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_orders
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -97,9 +98,10 @@ GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 @query("revenue_rollup_nation_segment", oracle=_ROLLUP_ORACLE)
 def revenue_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: revenue by (nation, segment), by nation, and
-    grand total in one pass. nation broadcasts (25 rows at any SF);
-    customer->orders shuffles on custkey; the rollup itself is a single
-    expand+aggregate, not three scans."""
+    grand total in one pass, plus an exact count-distinct per grouping set
+    (expand + two-phase distinct aggregation). nation broadcasts (25 rows
+    at any SF); customer->orders shuffles on custkey; the rollup itself is
+    a single expand+aggregate, not three scans."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -110,7 +112,8 @@ def revenue_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.grouping_id().alias("gid"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
-    ).select("n_name", "c_mktsegment", "gid", "revenue", "n_orders")
+        F.countDistinct("o_custkey").alias("n_customers"),
+    ).select("n_name", "c_mktsegment", "gid", "revenue", "n_orders", "n_customers")
 
 
 _Q13_ORACLE = """

@@ -88,6 +88,68 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The md5 hash-range shard routing (envelope.shard_id, Kinesis
+# api.go:1141-1149) is reproducible in DuckDB, so per-shard results are
+# oracle-checkable — the reason shard_id is md5-based rather than a
+# JVM-only hash.
+_SHARD_SQL = (
+    "'shardId-' || lpad(CAST(CAST(floor(('0x' || substring(md5(CAST(user_id AS "
+    "VARCHAR)), 1, 12))::BIGINT * 8 / 281474976710656.0) AS BIGINT) AS VARCHAR), "
+    "12, '0')"
+)
+
+_LAG_ORACLE = f"""
+WITH recs AS (SELECT {_SHARD_SQL} AS shardId, ts FROM events),
+per AS (
+  SELECT shardId, COUNT(*) AS n_records, MAX(ts) AS latest
+  FROM recs GROUP BY shardId
+)
+SELECT shardId,
+       CAST(n_records AS BIGINT) AS n_records,
+       CAST(epoch_ms((SELECT MAX(latest) FROM per)) - epoch_ms(latest)
+            AS BIGINT) AS millis_behind_latest
+FROM per
+"""
+
+
+@query("stream_lag_metric", oracle=_LAG_ORACLE)
+def stream_lag_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 MillisBehindLatest (worker.go:143-146, 226-227, 245-251): the
+    per-shard lag signal, streamed.
+
+    The stream runs with ``with_lag_metric`` attached — the ``observe``
+    aggregate rides each micro-batch (no extra pass) and surfaces through
+    StreamingQueryProgress / LagListener, which tests/test_streaming.py
+    asserts on. Wall-clock lag is nondeterministic, so the hash-checked
+    output is the deterministic batch twin of the same signal: each
+    shard's record count and how many millis its newest record trails the
+    stream's newest record overall."""
+    from pyspark.sql import Window
+
+    from kinesiscat_spark.streaming.lag import with_lag_metric
+
+    ev = read_events_stream(
+        spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"), as_records=True
+    )
+    agg = (
+        with_lag_metric(ev)
+        .groupBy("shardId")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("approximateArrivalTimestamp").alias("latest"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    latest_all = F.max("latest").over(Window.partitionBy())
+    return out.select(
+        "shardId",
+        "n_records",
+        (F.unix_millis(latest_all) - F.unix_millis(F.col("latest"))).alias(
+            "millis_behind_latest"
+        ),
+    )
+
+
 @query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 streaming form: event-time tumbling window over the stream.

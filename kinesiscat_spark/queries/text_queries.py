@@ -22,41 +22,17 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
 
 
-@query(
-    "text_token_count",
-    oracle=f"""
-SELECT
-  doc_id,
-  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_bpe_tokens,
-  CAST(LENGTH(text) AS BIGINT) AS n_chars_measured
-FROM documents
-""",
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 token counting, both mandated variants: whitespace split and a
-    BPE-ish pre-tokenizer regex (GPT-2 family, lookahead-free so Java and
-    RE2 agree token-for-token), plus char count — all scan-stage Column
-    expressions."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-    )
-
-
 _QUALITY_ORACLE = f"""
 WITH tok AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS tokens, LENGTH(text) AS nc
+  SELECT doc_id, text, string_split(lower(text), ' ') AS tokens,
+         LENGTH(text) AS nc
   FROM documents
 )
 SELECT
   doc_id,
   CAST(LEN(tokens) AS BIGINT) AS n_tokens,
+  CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(nc AS BIGINT) AS n_chars_measured,
   ROUND(CAST(LEN(list_filter(tokens, t -> t IN {_STOPWORDS!r})) AS DOUBLE)
         / LEN(tokens), 4) AS stopword_ratio,
   ROUND(CAST(nc AS DOUBLE) / LEN(tokens), 4) AS avg_token_len,
@@ -69,11 +45,17 @@ FROM tok
 
 @query("text_quality_score", oracle=_QUALITY_ORACLE)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score: length saturation x stopword-density factor.
+    """X5 token counting + heuristic quality score in one scan-stage lane
+    (formerly two lanes; folded to free registry slots for the curation
+    surface — every operator is still hash-checked).
 
-    Mirrors the usual pretraining quality gates (C4/Gopher-style): documents
-    long enough and containing function words score higher. All math is
-    integer/double column expressions — no UDF.
+    Token counting, both mandated variants: whitespace split and a BPE-ish
+    pre-tokenizer regex (GPT-2 family, lookahead-free so Java regex and
+    RE2 agree token-for-token), plus char count. Quality = length
+    saturation x stopword-density factor, mirroring the usual pretraining
+    gates (C4/Gopher-style): documents long enough and containing function
+    words score higher. All math is integer/double column expressions — no
+    UDF, no shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.col("text")), " ")
@@ -87,6 +69,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
         F.round(quality, 4).alias("quality_score"),

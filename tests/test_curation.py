@@ -25,18 +25,9 @@ from kinesiscat_spark.operators.curation import (
 from tests.conftest import SF_ORACLE
 from tools.oracle_check import compare
 
-# DuckDB twin of curation.words / word_ngrams
-_WORDS = "list_filter(string_split_regex(trim({t}), '\\s+'), x -> len(x) > 0)"
-
-
-def _ngrams_sql(t: str, n: int) -> str:
-    ws = _WORDS.format(t=t)
-    return (
-        f"CASE WHEN len({ws}) >= {n} THEN "
-        f"list_transform(generate_series(1, len({ws}) - {n} + 1), "
-        f"i -> array_to_string(({ws})[i:i+{n}-1], ' ')) "
-        f"ELSE [] END"
-    )
+# DuckDB twin of curation.words / word_ngrams — the single definition lives
+# next to the driver lanes so the two can never drift.
+from kinesiscat_spark.queries.curation_queries import _ngrams_sql
 
 
 @pytest.fixture(scope="module")
