@@ -252,39 +252,39 @@ def contamination_report(
 
     Returns (id, n_gram_hits, n_grams, contamination_frac) — the fraction
     of the document's distinct n-grams that appear anywhere in the
-    benchmark. The benchmark n-gram set is broadcast (test sets are small
-    by construction); the corpus side explodes its distinct grams and
-    partially aggregates hit counts map-side, so the only exchange is the
-    per-document count rows.
+    benchmark. One pass over the corpus: the document grams explode ONCE,
+    LEFT-join the broadcast benchmark gram set (small by construction) to
+    tag hits in the scan stage, and a single per-document aggregation
+    counts both totals and hits (partially combined map-side) — the only
+    exchange is the per-document count rows. Pass
+    ``broadcast_benchmark=False`` for an outsized benchmark to fall back
+    to a shuffle join on the gram.
     """
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
     )
-    per_doc = doc_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    # broadcast by default (test sets are small); pass False for an
-    # outsized benchmark to fall back to a shuffle join on the gram
     bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
-    hits = (
-        doc_grams.join(bench_side, "g")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_gram_hits"))
-    )
     return (
-        per_doc.join(hits, "id", "left")
+        doc_grams.join(bench_side, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count("_hit").alias("n_gram_hits"),
+            F.count("*").alias("n_grams"),
+        )
         .select(
             "id",
-            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            "n_gram_hits",
             "n_grams",
             F.round(
-                F.coalesce("n_gram_hits", F.lit(0)) / F.col("n_grams").cast("double"),
-                6,
+                F.col("n_gram_hits") / F.col("n_grams").cast("double"), 6
             ).alias("contamination_frac"),
         )
         .filter(F.col("n_gram_hits") >= min_hits)
