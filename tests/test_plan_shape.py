@@ -255,3 +255,26 @@ def test_lsh_topk_dedup_exchange_carries_no_vectors(spark):
     assert dedup
     for b in dedup:
         assert "_qvec" not in b and "_cvec" not in b and "embedding" not in b
+
+
+def test_decontaminate_one_pass_broadcast(plans):
+    """contamination_report makes ONE pass over the corpus grams: a single
+    corpus-side explode LEFT-joined against the broadcast benchmark gram
+    set, one aggregation — no second gram explode for totals, no shuffle
+    join, no Python."""
+    s = plans("curation_decontaminate")
+    assert "BroadcastExchange" in s or "BroadcastHashJoin" in s
+    assert "EvalPython" not in s
+    # two Generate nodes total: corpus grams + (small) benchmark grams —
+    # the former double-explode of corpus grams would make it three
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 2
+
+
+def test_curation_signals_scan_stage(plans):
+    """The repetition+PII signals lane is pure scan-stage: no exchange at
+    all, no Python — per-row cost only, the shape that scales linearly."""
+    s = plans("curation_signals")
+    assert "Exchange" not in s
+    assert "EvalPython" not in s

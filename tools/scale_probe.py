@@ -141,6 +141,22 @@ def probes():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return curation.span_dup_frac(docs, n=6).count()
 
+    def p_decontaminate(spark, d):
+        from kinesiscat_spark.operators import curation
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # fixed-size benchmark (286 copy-0 docs — ids below the base-table
+        # size survive every copy shift), like a real test set: the corpus
+        # grows, the broadcast side does not
+        bench = docs.filter(
+            (F.col("doc_id") < 2000) & (F.col("doc_id") % 7 == 0)
+        ).select(
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " "
+            ).alias("text")
+        )
+        return curation.contamination_report(docs, bench, n=5).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
@@ -151,6 +167,7 @@ def probes():
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
+        "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
     }
 
 
