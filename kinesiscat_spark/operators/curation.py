@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesiscat_spark.operators.let import let_
+
 # --- word n-grams ----------------------------------------------------------
 
 
@@ -39,13 +41,20 @@ def words(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when fewer than n words)."""
-    ws = words(text)
-    idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    """Array of space-joined word n-grams (empty when fewer than n words).
+
+    The token array is let-bound so the slice lambda reads a materialized
+    value: inlining ``words(text)`` into the lambda would re-split the
+    text once per gram — O(words²) per document (operators/let.py)."""
+
+    def body(ws: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(words(text), body)
 
 
 def _count_in(arr: Column, elem: Column) -> Column:
@@ -67,27 +76,34 @@ def repetition_signals(text: Column) -> Column:
 
     Gopher drops documents with dup_line_frac > 0.30 or
     dup_line_char_frac > 0.20.
+
+    The line array is let-bound: ``_count_in(lines, d)`` runs inside the
+    dup-chars fold, and an inlined split there would re-split the text per
+    distinct line — O(lines²·len) per document (operators/let.py).
     """
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines)
-    distinct = F.array_distinct(lines)
-    zero = F.lit(0).cast("long")
-    total_chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x))
-    dup_chars = F.aggregate(
-        distinct,
-        zero,
-        lambda acc, d: acc + (_count_in(lines, d) - 1) * F.length(d),
-    )
-    return F.struct(
-        n_lines.cast("long").alias("n_lines"),
-        F.when(
-            n_lines > 0,
-            1.0 - F.size(distinct) / n_lines.cast("double"),
-        ).alias("dup_line_frac"),
-        F.when(total_chars > 0, dup_chars / total_chars.cast("double")).alias(
-            "dup_line_char_frac"
-        ),
-    )
+
+    def body(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        distinct = F.array_distinct(lines)
+        zero = F.lit(0).cast("long")
+        total_chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x))
+        dup_chars = F.aggregate(
+            distinct,
+            zero,
+            lambda acc, d: acc + (_count_in(lines, d) - 1) * F.length(d),
+        )
+        return F.struct(
+            n_lines.cast("long").alias("n_lines"),
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(distinct) / n_lines.cast("double"),
+            ).alias("dup_line_frac"),
+            F.when(total_chars > 0, dup_chars / total_chars.cast("double")).alias(
+                "dup_line_char_frac"
+            ),
+        )
+
+    return let_(F.split(text, "\n"), body)
 
 
 def top_ngram_char_frac(text: Column, n: int) -> Column:
@@ -95,18 +111,27 @@ def top_ngram_char_frac(text: Column, n: int) -> Column:
     frequent word n-gram (count × gram length / text length). Ties break
     to the lexicographically largest gram (struct max), deterministically.
     Gopher's thresholds: 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4.
+
+    The gram array is let-bound: ``_count_in(grams, g)`` runs once per
+    distinct gram, and an inlined gram construction there would rebuild
+    every gram per distinct — O(grams²) per document (operators/let.py).
     """
-    grams = word_ngrams(text, n)
-    distinct = F.array_distinct(grams)
-    best = F.array_max(
-        F.transform(
-            distinct, lambda g: F.struct(_count_in(grams, g).alias("c"), g.alias("g"))
+
+    def body(grams: Column) -> Column:
+        distinct = F.array_distinct(grams)
+        best = F.array_max(
+            F.transform(
+                distinct,
+                lambda g: F.struct(_count_in(grams, g).alias("c"), g.alias("g")),
+            )
         )
-    )
-    covered = best["c"] * F.length(best["g"])
-    return F.when(
-        F.size(distinct) > 0, covered / F.greatest(F.length(text), F.lit(1)).cast("double")
-    ).otherwise(F.lit(0.0))
+        covered = best["c"] * F.length(best["g"])
+        return F.when(
+            F.size(distinct) > 0,
+            covered / F.greatest(F.length(text), F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let_(word_ngrams(text, n), body)
 
 
 def dup_ngram_char_frac(text: Column, n: int) -> Column:
@@ -114,21 +139,28 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     once (sum over duplicated grams of count × length, over text length,
     capped at 1.0 — overlapping grams can double-count; the cap keeps the
     signal a fraction, and the Gopher thresholds 0.15…0.10 for n = 5…10
-    sit far below it). 0.0 when there are no n-grams."""
-    grams = word_ngrams(text, n)
-    distinct = F.array_distinct(grams)
-    zero = F.lit(0).cast("long")
-    dup_chars = F.aggregate(
-        distinct,
-        zero,
-        lambda acc, g: acc
-        + F.when(_count_in(grams, g) > 1, _count_in(grams, g) * F.length(g)).otherwise(
-            zero
-        ),
-    )
-    return F.least(
-        dup_chars / F.greatest(F.length(text), F.lit(1)).cast("double"), F.lit(1.0)
-    )
+    sit far below it). 0.0 when there are no n-grams.
+
+    The gram array is let-bound for the same reason as
+    ``top_ngram_char_frac`` (operators/let.py)."""
+
+    def body(grams: Column) -> Column:
+        distinct = F.array_distinct(grams)
+        zero = F.lit(0).cast("long")
+        dup_chars = F.aggregate(
+            distinct,
+            zero,
+            lambda acc, g: acc
+            + F.when(
+                _count_in(grams, g) > 1, _count_in(grams, g) * F.length(g)
+            ).otherwise(zero),
+        )
+        return F.least(
+            dup_chars / F.greatest(F.length(text), F.lit(1)).cast("double"),
+            F.lit(1.0),
+        )
+
+    return let_(word_ngrams(text, n), body)
 
 
 # --- PII -------------------------------------------------------------------

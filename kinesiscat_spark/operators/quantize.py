@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesiscat_spark.operators.let import let_
+
 
 def quantize_embeddings(
     emb: DataFrame,
@@ -39,19 +41,26 @@ def quantize_embeddings(
     All-zero vectors get scale 0 and all-zero codes (dequantizes to the
     zero vector, matching the float path's behavior in cosine ranking
     where such vectors sort last deterministically).
+
+    ``amax`` (an O(dim) array fold) is let-bound before the code transform
+    references it: inlined, Catalyst would re-fold the whole vector once
+    per element — O(dim²) per vector (operators/let.py).
     """
     v = F.col(vec_col)
+
+    def codes_of(amax: Column) -> Column:
+        return F.when(
+            amax > 0,
+            F.transform(
+                v, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    codes = F.when(
-        amax > 0,
-        F.transform(
-            v, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
     return emb.select(
         F.col(id_col),
-        codes.alias("codes"),
+        let_(amax, codes_of).alias("codes"),
         scale.alias("scale"),
     )
 

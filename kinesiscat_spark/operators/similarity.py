@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from kinesiscat_spark.operators.let import let_
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float|double> columns, double math, JVM-side."""
@@ -233,12 +235,14 @@ def lsh_topk(
 def normalize(vec: Column) -> Column:
     """Unit-normalize (double math); after this, L2 argmin == cosine argmax.
 
-    NB: the norm subexpression is referenced inside the transform lambda,
-    which Catalyst re-evaluates per element — O(dim²) per row. Fine for
-    small inputs (centroid seeds); for corpus-wide use prefer carrying an
-    explicit norm column (see cosine_topk / ivf_assign)."""
-    n = l2_norm(vec)
-    return F.transform(vec, lambda x: x.cast("double") / n)
+    The norm (an O(dim) fold) is let-bound before the transform references
+    it: inlined, Catalyst would re-fold the vector once per element —
+    O(dim²) per row (operators/let.py). Callers that reuse the norm across
+    several expressions (cosine_topk, ivf_assign) still carry an explicit
+    norm column; that remains the right shape for cross-expression reuse."""
+    return let_(
+        l2_norm(vec), lambda n: F.transform(vec, lambda x: x.cast("double") / n)
+    )
 
 
 def sq_l2(a: Column, b: Column) -> Column:
@@ -290,11 +294,11 @@ def ivf_centroids(
     cents = seeds
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, id_col, vec)
-        # The norm is materialized ONCE per row as its own attribute and
-        # the exploded elements divide by it — NOT normalize(vec), whose
-        # norm subexpression Catalyst re-evaluates per element (O(dim²)
-        # per row; see the normalize docstring). Values are bit-identical:
-        # same x.cast(double) / norm expression per element.
+        # The norm is materialized ONCE per row as its own attribute so
+        # every exploded element row divides by the same computed value
+        # (an element-wise normalize(vec) before posexplode would carry
+        # the full normalized array through the explode instead). Values
+        # are bit-identical: same x.cast(double) / norm per element.
         sides = corpus.select(
             F.col(id_col),
             F.col(vec).alias("_v"),
@@ -312,8 +316,7 @@ def ivf_centroids(
                 F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
             )
         )
-        # renormalize + quantize act on n_cells rows — normalize()'s
-        # per-element norm re-evaluation is fine at that size
+        # renormalize + quantize act on n_cells rows
         cvec = normalize(F.col("cvec"))
         if round_decimals is not None:
             cvec = F.transform(cvec, lambda x: F.round(x, round_decimals))
@@ -343,8 +346,7 @@ def ivf_assign(
     # within the per-vector group, sq_l2 of the normalized vector equals
     # 2 - 2*dot(vec, cvec)/||vec|| — a strictly decreasing function of the
     # raw dot product — so the ranking (and tie set) is identical while
-    # skipping the normalize() transform, whose norm subexpression Catalyst
-    # would re-evaluate per element (O(dim²) per row).
+    # skipping the normalize pass over every candidate vector entirely.
     pairs = (
         df.select(F.col(id_col), F.col(vec).alias("_v"))
         .join(F.broadcast(centroids))
