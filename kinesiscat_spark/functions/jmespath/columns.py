@@ -28,6 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesiscat_spark.let import let_
 from kinesiscat_spark.functions.jmespath.errors import (
     InvalidArityError,
     NotColumnCompilable,
@@ -483,29 +484,36 @@ class ColumnCompiler:
         step = 1 if step is None else step
         if step == 0:
             raise NotColumnCompilable("slice step 0 is invalid")
-        n = F.size(doc.col)
 
-        def resolve(v, default_lo, default_hi):
-            # python-style bound resolution against runtime length n
-            if v is None:
-                return default_lo if step > 0 else default_hi
-            c = F.lit(v)
-            if v < 0:
-                c = c + n
-            lo = F.lit(-1) if step < 0 else F.lit(0)
-            return F.greatest(lo, F.least(c, n if step > 0 else n - 1))
+        # The keep() predicate references the bounds (which depend on the
+        # array's size) inside the filter lambda, so the array is let-bound
+        # first: inlined, Catalyst would re-evaluate the whole document
+        # path — a from_json chain on dynamic payloads — once per element
+        # (kinesiscat_spark/let.py).
+        def body(arr: Column) -> Column:
+            n = F.size(arr)
 
-        if step > 0:
-            lo = resolve(start, F.lit(0), None)
-            hi = resolve(stop, n, None)
-            keep = lambda i: (i >= lo) & (i < hi) & (((i - lo) % step) == 0)  # noqa: E731
-            out = F.filter(doc.col, lambda x, i: keep(i))
-        else:
+            def resolve(v, default_lo, default_hi):
+                # python-style bound resolution against runtime length n
+                if v is None:
+                    return default_lo if step > 0 else default_hi
+                c = F.lit(v)
+                if v < 0:
+                    c = c + n
+                lo = F.lit(-1) if step < 0 else F.lit(0)
+                return F.greatest(lo, F.least(c, n if step > 0 else n - 1))
+
+            if step > 0:
+                lo = resolve(start, F.lit(0), None)
+                hi = resolve(stop, n, None)
+                keep = lambda i: (i >= lo) & (i < hi) & (((i - lo) % step) == 0)  # noqa: E731
+                return F.filter(arr, lambda x, i: keep(i))
             hi = resolve(start, None, n - 1)  # first index taken (from top)
             lo = resolve(stop, None, F.lit(-1))  # exclusive lower bound
             keep = lambda i: (i <= hi) & (i > lo) & (((hi - i) % (-step)) == 0)  # noqa: E731
-            out = F.reverse(F.filter(doc.col, lambda x, i: keep(i)))
-        return Typed(out, dt)
+            return F.reverse(F.filter(arr, lambda x, i: keep(i)))
+
+        return Typed(let_(doc.col, body), dt)
 
     # --- projections ------------------------------------------------------
     def _lambda_body(self, rhs: Node, elem_type: T.DataType):

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kinesiscat_spark.operators.let import let_
+from kinesiscat_spark.let import let_
 
 # --- word n-grams ----------------------------------------------------------
 
@@ -45,7 +45,7 @@ def word_ngrams(text: Column, n: int) -> Column:
 
     The token array is let-bound so the slice lambda reads a materialized
     value: inlining ``words(text)`` into the lambda would re-split the
-    text once per gram — O(words²) per document (operators/let.py)."""
+    text once per gram — O(words²) per document (kinesiscat_spark/let.py)."""
 
     def body(ws: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
@@ -79,7 +79,7 @@ def repetition_signals(text: Column) -> Column:
 
     The line array is let-bound: ``_count_in(lines, d)`` runs inside the
     dup-chars fold, and an inlined split there would re-split the text per
-    distinct line — O(lines²·len) per document (operators/let.py).
+    distinct line — O(lines²·len) per document (kinesiscat_spark/let.py).
     """
 
     def body(lines: Column) -> Column:
@@ -114,7 +114,7 @@ def top_ngram_char_frac(text: Column, n: int) -> Column:
 
     The gram array is let-bound: ``_count_in(grams, g)`` runs once per
     distinct gram, and an inlined gram construction there would rebuild
-    every gram per distinct — O(grams²) per document (operators/let.py).
+    every gram per distinct — O(grams²) per document (kinesiscat_spark/let.py).
     """
 
     def body(grams: Column) -> Column:
@@ -142,7 +142,7 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     sit far below it). 0.0 when there are no n-grams.
 
     The gram array is let-bound for the same reason as
-    ``top_ngram_char_frac`` (operators/let.py)."""
+    ``top_ngram_char_frac`` (kinesiscat_spark/let.py)."""
 
     def body(grams: Column) -> Column:
         distinct = F.array_distinct(grams)

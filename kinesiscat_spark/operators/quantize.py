@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesiscat_spark.operators.let import let_
+from kinesiscat_spark.let import let_
 
 
 def quantize_embeddings(
@@ -44,7 +44,7 @@ def quantize_embeddings(
 
     ``amax`` (an O(dim) array fold) is let-bound before the code transform
     references it: inlined, Catalyst would re-fold the whole vector once
-    per element — O(dim²) per vector (operators/let.py).
+    per element — O(dim²) per vector (kinesiscat_spark/let.py).
     """
     v = F.col(vec_col)
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from kinesiscat_spark.operators.let import let_
+from kinesiscat_spark.let import let_
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -237,7 +237,7 @@ def normalize(vec: Column) -> Column:
 
     The norm (an O(dim) fold) is let-bound before the transform references
     it: inlined, Catalyst would re-fold the vector once per element —
-    O(dim²) per row (operators/let.py). Callers that reuse the norm across
+    O(dim²) per row (kinesiscat_spark/let.py). Callers that reuse the norm across
     several expressions (cosine_topk, ivf_assign) still carry an explicit
     norm column; that remains the right shape for cross-expression reuse."""
     return let_(

@@ -1,7 +1,7 @@
 """Pin the let-binding fix for HOF-lambda subexpression re-evaluation.
 
 Catalyst re-evaluates a subexpression referenced inside a higher-order-
-function lambda once per element (operators/let.py). These tests pin the
+function lambda once per element (kinesiscat_spark/let.py). These tests pin the
 STRUCTURE — the expensive defining expression appears exactly once in the
 expression tree, with inner lambdas reading the bound NamedLambdaVariable
 — and the SEMANTICS (values identical to a Python reference, including
@@ -20,7 +20,7 @@ from kinesiscat_spark.operators.curation import (
     top_ngram_char_frac,
     word_ngrams,
 )
-from kinesiscat_spark.operators.let import let_
+from kinesiscat_spark.let import let_
 from kinesiscat_spark.operators.similarity import normalize
 
 
