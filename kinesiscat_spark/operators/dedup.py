@@ -52,22 +52,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string>; docs shorter than n words
     produce a single shingle of the whole doc.
 
-    Built as a zip of n shifted slices of the token array, NOT as
-    ``transform(sequence, i -> slice(toks, i, n))`` — a subexpression
+    Built as a zip of n shifted slices of the LET-BOUND token array, NOT
+    as ``transform(sequence, i -> slice(toks, i, n))`` — a subexpression
     referenced inside a HOF lambda is re-evaluated per element by Catalyst,
     which would recompute the full ``split`` once per shingle (O(len²) per
-    document). The shifted-slice zip evaluates ``split`` n+1 times total.
-    ``concat_ws`` skips nulls, which handles both the zip padding and the
-    shorter-than-n single-shingle case.
+    document); the let_ binding (kinesiscat_spark/let.py) evaluates the
+    split exactly once per row (the zip alone would still pay it n+1
+    times). ``concat_ws`` skips nulls, which handles both the zip padding
+    and the shorter-than-n single-shingle case.
     """
-    toks = tokens(text)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    out = F.slice(toks, 1, count)
-    for j in range(2, n + 1):
-        out = F.zip_with(
-            out, F.slice(toks, j, count), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return out
+    from kinesiscat_spark.let import let_
+
+    def body(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        out = F.slice(toks, 1, count)
+        for j in range(2, n + 1):
+            out = F.zip_with(
+                out, F.slice(toks, j, count), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return out
+
+    return let_(tokens(text), body)
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:

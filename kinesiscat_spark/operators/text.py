@@ -162,19 +162,25 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """Distinct winnowing fingerprints: min k-gram hash per window of w.
 
     Sliding-window minima are computed as a zip of w shifted slices of the
-    hash array, NOT as ``transform(sequence, j -> min(slice(hs, j, w)))`` —
-    a subexpression referenced inside a HOF lambda is re-evaluated per
-    element by Catalyst, which would recompute every k-gram md5 once per
-    window (O(len²) md5s per document). The shifted-slice zip evaluates
-    the k-gram array w+1 times total. ``least`` skips nulls, handling both
-    zip padding and shorter-than-w docs.
+    LET-BOUND hash array, NOT as ``transform(sequence, j -> min(slice(hs,
+    j, w)))`` — a subexpression referenced inside a HOF lambda is
+    re-evaluated per element by Catalyst, which would recompute every
+    k-gram md5 once per window (O(len²) md5s per document); the let_
+    binding (kinesiscat_spark/let.py) computes the k-gram hashes exactly
+    once per row (the zip alone would still pay them w+1 times).
+    ``least`` skips nulls, handling both zip padding and shorter-than-w
+    docs.
     """
-    hs = kgram_hashes(text, k)
-    nw = F.greatest(F.size(hs) - (w - 1), F.lit(1))
-    mins = F.slice(hs, 1, nw)
-    for j in range(2, w + 1):
-        mins = F.zip_with(mins, F.slice(hs, j, nw), lambda a, b: F.least(a, b))
-    return F.array_distinct(mins)
+    from kinesiscat_spark.let import let_
+
+    def body(hs: Column) -> Column:
+        nw = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+        mins = F.slice(hs, 1, nw)
+        for j in range(2, w + 1):
+            mins = F.zip_with(mins, F.slice(hs, j, nw), lambda a, b: F.least(a, b))
+        return F.array_distinct(mins)
+
+    return let_(kgram_hashes(text, k), body)
 
 
 def winnow_fingerprints_udf(k: int = 5, w: int = 4):

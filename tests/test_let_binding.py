@@ -130,3 +130,17 @@ def test_normalize_matches_python(spark):
         .n
     )
     assert got == pytest.approx([0.6, 0.8])
+
+
+def test_shingles_split_once(spark):
+    from kinesiscat_spark.operators.dedup import shingles
+
+    assert _expr(shingles(F.col("text"), 3)).count("split(") == 1
+
+
+def test_winnow_kgrams_hashed_once(spark):
+    from kinesiscat_spark.operators.text import winnow_fingerprints
+
+    # kgram_hashes is one transform-with-md5 pass; the let_ binding keeps
+    # it single even though the window zip reads w shifted slices
+    assert _expr(winnow_fingerprints(F.col("text"))).count("md5(") == 1
