@@ -1,0 +1,133 @@
+"""Sequence packing: lay documents into fixed token-budget training rows.
+
+LLM pretraining consumes fixed-length sequences, not documents. The
+standard pipeline step (the "concat-and-chunk" packing of the GPT-2/GPT-3
+lineage; Brown et al. 2020 §2.3 describe document packing with delimiter
+tokens) concatenates documents in a deterministic order and slices the
+token stream at budget boundaries — a document may straddle two (or, when
+longer than the budget, several) sequences.
+
+Spark shape, designed for 100 TB:
+
+- Documents are routed to ``n_shards`` independent packing shards by an
+  md5 hash range of their id (``envelope.shard_id`` — the same
+  DuckDB-reproducible routing the stream envelope uses). A shard is the
+  unit of sequentiality: the token stream is only ordered WITHIN a shard,
+  so packing parallelizes across shards exactly like the stream layer
+  parallelizes across Kinesis shards. Shard count is the knob that keeps
+  per-task state bounded — thousands of shards on a real cluster.
+- Within a shard, one window (partitioned by shard, ordered by doc id)
+  computes each document's [start, end) interval in the shard's token
+  stream — the only exchange in the plan, carrying (id, n_tokens) plus
+  the document row. Everything after is scan-stage arithmetic: the
+  sequence span a document covers is ``floor(start/B) .. floor((end-1)/B)``,
+  exploded with ``sequence()``.
+- Output: one row per (document × sequence it touches) with the exact
+  token interval it occupies inside that sequence. Downstream writers
+  group by (shard, seq) to materialize training rows; every sequence
+  except the last of each shard is exactly ``budget`` tokens.
+
+Token counts default to the whitespace tokenizer used across the text
+surface (``size(split(lower(text), ' '))``) so the operator needs no
+tokenizer round-trip; pass ``n_tokens_col`` to pack by a real tokenizer's
+counts computed upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    """Integer md5 hash-range shard — the same Kinesis-faithful routing as
+    ``envelope.shard_id`` (top 48 md5 bits into contiguous equal ranges,
+    exact in double math for sane shard counts), minus the shardId-...
+    string dressing."""
+    h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+    return F.floor(
+        (h * F.lit(n_shards)).cast("double") / F.lit(float(1 << 48))
+    ).cast("int")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens under the corpus-wide whitespace tokenizer (≥ 1: the split
+    of an empty string is [''])."""
+    return F.size(F.split(F.lower(text), " ")).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed ``budget``-token training sequences.
+
+    Returns one row per (document, sequence) incidence:
+
+    - ``shard``: md5-range packing shard (0 .. n_shards-1);
+    - ``seq``: sequence index within the shard (0-based);
+    - ``id``: the document id;
+    - ``n_tokens``: the document's total token count;
+    - ``seq_off``: 0-based token offset of this document's first token
+      inside sequence ``seq``;
+    - ``n_in_seq``: how many of the document's tokens land in ``seq``
+      (sums to ``n_tokens`` over the document's rows).
+
+    Deterministic for a given (corpus, budget, n_shards): shard routing is
+    content-addressed (md5 of the id) and the within-shard order is the id
+    order, so the layout is partition-count-invariant and reproducible in
+    any engine with md5 — the DuckDB oracle replays it row for row.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
+    base = docs.select(
+        _shard_of(F.col(id_col).cast("string"), n_shards).alias("shard"),
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = base.select(
+        "shard",
+        "id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("t_start"),
+        F.sum("n_tokens").over(w).alias("t_end"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    first_seq = F.floor(F.col("t_start") / b)
+    last_seq = F.floor((F.col("t_end") - 1) / b)
+    out = spans.select(
+        "shard",
+        "id",
+        "n_tokens",
+        "t_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+    )
+    seq_base = F.col("seq") * b
+    return out.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("seq").cast("long").alias("seq"),
+        "id",
+        "n_tokens",
+        F.greatest(F.col("t_start") - seq_base, F.lit(0).cast("long")).alias(
+            "seq_off"
+        ),
+        (
+            F.least(F.col("t_start") + F.col("n_tokens"), seq_base + b)
+            - F.greatest(F.col("t_start"), seq_base)
+        ).alias("n_in_seq"),
+    )
