@@ -48,9 +48,24 @@ HEADLINE = (
 )
 
 
+def _load_snapshot() -> dict:
+    la = os.getloadavg()
+    return {"load_1m": round(la[0], 2), "load_5m": round(la[1], 2), "ts": round(time.time(), 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Host-noise instrumentation: timings are only comparable across rounds
+    # when the host is quiet. If it isn't, wait (bounded) for it to drain
+    # rather than recording numbers that can't be interpreted later.
+    env_start = _load_snapshot()
+    waited = 0.0
+    while env_start["load_1m"] > 8.0 and waited < 120.0:
+        time.sleep(10.0)
+        waited += 10.0
+        env_start = _load_snapshot()
 
     import __spark_entry__ as entrymod
     from kinesiscat_spark.io_tables import TABLES, load_table
@@ -75,8 +90,13 @@ def main() -> None:
     # Three timed passes per lane, report the min: a long-lived cluster's
     # steady-state throughput, insulated from JIT/GC spikes and the
     # measured up-to-2x noisy-neighbor variance of the shared host.
+    # All three per-pass timings are recorded too (`passes`), so a uniform
+    # within-session slowdown (accumulated JVM state) is distinguishable
+    # from host noise (random per-lane spikes) after the fact.
     timings: dict[str, float] = {}
+    passes: list[dict[str, float]] = []
     for _ in range(3):
+        this_pass: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
@@ -84,10 +104,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
+            this_pass[name] = dt
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+        passes.append(this_pass)
 
     total = round(sum(timings.values()), 3)
+    env_end = _load_snapshot()
     print(
         json.dumps(
             {
@@ -96,6 +119,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": {
+                    "start": env_start,
+                    "end": env_end,
+                    "waited_for_quiet_sec": waited,
+                    "cpus": os.cpu_count(),
+                },
+                "pass_totals": [round(sum(p.values()), 3) for p in passes],
+                "passes": passes,
             }
         )
     )

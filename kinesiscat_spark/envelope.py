@@ -50,15 +50,11 @@ def shard_id(partition_key: F.Column, n_shards: int) -> F.Column:
     shard assignment itself is oracle-checkable, unlike a JVM-only hash.
     All math stays in whole-stage codegen."""
     h = F.conv(F.substring(F.md5(partition_key), 1, 12), 16, 10).cast("long")
-    # h·n / 2^48 is exact in double arithmetic (numerator ≤ 2^51 for sane
-    # n_shards; dividing by a power of two only shifts the exponent), so
-    # floor == the integer hash-range index with no rounding hazard.
-    return F.format_string(
-        "shardId-%012d",
-        F.floor((h * F.lit(n_shards)).cast("double") / F.lit(float(1 << 48))).cast(
-            "long"
-        ),
-    )
+    # h < 2^48, so h·n_shards fits a long for any n_shards < 2^15, and the
+    # divisor is a power of two: ``>> 48`` IS the exact floor division —
+    # pure integer math, no rounding hazard at any supported shard count
+    # (DuckDB reproduces it with the ``>>`` operator).
+    return F.format_string("shardId-%012d", F.shiftright(h * F.lit(n_shards), 48))
 
 
 def events_as_records(events: DataFrame, n_shards: int = 8) -> DataFrame:

@@ -147,13 +147,21 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     def body(grams: Column) -> Column:
         distinct = F.array_distinct(grams)
         zero = F.lit(0).cast("long")
-        dup_chars = F.aggregate(
+        # _count_in is the O(total-grams) dominant inner cost: materialize
+        # each distinct gram's (count, length) struct ONCE via transform,
+        # then fold over the structs — the when() reads a struct field, it
+        # does not re-run the count (a second _count_in here would double
+        # the per-document work).
+        counted = F.transform(
             distinct,
+            lambda g: F.struct(
+                _count_in(grams, g).alias("c"), F.length(g).cast("long").alias("w")
+            ),
+        )
+        dup_chars = F.aggregate(
+            counted,
             zero,
-            lambda acc, g: acc
-            + F.when(
-                _count_in(grams, g) > 1, _count_in(grams, g) * F.length(g)
-            ).otherwise(zero),
+            lambda acc, s: acc + F.when(s["c"] > 1, s["c"] * s["w"]).otherwise(zero),
         )
         return F.least(
             dup_chars / F.greatest(F.length(text), F.lit(1)).cast("double"),

@@ -42,19 +42,24 @@ from pyspark.sql.window import Window
 
 def _shard_of(key: Column, n_shards: int) -> Column:
     """Integer md5 hash-range shard — the same Kinesis-faithful routing as
-    ``envelope.shard_id`` (top 48 md5 bits into contiguous equal ranges,
-    exact in double math for sane shard counts), minus the shardId-...
-    string dressing."""
+    ``envelope.shard_id`` (top 48 md5 bits into contiguous equal ranges),
+    minus the shardId-... string dressing. Pure long math: h < 2^48 so
+    h·n_shards fits a long for any n_shards < 2^15, and the divisor is a
+    power of two, so ``>> 48`` IS the exact floor division — no double
+    rounding hazard at any supported shard count (DuckDB reproduces it
+    with the ``>>`` operator)."""
     h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
-    return F.floor(
-        (h * F.lit(n_shards)).cast("double") / F.lit(float(1 << 48))
-    ).cast("int")
+    return F.shiftright(h * F.lit(n_shards), 48).cast("int")
 
 
 def whitespace_token_count(text: Column) -> Column:
-    """Tokens under the corpus-wide whitespace tokenizer (≥ 1: the split
-    of an empty string is [''])."""
-    return F.size(F.split(F.lower(text), " ")).cast("long")
+    """Tokens under the corpus-wide whitespace tokenizer. NULL text is an
+    empty document (0 tokens) — NOT size(split(NULL)) = -1, which would
+    silently shift every later document's offset in the shard. Non-NULL
+    text is ≥ 1 token (the split of '' is [''])."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.lower(text), " "))
+    ).cast("long")
 
 
 def pack_sequences(
@@ -85,8 +90,12 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if not 1 <= n_shards < (1 << 15):
+        raise ValueError(f"n_shards must be in [1, 32768), got {n_shards}")
+    # A NULL or negative upstream count would corrupt the running offset of
+    # every later document in the shard; clamp to 0 (an empty document).
     n_tok = (
-        F.col(n_tokens_col).cast("long")
+        F.greatest(F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0))
         if n_tokens_col
         else whitespace_token_count(F.col(text_col))
     )
@@ -110,12 +119,18 @@ def pack_sequences(
     b = F.lit(int(budget)).cast("long")
     first_seq = F.floor(F.col("t_start") / b)
     last_seq = F.floor((F.col("t_end") - 1) / b)
+    # Zero-token documents occupy no sequence: emit no rows for them. The
+    # guard matters because sequence(a, b) with a > b DESCENDS (default
+    # step -1) — an empty doc on a budget boundary would otherwise emit
+    # spurious (doc, seq) rows. explode() drops the NULL array.
     out = spans.select(
         "shard",
         "id",
         "n_tokens",
         "t_start",
-        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+        F.explode(
+            F.when(F.col("t_end") > F.col("t_start"), F.sequence(first_seq, last_seq))
+        ).alias("seq"),
     )
     seq_base = F.col("seq") * b
     return out.select(

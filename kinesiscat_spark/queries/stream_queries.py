@@ -93,9 +93,8 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checkable — the reason shard_id is md5-based rather than a
 # JVM-only hash.
 _SHARD_SQL = (
-    "'shardId-' || lpad(CAST(CAST(floor(('0x' || substring(md5(CAST(user_id AS "
-    "VARCHAR)), 1, 12))::BIGINT * 8 / 281474976710656.0) AS BIGINT) AS VARCHAR), "
-    "12, '0')"
+    "'shardId-' || lpad(CAST((('0x' || substring(md5(CAST(user_id AS "
+    "VARCHAR)), 1, 12))::BIGINT * 8 >> 48) AS VARCHAR), 12, '0')"
 )
 
 _LAG_ORACLE = f"""
