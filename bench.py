@@ -31,7 +31,7 @@ HEADLINE = (
     "events_sessionization",
     "events_topk_users_per_type",
     "jp_filter_compare",
-    "jp_array_hof",
+    "jp_array_index_slice",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

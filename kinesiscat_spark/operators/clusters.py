@@ -55,19 +55,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("l").alias("nl"))
         )
-        new_labels = (
+        # The changed flag is computed INSIDE the stepped frame, so the
+        # eager localCheckpoint is the round's ONLY execution of the join
+        # pipeline; convergence is then a cheap scan of the checkpointed
+        # blocks (the previous shape re-ran the whole join a second time
+        # in a dedicated count job — 2x the per-round work).
+        stepped = (
             labels.join(heard, "u", "left")
-            .select("u", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .select(
+                "u",
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+                F.coalesce(F.col("nl") < F.col("l"), F.lit(False))
+                .cast("int")
+                .alias("chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        # converged when no label changed
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = (stepped.agg(F.sum("chg")).first()[0] or 0)
+        labels = stepped.select("u", "l")
         if changed == 0:
             break
     if changed != 0:

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesiscat_spark.let import let_
+
 MOD48 = 1 << 48  # Carter-Wegman modulus: 48-bit values fit BIGINT with i*h2 headroom
 
 
@@ -61,8 +63,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     times). ``concat_ws`` skips nulls, which handles both the zip padding
     and the shorter-than-n single-shingle case.
     """
-    from kinesiscat_spark.let import let_
-
     def body(toks: Column) -> Column:
         count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
         out = F.slice(toks, 1, count)

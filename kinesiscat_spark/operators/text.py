@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesiscat_spark.let import let_
+
 # Characteristic character n-grams per language (word-boundary padded where
 # it helps). Index order is the tie-break order: later wins ties.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -171,8 +173,6 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     ``least`` skips nulls, handling both zip padding and shorter-than-w
     docs.
     """
-    from kinesiscat_spark.let import let_
-
     def body(hs: Column) -> Column:
         nw = F.greatest(F.size(hs) - (w - 1), F.lit(1))
         mins = F.slice(hs, 1, nw)

@@ -102,7 +102,14 @@ MINHASH_T = 0.5
 N_HASHES, N_BANDS = 32, 8
 _R = N_HASHES // N_BANDS
 
-_MINHASH_ORACLE = f"""
+def minhash_oracle(distinct_pairs: bool = True) -> str:
+    """DuckDB twin of the banded-minhash candidate pipeline. With
+    ``distinct_pairs`` each qualifying pair appears once (the batch
+    ``minhash_lsh_pairs`` contract); without, once PER colliding band —
+    exactly the multiset the streaming operator emits when it drains
+    (streaming/stateful.py streaming_minhash_candidates)."""
+    distinct = "DISTINCT " if distinct_pairs else ""
+    return f"""
 WITH {_SHINGLES_CTE},
 hp AS (
   SELECT doc_id,
@@ -122,7 +129,7 @@ bands AS (
   FROM sigs CROSS JOIN range(0, {N_BANDS}) t(b)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  SELECT {distinct}a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
@@ -135,6 +142,9 @@ est AS (
 SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
 FROM est WHERE est_jaccard >= {MINHASH_T}
 """
+
+
+_MINHASH_ORACLE = minhash_oracle(distinct_pairs=True)
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)

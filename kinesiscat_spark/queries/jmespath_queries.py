@@ -175,7 +175,14 @@ SELECT doc_id,
   to_json(list_sort(l)) AS sorted_words,
   to_json(flatten([l[1:2], l[3:4]])) AS head4,
   to_json([l[1], l[-1]]) AS ends,
-  to_json(list_transform(l, x -> CAST(length(x) AS BIGINT))) AS lens_proj
+  to_json(list_transform(l, x -> CAST(length(x) AS BIGINT))) AS lens_proj,
+  to_json(list_filter(l, x -> length(x) >= 6)) AS long_words,
+  CAST(len(list_filter(l, x -> length(x) >= 6)) AS BIGINT) AS n_long,
+  to_json(list_transform(l, x -> length(x))) AS word_lens,
+  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
+  ROUND(list_avg(list_transform(l, x -> length(x))), 4) AS avg_len,
+  list_aggregate(l, 'max') AS max_word,
+  list_aggregate(l, 'min') AS min_word
 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """,
 )
@@ -189,8 +196,15 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     `words[::-1]` (full reverse) and `words[5::-2]` (backward stride with
     clamped start) pin the general negative-step slice semantics the
     compliance corpus exercises, with a driver-visible hash check.
+
+    Folded in (former jp_array_hof lane, round 5): J7 filter projection
+    with truthy predicate, F10 map over expref, F9 length, F21 sum, F2
+    avg, F11 max, F14 min — per-record array HOFs
+    (jp/interpreter.go:84-113, jp/functions.go:404-621), zero Python.
     """
     docs = _words_doc(load_table(spark, sf_dir, "documents"))
+    long_words = _jpw("words[?length(@) >= `6`]")
+    lens = _jpw("map(&length(@), words)")
     return docs.select(
         "doc_id",
         _jpw("words[0]").col.alias("first_word"),
@@ -206,32 +220,6 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(_jpw("[words[0], words[-1]]").col).alias("ends"),
         # J5 list projection `[*]` with a per-element RHS (driver-visible)
         F.to_json(_jpw("words[*].length(@)").col).alias("lens_proj"),
-    )
-
-
-@query(
-    "jp_array_hof",
-    oracle="""
-SELECT doc_id,
-  to_json(list_filter(l, x -> length(x) >= 6)) AS long_words,
-  CAST(len(list_filter(l, x -> length(x) >= 6)) AS BIGINT) AS n_long,
-  to_json(list_transform(l, x -> length(x))) AS word_lens,
-  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
-  ROUND(list_avg(list_transform(l, x -> length(x))), 4) AS avg_len,
-  list_aggregate(l, 'max') AS max_word,
-  list_aggregate(l, 'min') AS min_word
-FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-""",
-)
-def jp_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 filter projection with truthy predicate, F10 map over expref,
-    F9 length, F21 sum, F2 avg, F11 max, F14 min — per-record array HOFs
-    (jp/interpreter.go:84-113, jp/functions.go:404-621), zero Python."""
-    docs = _words_doc(load_table(spark, sf_dir, "documents"))
-    long_words = _jpw("words[?length(@) >= `6`]")
-    lens = _jpw("map(&length(@), words)")
-    return docs.select(
-        "doc_id",
         F.to_json(long_words.col).alias("long_words"),
         _jpw("length(words[?length(@) >= `6`])").col.cast("long").alias("n_long"),
         F.to_json(lens.col).alias("word_lens"),

@@ -45,11 +45,13 @@ FROM stats
 """
 
 
-@query("multimodal_byte_stats", oracle=_STATS_ORACLE)
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 decode/feature-extract: per-payload byte mean/variance through
     the Arrow-batched mapInPandas kernel; moments derived from exact int64
-    sums so Python and SQL agree bit-for-bit."""
+    sums so Python and SQL agree bit-for-bit.
+
+    Driver lane: folded into ``multimodal_frame_ops`` (round 5) under
+    ``kind = 'stats'`` — same hash strength, one lane slot."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     stats = decode_media_stats(media)
     mean = F.col("byte_sum").cast("double") / F.col("n_bytes")
@@ -126,8 +128,19 @@ SELECT 'image' AS kind, media_id, CAST(0 AS BIGINT) AS frame_idx,
 FROM resized
 """
 
+_FRAME_OPS_PLUS_STATS_ORACLE = f"""
+SELECT kind, media_id, frame_idx, n_units, measure, payload,
+       CAST(NULL AS DOUBLE) AS mean_byte, CAST(NULL AS DOUBLE) AS var_byte
+FROM ({_FRAME_OPS_ORACLE})
+UNION ALL
+SELECT 'stats' AS kind, media_id, CAST(0 AS BIGINT) AS frame_idx,
+       n_bytes AS n_units, n_bytes AS measure,
+       CAST(NULL AS VARCHAR) AS payload, mean_byte, var_byte
+FROM ({_STATS_ORACLE})
+"""
 
-@query("multimodal_frame_ops", oracle=_FRAME_OPS_ORACLE)
+
+@query("multimodal_frame_ops", oracle=_FRAME_OPS_PLUS_STATS_ORACLE)
 def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 decode/feature-extract over all three media kinds in one lane
     (formerly multimodal_frame_ops + multimodal_resize; folded to free a
@@ -142,7 +155,12 @@ def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three are 1→N fan-outs inside Arrow-batched mapInPandas kernels —
     no explode, no shuffle — unioned under a `kind` discriminator with
     aligned column names (n_units = frame length / pixel count, measure =
-    byte sum / energy / pixel sum)."""
+    byte sum / energy / pixel sum).
+
+    Folded in (round 5, freeing a lane slot): the former
+    multimodal_byte_stats lane as ``kind = 'stats'`` rows (per-payload
+    byte mean/variance from exact int64 sums; mean_byte/var_byte are NULL
+    for every other kind)."""
     from kinesiscat_spark.operators.multimodal import audio_frame_energy, resize_media
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
@@ -175,4 +193,19 @@ def multimodal_frame_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("measure"),
         F.to_json("pixels").alias("payload"),
     )
-    return vf.unionByName(af).unionByName(rf)
+    nulls = [
+        F.lit(None).cast("double").alias("mean_byte"),
+        F.lit(None).cast("double").alias("var_byte"),
+    ]
+    frames = vf.unionByName(af).unionByName(rf).select("*", *nulls)
+    stats = multimodal_byte_stats(spark, sf_dir).select(
+        F.lit("stats").alias("kind"),
+        "media_id",
+        F.lit(0).cast("long").alias("frame_idx"),
+        F.col("n_bytes").alias("n_units"),
+        F.col("n_bytes").alias("measure"),
+        F.lit(None).cast("string").alias("payload"),
+        "mean_byte",
+        "var_byte",
+    )
+    return frames.unionByName(stats)

@@ -1,0 +1,72 @@
+"""Sequence-packing lane (operators/packing.py — the concat-and-chunk
+layout every pretraining pipeline runs; Brown et al. 2020 §2.3).
+
+The layout is content-addressed (md5 shard routing) and id-ordered within
+each shard, so the DuckDB oracle replays it ROW FOR ROW: same shards, same
+running offsets, same (doc × sequence) incidence, same per-sequence token
+intervals — a full hash check on a windowed/exploded distributed layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.packing import pack_sequences
+from kinesiscat_spark.registry import query
+
+BUDGET = 512
+N_SHARDS = 8
+
+# DuckDB twin of pack_sequences: identical shard math ((md5_48 * n) >> 48),
+# identical whitespace token counts (NULL text -> 0 tokens), identical
+# cumulative window and floor-division sequence spans. generate_series is
+# inclusive on both ends, matching Spark's sequence().
+_PACKING_ORACLE = f"""
+WITH base AS (
+  SELECT CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               * {N_SHARDS}) >> 48 AS INT) AS shard,
+         doc_id AS id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(lower(text), ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT shard, id, n_tokens,
+         CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS t_start,
+         CAST(SUM(n_tokens) OVER w AS BIGINT) AS t_end
+  FROM base
+  WINDOW w AS (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING)
+),
+incidence AS (
+  SELECT shard, id, n_tokens, t_start,
+         unnest(generate_series(t_start // {BUDGET}, (t_end - 1) // {BUDGET}))
+           AS seq
+  FROM spans WHERE t_end > t_start
+)
+SELECT shard, CAST(seq AS BIGINT) AS seq, id, n_tokens,
+       CAST(greatest(t_start - seq * {BUDGET}, 0) AS BIGINT) AS seq_off,
+       CAST(least(t_start + n_tokens, (seq + 1) * {BUDGET})
+            - greatest(t_start, seq * {BUDGET}) AS BIGINT) AS n_in_seq
+FROM incidence
+"""
+
+
+@query("packing_layout", oracle=_PACKING_ORACLE)
+def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py pack_sequences): lay the
+    documents table into {BUDGET}-token training sequences across
+    {N_SHARDS} md5-routed shards; one row per (document × sequence it
+    touches) with the exact token interval occupied.
+
+    Scale shape: the shard is the unit of sequentiality — the only
+    exchange carries (shard, id, n_tokens) into the per-shard cumulative
+    window; the sequence span/offset arithmetic is scan-stage, and shard
+    count is the knob that bounds per-task state (thousands of shards on
+    a real cluster). Deterministic and partition-invariant by
+    construction, which is exactly what the oracle hash-verifies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=BUDGET, n_shards=N_SHARDS, id_col="doc_id", text_col="text"
+    )

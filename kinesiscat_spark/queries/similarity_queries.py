@@ -47,13 +47,15 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("similarity_topk_exact", oracle=_TOPK_ORACLE)
 def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4 exact: top-10 cosine neighbors for the first 5 vectors.
 
     Query set broadcasts; the corpus never shuffles — the rank window's
     WindowGroupLimit keeps only k rows per query per partition before the
     single small exchange.
+
+    Driver lane: folded into ``similarity_topk_ivf_refined`` (round 5)
+    under ``method = 'exact'`` — same hash strength, one lane slot.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -324,7 +326,14 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("similarity_topk_ivf_refined", oracle=_ivf_refined_oracle())
+_REFINED_PLUS_EXACT_ORACLE = f"""
+SELECT 'exact' AS method, qid, cid, sim, rnk FROM ({_TOPK_ORACLE})
+UNION ALL
+SELECT 'ivf_refined' AS method, qid, cid, sim, rnk FROM ({_ivf_refined_oracle()})
+"""
+
+
+@query("similarity_topk_ivf_refined", oracle=_REFINED_PLUS_EXACT_ORACLE)
 def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 Lloyd-refined IVF: two k-means refinement iterations on the
     centroids before the probe-limited search. The refinement loop is a
@@ -334,6 +343,10 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolling the two iterations into CTE layers (``_ivf_refined_oracle``)
     — the driver hash-checks it like every other lane.
     tests/test_similarity.py additionally asserts recall vs exact.
+
+    Folded in (round 5, freeing a lane slot for the SQ8-IVF path): the
+    exact brute-force baseline under ``method = 'exact'`` — each side
+    keeps its own full hash check via the UNION ALL oracle.
     """
     from kinesiscat_spark.operators.similarity import ivf_topk
 
@@ -344,8 +357,17 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     out = ivf_topk(
         corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
+    ).select(
+        F.lit("ivf_refined").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
     )
-    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+    exact = similarity_topk_exact(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "qid", "cid", "sim", "rnk"
+    )
+    return exact.unionByName(out)
 
 
 RERANK_K = 4 * TOP_K
@@ -431,4 +453,112 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     out = quantized_topk(corpus, queries, TOP_K, rerank_k=RERANK_K)
+    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+
+
+# SQ8 inside IVF (FAISS "IVF,SQ8"): the seeded-centroid IVF assign/probe
+# CTEs composed with the int8 phase-1 rank + exact float re-rank — the
+# int-math twin of ivf_sq_topk with n_iters=0.
+_IVF_SQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+nq AS (SELECT qid, qe, {_NORM.format(v='qe')} AS nqe FROM q),
+nc AS (SELECT cid, ce, {_NORM.format(v='ce')} AS nce FROM c),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS BIGINT) AS cell, nce AS cvec
+  FROM (SELECT cid, nce FROM nc ORDER BY cid LIMIT {N_CELLS})
+),
+cassign AS (
+  SELECT cid, cell FROM (
+    SELECT nc.cid, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY nc.cid
+             ORDER BY {_SQL2.format(a='nc.nce', b='cents.cvec')}, cents.cell) AS r
+    FROM nc CROSS JOIN cents
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT nq.qid, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY nq.qid
+             ORDER BY {_SQL2.format(a='nq.nqe', b='cents.cvec')}, cents.cell) AS r
+    FROM nq CROSS JOIN cents
+  ) WHERE r <= {N_PROBE}
+),
+qq AS (
+  SELECT qid, {_INT8['codes'].format(v='qe', amax=_INT8['amax'].format(v='qe'))} AS qc
+  FROM q
+),
+cc AS (
+  SELECT cid, {_INT8['codes'].format(v='ce', amax=_INT8['amax'].format(v='ce'))} AS ccodes
+  FROM c
+),
+qn AS (SELECT qid, qc, {_INT8['norm'].format(c='qc')} AS qn8 FROM qq),
+cn AS (SELECT cid, ccodes, {_INT8['norm'].format(c='ccodes')} AS cn8 FROM cc),
+approx AS (
+  SELECT qprobe.qid, cassign.cid,
+         CASE WHEN qn8 * cn8 > 0
+              THEN CAST({_INT8['dot'].format(a='qc', b='ccodes')} AS DOUBLE) / (qn8 * cn8)
+         END AS asim
+  FROM qprobe
+  JOIN cassign USING (cell)
+  JOIN qn ON qn.qid = qprobe.qid
+  JOIN cn ON cn.cid = cassign.cid
+),
+cand AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC NULLS LAST, cid) AS r
+    FROM approx
+  ) WHERE r <= {RERANK_K}
+),
+sims AS (
+  SELECT qid, cid, {_COS.format(a='qe', b='ce')} AS sim
+  FROM cand JOIN q USING (qid) JOIN c USING (cid)
+),
+ranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM sims
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_ivf_sq", oracle=_IVF_SQ_ORACLE)
+def similarity_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 composed scale path (operators/similarity.py ivf_sq_topk): IVF
+    cell pruning with SQ8 cell scans — probed cells rank candidates on
+    int8 codes (integer dot products, per-vector scales cancel against
+    code norms), and only the 4k phase-1 survivors touch the float column
+    for the exact cosine re-rank. The FAISS "IVF,SQ8" pairing.
+
+    Scale shape: the stored index is (cell, codes: array<tinyint>) — the
+    cell scan and its candidate exchange move 4-8x fewer bytes than the
+    float arrays; the float column is read for a k-proportional row count
+    via a candidate-side broadcast and never shuffles
+    (tests/test_quantize.py pins recall >= 0.9 and the plan contract).
+    Fully deterministic (seeded centroids, int-math phase 1, cid
+    tie-breaks), so the whole composition hash-checks against the
+    int-math SQL twin.
+    """
+    from kinesiscat_spark.operators.similarity import ivf_sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = ivf_sq_topk(
+        corpus,
+        queries,
+        TOP_K,
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
+        rerank_k=RERANK_K,
+    )
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")

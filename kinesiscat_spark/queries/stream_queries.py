@@ -31,9 +31,12 @@ GROUP BY event_type
 """
 
 
-@query("stream_agg_by_type", oracle=_STREAM_AGG_ORACLE)
 def stream_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1–S4 + stateful agg: streamed groupBy equals the batch answer."""
+    """S1–S4 + stateful agg: streamed groupBy equals the batch answer.
+
+    Driver lane: folded into ``stream_tumbling_window`` (round 5) under
+    ``kind = 'by_type'`` — same hash strength, one lane slot.
+    """
     ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -149,12 +152,28 @@ def stream_lag_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+_TUMBLING_PLUS_AGG_ORACLE = f"""
+SELECT 'window' AS kind, window_start, event_type, n_events, total_value,
+       CAST(NULL AS DOUBLE) AS avg_value
+FROM ({_TUMBLING_ORACLE})
+UNION ALL
+SELECT 'by_type' AS kind, CAST(NULL AS VARCHAR) AS window_start, event_type,
+       n_events, total_value, avg_value
+FROM ({_STREAM_AGG_ORACLE})
+"""
+
+
+@query("stream_tumbling_window", oracle=_TUMBLING_PLUS_AGG_ORACLE)
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 streaming form: event-time tumbling window over the stream.
 
     Complete mode (memory sink snapshot); the append-mode/watermark
     late-data path is exercised in tests/test_streaming.py.
+
+    Folded in (round 5, freeing a lane slot for the S4/S6/S8 config-echo
+    lane): the former stream_agg_by_type lane under ``kind = 'by_type'``
+    — two real streaming queries drain in this lane, each hash-checked
+    against its batch twin via the UNION ALL oracle.
     """
     ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
     agg = (
@@ -170,4 +189,166 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    windowed = run_to_memory(agg, output_mode="complete").select(
+        F.lit("window").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    by_type = stream_agg_by_type(spark, sf_dir).select(
+        F.lit("by_type").alias("kind"),
+        F.lit(None).cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "avg_value",
+    )
+    return windowed.unionByName(by_type)
+
+
+def _stream_minhash_oracle() -> str:
+    from kinesiscat_spark.queries.dedup_queries import minhash_oracle
+
+    return minhash_oracle(distinct_pairs=False)
+
+
+@query("stream_minhash_candidates", oracle=_stream_minhash_oracle())
+def stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection (streaming/stateful.py
+    streaming_minhash_candidates): banded-minhash candidate pairs ACROSS
+    micro-batches, bucket membership in per-(band, key) checkpointed
+    state. Signatures come from the same Arrow kernel as the batch
+    ``minhash_lsh_pairs``, so the drained stream is bit-identical to the
+    batch result BY CONSTRUCTION — the oracle is the batch minhash SQL
+    with one row per colliding band (the stream emits a pair once per
+    band bucket it collides in), which is exactly what this lane
+    hash-verifies.
+    """
+    from kinesiscat_spark.queries.dedup_queries import (
+        MINHASH_T,
+        N_BANDS,
+        N_HASHES,
+    )
+    from kinesiscat_spark.streaming.source import read_table_stream
+    from kinesiscat_spark.streaming.stateful import streaming_minhash_candidates
+
+    docs = read_table_stream(spark, sf_dir, "documents")
+    pairs = streaming_minhash_candidates(
+        docs, threshold=MINHASH_T, n_hashes=N_HASHES, n_bands=N_BANDS, n=3
+    )
+    out = run_to_memory(pairs, output_mode="append")
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+# S4/S6/S8 config-echo lane: run a REAL multi-file stream with a bounded
+# per-trigger intake, observe the micro-batch progress objects, and
+# materialize each contract as a deterministic (knob, value) row:
+#   - S4 poll pacing: the trigger StreamConfig.sleep_time_ms compiles to;
+#   - S3/S6 backpressure: number of non-empty micro-batches == ceil(files /
+#     batch_size) AND every batch's numInputRows within the per-trigger
+#     file budget (bounded intake per trigger — no batch drained the
+#     whole source);
+#   - S8 graceful shutdown: the query is stopped and inactive after the
+#     drain, with every input row accounted for exactly once.
+_N_SRC_FILES = 8
+_ECHO_BATCH_FILES = 3
+
+_CONFIG_ECHO_ORACLE = f"""
+SELECT 'trigger_interval_ms' AS knob, '1000' AS value
+UNION ALL SELECT 'max_files_per_trigger', '{_ECHO_BATCH_FILES}'
+UNION ALL SELECT 'n_nonempty_batches',
+  CAST(CAST(ceil({_N_SRC_FILES} / {_ECHO_BATCH_FILES}.0) AS BIGINT) AS VARCHAR)
+UNION ALL SELECT 'per_trigger_intake_bounded', 'true'
+UNION ALL SELECT 'rows_drained', CAST((SELECT COUNT(*) FROM events) AS VARCHAR)
+UNION ALL SELECT 'stopped_gracefully', 'true'
+"""
+
+
+@query("stream_config_echo", oracle=_CONFIG_ECHO_ORACLE)
+def stream_config_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (poll pacing), S6 (backpressure), S8 (graceful shutdown) as
+    driver-hash-checked data. The events table is split into
+    {_N_SRC_FILES} files; a maxFilesPerTrigger={_ECHO_BATCH_FILES} stream
+    drains it under availableNow with a checkpoint, and the lane emits
+    the OBSERVED facts (from StreamingQueryProgress and the drained sink)
+    next to the compiled config — every value is deterministic, so the
+    oracle is exact."""
+    import math
+    import tempfile
+
+    from kinesiscat_spark.io_tables import load_table
+
+    cfg = StreamConfig(
+        iterator_type="TRIM_HORIZON",
+        batch_size=_ECHO_BATCH_FILES,
+        sleep_time_ms=1000,
+    )
+    # S4: the pacing knob compiles to the processing-time trigger.
+    trigger_ms = cfg.trigger_kwargs(available_now=False)["processingTime"]
+    assert trigger_ms == "1000 milliseconds"
+
+    ev = load_table(spark, sf_dir, "events")
+    total_rows = ev.count()
+    src = tempfile.mkdtemp(prefix="kc_echo_src_")
+    ev.repartitionByRange(_N_SRC_FILES, "event_id").write.mode("overwrite").parquet(src)
+    # actual per-file row counts bound what one trigger may legally intake
+    per_file = [
+        r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.input_file_name())
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    n_files = len(per_file)
+    max_intake = sum(sorted(per_file, reverse=True)[:_ECHO_BATCH_FILES])
+
+    import uuid
+
+    name = f"kc_echo_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kc_ckpt_")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", cfg.batch_size)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("config-echo stream did not drain")
+    finally:
+        if q.isActive:
+            q.stop()
+    batch_rows = [
+        int(p["numInputRows"])
+        for p in (q.recentProgress or [])
+        if int(p["numInputRows"]) > 0
+    ]
+    drained = spark.table(name).count()
+    rows = [
+        ("trigger_interval_ms", trigger_ms.split()[0]),
+        ("max_files_per_trigger", str(cfg.batch_size)),
+        ("n_nonempty_batches", str(len(batch_rows))),
+        (
+            "per_trigger_intake_bounded",
+            str(
+                bool(batch_rows)
+                and max(batch_rows) <= max_intake
+                and len(batch_rows) == math.ceil(n_files / cfg.batch_size)
+            ).lower(),
+        ),
+        ("rows_drained", str(drained if drained == total_rows else -1)),
+        ("stopped_gracefully", str(not q.isActive).lower()),
+    ]
+    return spark.createDataFrame(rows, "knob string, value string")

@@ -59,6 +59,7 @@ def load_all_query_modules() -> None:
         jmespath_queries,
         join_queries,
         multimodal_queries,
+        packing_queries,
         text_queries,
         relational,
         relational_ext,

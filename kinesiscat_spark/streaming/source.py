@@ -219,17 +219,34 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 _STREAM_DIR_CACHE: dict[str, str] = {}
 
 
-def _as_stream_dir(sf_dir: str) -> str:
+def _as_stream_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source needs a *directory*; symlink the single
-    events.parquet into a scratch dir (no copy)."""
+    <table>.parquet into a scratch dir (no copy)."""
     import os
 
-    d = _STREAM_DIR_CACHE.get(sf_dir)
+    cache_key = f"{sf_dir}/{table}"
+    d = _STREAM_DIR_CACHE.get(cache_key)
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="kc_events_src_")
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
-        _STREAM_DIR_CACHE[sf_dir] = d
+        d = tempfile.mkdtemp(prefix=f"kc_{table}_src_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{d}/{table}.parquet"
+        )
+        _STREAM_DIR_CACHE[cache_key] = d
     return d
+
+
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, cfg: StreamConfig | None = None
+) -> DataFrame:
+    """File stream over any driver table (schema probed from the batch
+    footer) — the generic S1/S3 source for non-events tables."""
+    cfg = cfg or StreamConfig(iterator_type="TRIM_HORIZON")
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", cfg.batch_size)
+        .parquet(_as_stream_dir(sf_dir, table))
+    )
 
 
 def read_events_stream(

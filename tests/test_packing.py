@@ -1,0 +1,167 @@
+"""pack_sequences (operators/packing.py): layout correctness at every
+boundary the arithmetic has — budget-exact documents, docs straddling
+several sequences, empty/NULL text, shard routing, partition invariance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.packing import (
+    _shard_of,
+    pack_sequences,
+    whitespace_token_count,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _layout(df):
+    return {
+        (r.shard, r.seq, r.id): (r.n_tokens, r.seq_off, r.n_in_seq)
+        for r in df.collect()
+    }
+
+
+def _python_pack(rows, budget, n_shards):
+    """Driver-side replay of the documented layout: md5 shard routing,
+    id-ordered running offsets, floor-division sequence spans."""
+    import hashlib
+
+    out = {}
+    shards: dict[int, list] = {}
+    for doc_id, text in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        shard = (h * n_shards) >> 48
+        n_tok = 0 if text is None else len(text.lower().split(" "))
+        shards.setdefault(shard, []).append((doc_id, n_tok))
+    for shard, docs in shards.items():
+        t = 0
+        for doc_id, n_tok in sorted(docs):
+            start, end = t, t + n_tok
+            t = end
+            if n_tok == 0:
+                continue
+            for seq in range(start // budget, (end - 1) // budget + 1):
+                base = seq * budget
+                out[(shard, seq, doc_id)] = (
+                    n_tok,
+                    max(start - base, 0),
+                    min(end, base + budget) - max(start, base),
+                )
+    return out
+
+
+def test_matches_python_replay(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 40))) for i in range(60)]
+    got = _layout(pack_sequences(_docs(spark, rows), budget=16, n_shards=4))
+    assert got == _python_pack(rows, budget=16, n_shards=4)
+
+
+def test_single_shard_budget_boundaries(spark):
+    # one shard so the token stream is fully ordered: doc 1 has exactly
+    # the budget, doc 2 starts exactly at a boundary, doc 3 straddles it
+    rows = [(1, " ".join(["a"] * 8)), (2, " ".join(["b"] * 4)), (3, " ".join(["c"] * 6))]
+    out = _layout(pack_sequences(_docs(spark, rows), budget=8, n_shards=1))
+    assert out[(0, 0, 1)] == (8, 0, 8)  # fills sequence 0 exactly
+    assert out[(0, 1, 2)] == (4, 0, 4)  # starts at the seq-1 boundary
+    assert out[(0, 1, 3)] == (6, 4, 4)  # straddles 1 -> 2
+    assert out[(0, 2, 3)] == (6, 0, 2)
+    assert len(out) == 4
+
+
+def test_doc_longer_than_budget_spans_many_sequences(spark):
+    rows = [(1, " ".join(["x"] * 35))]
+    out = pack_sequences(_docs(spark, rows), budget=10, n_shards=1)
+    got = sorted((r.seq, r.seq_off, r.n_in_seq) for r in out.collect())
+    assert got == [(0, 0, 10), (1, 0, 10), (2, 0, 10), (3, 0, 5)]
+
+
+def test_n_in_seq_sums_to_n_tokens(spark):
+    rows = [(i, " ".join(["t"] * (1 + (i * 13) % 50))) for i in range(100)]
+    out = pack_sequences(_docs(spark, rows), budget=32, n_shards=8)
+    per_doc = (
+        out.groupBy("id", "n_tokens").agg(F.sum("n_in_seq").alias("s")).collect()
+    )
+    assert per_doc and all(r.s == r.n_tokens for r in per_doc)
+
+
+def test_every_sequence_full_except_shard_tail(spark):
+    rows = [(i, " ".join(["t"] * (1 + (i * 13) % 50))) for i in range(100)]
+    out = pack_sequences(_docs(spark, rows), budget=32, n_shards=4)
+    per_seq = out.groupBy("shard", "seq").agg(F.sum("n_in_seq").alias("fill"))
+    last = out.groupBy("shard").agg(F.max("seq").alias("seq"))
+    non_tail = per_seq.join(last, ["shard", "seq"], "left_anti").collect()
+    assert non_tail and all(r.fill == 32 for r in non_tail)
+
+
+def test_partition_invariance(spark):
+    rows = [(i, " ".join(["t"] * (1 + (i * 11) % 30))) for i in range(80)]
+    docs = _docs(spark, rows)
+    a = _layout(pack_sequences(docs.repartition(1), budget=16, n_shards=4))
+    b = _layout(pack_sequences(docs.repartition(13, "text"), budget=16, n_shards=4))
+    assert a == b
+
+
+def test_null_text_is_zero_tokens_and_does_not_shift_offsets(spark):
+    # ADVICE round 4: NULL text must count 0 (not size(split(NULL)) = -1)
+    # and must not corrupt later documents' offsets in the shard.
+    with_null = [(1, "a b c"), (2, None), (3, "d e")]
+    without = [(1, "a b c"), (3, "d e")]
+    a = _layout(pack_sequences(_docs(spark, with_null), budget=4, n_shards=1))
+    b = _layout(pack_sequences(_docs(spark, without), budget=4, n_shards=1))
+    assert a == b  # the NULL doc emits no rows and occupies no tokens
+    assert not any(doc_id == 2 for (_, _, doc_id) in a)
+
+
+def test_empty_string_is_one_token(spark):
+    # split('') == [''] -> 1 token, matching the corpus-wide tokenizer
+    out = pack_sequences(_docs(spark, [(1, "")]), budget=4, n_shards=1).collect()
+    assert len(out) == 1 and out[0].n_tokens == 1 and out[0].n_in_seq == 1
+
+
+def test_upstream_counts_null_and_negative_clamped(spark):
+    # zero-token doc on a budget boundary must NOT explode a descending
+    # sequence() into spurious rows (ADVICE round 4)
+    df = spark.createDataFrame(
+        [(1, 4), (2, None), (3, -7), (4, 4)], "doc_id long, n long"
+    )
+    out = pack_sequences(
+        df, budget=4, n_shards=1, n_tokens_col="n", text_col="n"
+    ).collect()
+    ids = sorted(r.id for r in out)
+    assert ids == [1, 4]
+    by_id = {r.id: r for r in out}
+    assert (by_id[1].seq, by_id[1].n_in_seq) == (0, 4)
+    assert (by_id[4].seq, by_id[4].n_in_seq) == (1, 4)  # offsets unshifted
+
+
+def test_validation(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, budget=4, n_shards=1 << 15)
+
+
+def test_shard_math_is_exact_long_division(spark):
+    # (h * n) >> 48 over longs: exact for large non-power-of-two shard
+    # counts where the old double formula could misroute boundary keys
+    import hashlib
+
+    n_shards = 12345
+    df = spark.range(500).select(
+        F.col("id"), _shard_of(F.col("id").cast("string"), n_shards).alias("s")
+    )
+    for r in df.collect():
+        h = int(hashlib.md5(str(r.id).encode()).hexdigest()[:12], 16)
+        assert r.s == (h * n_shards) >> 48
+
+
+def test_whitespace_token_count_null(spark):
+    df = spark.createDataFrame([(None,), ("a b",), ("",)], "t string")
+    got = [r.n for r in df.select(whitespace_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [0, 2, 1]
