@@ -162,19 +162,41 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
         .select(
             "id",
+            "_ord",
             F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
         )
     )
     n_sh = F.size("ord_h")
     p_len = n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1
-    # carry doc size and the 1-based position of each prefix shingle: both
+    # carry doc size, the 1-based position of each prefix shingle, AND the
+    # suffix-filter summary (the (df,h)-order middle element of this
+    # position's suffix plus its left/right partition sizes): the three
     # PPJoin filters below need them, and they ride the same (h, id)
-    # exchange as two ints — no extra shuffle.
+    # exchange as one small struct + three ints — no extra shuffle.
+    def _pref_struct(ordc: Column, pos: Column) -> Column:
+        n = F.size(ordc)
+        s = n - pos  # suffix size at this position
+        m = pos + 1 + F.floor((s - 1) / F.lit(2)).cast("int")  # pivot index
+        return F.struct(
+            pos.alias("pos"),
+            F.element_at(ordc, pos)["h"].alias("h"),
+            # NULL pivot ⇔ empty suffix (when s = 0, m degenerates to pos
+            # — the matched element itself — so the guard must be on s)
+            F.when(s > 0, F.try_element_at(ordc, m)).alias("w"),
+            (m - pos - 1).cast("int").alias("l"),
+            (n - m).cast("int").alias("r"),
+        )
+
     prefix = ordered.select(
         "id",
         n_sh.alias("n_sh"),
-        F.posexplode(F.slice("ord_h", 1, p_len)).alias("pos0", "h"),
-    ).select("id", "n_sh", (F.col("pos0") + 1).alias("pos"), "h")
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), p_len),
+                lambda pos: _pref_struct(F.col("_ord"), pos),
+            )
+        ).alias("p"),
+    ).select("id", "n_sh", "p.pos", "p.h", "p.w", "p.l", "p.r")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin filters (Xiao et al. WWW'08 §3; both exactness-preserving —
     # they prune only pairs that CANNOT reach Jaccard ≥ t, so the verified
@@ -206,13 +228,54 @@ def ngram_jaccard_pairs(
             F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
         )
     ) >= alpha
+    # Suffix filter (PPJoin+, Xiao et al. WWW'08 §4, depth-1): each prefix
+    # row carries the middle element w of its own suffix under the global
+    # (df, h) order, plus the sizes (l, r) of the suffix parts strictly
+    # before/after it. For the first-shared-shingle row of a pair, the
+    # suffix overlap c = |Sa ∩ Sb| is bounded by partitioning the ordered
+    # domain at the two pivots (distinct (df,h) per doc → strict order):
+    #   wa = wb: the pivots can match (1), the halves pairwise intersect —
+    #            c ≤ min(la,lb) + 1 + min(ra,rb);
+    #   wa < wb: split at wb (Sa-side elements ≥ wb all lie in Ra) and,
+    #            independently, at wa (Sb-side elements ≤ wa all lie in
+    #            Lb) — c ≤ min(lb, sa) + min(ra, rb+1) and
+    #            c ≤ min(la+1, lb) + min(ra, sb); take the least;
+    #   wa > wb: mirror.
+    # Every case only DROPS pairs whose overlap provably cannot reach α,
+    # so the verified output is unchanged (differential-pinned in
+    # tests/test_dedup.py). Degenerate suffixes (s = 0, pivot NULL) fall
+    # back to the positional bound. All comparisons are struct codegen —
+    # the filter runs inside the join, before the dedupe exchange.
+    _sa = F.col("a.n_sh") - F.col("a.pos")
+    _sb = F.col("b.n_sh") - F.col("b.pos")
+    _la, _ra = F.col("a.l"), F.col("a.r")
+    _lb, _rb = F.col("b.l"), F.col("b.r")
+    _c_eq = F.least(_la, _lb) + 1 + F.least(_ra, _rb)
+    _c_ab = F.least(
+        F.least(_lb, _sa) + F.least(_ra, _rb + 1),
+        F.least(_la + 1, _lb) + F.least(_ra, _sb),
+    )
+    _c_ba = F.least(
+        F.least(_la, _sb) + F.least(_rb, _ra + 1),
+        F.least(_lb + 1, _la) + F.least(_rb, _sa),
+    )
+    _c = F.least(
+        F.when(F.col("a.w") == F.col("b.w"), _c_eq)
+        .when(F.col("a.w") < F.col("b.w"), _c_ab)
+        .otherwise(_c_ba),
+        F.least(_sa, _sb),
+    )
+    suffix_ok = F.when(
+        F.col("a.w").isNotNull() & F.col("b.w").isNotNull(), (1 + _c) >= alpha
+    ).otherwise(F.lit(True))
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id"))
             & length_ok
-            & pos_ok,
+            & pos_ok
+            & suffix_ok,
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -259,3 +259,40 @@ def test_ppjoin_prefix_filters_exact_on_adversarial_unicode(spark):
         )
         assert fast == naive, f"threshold {t}"
         assert fast  # the corpus does produce pairs — not vacuous
+
+
+def test_ppjoin_suffix_filter_exact_on_random_corpora(spark):
+    """Round 5: the depth-1 SUFFIX filter (pivot-partition overlap bound)
+    must be exactness-preserving. Randomized differential across corpora
+    tuned so pairs sit ON the filter boundaries: small shared word pools
+    (high df skew), mixed doc lengths (1..60 words), and thresholds from
+    permissive to strict. The filtered plan must equal the naive plan
+    exactly — ids AND jaccard values."""
+    import random
+
+    from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
+
+    for seed, t in [(1, 0.3), (2, 0.5), (3, 0.7), (4, 0.4)]:
+        rng = random.Random(seed)
+        pool = [f"w{j}" for j in range(25)]
+        rows = []
+        for i in range(60):
+            words = [rng.choice(pool) for _ in range(rng.randint(1, 60))]
+            rows.append((2 * i, " ".join(words)))
+            # a mutated twin: drop/append a few words — Jaccard lands all
+            # over [0, 1], including exactly on the filter boundaries
+            twin = list(words[rng.randint(0, 2) :])
+            for _ in range(rng.randint(0, 3)):
+                twin.append(rng.choice(pool))
+            rows.append((2 * i + 1, " ".join(twin) if twin else "x"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        fast = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(docs, t, prefix_filter=True).collect()
+        )
+        naive = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(docs, t, prefix_filter=False).collect()
+        )
+        assert fast == naive, f"seed {seed} threshold {t}"
+        assert fast, f"seed {seed} threshold {t} produced no pairs (vacuous)"
