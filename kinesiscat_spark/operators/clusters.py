@@ -40,34 +40,42 @@ def connected_components(
     Deterministic (min-id labels), oracle-checkable for small graphs, and
     scale-shaped: per round the exchanges carry (id, label) pairs only.
     """
+    # The edge list is reused every round: materialize it ONCE (already
+    # hash-partitioned on the join side v), instead of re-running the
+    # union+distinct scan per iteration as lazy lineage would.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        .repartition("v")
+        .localCheckpoint(eager=True)
     )
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("l"))
 
     changed = -1
     for _ in range(max_iters):
-        # neighbor labels: u hears l(v) from every neighbor v
+        # One round = one join (u hears l(v) from every neighbor v) + one
+        # union-aggregate that fuses the merge AND the convergence test:
+        # the self rows carry the old label, so min-over-group is the new
+        # label and (new < old) is the changed flag — no separate
+        # labels ⋈ heard join, and the eager localCheckpoint is the
+        # round's only execution (convergence reads the checkpointed
+        # blocks). Every u has a self row, so _old is never NULL.
         heard = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("l").alias("nl"))
+            .select("u", "l", F.lit(False).alias("_self"))
         )
-        # The changed flag is computed INSIDE the stepped frame, so the
-        # eager localCheckpoint is the round's ONLY execution of the join
-        # pipeline; convergence is then a cheap scan of the checkpointed
-        # blocks (the previous shape re-ran the whole join a second time
-        # in a dedicated count job — 2x the per-round work).
         stepped = (
-            labels.join(heard, "u", "left")
+            heard.unionByName(labels.select("u", "l", F.lit(True).alias("_self")))
+            .groupBy("u")
+            .agg(
+                F.min("l").alias("nl"),
+                F.min(F.when(F.col("_self"), F.col("l"))).alias("_old"),
+            )
             .select(
                 "u",
-                F.least("l", F.coalesce("nl", "l")).alias("l"),
-                F.coalesce(F.col("nl") < F.col("l"), F.lit(False))
-                .cast("int")
-                .alias("chg"),
+                F.col("nl").alias("l"),
+                (F.col("nl") < F.col("_old")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
