@@ -6,7 +6,13 @@ Prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 warmup that (a) touches each table once and (b) runs every headline query
-once at sf0.001. The tiny-SF pass compiles the same whole-stage-codegen
+once at sf0.001.
+
+Cross-round comparability: the r4 lane set minus jp_array_hof (folded into
+the wider jp_array_index_slice in round 5) is the stable common subset;
+packing_layout and similarity_topk_ivf_sq are round-5 additions. The `env`
+block (loadavg, timestamps) and `pass_totals` distinguish host noise from
+code drift — see COVERAGE.md "Bench-drift adjudication". The tiny-SF pass compiles the same whole-stage-codegen
 units and JIT-warms the same code paths at negligible data cost, so the
 timed pass measures steady-state throughput at the target SF rather than
 one-time Janino/JIT compilation (which dominates first execution of the
@@ -39,7 +45,9 @@ HEADLINE = (
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_quantized",
+    "similarity_topk_ivf_sq",
     "dedup_ngram_jaccard",
+    "packing_layout",
     "text_quality_score",
     "text_fingerprint",
     "curation_signals",

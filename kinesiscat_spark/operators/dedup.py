@@ -167,7 +167,11 @@ def ngram_jaccard_pairs(
         )
     )
     n_sh = F.size("ord_h")
-    p_len = n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1
+    # clamp: at threshold 0, n - ceil(t*n) + 1 = n + 1 (the whole array is
+    # the prefix; there is no (n+1)-th element to index)
+    p_len = F.least(
+        n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1, n_sh
+    )
     # carry doc size, the 1-based position of each prefix shingle, AND the
     # suffix-filter summary (the (df,h)-order middle element of this
     # position's suffix plus its left/right partition sizes): the three

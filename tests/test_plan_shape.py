@@ -278,3 +278,30 @@ def test_curation_signals_scan_stage(plans):
     s = plans("curation_signals")
     assert "Exchange" not in s
     assert "EvalPython" not in s
+
+
+def test_packing_single_exchange_no_python(plans):
+    """pack_sequences: the ONLY exchange in the plan is the per-shard
+    window's hash partitioning on (shard) — the span/offset arithmetic
+    after it is scan-stage — and the whole plan is Python-free."""
+    import re
+
+    s = plans("packing_layout")
+    exchanges = re.findall(r"^\(\d+\) Exchange", s, re.M)
+    assert len(exchanges) == 1, s
+    assert "hashpartitioning(shard" in s
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    # the scan reads only what packing needs (id + text), not the whole row
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("lang" not in l and "source" not in l for l in read)
+
+
+def test_ppjoin_suffix_filter_in_join_codegen(plans):
+    """Round 5: all three PPJoin filters (length, positional, suffix) run
+    INSIDE the candidate join's condition — before the dedupe exchange —
+    not as a post-join Filter node over materialized candidates."""
+    s = plans("dedup_ngram_jaccard")
+    conds = [l for l in s.splitlines() if "Join condition:" in l]
+    # the suffix bound compares the pivot structs (w) and partition sizes
+    # inside a join condition (broadcast at tiny SF, shuffled at scale)
+    assert any("w#" in c and "l#" in c and "r#" in c for c in conds), conds
