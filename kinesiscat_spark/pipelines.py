@@ -36,6 +36,9 @@ class CurationConfig:
     minhash_bands: int = 8
     sample_fraction: float = 1.0  # 1.0 disables sampling
     sample_salt: int = 0
+    # "xxhash64" (cheapest JVM path) or "md5" (reproduces the exact same
+    # selection in any engine with md5 — cross-engine pipelines + oracles)
+    sample_method: str = "xxhash64"
     # Gopher-style repetition gates (0 disables each; the published
     # thresholds are dup_line_frac 0.30, top-2-gram char fraction 0.20)
     max_dup_line_frac: float = 0.0
@@ -187,6 +190,12 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
 
         out = step(
             "sample",
-            hash_sample(out, cfg.sample_fraction, [cfg.id_col], cfg.sample_salt),
+            hash_sample(
+                out,
+                cfg.sample_fraction,
+                [cfg.id_col],
+                cfg.sample_salt,
+                method=cfg.sample_method,
+            ),
         )
     return out

@@ -99,7 +99,6 @@ WHERE d.doc_id NOT IN (SELECT id FROM losers)
 """
 
 
-@query("dedup_keep_canonical", oracle=_KEEP_CANONICAL_ORACLE)
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup resolution (operators/clusters.py): Jaccard
     pairs → hash-to-min connected components → keep the lowest-id document
@@ -110,10 +109,17 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are near-cliques, so the loop converges in 2-4 rounds. The
     oracle recomputes the same clusters with a recursive-CTE transitive
     closure — exact agreement on the surviving doc_id set.
+
+    Driver lane: upgraded to the full ``curation_pipeline`` lane (round
+    5) — cluster resolution is hash-checked there inside the composed
+    pipeline (minhash pairs → recursive-CTE closure → canonical filter),
+    and this Jaccard-pairs variant stays differential-tested in
+    tests/test_clusters.py against ``_KEEP_CANONICAL_ORACLE``.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3)
     return keep_canonical(docs, pairs).select("doc_id")
+
 
 
 # DuckDB twin of curation.words / word_ngrams (also imported by
@@ -284,3 +290,172 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text")
     )
     return contamination_report(docs, bench, n=_DECON_N)
+
+
+# --- end-to-end curation pipeline lane (round 5) ---------------------------
+
+_PIPE_MIN_TOKENS = 5
+_PIPE_MAX_DUP_LINE = 0.3
+_PIPE_MAX_TOP2 = 0.2
+_PIPE_DECON_N = 5
+_PIPE_MINHASH_T = 0.5
+_PIPE_N_HASHES, _PIPE_N_BANDS = 32, 8
+_PIPE_SAMPLE_FRAC, _PIPE_SAMPLE_SALT = 0.5, 7
+
+
+def _pipeline_oracle() -> str:
+    """DuckDB twin of the ENTIRE curate() pipeline, stage by stage — each
+    CTE layer is the SQL twin of one pipeline stage, reusing the exact
+    formulas the per-operator lanes already hash-check."""
+    from kinesiscat_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+    from kinesiscat_spark.operators.dedup import MOD48
+    from kinesiscat_spark.operators.sampling import md5_threshold
+
+    g2 = _ngrams_sql("text", 2)
+    gd = _ngrams_sql("text", _PIPE_DECON_N)
+    r = _PIPE_N_HASHES // _PIPE_N_BANDS
+    return f"""
+WITH RECURSIVE
+g_quality AS (  -- quality gate: whitespace token count >= {_PIPE_MIN_TOKENS}
+  SELECT * FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_PIPE_MIN_TOKENS}
+),
+g_rep AS (  -- repetition gates (Gopher A1.1): dup-line frac + top-2-gram frac
+  SELECT * FROM g_quality
+  WHERE coalesce(CASE WHEN len(string_split(text, chr(10))) > 0
+          THEN 1.0 - len(list_distinct(string_split(text, chr(10))))
+               / len(string_split(text, chr(10)))::double END, 0)
+        <= {_PIPE_MAX_DUP_LINE}
+    AND (CASE WHEN len(list_distinct({g2})) > 0 THEN
+          (SELECT cnt * len(g) FROM (
+             SELECT g, len(list_filter({g2}, x -> x = g)) AS cnt
+             FROM unnest(list_distinct({g2})) AS t(g))
+           ORDER BY cnt DESC, g DESC LIMIT 1)
+          / greatest(len(text), 1)::double ELSE 0.0 END) <= {_PIPE_MAX_TOP2}
+),
+g_pii AS (  -- pii_policy='drop': no email/IPv4/intl-phone matches
+  SELECT * FROM g_rep
+  WHERE len(regexp_extract_all(text, '{EMAIL_RE}'))
+      + len(regexp_extract_all(text, '{IPV4_RE}'))
+      + len(regexp_extract_all(text, '{PHONE_RE}')) = 0
+),
+bench AS (  -- held-out benchmark derived from the RAW corpus (as the lane fn does)
+  SELECT array_to_string(
+           (string_split_regex(trim(text), '\\s+'))[3:14], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+bg AS (
+  SELECT DISTINCT g FROM (SELECT unnest({gd}) AS g FROM bench)
+),
+dirty AS (
+  SELECT DISTINCT dg.id FROM (
+    SELECT doc_id AS id, unnest(list_distinct({gd})) AS g FROM g_pii
+  ) dg JOIN bg USING (g)
+),
+g_decon AS (  -- decontamination: drop docs sharing any benchmark n-gram
+  SELECT * FROM g_pii WHERE doc_id NOT IN (SELECT id FROM dirty)
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM g_decon GROUP BY sha256(text)),
+g_exact AS (  -- exact dedup: lowest id per identical text
+  SELECT g_decon.* FROM g_decon JOIN winners USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM g_exact
+),
+mh_sh AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+hp AS (
+  SELECT doc_id,
+         list_transform(list_transform(s, x -> md5(x)),
+           m -> {{'a': ('0x' || substring(m, 1, 12))::BIGINT,
+                  'b': ('0x' || substring(m, 13, 12))::BIGINT}}) AS hp
+  FROM mh_sh
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_PIPE_N_HASHES - 1}),
+           i -> list_min(list_transform(hp, p -> (p.a + i * p.b) % {MOD48}))) AS sig
+  FROM hp
+),
+bands AS (
+  SELECT doc_id, sig, t.b AS band, sig[{r}*t.b + 1 : {r}*t.b + {r}] AS key
+  FROM sigs CROSS JOIN range(0, {_PIPE_N_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+             / {_PIPE_N_HASHES}.0 AS est
+    FROM cand
+  ) WHERE est >= {_PIPE_MINHASH_T}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mpairs
+  UNION SELECT id_b, id_a FROM mpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u
+),
+labels AS (SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+losers AS (SELECT id FROM labels WHERE id <> cluster_id),
+g_near AS (  -- near-dup cluster dedup: keep one canonical doc per cluster
+  SELECT * FROM g_exact WHERE doc_id NOT IN (SELECT id FROM losers)
+)
+SELECT doc_id FROM g_near  -- deterministic md5 content-hash sample
+WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
+      < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
+"""
+
+
+@query("curation_pipeline", oracle=_pipeline_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE training-data curation pipeline (pipelines.py curate),
+    hash-checked end to end: quality gate → Gopher repetition gates → PII
+    drop → benchmark decontamination → exact dedup → minhash-LSH near-dup
+    pairs → connected components → keep-canonical → deterministic md5
+    sampling. One lazy Spark plan; the oracle replays every stage as a CTE
+    layer using the same formulas the per-operator lanes verify, so a
+    semantic drift in ANY composed stage breaks this lane's hash.
+
+    Scale shape is inherited from the component operators (scan-stage
+    gates with pushdown, digest-keyed dedup exchange, banded LSH with the
+    hot-bucket guard, (id,label)-only CC rounds, partition-invariant
+    content-hash sampling); the language gate is exercised by its own
+    lane (text_language_id) and disabled here to keep the oracle bounded.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " ").alias(
+            "text"
+        )
+    )
+    cfg = CurationConfig(
+        min_tokens=_PIPE_MIN_TOKENS,
+        max_dup_line_frac=_PIPE_MAX_DUP_LINE,
+        max_top_ngram_char_frac=_PIPE_MAX_TOP2,
+        top_ngram_n=2,
+        pii_policy="drop",
+        benchmark=bench,
+        contamination_ngram=_PIPE_DECON_N,
+        near_dup_threshold=_PIPE_MINHASH_T,
+        minhash_hashes=_PIPE_N_HASHES,
+        minhash_bands=_PIPE_N_BANDS,
+        sample_fraction=_PIPE_SAMPLE_FRAC,
+        sample_salt=_PIPE_SAMPLE_SALT,
+        sample_method="md5",
+    )
+    return curate(docs, cfg).select("doc_id")

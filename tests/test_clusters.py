@@ -77,3 +77,21 @@ def test_connected_components_warns_on_nonconvergence(spark):
         labels = {r.cluster_id for r in cc.collect()}
     assert labels == {0}
     assert not any("did not converge" in str(w.message) for w in caught)
+
+
+def test_keep_canonical_jaccard_matches_duckdb_closure(spark, duck):
+    """The Jaccard-pairs variant of keep_canonical (formerly the
+    dedup_keep_canonical driver lane; its slot was upgraded to the
+    end-to-end curation_pipeline lane in round 5) keeps its full oracle
+    parity here: same recursive-CTE transitive closure, same surviving
+    doc_id set, at the driver's sf0.01."""
+    from tools.oracle_check import compare
+    from kinesiscat_spark.queries.curation_queries import (
+        _KEEP_CANONICAL_ORACLE,
+        dedup_keep_canonical,
+    )
+
+    got = dedup_keep_canonical(spark, "/root/testdata/sf0.01")
+    want = duck.execute(_KEEP_CANONICAL_ORACLE).fetchdf()
+    ok, msg = compare(got, want)
+    assert ok, msg
