@@ -1,0 +1,148 @@
+"""Persisted IVF index: build once, query many batches.
+
+``ivf_topk`` (operators/similarity.py) rebuilds centroids and cell
+assignments inside every query plan — right for one-shot queries, wasteful
+for the steady state of a retrieval service where the corpus is indexed
+once and queried forever. This module materializes the index to storage in
+the layout that makes cell pruning a SCAN property:
+
+- ``centroids.parquet``: (cell, cvec) — n_cells rows, trivially broadcast.
+- ``cells/``: the corpus written ``partitionBy("cell")`` — one directory
+  per IVF cell, carrying the float vector AND its SQ8 codes. A probe of
+  n_probe cells therefore reads n_probe/n_cells of the data via parquet
+  PARTITION PRUNING (directory-level skipping, visible as PartitionFilters
+  in the scan), not a post-scan filter: at 100 TB the unprobed cells are
+  never opened, let alone decoded.
+
+Queries collect the probed cell ids to the driver (n_probe × |queries|
+integers — k-proportional metadata, not data) and push them as a literal
+IN filter, so the pruning is static and plan-visible. Search semantics are
+identical to ``ivf_topk`` / ``ivf_sq_topk`` with the same centroids:
+``tests/test_ann_index.py`` pins result equality and the pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesiscat_spark.operators.quantize import int8_dot, quantize_embeddings
+from kinesiscat_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    pair_cosine_udf,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """Materialize the IVF index: centroids + cell-partitioned corpus
+    (float vectors AND SQ8 codes, so both search modes read one layout).
+
+    One shuffle on the cell assignment, then a partitioned write — the
+    standard index-build cost. Deterministic for a given corpus (seeded
+    centroids, quantized Lloyd refinement — see ``ivf_centroids``).
+    """
+    cents = ivf_centroids(corpus, n_cells, n_iters, id_col, vec)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    cells = ivf_assign(corpus, cents, id_col, vec, n_probe=1)
+    codes = quantize_embeddings(corpus, id_col, vec).select(
+        F.col(id_col), F.col("codes")
+    )
+    (
+        corpus.select(id_col, vec)
+        .join(cells, id_col)
+        .join(codes, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    use_sq8: bool = False,
+    rerank_k: int | None = None,
+    query_id: str = "qid",
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k search against a persisted index.
+
+    ``use_sq8=False``: exact cosine inside the probed cells (ivf_topk
+    semantics). ``use_sq8=True``: int8 phase-1 rank on the stored codes,
+    exact float re-rank of the ``rerank_k`` survivors (ivf_sq_topk
+    semantics) — the scan then prunes to the probed cells AND reads only
+    the codes column for phase 1 (partition pruning × column pruning).
+    """
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
+    # k-proportional metadata to the driver: the distinct probed cell ids
+    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    indexed = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
+        probes, query_id
+    )
+    if not use_sq8:
+        cand = indexed.join(F.broadcast(q), "cell").select(
+            query_id,
+            F.col(id_col).alias("cid"),
+            pair_cosine_udf()(F.col("_qvec"), F.col(vec)).alias("sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+        )
+    rerank_k = rerank_k or 4 * k
+    qc = (
+        quantize_embeddings(queries, query_id, vec)
+        .select(F.col(query_id), F.col("codes").alias("_qc"))
+        .withColumn("_qn", F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")))
+        .join(probes, query_id)
+    )
+    scans = indexed.select(
+        F.col(id_col).alias("cid"),
+        "cell",
+        F.col("codes").alias("_cc"),
+    ).withColumn("_cn", F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")))
+    approx = scans.join(F.broadcast(qc), "cell").select(
+        query_id,
+        "cid",
+        F.try_divide(
+            int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
+            F.col("_qn") * F.col("_cn"),
+        ).alias("_asim"),
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rerank_k)
+        .select(query_id, "cid")
+    )
+    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    cv = indexed.select(F.col(id_col).alias("cid"), F.col(vec).alias("_cvec"))
+    sims = cv.join(F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid").select(
+        query_id,
+        "cid",
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
