@@ -50,6 +50,7 @@ HEADLINE = (
     "packing_layout",
     "text_quality_score",
     "text_fingerprint",
+    "text_bm25_topk",
     "curation_signals",
     "curation_span_dup",
     "curation_decontaminate",

@@ -26,6 +26,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesiscat_spark.let import let_
 
@@ -220,3 +221,77 @@ def winnow_fingerprints_udf(k: int = 5, w: int = 4):
         return texts.map(one)
 
     return fp
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked keyword search (Robertson-Sparck Jones; the Okapi
+    formula with the standard +1 idf smoothing Lucene uses): top-``k``
+    documents for a bag of query ``terms``.
+
+    Scale shape, 100 TB: ONE scan computes per-document length and the
+    per-term frequencies as scan-stage array filters (a handful of query
+    terms — tf is a column each, no explode, no inverted-index shuffle);
+    the corpus statistics (N, avgdl, per-term document frequencies) are a
+    single 1-row aggregate broadcast back via cross join; scoring is pure
+    codegen arithmetic; and the global top-k is ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject, a per-partition heap + k-row merge,
+    never a single-partition sort. Deterministic (ties break on id), so
+    the whole ranking is DuckDB-reproducible.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+    # NB: must be a ONE-arg lambda — a second Python-level default arg would
+    # make F.filter treat it as the (element, index) two-arg form (same
+    # pitfall as minhash_signature above).
+    def _is(word: str):
+        return lambda t: t == F.lit(word)
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl"),
+        *[
+            F.size(F.filter(toks, _is(w))).cast("double").alias(f"_tf{i}")
+            for i, w in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"_tf{i}")
+        part = idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+        )
+        score = part if score is None else score + part
+    out = (
+        scored.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return out.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -43,42 +43,6 @@ FROM tok
 """
 
 
-@query("text_quality_score", oracle=_QUALITY_ORACLE)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 token counting + heuristic quality score in one scan-stage lane
-    (formerly two lanes; folded to free registry slots for the curation
-    surface — every operator is still hash-checked).
-
-    Token counting, both mandated variants: whitespace split and a BPE-ish
-    pre-tokenizer regex (GPT-2 family, lookahead-free so Java regex and
-    RE2 agree token-for-token), plus char count. Quality = length
-    saturation x stopword-density factor, mirroring the usual pretraining
-    gates (C4/Gopher-style): documents long enough and containing function
-    words score higher. All math is integer/double column expressions — no
-    UDF, no shuffle.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.lower(F.col("text")), " ")
-    n_tokens = F.size(tokens)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    quality = F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * (
-        0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 10)
-    )
-    return docs.select(
-        "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
-        F.round(quality, 4).alias("quality_score"),
-    )
-
-
 def _langid_oracle() -> str:
     """DuckDB twin of operators.text.language_id, generated from the same
     LANG_PROFILES so the two can never drift."""
@@ -109,10 +73,64 @@ FROM scored
 """
 
 
-@query("text_language_id", oracle=_langid_oracle())
+def _quality_plus_langid_oracle() -> str:
+    return f"""
+SELECT q.*, l.given_lang, l.pred_lang, l.top_score
+FROM ({_QUALITY_ORACLE}) q
+JOIN ({_langid_oracle()}) l USING (doc_id)
+"""
+
+
+@query("text_quality_score", oracle=_quality_plus_langid_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 token counting + heuristic quality score + language-ID in one
+    scan-stage lane (formerly three lanes; language-ID folded in round 5
+    to free a slot for BM25 search — every operator is still hash-checked,
+    the language columns ride the same per-document scan).
+
+    Token counting, both mandated variants: whitespace split and a BPE-ish
+    pre-tokenizer regex (GPT-2 family, lookahead-free so Java regex and
+    RE2 agree token-for-token), plus char count. Quality = length
+    saturation x stopword-density factor, mirroring the usual pretraining
+    gates (C4/Gopher-style): documents long enough and containing function
+    words score higher. All math is integer/double column expressions — no
+    UDF, no shuffle.
+    """
+    from kinesiscat_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * (
+        0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 10)
+    )
+    pred, score = language_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(quality, 4).alias("quality_score"),
+        F.col("lang").alias("given_lang"),
+        pred.alias("pred_lang"),
+        score.alias("top_score"),
+    )
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 language-ID: char-n-gram profile scoring, argmax with
-    deterministic tie-break (see operators.text.language_id)."""
+    deterministic tie-break (see operators.text.language_id).
+
+    Driver lane: folded into ``text_quality_score`` (round 5) — the
+    language columns ride the same per-document scan, same hash strength.
+    """
     from kinesiscat_spark.operators.text import language_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -123,6 +141,70 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         score.alias("top_score"),
     )
+
+
+# BM25 lane: medium-frequency corpus terms so scores spread; rendered into
+# both sides from ONE tuple so query and oracle can never drift.
+_BM25_TERMS = ("vector", "merge", "window")
+_BM25_K = 25
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
+        f"(tf{i} * ({_BM25_K1} + 1.0) / "
+        f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, {df_cols} FROM base
+),
+scored AS (
+  SELECT doc_id, {score} AS score FROM base CROSS JOIN stats
+),
+topk AS (
+  SELECT doc_id, score FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+)
+SELECT doc_id, ROUND(score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM topk
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 keyword search: BM25-ranked top-{_BM25_K} documents for a bag of
+    query terms (operators/text.py bm25_topk) — the lexical complement of
+    the vector-similarity surface (hybrid retrieval runs both and fuses).
+
+    Scale shape: one scan computes doc length + per-term tfs as scan-stage
+    array filters (no explode, no inverted-index shuffle for a handful of
+    terms); corpus stats are a 1-row broadcast aggregate; the global top-k
+    is TakeOrderedAndProject (per-partition heap + k-row merge), never a
+    single-partition sort. Deterministic ties on doc_id — the full ranking
+    hash-checks against the SQL twin.
+    """
+    from kinesiscat_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_TERMS, _BM25_K, k1=_BM25_K1, b=_BM25_B)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "rnk")
 
 
 _FINGERPRINT_ORACLE = """

@@ -101,3 +101,38 @@ def test_score_documents_prefers_in_distribution_text(spark):
     # both docs have 3 tokens
     n = {r.doc_id: r.n_tokens for r in score_documents(candidates, model).collect()}
     assert n == {0: 3, 1: 3}
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity: a doc stuffed with a rare query term outranks docs with
+    common terms; docs without any term are absent; ties break on id."""
+    from kinesiscat_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "zebra zebra zebra filler filler"),
+        (2, "zebra filler filler filler filler"),
+        (3, "common common common common common"),
+        (4, "filler filler filler filler filler"),
+        (5, "zebra filler filler filler filler"),  # tie with doc 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, ("zebra", "common"), k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rnk)]
+    # 'common' has df=1 (rarest -> highest idf) and tf=5: doc 3 tops;
+    # among the zebra docs, tf=3 (doc 1) beats tf=1 (docs 2, 5)
+    assert ranked[0] == 3
+    assert ranked.index(1) < ranked.index(2)
+    assert 4 not in ranked                # no query terms -> no row
+    assert ranked.index(2) < ranked.index(5)  # equal scores: lower id first
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[2] == scores[5]
+
+
+def test_bm25_validates_terms(spark):
+    import pytest as _pytest
+
+    from kinesiscat_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, (), k=5)
