@@ -248,8 +248,11 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    # coalesce: NULL text is an empty document, not a NULL token array
+    # (size(NULL) = -1 would poison dl and avgdl)
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
     )
 
     # NB: must be a ONE-arg lambda — a second Python-level default arg would
@@ -275,6 +278,11 @@ def bm25_topk(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
+    # an all-empty corpus has avgdl = 0: try_divide -> NULL -> treat the
+    # length normalization as neutral (every dl is 0 there anyway)
+    dl_norm = F.coalesce(
+        F.try_divide(F.col("_dl"), F.col("_avgdl")), F.lit(1.0)
+    )
     score = None
     for i in range(len(terms)):
         idf = F.log(
@@ -282,9 +290,7 @@ def bm25_topk(
         )
         tf = F.col(f"_tf{i}")
         part = idf * (
-            tf
-            * (k1 + 1.0)
-            / (tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl_norm))
         )
         score = part if score is None else score + part
     out = (

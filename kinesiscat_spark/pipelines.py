@@ -199,3 +199,100 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
             ),
         )
     return out
+
+
+def decontaminate_scan_stage(
+    docs: DataFrame, benchmark_grams: list[str], n: int, text_col: str = "text"
+) -> DataFrame:
+    """Streaming-safe decontamination: drop documents sharing any word
+    n-gram with the (small, driver-collected) benchmark gram set, as a
+    pure scan-stage predicate — ``arrays_overlap`` against a literal
+    array. Unlike ``contamination_report`` (aggregate + anti-join, fine
+    in batch), this shape is legal inside a streaming plan and pushes to
+    the scan. The gram set is test-set-sized by construction; at some
+    size a broadcast join beats a literal — same semantics either way."""
+    from kinesiscat_spark.operators.curation import word_ngrams
+
+    if not benchmark_grams:
+        return docs
+    bench_arr = F.array(*[F.lit(g) for g in benchmark_grams])
+    return docs.filter(
+        ~F.arrays_overlap(word_ngrams(F.col(text_col), n), bench_arr)
+    )
+
+
+def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """Streaming form of ``curate()``: the ingest-time curation a pipeline
+    runs as documents ARRIVE, rather than over a finished corpus.
+
+    - The stateless gates (quality, repetition, language, PII policy)
+      apply unchanged — they are scan-stage Column predicates.
+    - Decontamination runs as the scan-stage ``arrays_overlap`` form
+      (``cfg.benchmark`` is collected to a gram list once at plan time —
+      batch-sized like any test set).
+    - Exact dedup becomes STREAMING first-seen dedup keyed on the sha-256
+      text digest (``streaming/stateful.py dedup_first_seen`` — state in
+      the checkpoint, survives restarts). Within one micro-batch the
+      winner is the lowest id (= batch ``exact_dedup`` on a single-batch
+      drain, which tests/test_pipelines.py pins); across batches it is
+      the earliest ARRIVAL — the streaming notion of "first".
+    - Near-dup detection runs as the separate candidate stream
+      (``streaming_minhash_candidates``); cluster resolution over the
+      accumulated pairs is a periodic batch job (`keep_canonical`), as in
+      every production ingest design — an unbounded transitive closure is
+      not a single-pass streaming operator.
+    - Sampling stays the content-hash filter — partition- and
+      batch-invariant by construction.
+
+    Returns the curated streaming DataFrame (id, text, and the upstream
+    columns named in the output schema below).
+    """
+    from pyspark.sql import types as T
+
+    from kinesiscat_spark.operators.curation import word_ngrams  # noqa: F401
+    from kinesiscat_spark.operators.sampling import hash_sample
+    from kinesiscat_spark.streaming.stateful import dedup_first_seen
+
+    cfg = cfg or CurationConfig()
+    out = quality_gate(stream_docs, cfg)
+    out = repetition_gate(out, cfg)
+    out = language_gate(out, cfg)
+    out = pii_gate(out, cfg)
+    if cfg.benchmark is not None:
+        grams = [
+            r.g
+            for r in cfg.benchmark.select(
+                F.explode(
+                    F.array_distinct(
+                        word_ngrams(F.col(cfg.text_col), cfg.contamination_ngram)
+                    )
+                ).alias("g")
+            )
+            .distinct()
+            .collect()
+        ]
+        out = decontaminate_scan_stage(out, grams, cfg.contamination_ngram, cfg.text_col)
+    # streaming exact dedup: first-seen per content digest
+    keyed = out.withColumn("_h", F.sha2(F.col(cfg.text_col), 256))
+    schema = T.StructType(
+        [
+            T.StructField("_h", T.StringType()),
+            T.StructField(cfg.id_col, T.LongType()),
+            T.StructField(cfg.text_col, T.StringType()),
+        ]
+    )
+    deduped = dedup_first_seen(
+        keyed.select("_h", cfg.id_col, cfg.text_col),
+        keys=["_h"],
+        order_col=cfg.id_col,
+        output_schema=schema,
+    ).drop("_h")
+    if cfg.sample_fraction < 1.0:
+        deduped = hash_sample(
+            deduped,
+            cfg.sample_fraction,
+            [cfg.id_col],
+            cfg.sample_salt,
+            method=cfg.sample_method,
+        )
+    return deduped

@@ -1,0 +1,93 @@
+"""Streaming curation pipeline (pipelines.curate_stream): the drained
+stream equals the batch stage composition on the same corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def cfg(spark):
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.pipelines import CurationConfig
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " ").alias(
+            "text"
+        )
+    )
+    return CurationConfig(
+        min_tokens=5,
+        max_dup_line_frac=0.3,
+        max_top_ngram_char_frac=0.2,
+        top_ngram_n=2,
+        pii_policy="drop",
+        benchmark=bench,
+        contamination_ngram=5,
+        sample_fraction=0.5,
+        sample_salt=7,
+        sample_method="md5",
+    )
+
+
+def test_curate_stream_equals_batch_stages(spark, cfg):
+    """A single-batch drain of curate_stream must keep exactly the doc_ids
+    the equivalent batch composition keeps (first-seen == min-id within
+    one micro-batch, so even the dedup stage agrees)."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.sampling import hash_sample
+    from kinesiscat_spark.pipelines import (
+        curate_stream,
+        decontaminate,
+        exact_dedup,
+        pii_gate,
+        quality_gate,
+        repetition_gate,
+    )
+    from kinesiscat_spark.streaming import run_to_memory
+    from kinesiscat_spark.streaming.source import read_table_stream
+
+    stream = read_table_stream(spark, SF_SMOKE, "documents")
+    drained = run_to_memory(curate_stream(stream, cfg), output_mode="append")
+    got = sorted(r.doc_id for r in drained.select("doc_id").collect())
+
+    batch = load_table(spark, SF_SMOKE, "documents")
+    b = quality_gate(batch, cfg)
+    b = repetition_gate(b, cfg)
+    b = pii_gate(b, cfg)
+    b = decontaminate(b, cfg)
+    b = exact_dedup(b, cfg)
+    b = hash_sample(b, cfg.sample_fraction, ["doc_id"], cfg.sample_salt, method="md5")
+    want = sorted(r.doc_id for r in b.select("doc_id").collect())
+
+    assert got == want
+    assert got  # non-vacuous: the gates keep a non-empty corpus
+
+
+def test_scan_stage_decontamination_matches_report_form(spark, cfg):
+    """The streaming-safe arrays_overlap decontamination drops exactly the
+    documents the batch contamination_report form drops."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.curation import word_ngrams
+    from kinesiscat_spark.pipelines import decontaminate, decontaminate_scan_stage
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    grams = [
+        r.g
+        for r in cfg.benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), cfg.contamination_ngram))
+            ).alias("g")
+        )
+        .distinct()
+        .collect()
+    ]
+    scan = decontaminate_scan_stage(docs, grams, cfg.contamination_ngram)
+    report = decontaminate(docs, cfg)
+    assert sorted(r.doc_id for r in scan.select("doc_id").collect()) == sorted(
+        r.doc_id for r in report.select("doc_id").collect()
+    )
