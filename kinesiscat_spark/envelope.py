@@ -41,20 +41,30 @@ def sequence_number(col: F.Column) -> F.Column:
     return F.lpad(col.cast("string"), _SEQ_WIDTH, "0")
 
 
+def shard_index(key: F.Column, n_shards: int) -> F.Column:
+    """Kinesis-faithful hash-range routing (`api.go:1141-1149`) as a plain
+    integer: the MD5 of the key, read as an unsigned integer, falls into
+    one of ``n_shards`` contiguous equal hash ranges — md5 is reproducible
+    in DuckDB (``('0x' || hex)::BIGINT``), so shard assignment itself is
+    oracle-checkable, unlike a JVM-only hash. All math stays in
+    whole-stage codegen.
+
+    h < 2^48, so h·n_shards fits a long for any n_shards < 2^15, and the
+    divisor is a power of two: ``>> 48`` IS the exact floor division —
+    pure integer math, no rounding hazard (DuckDB reproduces it with the
+    ``>>`` operator). The bound is VALIDATED here (h·n_shards overflows a
+    signed long past it — the shared guard the round-5 review asked for);
+    the one routing implementation serves both the stream envelope and
+    the sequence-packing shards."""
+    if not 1 <= n_shards < (1 << 15):
+        raise ValueError(f"n_shards must be in [1, 32768), got {n_shards}")
+    h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+    return F.shiftright(h * F.lit(n_shards), 48)
+
+
 def shard_id(partition_key: F.Column, n_shards: int) -> F.Column:
-    """Kinesis-faithful hash-range routing (`api.go:1141-1149`): the MD5 of
-    the partition key, read as an unsigned integer, falls into one of
-    ``n_shards`` contiguous equal hash ranges. The top 48 bits (12 hex
-    chars) decide the range exactly for any ``n_shards`` ≤ 2^20 or so —
-    and md5 is reproducible in DuckDB (``('0x' || hex)::BIGINT``), so
-    shard assignment itself is oracle-checkable, unlike a JVM-only hash.
-    All math stays in whole-stage codegen."""
-    h = F.conv(F.substring(F.md5(partition_key), 1, 12), 16, 10).cast("long")
-    # h < 2^48, so h·n_shards fits a long for any n_shards < 2^15, and the
-    # divisor is a power of two: ``>> 48`` IS the exact floor division —
-    # pure integer math, no rounding hazard at any supported shard count
-    # (DuckDB reproduces it with the ``>>`` operator).
-    return F.format_string("shardId-%012d", F.shiftright(h * F.lit(n_shards), 48))
+    """``shard_index`` with the Kinesis ``shardId-%012d`` string dressing."""
+    return F.format_string("shardId-%012d", shard_index(partition_key, n_shards))
 
 
 def events_as_records(events: DataFrame, n_shards: int = 8) -> DataFrame:

@@ -41,15 +41,12 @@ from pyspark.sql.window import Window
 
 
 def _shard_of(key: Column, n_shards: int) -> Column:
-    """Integer md5 hash-range shard — the same Kinesis-faithful routing as
-    ``envelope.shard_id`` (top 48 md5 bits into contiguous equal ranges),
-    minus the shardId-... string dressing. Pure long math: h < 2^48 so
-    h·n_shards fits a long for any n_shards < 2^15, and the divisor is a
-    power of two, so ``>> 48`` IS the exact floor division — no double
-    rounding hazard at any supported shard count (DuckDB reproduces it
-    with the ``>>`` operator)."""
-    h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
-    return F.shiftright(h * F.lit(n_shards), 48).cast("int")
+    """Integer md5 hash-range shard — THE Kinesis-faithful routing
+    (``envelope.shard_index``; one shared implementation with the n_shards
+    overflow guard, per the round-5 review)."""
+    from kinesiscat_spark.envelope import shard_index
+
+    return shard_index(key, n_shards).cast("int")
 
 
 def whitespace_token_count(text: Column) -> Column:

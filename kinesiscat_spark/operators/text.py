@@ -261,11 +261,18 @@ def bm25_topk(
     def _is(word: str):
         return lambda t: t == F.lit(word)
 
-    base = docs.select(
+    # Bind the token array ONCE per row as its own projection: the split +
+    # length-filter is the dominant per-row cost and is referenced by the
+    # dl column and every per-term tf — CollapseProject keeps a non-cheap
+    # expression used more than once as a real intermediate attribute
+    # (pinned below by counting split() occurrences in the optimized plan
+    # in tests/test_text.py), so each scan splits the text exactly once.
+    with_toks = docs.select(F.col(id_col), toks.alias("_toks"))
+    base = with_toks.select(
         F.col(id_col),
-        F.size(toks).cast("double").alias("_dl"),
+        F.size("_toks").cast("double").alias("_dl"),
         *[
-            F.size(F.filter(toks, _is(w))).cast("double").alias(f"_tf{i}")
+            F.size(F.filter(F.col("_toks"), _is(w))).cast("double").alias(f"_tf{i}")
             for i, w in enumerate(terms)
         ],
     )

@@ -272,20 +272,18 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
             .collect()
         ]
         out = decontaminate_scan_stage(out, grams, cfg.contamination_ngram, cfg.text_col)
-    # streaming exact dedup: first-seen per content digest
-    keyed = out.withColumn("_h", F.sha2(F.col(cfg.text_col), 256))
-    schema = T.StructType(
-        [
-            T.StructField("_h", T.StringType()),
-            T.StructField(cfg.id_col, T.LongType()),
-            T.StructField(cfg.text_col, T.StringType()),
-        ]
+    # streaming exact dedup: first-seen per content digest. The output
+    # schema is DERIVED from the stream's own schema, so any id/text
+    # column types the batch pipeline accepts work here too (a hardcoded
+    # LongType id would crash applyInPandasWithState on string ids).
+    keyed = out.withColumn("_h", F.sha2(F.col(cfg.text_col), 256)).select(
+        "_h", cfg.id_col, cfg.text_col
     )
     deduped = dedup_first_seen(
-        keyed.select("_h", cfg.id_col, cfg.text_col),
+        keyed,
         keys=["_h"],
         order_col=cfg.id_col,
-        output_schema=schema,
+        output_schema=T.StructType(keyed.schema.fields),
     ).drop("_h")
     if cfg.sample_fraction < 1.0:
         deduped = hash_sample(

@@ -257,11 +257,15 @@ def stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SRC_FILES = 8
 _ECHO_BATCH_FILES = 3
 
+# n_nonempty_batches derives from the DATA on both sides (the number of
+# distinct pmod-8 classes actually present → files actually written), so a
+# sparse events table can never make the lane hash-fail spuriously.
 _CONFIG_ECHO_ORACLE = f"""
 SELECT 'trigger_interval_ms' AS knob, '1000' AS value
 UNION ALL SELECT 'max_files_per_trigger', '{_ECHO_BATCH_FILES}'
 UNION ALL SELECT 'n_nonempty_batches',
-  CAST(CAST(ceil({_N_SRC_FILES} / {_ECHO_BATCH_FILES}.0) AS BIGINT) AS VARCHAR)
+  CAST(CAST(ceil((SELECT COUNT(DISTINCT event_id % {_N_SRC_FILES}) FROM events)
+            / {_ECHO_BATCH_FILES}.0) AS BIGINT) AS VARCHAR)
 UNION ALL SELECT 'per_trigger_intake_bounded', 'true'
 UNION ALL SELECT 'rows_drained', CAST((SELECT COUNT(*) FROM events) AS VARCHAR)
 UNION ALL SELECT 'stopped_gracefully', 'true'
@@ -294,7 +298,16 @@ def stream_config_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     total_rows = ev.count()
     src = tempfile.mkdtemp(prefix="kc_echo_src_")
-    ev.repartitionByRange(_N_SRC_FILES, "event_id").write.mode("overwrite").parquet(src)
+    # One file per DISTINCT pmod-{_N_SRC_FILES} class actually present, so
+    # the file count is exactly the value the oracle derives from the data
+    # (a range-partitioned write could merge classes / skip empty
+    # partitions → fewer files → a spurious hash mismatch). Tiny per-class
+    # writes are fine here: this lane materializes a micro-batch fixture,
+    # not a production path.
+    cls = F.pmod("event_id", F.lit(_N_SRC_FILES))
+    classes = sorted(r.c for r in ev.select(cls.alias("c")).distinct().collect())
+    for c in classes:
+        ev.filter(cls == c).coalesce(1).write.mode("append").parquet(src)
     # actual per-file row counts bound what one trigger may legally intake
     per_file = [
         r.n

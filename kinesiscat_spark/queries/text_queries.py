@@ -150,21 +150,27 @@ _BM25_K = 25
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
-    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+def _bm25_oracle(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+    # coalesce mirrors the operator: NULL text is an EMPTY document whose
+    # dl = 0 participates in avgdl (DuckDB's AVG would silently skip a
+    # NULL dl, shifting every score — the round-5 review catch)
+    toks = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
+        "t -> len(t) > 0)"
+    )
     tf_cols = ", ".join(
         f"CAST(len(list_filter(toks, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
-        for i, w in enumerate(_BM25_TERMS)
+        for i, w in enumerate(terms)
     )
     df_cols = ", ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
     score = " + ".join(
         f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
         f"(tf{i} * ({_BM25_K1} + 1.0) / "
         f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
     return f"""
 WITH base AS (

@@ -136,3 +136,55 @@ def test_bm25_validates_terms(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         bm25_topk(docs, (), k=5)
+
+
+def test_bm25_null_text_is_empty_doc_in_stats(spark, duck):
+    """NULL text participates as an EMPTY document (dl=0 counted in N and
+    avgdl) — and the DuckDB twin encodes the same semantics instead of
+    AVG silently skipping a NULL dl (round-5 review catch)."""
+    import pandas as pd
+
+    from kinesiscat_spark.operators.text import bm25_topk
+    from kinesiscat_spark.queries.text_queries import _BM25_K1, _BM25_B
+
+    rows = [(1, "zebra cat"), (2, None), (3, "zebra zebra dog cat")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, ("zebra",), k=10, k1=_BM25_K1, b=_BM25_B).collect()
+    }
+    # hand computation: N=3 (null doc counted), dls = [2, 0, 4], avgdl = 2
+    import math
+
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf, dl):
+        return idf * tf * (_BM25_K1 + 1) / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / 2.0))
+
+    assert got.keys() == {1, 3}
+    assert abs(got[1] - s(1, 2)) < 1e-12
+    assert abs(got[3] - s(2, 4)) < 1e-12
+
+    # and the DuckDB twin agrees on the same tiny corpus
+    con = __import__("duckdb").connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    from kinesiscat_spark.queries.text_queries import _bm25_oracle
+
+    want = {
+        int(r[0]): float(r[1])
+        for r in con.execute(_bm25_oracle(terms=("zebra",))).fetchall()
+    }
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_bm25_splits_text_once_per_scan(spark):
+    """The token split (the dominant per-row cost) must appear as ONE
+    intermediate projection per scan subtree, not be inlined into the dl
+    column and every per-term tf (T+1 re-splits)."""
+    from kinesiscat_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = bm25_topk(docs, ("a", "b", "c"), k=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two scan subtrees (stats aggregate + scored join) -> at most 2 splits
+    assert plan.count("split(") <= 2, plan

@@ -33,7 +33,10 @@ def main() -> None:
         r = qb[k] / qa[k] if qa[k] else float("inf")
         print(f"{k:36s}{qa[k]:8.3f}{qb[k]:8.3f}{r:7.2f}")
     ta, tb = sum(qa[k] for k in common), sum(qb[k] for k in common)
-    print(f"{'COMMON TOTAL':36s}{ta:8.3f}{tb:8.3f}{tb / ta:7.2f}")
+    if ta > 0:
+        print(f"{'COMMON TOTAL':36s}{ta:8.3f}{tb:8.3f}{tb / ta:7.2f}")
+    else:
+        print("no common lanes (or zero common total) — sets compared below")
     only_a = sorted(set(qa) - set(qb))
     only_b = sorted(set(qb) - set(qa))
     if only_a:
