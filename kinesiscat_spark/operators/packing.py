@@ -143,3 +143,67 @@ def pack_sequences(
             - F.greatest(F.col("t_start"), seq_base)
         ).alias("n_in_seq"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed layout into actual training rows: one row
+    per (shard, seq) carrying the concatenated token slice of every
+    document that touches the sequence, in stream order.
+
+    Output: ``shard``, ``seq``, ``doc_ids`` (in order), ``tokens``
+    (exactly ``budget`` tokens for every sequence except each shard's
+    last — the invariant tests/test_packing.py verifies on real tokens).
+
+    Scale shape: rides the ``pack_sequences`` incidence rows (one small
+    window over each document's few incidences to recover its per-doc
+    offset), joins the text in ONCE, slices scan-stage, and assembles
+    each sequence with a single (shard, seq) aggregation whose groups are
+    bounded by ``budget`` tokens — the natural unit of work for a
+    training-data writer. Downstream writers usually follow with
+    ``.write.partitionBy("shard")``.
+    """
+    packed = pack_sequences(docs, budget, n_shards, id_col, text_col)
+    w = (
+        Window.partitionBy("id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inc = packed.withColumn(
+        "_doc_off", F.sum("n_in_seq").over(w) - F.col("n_in_seq")
+    )
+    toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.col(text_col)), " ")
+    )
+    side = docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    pieces = inc.join(side, "id").select(
+        "shard",
+        "seq",
+        "id",
+        "seq_off",
+        F.slice(
+            F.col("_toks"), (F.col("_doc_off") + 1).cast("int"), F.col("n_in_seq").cast("int")
+        ).alias("_piece"),
+    )
+    assembled = (
+        pieces.groupBy("shard", "seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq_off", "id", "_piece"))
+            ).alias("_ps")
+        )
+        .select(
+            "shard",
+            "seq",
+            F.transform(F.col("_ps"), lambda s: s["id"]).alias("doc_ids"),
+            F.flatten(F.transform(F.col("_ps"), lambda s: s["_piece"])).alias(
+                "tokens"
+            ),
+        )
+    )
+    return assembled

@@ -165,3 +165,44 @@ def test_whitespace_token_count_null(spark):
     df = spark.createDataFrame([(None,), ("a b",), ("",)], "t string")
     got = [r.n for r in df.select(whitespace_token_count(F.col("t")).alias("n")).collect()]
     assert got == [0, 2, 1]
+
+
+def test_materialize_sequences_token_level_invariants(spark):
+    """The assembled training rows hold at the TOKEN level: every sequence
+    except each shard's last is exactly budget tokens; concatenating a
+    document's pieces across its sequences reproduces its token stream;
+    doc order inside a sequence follows the layout."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.packing import materialize_sequences
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(1 + (i * 13) % 50))) for i in range(80)]
+    docs = _docs(spark, rows)
+    out = materialize_sequences(docs, budget=32, n_shards=4)
+    got = out.collect()
+    assert got
+
+    # full-sequence invariant on real tokens
+    last = {r.shard: r.seq for r in out.groupBy("shard").agg(F.max("seq").alias("seq")).collect()}
+    for r in got:
+        if r.seq != last[r.shard]:
+            assert len(r.tokens) == 32, (r.shard, r.seq, len(r.tokens))
+
+    # per-document reconstruction: tokens attributed to doc i, in
+    # (shard-stream) order, equal the doc's own token stream
+    from collections import defaultdict
+
+    rebuilt = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r.shard, r.seq)):
+        # pieces inside a sequence are laid out consecutively in doc_ids order
+        idx = 0
+        per_doc = []
+        for did in r.doc_ids:
+            per_doc.append(did)
+        # walk tokens by doc: the doc's tokens are contiguous within the seq
+        # and prefixed d{i}t{j}, so attribute by prefix
+        for t in r.tokens:
+            did = int(t.split("t")[0][1:])
+            rebuilt[did].append(t)
+    for i, text in rows:
+        assert rebuilt[i] == text.split(" "), f"doc {i}"
