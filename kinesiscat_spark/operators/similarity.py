@@ -503,3 +503,41 @@ def ivf_sq_topk(
         sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    key_cols: tuple[str, ...] = ("cid",),
+    rank_col: str = "rnk",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked lists:
+    score(d) = Σ_r 1/(k + rank_r(d)) over the lists that contain d. The
+    standard way to fuse lexical (bm25_topk) and vector (cosine/ivf/lsh
+    top-k) retrieval without score calibration; k=60 is the published
+    default.
+
+    ``key_cols`` identifies a result row across lists — ("cid",) fuses
+    single-query lists, ("qid", "cid") fuses per-query top-k tables (the
+    fusion then ranks within each qid). Scale shape: each input
+    contributes (keys, 1/(k+rank)) rows — top-k-sized, not corpus-sized —
+    one union + one keyed aggregation; the final rank is a window over
+    top-k-bounded groups.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(*key_cols, (1.0 / (k + F.col(rank_col))).alias("_c"))
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(*key_cols).agg(F.sum("_c").alias("rrf_score"))
+    group = list(key_cols[:-1])  # rank within qid when present
+    w = (
+        Window.partitionBy(*group) if group else Window.partitionBy()
+    ).orderBy(F.desc("rrf_score"), F.asc(key_cols[-1]))
+    out = fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return out.filter(F.col("rnk") <= top_k) if top_k else out

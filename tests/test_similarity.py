@@ -109,3 +109,59 @@ def test_ivf_lloyd_refinement_runs(spark):
     out = ivf_topk(corpus, queries, 5, n_cells=8, n_probe=2, n_iters=2)
     counts = {r.qid: r.n for r in out.groupBy("qid").agg(F.count("*").alias("n")).collect()}
     assert all(v == 5 for v in counts.values()) and len(counts) == 3
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: agreement across lists dominates a single high rank; ties
+    break on id; per-query mode ranks within qid."""
+    from kinesiscat_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], ["cid", "rnk"]
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (10, 2), (13, 3)], ["cid", "rnk"]
+    )
+    out = {r.cid: (r.rrf_score, r.rnk) for r in rrf_fuse([lex, vec], k=60).collect()}
+    # 10 and 11 each have ranks {1,2} -> identical scores, tie to lower id
+    assert abs(out[10][0] - out[11][0]) < 1e-12
+    assert out[10][1] == 1 and out[11][1] == 2
+    # single-list entries rank below double-list entries
+    assert out[12][1] in (3, 4) and out[13][1] in (3, 4)
+    assert out[12][1] < out[13][1]  # same 1/(k+3), tie to lower id
+
+    # per-query fusion partitions ranks by qid
+    a = spark.createDataFrame([(1, 10, 1), (2, 20, 1)], ["qid", "cid", "rnk"])
+    b = spark.createDataFrame([(1, 11, 1), (2, 20, 2)], ["qid", "cid", "rnk"])
+    per_q = rrf_fuse([a, b], key_cols=("qid", "cid")).collect()
+    ranks = {(r.qid, r.cid): r.rnk for r in per_q}
+    assert ranks[(2, 20)] == 1  # appears in both lists for qid 2
+    assert ranks[(1, 10)] == 1 and ranks[(1, 11)] == 2  # tie -> lower cid
+
+
+def test_rrf_hybrid_bm25_plus_vector(spark):
+    """End-to-end hybrid retrieval: fuse the BM25 lexical ranking with a
+    vector top-k over the same id space; every fused id comes from one of
+    the inputs and the head of both lists is represented."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.similarity import cosine_topk, rrf_fuse
+    from kinesiscat_spark.operators.text import bm25_topk
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lex = bm25_topk(docs, ("vector", "merge", "window"), k=20).select(
+        F.col("doc_id").alias("cid"), "rnk"
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    vec = cosine_topk(emb.filter(F.col("vec_id") > 0), queries, 20).select(
+        "cid", "rnk"
+    )
+    fused = rrf_fuse([lex, vec], top_k=10).collect()
+    assert len(fused) == 10
+    lex_ids = {r.cid for r in lex.collect()}
+    vec_ids = {r.cid for r in vec.collect()}
+    assert all(r.cid in (lex_ids | vec_ids) for r in fused)
