@@ -152,3 +152,28 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_cols: Sequence[str], salt: int = 0, method: str = "md5"
+) -> DataFrame:
+    """Global deterministic shuffle — the training-order randomization step:
+    sort by a content hash of the key columns, so the order is
+    pseudo-random w.r.t. any data attribute yet IDENTICAL on every
+    cluster, partitioning, and rerun (``rand()`` order would change with
+    the file layout; a different ``salt`` draws an independent order).
+
+    Scale shape: one range exchange (Spark's distributed sort) — the same
+    cost as any global ``orderBy`` — with the hash computed scan-stage.
+    ``method="md5"`` reproduces the exact order in any engine (the
+    ORDER BY twin of the sampling oracles); ``method="xxhash64"`` is the
+    cheaper JVM-only path. Ties (identical keys+salt) break on the key
+    columns themselves, keeping the order total and deterministic.
+    """
+    if method == "md5":
+        h: Column = _md5_prefix(list(key_cols), salt)
+    elif method == "xxhash64":
+        h = F.xxhash64(*key_cols, F.lit(salt))
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    return df.orderBy(h, *key_cols)

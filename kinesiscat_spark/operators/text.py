@@ -308,3 +308,74 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return out.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap —
+    the retrieval/context-window twin of sequence packing (packing
+    concatenates ACROSS documents; chunking splits WITHIN them, the shape
+    RAG indexes and context-bounded training want).
+
+    Output: one row per chunk — ``id``, ``chunk_idx`` (0-based),
+    ``chunk_text`` (space-joined tokens), ``n_chunk_tokens``. Chunks
+    start every ``chunk_tokens - overlap`` tokens; the last chunk may be
+    short; an empty/NULL document yields no rows.
+
+    Scale shape: pure scan-stage — one split per document (let-bound so
+    the per-chunk slices read the bound array, not re-split), a
+    ``sequence``/``transform`` over chunk starts, one ``posexplode``. No
+    shuffle, no state; chunk count is data-derived per row.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+
+    def chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        # chunk starts: 1, 1+step, ... while start <= n (1-based slice)
+        n_chunks = F.when(
+            n > 0, F.floor((n - 1) / F.lit(step)).cast("int") + 1
+        ).otherwise(F.lit(0))
+        # cap: once a chunk reaches the end, later overlapping starts add
+        # only suffixes of it — stop at the first chunk containing token n
+        n_full = F.when(
+            n > chunk_tokens,
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)).cast("int") + 1,
+        ).otherwise(F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+        n_out = F.least(n_chunks, n_full)
+        return F.when(
+            n_out > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_out - 1),
+                lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+            ),
+        )
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    from kinesiscat_spark.let import let_
+
+    per_doc = docs.select(
+        F.col(id_col).alias("id"), let_(toks, chunks).alias("_chunks")
+    )
+    out = per_doc.select(
+        "id", F.posexplode("_chunks").alias("chunk_idx", "_c")
+    )
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join("_c", " ").alias("chunk_text"),
+        F.size("_c").cast("long").alias("n_chunk_tokens"),
+    )

@@ -104,3 +104,31 @@ def test_md5_method_matches_duckdb_selection(spark):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_deterministic_shuffle_is_partition_invariant(spark):
+    from kinesiscat_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(df.repartition(1), ["doc_id"], salt=3).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(df.repartition(17), ["doc_id"], salt=3).collect()]
+    assert a == b
+    assert a != sorted(a)  # actually shuffled, not id order
+    c = [r.doc_id for r in deterministic_shuffle(df, ["doc_id"], salt=4).collect()]
+    assert c != a  # independent order per salt
+    assert sorted(c) == sorted(a)
+
+
+def test_deterministic_shuffle_md5_matches_python(spark):
+    """The md5 order reproduces outside Spark: sort by the same prefix."""
+    import hashlib
+
+    from kinesiscat_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    got = [r.doc_id for r in deterministic_shuffle(df, ["doc_id"], salt=7).collect()]
+    want = sorted(
+        range(50),
+        key=lambda i: (hashlib.md5(f"{i}\x1f7".encode()).hexdigest()[:12], i),
+    )
+    assert got == want

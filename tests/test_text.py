@@ -188,3 +188,52 @@ def test_bm25_splits_text_once_per_scan(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # two scan subtrees (stats aggregate + scored join) -> at most 2 splits
     assert plan.count("split(") <= 2, plan
+
+
+def test_chunk_documents_shapes(spark):
+    from kinesiscat_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{j}" for j in range(10))),  # 10 tokens
+        (2, "a b"),                                  # shorter than chunk
+        (3, None),                                   # no rows
+        (4, ""),                                     # no rows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.id, r.chunk_idx)):
+        by_doc.setdefault(r.id, []).append((r.chunk_text, r.n_chunk_tokens))
+    # doc 1: starts 0,2,4,6 (stop once the end is covered), sizes 4,4,4,4
+    assert [c for c, _ in by_doc[1]] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    assert by_doc[2] == [("a b", 2)]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_no_overlap_covers_exactly(spark):
+    from kinesiscat_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(11)))], ["doc_id", "text"]
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=0).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_text for r in out] == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9 t10"]
+    # non-overlapping chunks partition the token stream exactly
+    assert sum(r.n_chunk_tokens for r in out) == 11
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from kinesiscat_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
