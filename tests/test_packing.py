@@ -206,3 +206,32 @@ def test_materialize_sequences_token_level_invariants(spark):
             rebuilt[did].append(t)
     for i, text in rows:
         assert rebuilt[i] == text.split(" "), f"doc {i}"
+
+
+def test_packing_hypothesis_fuzz_vs_python_replay(spark):
+    """Property fuzz: random (budget, n_shards, doc lengths incl. zeros)
+    against the pure-python layout replay — catches off-by-ones the
+    hand-picked cases miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        budget=st.integers(1, 24),
+        n_shards=st.integers(1, 6),
+        lens=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    )
+    def run(budget, n_shards, lens):
+        rows = [
+            (i, None if n == 0 else " ".join(["w"] * n)) for i, n in enumerate(lens)
+        ]
+        got = _layout(
+            pack_sequences(_docs(spark, rows), budget=budget, n_shards=n_shards)
+        )
+        assert got == _python_pack(rows, budget=budget, n_shards=n_shards)
+
+    run()

@@ -237,3 +237,54 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_hypothesis_fuzz(spark):
+    """Property fuzz of the chunk arithmetic vs a python replay: starts
+    every step tokens, stop at the first chunk covering the end."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kinesiscat_spark.operators.text import chunk_documents
+
+    def python_chunks(n, chunk, step):
+        if n == 0:
+            return []
+        out = []
+        start = 0
+        while True:
+            out.append((start, min(chunk, n - start)))
+            if start + chunk >= n:
+                break
+            start += step
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        chunk=st.integers(1, 12),
+        overlap_frac=st.integers(0, 11),
+        lens=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+    )
+    def run(chunk, overlap_frac, lens):
+        overlap = overlap_frac % chunk
+        step = chunk - overlap
+        rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lens)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {}
+        for r in chunk_documents(docs, chunk, overlap).collect():
+            got.setdefault(r.id, []).append(
+                (r.chunk_idx, r.chunk_text.split(" ") if r.chunk_text else [], r.n_chunk_tokens)
+            )
+        for i, n in enumerate(lens):
+            want = python_chunks(n, chunk, step)
+            mine = sorted(got.get(i, []))
+            assert len(mine) == len(want), (i, n, chunk, overlap, mine, want)
+            for (idx, toks, cnt), (start, size) in zip(mine, want):
+                assert cnt == size
+                assert toks == [f"t{j}" for j in range(start, start + size)]
+
+    run()
