@@ -157,6 +157,32 @@ def probes():
         )
         return curation.contamination_report(docs, bench, n=5).count()
 
+    def p_packing(spark, d):
+        from kinesiscat_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return pack_sequences(docs, budget=512, n_shards=64).count()
+
+    def p_bm25(spark, d):
+        from kinesiscat_spark.operators.text import bm25_topk
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # query the corpus's own 3 most frequent words (the synth copies
+        # salt every token, so fixed literals would match nothing at N×
+        # and the probe would time a degenerate no-hit query)
+        terms = tuple(
+            r.t
+            for r in docs.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("t")
+            )
+            .groupBy("t")
+            .count()
+            .orderBy(F.desc("count"), "t")
+            .limit(3)
+            .collect()
+        )
+        return bm25_topk(docs, terms, k=25).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
@@ -168,6 +194,8 @@ def probes():
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
         "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
+        "packing": (p_packing, "linear (one shard-window exchange)"),
+        "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
     }
 
 
