@@ -152,6 +152,18 @@ def stream_lag_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The watermark/append twin: the drained append-mode result is EXACTLY
+# the windows whose end is at or below the final watermark (max event
+# time − delay) — late-data semantics as a deterministic batch predicate.
+_WATERMARK_DELAY = "1 hour"
+
+_TUMBLING_APPEND_ORACLE = f"""
+SELECT window_start, event_type, n_events, total_value
+FROM ({_TUMBLING_ORACLE})
+WHERE STRPTIME(window_start, '%Y-%m-%d %H:%M:%S') + INTERVAL '1 hour'
+      <= (SELECT MAX(ts) FROM events) - INTERVAL '{_WATERMARK_DELAY}'
+"""
+
 _TUMBLING_PLUS_AGG_ORACLE = f"""
 SELECT 'window' AS kind, window_start, event_type, n_events, total_value,
        CAST(NULL AS DOUBLE) AS avg_value
@@ -160,6 +172,10 @@ UNION ALL
 SELECT 'by_type' AS kind, CAST(NULL AS VARCHAR) AS window_start, event_type,
        n_events, total_value, avg_value
 FROM ({_STREAM_AGG_ORACLE})
+UNION ALL
+SELECT 'window_append' AS kind, window_start, event_type, n_events,
+       total_value, CAST(NULL AS DOUBLE) AS avg_value
+FROM ({_TUMBLING_APPEND_ORACLE})
 """
 
 
@@ -170,10 +186,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete mode (memory sink snapshot); the append-mode/watermark
     late-data path is exercised in tests/test_streaming.py.
 
-    Folded in (round 5, freeing a lane slot for the S4/S6/S8 config-echo
-    lane): the former stream_agg_by_type lane under ``kind = 'by_type'``
-    — two real streaming queries drain in this lane, each hash-checked
-    against its batch twin via the UNION ALL oracle.
+    Folded in (round 5): the former stream_agg_by_type lane under
+    ``kind = 'by_type'``, and the WATERMARK/APPEND late-data path under
+    ``kind = 'window_append'`` — the same tumbling aggregation run with
+    ``withWatermark('ts', '1 hour')`` in append mode, whose drained
+    output is exactly the windows closed by the final watermark (end ≤
+    max event time − delay), a deterministic batch predicate. Three real
+    streaming queries drain in this lane, each hash-checked against its
+    batch twin via the UNION ALL oracle.
     """
     ev = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
     agg = (
@@ -205,7 +225,32 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "avg_value",
     )
-    return windowed.unionByName(by_type)
+    ev2 = read_events_stream(spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON"))
+    appended = (
+        ev2.withWatermark("ts", _WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(utc_wall(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    window_append = run_to_memory(appended, output_mode="append").select(
+        F.lit("window_append").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    return windowed.unionByName(by_type).unionByName(window_append)
 
 
 def _stream_minhash_oracle() -> str:
