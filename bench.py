@@ -71,7 +71,7 @@ def main() -> None:
     # rather than recording numbers that can't be interpreted later.
     env_start = _load_snapshot()
     waited = 0.0
-    while env_start["load_1m"] > 8.0 and waited < 120.0:
+    while env_start["load_1m"] > 6.0 and waited < 180.0:
         time.sleep(10.0)
         waited += 10.0
         env_start = _load_snapshot()
