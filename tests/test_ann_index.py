@@ -99,3 +99,21 @@ def test_index_build_is_deterministic(spark, emb):
         (r.vec_id, r.cell) for r in spark.read.parquet(f"{p2}/cells").collect()
     )
     assert a == b
+
+
+def test_sq8_phase1_scan_reads_codes_not_vectors(spark, emb, index_path):
+    """Partition pruning × column pruning: the SQ8 phase-1 cell scan must
+    read the codes column, never the float vectors (those are read only by
+    the rerank_k-bounded re-rank scan)."""
+    from kinesiscat_spark.operators.ann_index import ivf_index_topk
+
+    queries = emb.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_index_topk(spark, index_path, queries, K, n_probe=PROBE, use_sq8=True)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l and "codes" in l]
+    # at least one scan reads codes WITHOUT the embedding column
+    assert any("embedding" not in l for l in reads), reads
