@@ -274,6 +274,89 @@ def span_dup_frac(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    w: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 §3.1,
+    token-window granularity) — the rewrite counterpart of
+    ``span_dup_frac``'s detection: each document is cut into consecutive
+    NON-overlapping ``w``-token windows; every window whose exact token
+    sequence occurred earlier in the corpus (global order =
+    ``(id, win_idx)``) is removed, and the surviving windows are
+    reassembled in document order. Exactly one copy of every repeated
+    span survives, so re-running the operator on its own output is a
+    no-op — the fixed-point property the suffix-array method has.
+
+    Returns ``(id, n_tokens, n_removed, clean_text)``; ``n_removed``
+    counts removed tokens, so the cleaned document always has
+    ``n_tokens − n_removed`` tokens.
+
+    Scale shape: the only wide exchange carries
+    ``(md5(window), id, win_idx, win_len)`` — fixed ~52 bytes per window
+    regardless of ``w`` — for the global first-occurrence window
+    function; the removed indexes flow back as a narrow
+    ``(id, array<long>)`` join, and the cleaned text is rebuilt from the
+    original scan with an index-aware array filter, so document text is
+    NEVER shuffled. Deterministic on any partitioning: first occurrence
+    is a total order, not a partition accident.
+    """
+    from pyspark.sql import Window
+
+    toks = words(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+    n_tokens = F.size("toks")
+    # Guarded sequence: ceil(0/w)-1 = -1 would make sequence() descend
+    # (step defaults to -1 when start > stop) and emit phantom windows.
+    n_wins = F.ceil(n_tokens / F.lit(w)).cast("int")
+    spans = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.struct(
+                F.md5(F.array_join(F.slice("toks", i * w + 1, w), " ")).alias("h"),
+                F.least(F.lit(w), n_tokens - i * w).cast("int").alias("win_len"),
+            ),
+        ),
+    )
+    wins = base.select(
+        "id", F.posexplode(spans).alias("win_idx", "s")
+    ).select("id", "win_idx", "s.h", "s.win_len")
+
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("id", "win_idx"))
+    dup = (
+        wins.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.col("win_idx").cast("long"))).alias("rem"),
+            F.sum("win_len").alias("n_removed"),
+        )
+    )
+
+    def rebuild(rem: Column) -> Column:
+        return F.array_join(
+            F.filter(
+                F.col("toks"),
+                lambda tok, i: ~F.array_contains(rem, F.floor(i / F.lit(w))),
+            ),
+            " ",
+        )
+
+    return base.join(dup, "id", "left").select(
+        "id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        let_(
+            F.coalesce(F.col("rem"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+            rebuild,
+        ).alias("clean_text"),
+    )
+
+
 # --- benchmark decontamination --------------------------------------------
 
 

@@ -365,8 +365,6 @@ def chunk_documents(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: F.length(t) > 0,
     )
-    from kinesiscat_spark.let import let_
-
     per_doc = docs.select(
         F.col(id_col).alias("id"), let_(toks, chunks).alias("_chunks")
     )

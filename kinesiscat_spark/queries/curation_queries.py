@@ -215,28 +215,62 @@ spans AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
 per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
 rep AS (
   SELECT id, count(*) AS n_repeated FROM dg JOIN spans USING (span) GROUP BY id
+),
+toks AS (
+  SELECT doc_id AS id, {_WORDS.format(t="text")} AS t FROM documents
+),
+sized AS (SELECT id, t, len(t) AS n_tokens FROM toks),
+wins AS (
+  SELECT id, win_idx,
+         md5(array_to_string(t[win_idx*{_SPAN_N}+1 : win_idx*{_SPAN_N}+{_SPAN_N}], ' ')) AS h,
+         array_to_string(t[win_idx*{_SPAN_N}+1 : win_idx*{_SPAN_N}+{_SPAN_N}], ' ') AS wtext,
+         least({_SPAN_N}, n_tokens - win_idx*{_SPAN_N}) AS win_len
+  FROM sized, UNNEST(range(CAST(ceil(n_tokens / {_SPAN_N}.0) AS BIGINT))) AS u(win_idx)
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY id, win_idx) AS rn FROM wins),
+rebuilt AS (
+  SELECT id,
+         coalesce(string_agg(wtext, ' ' ORDER BY win_idx) FILTER (WHERE rn = 1), '') AS clean_text,
+         coalesce(sum(win_len) FILTER (WHERE rn > 1), 0)::BIGINT AS n_removed
+  FROM ranked GROUP BY id
 )
-SELECT id, coalesce(n_repeated, 0)::bigint AS n_repeated, n_grams,
-       round(coalesce(n_repeated, 0) / n_grams::double, 6) AS span_dup_frac
-FROM per_doc LEFT JOIN rep USING (id)
+SELECT p.id, coalesce(n_repeated, 0)::bigint AS n_repeated, n_grams,
+       round(coalesce(n_repeated, 0) / n_grams::double, 6) AS span_dup_frac,
+       s.n_tokens::BIGINT AS n_tokens, r.n_removed, r.clean_text
+FROM per_doc p LEFT JOIN rep USING (id)
+JOIN sized s ON s.id = p.id
+JOIN rebuilt r ON r.id = p.id
 """
 
 
 @query("curation_span_dup", oracle=_SPAN_DUP_ORACLE)
 def curation_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated-span load (operators/curation.py
-    span_dup_frac): per document, the fraction of its distinct word
-    6-grams that also appear in ≥ 1 other document — the word-granularity
-    analogue of exact substring dedup (Lee et al. 2022).
+    """Cross-document repeated spans: DETECT and REMOVE in one lane.
 
-    Scale shape: the text scan + n-gram explode — the widest stage — runs
-    ONCE; the cross-document count is a window riding the span-keyed
-    exchange (no join, no second scan), and the per-document rollup is a
-    plain (id, counts) aggregation, partially combined map-side."""
-    from kinesiscat_spark.operators.curation import span_dup_frac
+    Detection (operators/curation.py span_dup_frac): per document, the
+    fraction of its distinct word 6-grams that also appear in ≥ 1 other
+    document. Removal (remove_duplicate_spans, round 5): ExactSubstr-style
+    rewrite at 6-token-window granularity — every window whose exact token
+    sequence occurred earlier in the corpus is dropped, first occurrence
+    kept, document reassembled (Lee et al. 2022 §3.1; idempotent by the
+    fixed-point test in tests/test_curation.py).
+
+    Scale shape, detection side: the text scan + n-gram explode — the
+    widest stage — runs ONCE; the cross-document count is a window riding
+    the span-keyed exchange, and the per-document rollup is a plain
+    (id, counts) aggregation, partially combined map-side. Removal side:
+    one ~52-byte-per-window hash exchange for global first-occurrence,
+    then a narrow (id, array<long>) join back — the text itself is never
+    shuffled; the cleaned string is rebuilt scan-side by an index filter."""
+    from kinesiscat_spark.operators.curation import (
+        remove_duplicate_spans,
+        span_dup_frac,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return span_dup_frac(docs, n=_SPAN_N)
+    frac = span_dup_frac(docs, n=_SPAN_N)
+    cleaned = remove_duplicate_spans(docs, w=_SPAN_N)
+    return frac.join(cleaned, "id")
 
 
 _DECON_N = 5

@@ -243,6 +243,81 @@ def test_repeated_spans_matches_duckdb(spark, duck):
     assert ok, msg
 
 
+def test_remove_duplicate_spans_exact(spark):
+    """Handcrafted corpus, w=2: global first occurrence (order = (id,
+    win_idx)) survives, later exact windows are removed — including the
+    short tail window — and token accounting balances."""
+    from kinesiscat_spark.operators.curation import remove_duplicate_spans
+
+    rows = [
+        (0, "a b c d e f"),   # [a b][c d][e f] — all first occurrences
+        (1, "a b c d x y"),   # [a b],[c d] dup → removed; [x y] kept
+        (2, "e f a b q"),     # [e f],[a b] dup; tail [q] (len 1) first
+        (3, ""),              # no tokens, no windows
+        (4, "q"),             # [q] duplicates doc 2's tail → removed
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(docs, w=2).collect()
+    }
+    assert got == {
+        0: (6, 0, "a b c d e f"),
+        1: (6, 4, "x y"),
+        2: (5, 4, "q"),
+        3: (0, 0, ""),
+        4: (1, 1, ""),
+    }
+
+
+def test_remove_duplicate_spans_idempotent_and_partition_invariant(spark):
+    """Fixed point: re-running on its own output removes nothing (exactly
+    one copy of every span survives). And the result is identical under a
+    different partitioning — first occurrence is a total order, not a
+    partition accident."""
+    from kinesiscat_spark.operators.curation import remove_duplicate_spans
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = remove_duplicate_spans(docs, w=6)
+    rows = {(r.id, r.n_tokens, r.n_removed, r.clean_text) for r in out.collect()}
+    assert sum(r[2] for r in rows) > 0  # the corpus has cross-doc spans
+    for _, n_tokens, n_removed, clean in rows:
+        n_clean = len(clean.split()) if clean else 0
+        assert n_clean == n_tokens - n_removed
+
+    again = remove_duplicate_spans(
+        spark.createDataFrame(
+            [(r[0], r[3]) for r in rows], ["doc_id", "text"]
+        ),
+        w=6,
+    )
+    assert again.agg(F.sum("n_removed")).collect()[0][0] == 0
+
+    shuffled = remove_duplicate_spans(docs.repartition(7, "lang"), w=6)
+    assert {
+        (r.id, r.n_tokens, r.n_removed, r.clean_text) for r in shuffled.collect()
+    } == rows
+
+
+def test_remove_duplicate_spans_text_never_shuffled(spark):
+    """The wide exchange carries window hashes, not document text: no
+    Exchange in the plan has `toks` (or the raw text) in its schema, and
+    nothing falls back to Python."""
+    from kinesiscat_spark.operators.curation import remove_duplicate_spans
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = (
+        remove_duplicate_spans(docs, w=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "toks" not in line and "text" not in line, line
+
+
 def test_span_dup_frac_single_scan(spark):
     """The span_dup_frac plan scans the text ONCE: the cross-doc count is
     a window riding the span exchange, not a join against a second
