@@ -75,6 +75,241 @@ def int8_dot(a: Column, b: Column) -> Column:
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 12,
+) -> DataFrame:
+    """Product-quantization codebooks: ``(sub, cell, cvec)`` — one
+    ``ks``-entry codebook per ``m`` contiguous subspaces of the
+    unit-normalized vector (public technique — Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"; the FAISS "PQmxks"
+    index family).
+
+    Deterministic seeds: the ``ks`` lowest-id corpus vectors, normalized
+    and cut into subvectors — with ``n_iters=0`` the whole
+    train/encode/search pipeline is reproducible in ANSI SQL (the oracle
+    path). ``n_iters>0`` runs per-subspace Lloyd refinement distributed
+    (assign via broadcast codebook join, new means via posexplode +
+    per-dimension avg), mirroring ``similarity.ivf_centroids``; only
+    ``m×ks`` codebook rows ever aggregate down, so training scales to any
+    corpus size. ``round_decimals`` quantizes refined centroids (1e-12)
+    so a refined codebook is also reproducible across engines and
+    parallelism (empty cells drop, ties keep the lower cell —
+    deterministic either way).
+    """
+    from kinesiscat_spark.operators.similarity import normalize, sq_l2
+
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ks)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("long")
+            .alias("cell"),
+            normalize(F.col(vec_col)).alias("_nv"),
+        )
+    )
+    dsub = (F.size("_nv") / F.lit(m)).cast("int")
+    cents = seeds.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("_nv", s * dsub + 1, dsub),
+            )
+        ).alias("sub", "cvec"),
+    ).select(F.col("sub").cast("long").alias("sub"), "cell", "cvec")
+
+    for _ in range(n_iters):
+        sub_rows = _pq_subvectors(corpus, m, id_col, vec_col)
+        assigned = (
+            sub_rows.join(F.broadcast(cents), "sub")
+            .withColumn("_d", sq_l2(F.col("sv"), F.col("cvec")))
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct("_d", "cell")).alias("_b"))
+            .select(id_col, "sub", F.col("_b.cell").alias("cell"))
+        )
+        new = (
+            assigned.join(sub_rows, [id_col, "sub"])
+            .select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mm"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
+            .select(
+                "sub",
+                "cell",
+                F.transform(F.col("pm"), lambda s: s["mm"]).alias("cvec"),
+            )
+        )
+        cvec = F.col("cvec")
+        if round_decimals is not None:
+            cvec = F.transform(cvec, lambda x: F.round(x, round_decimals))
+        cents = new.select("sub", "cell", cvec.alias("cvec"))
+    return cents
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): the unit-normalized vector cut into ``m`` contiguous
+    subvectors — the norm is materialized once per row (let_ inside
+    ``normalize``), then one posexplode fans out the m slices."""
+    from kinesiscat_spark.operators.similarity import normalize
+
+    nv = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
+    dsub = (F.size("_nv") / F.lit(m)).cast("int")
+    return nv.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("_nv", s * dsub + 1, dsub),
+            )
+        ).alias("sub", "sv"),
+    ).withColumn("sub", F.col("sub").cast("long"))
+
+
+def pq_encode(
+    df: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<long>) — per subspace, the L2-nearest codebook
+    cell of the normalized subvector (ties → lower cell). ``codes[s]`` is
+    the cell id chosen for subspace ``s``.
+
+    The stored PQ index is ``m`` longs per vector (m bytes as int8 in a
+    real store) — a 32× cut versus 64 float32 dims; at 1024 dims the cut
+    is 512×. Scale shape: the codebook join broadcasts (m×ks rows), the
+    argmin is a map-side-combinable struct-min per (id, sub), and the
+    code assembly is one (id)-keyed aggregation of (sub, cell) pairs —
+    vectors never shuffle."""
+    from kinesiscat_spark.operators.similarity import sq_l2
+
+    best = (
+        _pq_subvectors(df, m, id_col, vec_col)
+        .join(F.broadcast(cents), "sub")
+        .withColumn("_d", sq_l2(F.col("sv"), F.col("cvec")))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("_d", "cell")).alias("_b"))
+        .select(F.col(id_col), "sub", F.col("_b.cell").alias("cell"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cell"))).alias("_sc"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sc"), lambda s: s["cell"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    ks: int = 16,
+    n_iters: int = 0,
+    rerank_k: int | None = None,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors via PQ asymmetric distance (ADC) + exact
+    float re-rank — the FAISS "PQ" search path (Jégou et al. 2011 §III).
+
+    Phase 1: each query precomputes an m×ks lookup table of partial dot
+    products against the codebooks (query subvector · cell centroid);
+    a corpus vector's approximate similarity is then just ``m`` table
+    lookups summed — the corpus is scanned as codes only (m longs per
+    row; m bytes in an int8 store), never as floats. The LUT rides a
+    per-query map<cell → partial-dot> per subspace, so lookups stay
+    JVM-side (``element_at`` by key — robust to non-contiguous cells
+    after Lloyd drops an empty one). Phase 2 re-ranks the ``rerank_k``
+    (default 4k) survivors with the exact float cosine kernel via the
+    same candidate-side broadcast as ``quantized_topk`` — the float
+    column is read in place, never shuffled.
+
+    Deterministic end-to-end with ``n_iters=0`` (seeded codebooks,
+    left-to-right double folds, cid tie-breaks) — hash-checkable against
+    an ANSI-SQL twin.
+    """
+    from kinesiscat_spark.operators.similarity import dot, pair_cosine_udf
+
+    rerank_k = rerank_k or 4 * k
+    cents = pq_train(corpus, m, ks, n_iters, corpus_id, vec)
+    codes = pq_encode(corpus, cents, m, corpus_id, vec).select(
+        F.col(corpus_id).alias("cid"), "codes"
+    )
+
+    # per-query LUT: array over sub (0..m-1, positional) of map cell → pd
+    q_sub = _pq_subvectors(queries, m, query_id, vec)
+    lut = (
+        q_sub.join(F.broadcast(cents), "sub")
+        .select(
+            F.col(query_id),
+            "sub",
+            F.struct("cell", dot(F.col("sv"), F.col("cvec")).alias("pd")).alias(
+                "_cp"
+            ),
+        )
+        .groupBy(query_id, "sub")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list("_cp"))).alias("_row"))
+        .groupBy(query_id)
+        # structs holding a map aren't orderable → assemble positionally
+        # through a sub-keyed map instead of array_sort
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_row"))).alias("_m"))
+        .select(
+            F.col(query_id),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.element_at(F.col("_m"), s.cast("long")),
+            ).alias("_lut"),
+        )
+    )
+    approx = codes.join(F.broadcast(lut)).select(
+        query_id,
+        "cid",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), s + 1),
+                F.element_at(F.col("codes"), s + 1),
+            ),
+        ).alias("_asim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank_k)
+        .select(query_id, "cid")
+    )
+    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
+    cand_q = cand.join(F.broadcast(qv), query_id)
+    sims = cv.join(F.broadcast(cand_q), "cid").select(
+        query_id,
+        "cid",
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

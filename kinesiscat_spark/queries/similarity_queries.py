@@ -383,6 +383,75 @@ _INT8 = {
     "norm": "sqrt(CAST(list_sum(list_transform({c}, x -> x * x)) AS DOUBLE))",
 }
 
+# PQ (product quantization, Jégou et al. 2011) twin: seeded per-subspace
+# codebooks → nearest-cell codes → ADC (sum of per-subspace LUT partial
+# dots, summed in subspace order to match Spark's left fold) → exact
+# float re-rank. M subspaces of DSUB dims over the unit-normalized vector.
+_PQ_M, _PQ_KS = 8, 16
+_PQ_DSUB = DIM // _PQ_M
+
+_PQ_CTES = f"""
+nq AS (SELECT qid, qe, {_NORM.format(v='qe')} AS nqe FROM q),
+nc AS (SELECT cid, ce, {_NORM.format(v='ce')} AS nce FROM c),
+subs AS (SELECT unnest(range({_PQ_M})) AS sub),
+pcents AS (
+  SELECT subs.sub, t.cell,
+         t.nce[(subs.sub*{_PQ_DSUB}+1):(subs.sub*{_PQ_DSUB}+{_PQ_DSUB})] AS cvec
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS BIGINT) AS cell, nce
+        FROM (SELECT cid, nce FROM nc ORDER BY cid LIMIT {_PQ_KS})) t
+  CROSS JOIN subs
+),
+csub AS (
+  SELECT cid, subs.sub,
+         nce[(subs.sub*{_PQ_DSUB}+1):(subs.sub*{_PQ_DSUB}+{_PQ_DSUB})] AS sv
+  FROM nc CROSS JOIN subs
+),
+enc AS (
+  SELECT cid, sub, cell FROM (
+    SELECT csub.cid, csub.sub, pcents.cell,
+           ROW_NUMBER() OVER (PARTITION BY csub.cid, csub.sub
+             ORDER BY {_SQL2.format(a='csub.sv', b='pcents.cvec')}, pcents.cell) AS r
+    FROM csub JOIN pcents ON pcents.sub = csub.sub
+  ) WHERE r = 1
+),
+qsub AS (
+  SELECT qid, subs.sub,
+         nqe[(subs.sub*{_PQ_DSUB}+1):(subs.sub*{_PQ_DSUB}+{_PQ_DSUB})] AS sv
+  FROM nq CROSS JOIN subs
+),
+lut AS (
+  SELECT qid, qsub.sub, pcents.cell,
+         list_sum(list_transform(list_zip(qsub.sv, pcents.cvec),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS pd
+  FROM qsub JOIN pcents ON pcents.sub = qsub.sub
+),
+papprox AS (
+  SELECT qid, cid, list_sum(list(pd ORDER BY sub)) AS asim
+  FROM enc JOIN lut USING (sub, cell)
+  GROUP BY qid, cid
+),
+pcand AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC NULLS LAST, cid) AS r
+    FROM papprox
+  ) WHERE r <= {RERANK_K}
+),
+psims AS (
+  SELECT qid, cid, {_COS.format(a='qe', b='ce')} AS sim
+  FROM pcand JOIN q USING (qid) JOIN c USING (cid)
+),
+pranked AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+  FROM psims
+)"""
+
+_PQ_SELECT = f"""
+SELECT 'pq' AS method, qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+FROM pranked WHERE rnk <= {TOP_K}
+"""
+
 _QUANT_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -427,15 +496,29 @@ ranked AS (
   SELECT qid, cid, sim,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
   FROM sims
-)
-SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+),
+{_PQ_CTES}
+SELECT 'sq8' AS method, qid, cid, ROUND(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {TOP_K}
+UNION ALL
+{_PQ_SELECT}
 """
 
 
 @query("similarity_topk_quantized", oracle=_QUANT_ORACLE)
 def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 SQ8 path (operators/quantize.py): rank by integer dot products
+    """X3 quantization family, two hash-checked methods in one lane
+    (round-5 fold, ``method`` ∈ {'sq8', 'pq'}).
+
+    ``pq`` (operators/quantize.py pq_adc_topk): product quantization —
+    8 subspaces × 16-cell codebooks over the unit-normalized vector,
+    ADC phase-1 scan (m map lookups per corpus row, the corpus scanned
+    as 8 longs/vector — a 32× byte cut), exact float re-rank of the 4k
+    survivors. Seeded codebooks (n_iters=0) keep the whole
+    train/encode/search pipeline ANSI-SQL-replayable; the Lloyd-refined
+    build shares every operator (tests/test_quantize.py).
+
+    ``sq8`` (quantized_topk): rank by integer dot products
     over per-vector max-abs int8 codes, then re-rank the 4k survivors with
     the exact float cosine kernel. Fully deterministic — the quantizer is
     round-half-away int math and the phase-1 ranking ties break on cid —
@@ -445,15 +528,30 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (tests/test_quantize.py pins recall >= 0.9 and the
     no-vector-shuffle plan shape).
     """
-    from kinesiscat_spark.operators.quantize import quantized_topk
+    from kinesiscat_spark.operators.quantize import pq_adc_topk, quantized_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    out = quantized_topk(corpus, queries, TOP_K, rerank_k=RERANK_K)
-    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+    sq8 = quantized_topk(corpus, queries, TOP_K, rerank_k=RERANK_K).select(
+        F.lit("sq8").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    pq = pq_adc_topk(
+        corpus, queries, TOP_K, m=_PQ_M, ks=_PQ_KS, n_iters=0, rerank_k=RERANK_K
+    ).select(
+        F.lit("pq").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    return sq8.unionByName(pq)
 
 
 # SQ8 inside IVF (FAISS "IVF,SQ8"): the seeded-centroid IVF assign/probe

@@ -143,3 +143,120 @@ def test_ivf_sq_cell_scan_carries_no_float_vectors(spark):
     for b in blocks:
         if "Exchange" in b.split("\n")[0] and "BroadcastExchange" not in b:
             assert "_cvec" not in b, b
+
+
+def test_pq_encode_codes_shape_and_self_cells(spark):
+    """Codebook has m×ks rows; every code vector has m entries in
+    [0, ks); and each SEED vector encodes to its own cell in every
+    subspace (its subvectors are exactly that cell's centroids)."""
+    from kinesiscat_spark.operators.quantize import pq_encode, pq_train
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    cents = pq_train(corpus, m=8, ks=16, n_iters=0)
+    assert cents.count() == 8 * 16
+    codes = pq_encode(corpus, cents, m=8)
+    stats = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    )
+    bad = stats.filter((F.col("m") != 8) | (F.col("lo") < 0) | (F.col("hi") >= 16))
+    assert bad.count() == 0
+    seed_ids = [r.vec_id for r in corpus.orderBy("vec_id").limit(16).collect()]
+    seed_codes = {
+        r.vec_id: list(r.codes)
+        for r in codes.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    for rank, vid in enumerate(sorted(seed_ids)):
+        assert seed_codes[vid] == [rank] * 8, (vid, seed_codes[vid])
+
+
+def test_pq_adc_topk_recall_scales_with_rerank(spark):
+    """PQ trades 32x compression for a deeper re-rank frontier: recall
+    vs exact must be >= 0.7 at rerank_k=10k and >= 0.9 at 20k, and
+    monotone between them; overlapping pairs return EXACT sims."""
+    from kinesiscat_spark.operators.quantize import pq_adc_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = {(r.qid, r.cid): r.sim for r in cosine_topk(corpus, queries, K).collect()}
+    recalls = {}
+    for rk in (10 * K, 20 * K):
+        got = {
+            (r.qid, r.cid): r.sim
+            for r in pq_adc_topk(corpus, queries, K, rerank_k=rk).collect()
+        }
+        overlap = set(exact) & set(got)
+        recalls[rk] = len(overlap) / len(exact)
+        for pair in overlap:
+            assert got[pair] == pytest.approx(exact[pair], abs=0, rel=0)
+    assert recalls[10 * K] >= 0.7, recalls
+    assert recalls[20 * K] >= 0.9, recalls
+    assert recalls[20 * K] >= recalls[10 * K], recalls
+
+
+def test_pq_refined_codebook_runs_and_keeps_contract(spark):
+    """The Lloyd-refined codebook (n_iters=1) shares every operator:
+    codes stay in range against the refined (possibly sparser) codebook
+    and the search still returns k exact-sim rows per query."""
+    from kinesiscat_spark.operators.quantize import pq_adc_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = pq_adc_topk(corpus, queries, K, n_iters=1, rerank_k=10 * K)
+    counts = out.groupBy("qid").count().collect()
+    assert len(counts) == N_QUERIES and all(r["count"] == K for r in counts)
+
+
+def test_pq_partition_invariant(spark):
+    """Same result set under a different input partitioning — seeds,
+    argmin ties, and ranking all break ties on ids, never on layout."""
+    from kinesiscat_spark.operators.quantize import pq_adc_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    a = {(r.qid, r.cid, r.rnk) for r in pq_adc_topk(corpus, queries, K).collect()}
+    b = {
+        (r.qid, r.cid, r.rnk)
+        for r in pq_adc_topk(corpus.repartition(13, "label"), queries, K).collect()
+    }
+    assert a == b
+
+
+def test_pq_adc_scan_carries_no_float_vectors(spark):
+    """ADC exchange contract: the phase-1 ranking exchange ships
+    (qid, cid, _asim) — no codes, no LUTs, no vectors — and the corpus
+    float column never moves through any non-broadcast exchange."""
+    from kinesiscat_spark.operators.quantize import pq_adc_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    df = pq_adc_topk(corpus, queries, K)
+    s = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    blocks = s.split("\n\n")
+    rank_exchanges = [
+        b for b in blocks
+        if "Exchange" in b and "hashpartitioning(qid" in b and "_asim" in b
+    ]
+    assert rank_exchanges
+    for b in rank_exchanges:
+        assert "codes" not in b and "_lut" not in b
+        assert "embedding" not in b and "_cvec" not in b and "_qvec" not in b
+    for b in blocks:
+        if "Exchange" in b.split("\n")[0] and "BroadcastExchange" not in b:
+            assert "_cvec" not in b, b

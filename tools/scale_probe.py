@@ -141,6 +141,12 @@ def probes():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return curation.span_dup_frac(docs, n=6).count()
 
+    def p_span_remove(spark, d):
+        from kinesiscat_spark.operators import curation
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return curation.remove_duplicate_spans(docs, w=6).count()
+
     def p_decontaminate(spark, d):
         from kinesiscat_spark.operators import curation
 
@@ -193,6 +199,7 @@ def probes():
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
+        "span_remove": (p_span_remove, "linear (hash exchange + narrow join)"),
         "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
         "packing": (p_packing, "linear (one shard-window exchange)"),
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
