@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesiscat_spark.operators.quantize import int8_dot, quantize_embeddings
+from kinesiscat_spark.operators.quantize import (
+    int8_dot,
+    pq_adc_score,
+    pq_encode,
+    pq_query_lut,
+    pq_train,
+    quantize_embeddings,
+)
 from kinesiscat_spark.operators.similarity import (
     ivf_assign,
     ivf_centroids,
@@ -42,9 +49,12 @@ def build_ivf_index(
     n_iters: int = 0,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    pq: tuple[int, int] | None = None,
 ) -> None:
     """Materialize the IVF index: centroids + cell-partitioned corpus
-    (float vectors AND SQ8 codes, so both search modes read one layout).
+    (float vectors AND SQ8 codes, so both search modes read one layout;
+    pass ``pq=(m, ks)`` to additionally store PQ codes + codebooks — the
+    FAISS "IVF,PQ" layout whose hot scan is m BYTES per vector).
 
     One shuffle on the cell assignment, then a partitioned write — the
     standard index-build cost. Deterministic for a given corpus (seeded
@@ -56,11 +66,19 @@ def build_ivf_index(
     codes = quantize_embeddings(corpus, id_col, vec).select(
         F.col(id_col), F.col("codes")
     )
+    rows = corpus.select(id_col, vec).join(cells, id_col).join(codes, id_col)
+    if pq is not None:
+        m, ks = pq
+        pq_cents = pq_train(corpus, m, ks, 0, id_col, vec)
+        pq_cents.write.mode("overwrite").parquet(f"{path}/pq_centroids.parquet")
+        rows = rows.join(
+            pq_encode(corpus, pq_cents, m, id_col, vec).select(
+                F.col(id_col), F.col("codes").alias("pq_codes")
+            ),
+            id_col,
+        )
     (
-        corpus.select(id_col, vec)
-        .join(cells, id_col)
-        .join(codes, id_col)
-        .repartition("cell")
+        rows.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/cells")
@@ -74,6 +92,7 @@ def ivf_index_topk(
     k: int,
     n_probe: int = 4,
     use_sq8: bool = False,
+    use_pq: bool = False,
     rerank_k: int | None = None,
     query_id: str = "qid",
     vec: str = "embedding",
@@ -86,6 +105,11 @@ def ivf_index_topk(
     exact float re-rank of the ``rerank_k`` survivors (ivf_sq_topk
     semantics) — the scan then prunes to the probed cells AND reads only
     the codes column for phase 1 (partition pruning × column pruning).
+    ``use_pq=True`` (index built with ``pq=(m, ks)``): ADC phase-1 rank
+    on the stored PQ codes (``pq_adc_topk`` semantics restricted to the
+    probed cells) — the deepest compression: the phase-1 scan reads m
+    longs per vector (m bytes in an int8 store), the FAISS "IVF,PQ"
+    configuration that serves billion-vector deployments.
     """
     cents = spark.read.parquet(f"{path}/centroids.parquet")
     probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
@@ -97,7 +121,7 @@ def ivf_index_topk(
     q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
         probes, query_id
     )
-    if not use_sq8:
+    if not use_sq8 and not use_pq:
         cand = indexed.join(F.broadcast(q), "cell").select(
             query_id,
             F.col(id_col).alias("cid"),
@@ -109,6 +133,47 @@ def ivf_index_topk(
             .filter(F.col("rnk") <= k)
         )
     rerank_k = rerank_k or 4 * k
+    if use_pq:
+        # IVF,PQ: the probed-cell scan reads cell + pq_codes ONLY —
+        # partition pruning × column pruning down to m longs per row
+        # (m bytes in an int8 store); the float column is touched only
+        # for the rerank_k survivors via the candidate-side broadcast.
+        pq_cents = spark.read.parquet(f"{path}/pq_centroids.parquet")
+        m = pq_cents.agg(F.max("sub")).collect()[0][0] + 1
+        lut = pq_query_lut(queries, pq_cents, m, query_id, vec).join(
+            probes, query_id
+        )
+        approx = (
+            indexed.select(F.col(id_col).alias("cid"), "cell", "pq_codes")
+            .join(F.broadcast(lut), "cell")
+            .select(
+                query_id,
+                "cid",
+                pq_adc_score(F.col("pq_codes"), F.col("_lut"), m).alias("_asim"),
+            )
+        )
+        w1 = Window.partitionBy(query_id).orderBy(
+            F.desc_nulls_last("_asim"), F.asc("cid")
+        )
+        cand = (
+            approx.withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= rerank_k)
+            .select(query_id, "cid")
+        )
+        qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+        cv = indexed.select(F.col(id_col).alias("cid"), F.col(vec).alias("_cvec"))
+        sims = cv.join(
+            F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid"
+        ).select(
+            query_id,
+            "cid",
+            pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        )
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rnk") <= k)
+        )
     qc = (
         quantize_embeddings(queries, query_id, vec)
         .select(F.col(query_id), F.col("codes").alias("_qc"))

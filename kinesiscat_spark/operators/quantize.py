@@ -212,6 +212,57 @@ def pq_encode(
     )
 
 
+def pq_query_lut(
+    queries: DataFrame,
+    cents: DataFrame,
+    m: int,
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(qid, _lut): the per-query ADC lookup table — an array over
+    subspaces (0..m-1, positional) of ``map<cell → partial dot>``. Maps,
+    not positional arrays, so a Lloyd-refined codebook with a dropped
+    (empty) cell still looks up correctly by cell id."""
+    from kinesiscat_spark.operators.similarity import dot
+
+    q_sub = _pq_subvectors(queries, m, query_id, vec)
+    return (
+        q_sub.join(F.broadcast(cents), "sub")
+        .select(
+            F.col(query_id),
+            "sub",
+            F.struct("cell", dot(F.col("sv"), F.col("cvec")).alias("pd")).alias(
+                "_cp"
+            ),
+        )
+        .groupBy(query_id, "sub")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list("_cp"))).alias("_row"))
+        .groupBy(query_id)
+        # structs holding a map aren't orderable → assemble positionally
+        # through a sub-keyed map instead of array_sort
+        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_row"))).alias("_m"))
+        .select(
+            F.col(query_id),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.element_at(F.col("_m"), s.cast("long")),
+            ).alias("_lut"),
+        )
+    )
+
+
+def pq_adc_score(codes: Column, lut: Column, m: int) -> Column:
+    """ADC approximate similarity: sum of the m LUT partial dots selected
+    by the code vector — a left fold in subspace order (bit-reproducible
+    across engines that fold left-to-right)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(lut, s + 1), F.element_at(codes, s + 1)),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -250,44 +301,11 @@ def pq_adc_topk(
     codes = pq_encode(corpus, cents, m, corpus_id, vec).select(
         F.col(corpus_id).alias("cid"), "codes"
     )
-
-    # per-query LUT: array over sub (0..m-1, positional) of map cell → pd
-    q_sub = _pq_subvectors(queries, m, query_id, vec)
-    lut = (
-        q_sub.join(F.broadcast(cents), "sub")
-        .select(
-            F.col(query_id),
-            "sub",
-            F.struct("cell", dot(F.col("sv"), F.col("cvec")).alias("pd")).alias(
-                "_cp"
-            ),
-        )
-        .groupBy(query_id, "sub")
-        .agg(F.map_from_entries(F.array_sort(F.collect_list("_cp"))).alias("_row"))
-        .groupBy(query_id)
-        # structs holding a map aren't orderable → assemble positionally
-        # through a sub-keyed map instead of array_sort
-        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_row"))).alias("_m"))
-        .select(
-            F.col(query_id),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.element_at(F.col("_m"), s.cast("long")),
-            ).alias("_lut"),
-        )
-    )
+    lut = pq_query_lut(queries, cents, m, query_id, vec)
     approx = codes.join(F.broadcast(lut)).select(
         query_id,
         "cid",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(F.col("_lut"), s + 1),
-                F.element_at(F.col("codes"), s + 1),
-            ),
-        ).alias("_asim"),
+        pq_adc_score(F.col("codes"), F.col("_lut"), m).alias("_asim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
     cand = (
