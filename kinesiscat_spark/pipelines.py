@@ -51,6 +51,11 @@ class CurationConfig:
     # by n-gram overlap (None disables)
     benchmark: DataFrame | None = None
     contamination_ngram: int = 8
+    # ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022), applied
+    # after near-dup dedup (the RefinedWeb stage order): rewrite each
+    # surviving document with every w-token window that already occurred
+    # earlier in the corpus removed. None disables (the default).
+    span_removal_w: int | None = None
     id_col: str = "doc_id"
     text_col: str = "text"
     stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
@@ -160,6 +165,21 @@ def near_dedup(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
     return keep_canonical(docs, pairs, id_col=cfg.id_col)
 
 
+def span_removal(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Rewrite the text column with duplicate spans removed (see
+    ``curation.remove_duplicate_spans``), preserving every other column
+    via a narrow (id, clean_text) join back — the document's OTHER
+    columns never ride the span exchange."""
+    from kinesiscat_spark.operators.curation import remove_duplicate_spans
+
+    cleaned = remove_duplicate_spans(
+        docs, w=cfg.span_removal_w, id_col=cfg.id_col, text_col=cfg.text_col
+    ).select(
+        F.col("id").alias(cfg.id_col), F.col("clean_text").alias(cfg.text_col)
+    )
+    return docs.drop(cfg.text_col).join(cleaned, cfg.id_col)
+
+
 def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     """Run the full curation pipeline.
 
@@ -185,6 +205,8 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     out = step("decontaminate", decontaminate(out, cfg))
     out = step("exact_dedup", exact_dedup(out, cfg))
     out = step("near_dedup", near_dedup(out, cfg))
+    if cfg.span_removal_w:
+        out = step("span_removal", span_removal(out, cfg))
     if cfg.sample_fraction < 1.0:
         from kinesiscat_spark.operators.sampling import hash_sample
 
