@@ -274,6 +274,37 @@ def span_dup_frac(
     )
 
 
+def doc_windows(
+    docs: DataFrame,
+    w: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, win_idx, h, win_len): each document's consecutive
+    non-overlapping ``w``-token windows as md5 hashes — the shared span
+    derivation of batch ``remove_duplicate_spans`` and the streaming
+    first-seen twin (one definition, so the two can never drift)."""
+    toks = words(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n_tokens = F.size("toks")
+    # Guarded sequence: ceil(0/w)-1 = -1 would make sequence() descend
+    # (step defaults to -1 when start > stop) and emit phantom windows.
+    n_wins = F.ceil(n_tokens / F.lit(w)).cast("int")
+    spans = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.struct(
+                F.md5(F.array_join(F.slice("toks", i * w + 1, w), " ")).alias("h"),
+                F.least(F.lit(w), n_tokens - i * w).cast("int").alias("win_len"),
+            ),
+        ),
+    )
+    return base.select("id", F.posexplode(spans).alias("win_idx", "s")).select(
+        "id", "win_idx", "s.h", "s.win_len"
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     w: int = 6,
@@ -307,24 +338,8 @@ def remove_duplicate_spans(
 
     toks = words(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
-
     n_tokens = F.size("toks")
-    # Guarded sequence: ceil(0/w)-1 = -1 would make sequence() descend
-    # (step defaults to -1 when start > stop) and emit phantom windows.
-    n_wins = F.ceil(n_tokens / F.lit(w)).cast("int")
-    spans = F.when(
-        n_wins > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_wins - 1),
-            lambda i: F.struct(
-                F.md5(F.array_join(F.slice("toks", i * w + 1, w), " ")).alias("h"),
-                F.least(F.lit(w), n_tokens - i * w).cast("int").alias("win_len"),
-            ),
-        ),
-    )
-    wins = base.select(
-        "id", F.posexplode(spans).alias("win_idx", "s")
-    ).select("id", "win_idx", "s.h", "s.win_len")
+    wins = doc_windows(docs, w, id_col, text_col)
 
     rn = F.row_number().over(Window.partitionBy("h").orderBy("id", "win_idx"))
     dup = (

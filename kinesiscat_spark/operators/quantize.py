@@ -90,6 +90,10 @@ def pq_train(
     "Product Quantization for Nearest Neighbor Search"; the FAISS "PQmxks"
     index family).
 
+    ``dim`` must be divisible by ``m`` (the standard PQ requirement —
+    with a remainder the trailing ``dim mod m`` dimensions would be
+    silently excluded from every subspace).
+
     Deterministic seeds: the ``ks`` lowest-id corpus vectors, normalized
     and cut into subvectors — with ``n_iters=0`` the whole
     train/encode/search pipeline is reproducible in ANSI SQL (the oracle

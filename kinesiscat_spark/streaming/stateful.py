@@ -174,3 +174,59 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_remove_duplicate_spans(
+    docs: DataFrame,
+    w: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``curation.remove_duplicate_spans``: emits one
+    row per REMOVED window — ``(id, win_idx, win_len)`` — deciding
+    duplicates ACROSS micro-batches via per-hash first-seen state
+    (checkpointed, restart-surviving). A window is removed iff its exact
+    token sequence was already seen in an earlier batch (state) or
+    earlier in this batch (within-batch order = (id, win_idx), the batch
+    operator's global order — so an id-ordered stream reproduces the
+    batch result exactly; tests pin this).
+
+    The caller rewrites documents downstream (e.g. in ``foreachBatch``:
+    join the removal rows back and drop the flagged windows — the same
+    index-filter rebuild the batch operator uses). Emitting decisions
+    rather than rewritten text keeps the stateful stage's shuffle at a
+    fixed ~20 bytes per window and leaves the text in the scan, exactly
+    like the batch plan.
+
+    Scale design: state is partitioned by the window hash — each executor
+    holds its shard of the seen-hash space; per batch the work is one
+    shuffle on the hash plus an Arrow call per touched hash group. The
+    window derivation is the shared ``curation.doc_windows``, so batch
+    and stream hash identically by construction.
+    """
+    from kinesiscat_spark.operators.curation import doc_windows
+
+    wins = doc_windows(docs, w, id_col, text_col)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(["id", "win_idx"])
+        if state.exists:
+            removed = batch  # hash seen in an earlier batch: all dups
+        else:
+            state.update((True,))
+            removed = batch.iloc[1:]  # first occurrence survives
+        if len(removed):
+            yield removed[["id", "win_idx", "win_len"]]
+
+    return wins.groupBy("h").applyInPandasWithState(
+        fn,
+        outputStructType="id long, win_idx int, win_len int",
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -169,6 +169,17 @@ def probes():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return pack_sequences(docs, budget=512, n_shards=64).count()
 
+    def p_pq_adc(spark, d):
+        from kinesiscat_spark.operators.quantize import pq_adc_topk
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return pq_adc_topk(corpus, queries, 10, m=8, ks=16).count()
+
     def p_bm25(spark, d):
         from kinesiscat_spark.operators.text import bm25_topk
 
@@ -203,6 +214,7 @@ def probes():
         "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
         "packing": (p_packing, "linear (one shard-window exchange)"),
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
+        "pq_adc_topk": (p_pq_adc, "linear (codes scan + LUT broadcast)"),
     }
 
 
