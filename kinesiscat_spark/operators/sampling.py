@@ -177,3 +177,61 @@ def deterministic_shuffle(
     else:
         raise ValueError(f"unknown hash method {method!r}")
     return df.orderBy(h, *key_cols)
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): keep the ``n_keep``
+    raw documents ranked highest by log importance weight + Gumbel noise
+    — Gumbel-top-k sampling ∝ the importance weight, exactly the paper's
+    resampling step. The importance weight uses two add-k unigram models
+    (the hashed-n-gram generalization shares this shape):
+    ``log w(x) = Σ_tokens [log p_target(t) − log p_raw(t)]``.
+
+    The Gumbel noise is DETERMINISTIC — derived from the content hash of
+    the doc id (``−ln(−ln(u))``, u = unit hash), not ``rand()`` — so the
+    same corpus selects the same documents on any cluster, any
+    partitioning, any rerun, while still drawing a proper
+    weight-proportional sample across salts.
+
+    Scale shape: two vocabulary-sized model tables broadcast into one
+    explode/join/aggregate pass each over the raw corpus; the selection
+    is a TakeOrderedAndProject global top-k (per-partition heaps, no full
+    sort). Returns (id, n_tokens, log_w, key) for the kept docs.
+    """
+    from kinesiscat_spark.operators.text import score_documents, unigram_model
+
+    m_target = unigram_model(target, id_col, text_col, k=smoothing)
+    m_raw = unigram_model(raw, id_col, text_col, k=smoothing)
+    s_t = score_documents(raw, m_target, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.col("n_tokens"),
+        F.col("avg_logp").alias("_lp_t"),
+    )
+    s_r = score_documents(raw, m_raw, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.col("avg_logp").alias("_lp_r")
+    )
+    log_w = (F.col("_lp_t") - F.col("_lp_r")) * F.col("n_tokens")
+    # clamp u off the endpoints: ln(0) would make the noise infinite
+    u = _unit_hash([F.col("id")], salt)
+    u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+    gumbel = -F.log(-F.log(u))
+    return (
+        s_t.join(s_r, "id")
+        .select(
+            "id",
+            "n_tokens",
+            F.round(log_w, 9).alias("log_w"),
+            F.round(log_w + gumbel, 9).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("id"))
+        .limit(n_keep)
+    )
