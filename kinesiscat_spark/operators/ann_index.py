@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesiscat_spark.operators.quantize import (
+    exact_float_rerank,
     int8_dot,
     pq_adc_score,
     pq_encode,
@@ -50,6 +51,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec: str = "embedding",
     pq: tuple[int, int] | None = None,
+    pq_n_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: centroids + cell-partitioned corpus
     (float vectors AND SQ8 codes, so both search modes read one layout;
@@ -69,7 +71,7 @@ def build_ivf_index(
     rows = corpus.select(id_col, vec).join(cells, id_col).join(codes, id_col)
     if pq is not None:
         m, ks = pq
-        pq_cents = pq_train(corpus, m, ks, 0, id_col, vec)
+        pq_cents = pq_train(corpus, m, ks, pq_n_iters, id_col, vec)
         pq_cents.write.mode("overwrite").parquet(f"{path}/pq_centroids.parquet")
         rows = rows.join(
             pq_encode(corpus, pq_cents, m, id_col, vec).select(
@@ -139,7 +141,13 @@ def ivf_index_topk(
         # (m bytes in an int8 store); the float column is touched only
         # for the rerank_k survivors via the candidate-side broadcast.
         pq_cents = spark.read.parquet(f"{path}/pq_centroids.parquet")
-        m = pq_cents.agg(F.max("sub")).collect()[0][0] + 1
+        max_sub = pq_cents.agg(F.max("sub")).collect()[0][0]
+        if max_sub is None:
+            raise ValueError(
+                f"{path}/pq_centroids.parquet is empty — was the index "
+                "built from a non-empty corpus with pq=(m, ks)?"
+            )
+        m = max_sub + 1
         lut = pq_query_lut(queries, pq_cents, m, query_id, vec).join(
             probes, query_id
         )
@@ -160,20 +168,7 @@ def ivf_index_topk(
             .filter(F.col("_r") <= rerank_k)
             .select(query_id, "cid")
         )
-        qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-        cv = indexed.select(F.col(id_col).alias("cid"), F.col(vec).alias("_cvec"))
-        sims = cv.join(
-            F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid"
-        ).select(
-            query_id,
-            "cid",
-            pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-        )
-        w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-        return (
-            sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
-            .filter(F.col("rnk") <= k)
-        )
+        return exact_float_rerank(indexed, queries, cand, k, id_col, query_id, vec)
     qc = (
         quantize_embeddings(queries, query_id, vec)
         .select(F.col(query_id), F.col("codes").alias("_qc"))
@@ -199,15 +194,4 @@ def ivf_index_topk(
         .filter(F.col("_r") <= rerank_k)
         .select(query_id, "cid")
     )
-    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    cv = indexed.select(F.col(id_col).alias("cid"), F.col(vec).alias("_cvec"))
-    sims = cv.join(F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid").select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    return exact_float_rerank(indexed, queries, cand, k, id_col, query_id, vec)

@@ -92,7 +92,8 @@ def pq_train(
 
     ``dim`` must be divisible by ``m`` (the standard PQ requirement —
     with a remainder the trailing ``dim mod m`` dimensions would be
-    silently excluded from every subspace).
+    silently excluded from every subspace); enforced at execution with a
+    row-level check that fails fast instead of silently costing recall.
 
     Deterministic seeds: the ``ks`` lowest-id corpus vectors, normalized
     and cut into subvectors — with ``n_iters=0`` the whole
@@ -118,7 +119,7 @@ def pq_train(
             normalize(F.col(vec_col)).alias("_nv"),
         )
     )
-    dsub = (F.size("_nv") / F.lit(m)).cast("int")
+    dsub = _dsub_checked(F.col("_nv"), m)
     cents = seeds.select(
         "cell",
         F.posexplode(
@@ -158,6 +159,21 @@ def pq_train(
     return cents
 
 
+def _dsub_checked(nv: Column, m: int) -> Column:
+    """Subspace width dim/m, raising at execution when dim % m != 0 —
+    the slice arithmetic would otherwise silently drop the trailing
+    dim mod m dimensions from every codebook and code."""
+    sz = F.size(nv)
+    return F.when(sz % m == 0, (sz / m).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"PQ requires dim divisible by m={m}; got dim="),
+                sz.cast("string"),
+            )
+        ).cast("int")
+    )
+
+
 def _pq_subvectors(
     df: DataFrame, m: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -167,7 +183,7 @@ def _pq_subvectors(
     from kinesiscat_spark.operators.similarity import normalize
 
     nv = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
-    dsub = (F.size("_nv") / F.lit(m)).cast("int")
+    dsub = _dsub_checked(F.col("_nv"), m)
     return nv.select(
         F.col(id_col),
         F.posexplode(
@@ -213,6 +229,38 @@ def pq_encode(
             F.col(id_col),
             F.transform(F.col("_sc"), lambda s: s["cell"]).alias("codes"),
         )
+    )
+
+
+def exact_float_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Phase 2 shared by every quantized search path (SQ8 / PQ, in-plan /
+    persisted-index): exact pair-cosine re-rank of the phase-1 candidate
+    pairs ``(query_id, cid)`` via a candidate-side broadcast — the corpus
+    float column is read in place and NEVER shuffles; returned ``sim``
+    values are exact, ties break on cid."""
+    from kinesiscat_spark.operators.similarity import pair_cosine_udf
+
+    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
+    sims = cv.join(
+        F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid"
+    ).select(
+        query_id,
+        "cid",
+        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
     )
 
 
@@ -298,8 +346,6 @@ def pq_adc_topk(
     left-to-right double folds, cid tie-breaks) — hash-checkable against
     an ANSI-SQL twin.
     """
-    from kinesiscat_spark.operators.similarity import dot, pair_cosine_udf
-
     rerank_k = rerank_k or 4 * k
     cents = pq_train(corpus, m, ks, n_iters, corpus_id, vec)
     codes = pq_encode(corpus, cents, m, corpus_id, vec).select(
@@ -317,19 +363,7 @@ def pq_adc_topk(
         .filter(F.col("_r") <= rerank_k)
         .select(query_id, "cid")
     )
-    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
-    cand_q = cand.join(F.broadcast(qv), query_id)
-    sims = cv.join(F.broadcast(cand_q), "cid").select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    return exact_float_rerank(corpus, queries, cand, k, corpus_id, query_id, vec)
 
 
 def quantized_topk(
@@ -351,8 +385,6 @@ def quantized_topk(
     returned ``sim`` values are exact; only membership beyond the re-rank
     frontier is approximate.
     """
-    from kinesiscat_spark.operators.similarity import pair_cosine_udf
-
     rerank_k = rerank_k or 4 * k
     # carry code norms so phase-1 scores approximate cosine (the per-vector
     # scale cancels between dot and norm; zero vectors score null → last)
@@ -383,18 +415,4 @@ def quantized_topk(
         .filter(F.col("_r") <= rerank_k)
         .select(query_id, "cid")
     )
-    # candidate side broadcasts (k-proportional) so the corpus float
-    # column is scanned in place, never exchanged — see ivf_sq_topk
-    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
-    cand_q = cand.join(F.broadcast(qv), query_id)
-    sims = cv.join(F.broadcast(cand_q), "cid").select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    return exact_float_rerank(corpus, queries, cand, k, corpus_id, query_id, vec)

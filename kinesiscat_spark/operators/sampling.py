@@ -202,33 +202,45 @@ def dsir_resample(
     partitioning, any rerun, while still drawing a proper
     weight-proportional sample across salts.
 
-    Scale shape: two vocabulary-sized model tables broadcast into one
-    explode/join/aggregate pass each over the raw corpus; the selection
-    is a TakeOrderedAndProject global top-k (per-partition heaps, no full
+    Scale shape: ONE explode pass over the raw corpus (the widest stage)
+    with BOTH vocabulary-sized model tables broadcast-joined to the same
+    token stream, aggregated once per document; the selection is a
+    TakeOrderedAndProject global top-k (per-partition heaps, no full
     sort). Returns (id, n_tokens, log_w, key) for the kept docs.
     """
-    from kinesiscat_spark.operators.text import score_documents, unigram_model
+    from kinesiscat_spark.operators.dedup import tokens
+    from kinesiscat_spark.operators.text import unigram_model
 
-    m_target = unigram_model(target, id_col, text_col, k=smoothing)
-    m_raw = unigram_model(raw, id_col, text_col, k=smoothing)
-    s_t = score_documents(raw, m_target, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        F.col("n_tokens"),
-        F.col("avg_logp").alias("_lp_t"),
+    m_t = unigram_model(target, id_col, text_col, k=smoothing)
+    m_r = unigram_model(raw, id_col, text_col, k=smoothing)
+    toks = raw.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
     )
-    s_r = score_documents(raw, m_raw, id_col, text_col).select(
-        F.col(id_col).alias("id"), F.col("avg_logp").alias("_lp_r")
+    scored = toks.join(
+        F.broadcast(m_t.df.select("w", F.col("logp").alias("_t"))), "w", "left"
+    ).join(
+        F.broadcast(m_r.df.select("w", F.col("logp").alias("_r"))), "w", "left"
     )
-    log_w = (F.col("_lp_t") - F.col("_lp_r")) * F.col("n_tokens")
+    sums = scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("_t", F.lit(m_t.oov_logp))).alias("_sum_t"),
+        F.sum(F.coalesce("_r", F.lit(m_r.oov_logp))).alias("_sum_r"),
+    )
+    # token-less (empty/null-text) docs produce no token rows; a LEFT join
+    # from the full id set keeps them selectable with log_w = 0 (weight 1
+    # — an empty product, matching DSIR) instead of silently shrinking the
+    # returned sample below n_keep
+    ids = raw.select(F.col(id_col).alias("id"))
+    log_w = F.coalesce(F.col("_sum_t") - F.col("_sum_r"), F.lit(0.0))
     # clamp u off the endpoints: ln(0) would make the noise infinite
     u = _unit_hash([F.col("id")], salt)
     u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
     gumbel = -F.log(-F.log(u))
     return (
-        s_t.join(s_r, "id")
+        ids.join(sums, "id", "left")
         .select(
             "id",
-            "n_tokens",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.round(log_w, 9).alias("log_w"),
             F.round(log_w + gumbel, 9).alias("key"),
         )

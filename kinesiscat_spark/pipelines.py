@@ -169,15 +169,32 @@ def span_removal(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
     """Rewrite the text column with duplicate spans removed (see
     ``curation.remove_duplicate_spans``), preserving every other column
     via a narrow (id, clean_text) join back — the document's OTHER
-    columns never ride the span exchange."""
+    columns never ride the span exchange.
+
+    Documents with NOTHING removed keep their ORIGINAL text byte-for-byte
+    — the token-rebuilt form collapses whitespace runs/newlines, which is
+    inherent to rewriting (and matches the operator's lane contract) but
+    must not touch untouched documents (ExactSubstr removal only edits
+    what it removes)."""
     from kinesiscat_spark.operators.curation import remove_duplicate_spans
 
     cleaned = remove_duplicate_spans(
         docs, w=cfg.span_removal_w, id_col=cfg.id_col, text_col=cfg.text_col
     ).select(
-        F.col("id").alias(cfg.id_col), F.col("clean_text").alias(cfg.text_col)
+        F.col("id").alias(cfg.id_col),
+        "n_removed",
+        F.col("clean_text").alias("_clean"),
     )
-    return docs.drop(cfg.text_col).join(cleaned, cfg.id_col)
+    return (
+        docs.join(cleaned, cfg.id_col)
+        .withColumn(
+            cfg.text_col,
+            F.when(F.col("n_removed") > 0, F.col("_clean")).otherwise(
+                F.col(cfg.text_col)
+            ),
+        )
+        .drop("n_removed", "_clean")
+    )
 
 
 def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:

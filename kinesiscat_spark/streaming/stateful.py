@@ -207,6 +207,9 @@ def streaming_remove_duplicate_spans(
     from kinesiscat_spark.operators.curation import doc_windows
 
     wins = doc_windows(docs, w, id_col, text_col)
+    # derive the id type from the input — string/UUID document ids are
+    # common, and a hardcoded schema would fail Arrow conversion
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -225,7 +228,7 @@ def streaming_remove_duplicate_spans(
 
     return wins.groupBy("h").applyInPandasWithState(
         fn,
-        outputStructType="id long, win_idx int, win_len int",
+        outputStructType=f"id {id_type}, win_idx int, win_len int",
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

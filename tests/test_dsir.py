@@ -84,3 +84,26 @@ def test_dsir_topk_is_take_ordered_not_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_keeps_empty_docs_selectable(spark):
+    """Token-less documents carry log_w = 0 (an empty product — weight 1)
+    and stay selectable, so n_keep is honored whenever the corpus is
+    large enough."""
+    rng = random.Random(5)
+    target = spark.createDataFrame(
+        _mk_docs(rng, TARGET_VOCAB, range(1000, 1010)), "doc_id long, text string"
+    )
+    raw_rows = _mk_docs(rng, TARGET_VOCAB, range(0, 8)) + [
+        (8, ""),
+        (9, None),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    kept = dsir_resample(raw, target, n_keep=10).collect()
+    assert len(kept) == 10
+    by_id = {r.id: (r.n_tokens, r.log_w) for r in kept}
+    # "" splits to one empty-string token (the unigram_model tokenizer's
+    # semantics — scoring must match training); NULL text has NO tokens
+    # and takes the empty-product log_w = 0 path
+    assert by_id[8][0] == 1
+    assert by_id[9] == (0, 0.0)

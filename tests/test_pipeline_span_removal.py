@@ -46,3 +46,24 @@ def test_span_removal_stage_audit_and_default_off(spark):
     counts2: dict = {}
     curate(docs, replace(BASE, stage_counts=counts2)).count()
     assert "span_removal" not in counts2
+
+
+def test_span_removal_stage_preserves_untouched_text(spark):
+    """Documents with nothing removed keep their ORIGINAL bytes — the
+    token-rebuilt form (whitespace collapsed) only replaces documents
+    that actually lost a span."""
+    from kinesiscat_spark.pipelines import span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "line1\nline2\t end"),              # unique → untouched
+            (1, "a b c d e f a b c d e f"),         # internal dup, rewritten
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in span_removal(docs, replace(BASE, span_removal_w=2)).collect()
+    }
+    assert out[0] == "line1\nline2\t end"
+    assert out[1] == "a b c d e f"

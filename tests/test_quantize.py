@@ -260,3 +260,16 @@ def test_pq_adc_scan_carries_no_float_vectors(spark):
     for b in blocks:
         if "Exchange" in b.split("\n")[0] and "BroadcastExchange" not in b:
             assert "_cvec" not in b, b
+
+
+def test_pq_rejects_dim_not_divisible_by_m(spark):
+    """dim % m != 0 fails fast at execution instead of silently dropping
+    the trailing dimensions from every codebook and code."""
+    from kinesiscat_spark.operators.quantize import pq_encode, pq_train
+
+    ten_dim = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(10)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="divisible"):
+        pq_train(ten_dim, m=8, ks=4).collect()

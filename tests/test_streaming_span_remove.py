@@ -63,3 +63,23 @@ def test_streaming_span_removal_matches_batch(spark, tmp_path):
     # doc 0 keeps everything; doc 1 loses [a b]; doc 2 loses [c d],[e f]
     # but keeps tail [q] (first); doc 3 loses [x y],[a b] and tail [q]
     assert stream_removed == {(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)}
+
+
+def test_streaming_span_removal_string_ids(spark, tmp_path):
+    """The output schema derives the id type from the input — string/UUID
+    document ids must stream without Arrow schema mismatches."""
+    from kinesiscat_spark.streaming.stateful import (
+        streaming_remove_duplicate_spans,
+    )
+
+    src = str(tmp_path / "docsrc")
+    spark.createDataFrame(
+        [("doc-a", "a b c d"), ("doc-b", "a b q r")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(src)
+    raw = spark.readStream.schema("doc_id string, text string").parquet(src)
+    out = run_to_memory(
+        streaming_remove_duplicate_spans(raw, w=2), output_mode="append"
+    )
+    removed = {(r.id, r.win_idx) for r in out.collect()}
+    assert removed == {("doc-b", 0)}  # [a b] first seen in doc-a
