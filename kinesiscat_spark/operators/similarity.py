@@ -485,24 +485,14 @@ def ivf_sq_topk(
         .filter(F.col("_r") <= rerank_k)
         .select(query_id, "cid")
     )
-    # phase 2: exact float re-rank for the survivors only. The CANDIDATE
-    # side broadcasts (rerank_k x |queries| rows — k-proportional), so the
-    # corpus float column is scanned in place and never exchanged; letting
-    # Catalyst pick by stats here can flip to shuffling the whole corpus
-    # vector table at scale.
-    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
-    cand_q = cand.join(F.broadcast(qv), query_id)
-    sims = cv.join(F.broadcast(cand_q), "cid").select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    # phase 2: exact float re-rank for the survivors only — the candidate
+    # side broadcasts so the corpus float column is scanned in place and
+    # never exchanged (quantize.exact_float_rerank, shared by every
+    # quantized search path; letting Catalyst pick by stats here can flip
+    # to shuffling the whole corpus vector table at scale).
+    from kinesiscat_spark.operators.quantize import exact_float_rerank
+
+    return exact_float_rerank(corpus, queries, cand, k, corpus_id, query_id, vec)
 
 
 def rrf_fuse(
