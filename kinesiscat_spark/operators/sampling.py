@@ -247,3 +247,94 @@ def dsir_resample(
         .orderBy(F.desc("key"), F.asc("id"))
         .limit(n_keep)
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic TOKEN-budget prefix sample: order documents by
+    content hash (a deterministic shuffle — same order on any cluster,
+    any partitioning, any rerun) and keep the shortest prefix whose
+    cumulative whitespace-token count reaches ``token_budget``; the
+    crossing document is kept, so the returned total is the first sum
+    ≥ the budget (or the whole corpus when it is smaller). Training
+    mixtures are specified in TOKENS, not document counts — this is the
+    per-source "take N tokens" step a docs-fraction sample can't express
+    when document lengths vary.
+
+    Returns (id, n_tokens) of the kept documents.
+
+    Scale shape — the naive form is a GLOBAL running sum (one partition);
+    this runs it hierarchically instead: documents bucket by the leading
+    hex of their md5 order key (bucket order == hash order, since the
+    bucket is a prefix of the key), per-bucket token totals aggregate to
+    ``n_buckets`` rows, the bucket prefix sums decide driver-side which
+    buckets are taken WHOLE (a scan-stage filter) and which single bucket
+    straddles the boundary; only that one bucket — 1/n_buckets of the
+    corpus — computes an exact within-bucket running sum. The md5 keys
+    make the exact selected set reproducible in any engine (the DuckDB
+    differential replays the naive global cumsum and must agree
+    row-for-row, crossing document included).
+    """
+    if token_budget <= 0:
+        empty = docs.select(
+            F.col(id_col).alias("id"), F.lit(0).cast("long").alias("n_tokens")
+        )
+        return empty.filter(F.lit(False))
+
+    hkey = _md5_prefix([F.col(id_col)], salt)
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        hkey.alias("_hk"),
+        n_tok.alias("n_tokens"),
+    )
+    # hex prefix length covering n_buckets: ceil(log16(n_buckets))
+    hex_digits = max(1, ((n_buckets - 1).bit_length() + 3) // 4)
+    base = base.withColumn("_bucket", F.substring("_hk", 1, hex_digits))
+
+    # phase 1: n_buckets rows to the driver — k-proportional metadata
+    totals = sorted(
+        (r._bucket, r.t)
+        for r in base.groupBy("_bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    full: list[str] = []
+    running = 0
+    boundary: str | None = None
+    for bucket, t in totals:
+        if running >= token_budget:
+            break
+        if running + t < token_budget:
+            full.append(bucket)
+            running += t
+        else:
+            boundary = bucket
+            break
+    if boundary is None:
+        return base.filter(F.col("_bucket").isin(full)).select("id", "n_tokens")
+
+    remaining = token_budget - running
+    w = Window.partitionBy("_bucket").orderBy("_hk", "id")
+    in_boundary = (
+        base.filter(F.col("_bucket") == boundary)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        # keep while the sum BEFORE this doc is under the remaining
+        # budget — the crossing document is the last one kept
+        .filter((F.col("_cum") - F.col("n_tokens")) < remaining)
+        .select("id", "n_tokens")
+    )
+    return (
+        base.filter(F.col("_bucket").isin(full))
+        .select("id", "n_tokens")
+        .unionByName(in_boundary)
+    )

@@ -1,0 +1,77 @@
+"""token_budget_sample: the hierarchical (bucketed) prefix-by-budget
+selection must agree row-for-row with a naive global-cumsum DuckDB
+replay over the md5 order — crossing document included — and be
+partition-invariant."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.sampling import token_budget_sample
+from tests.conftest import SF_ORACLE
+
+
+def _oracle(sf_dir: str, budget: int, salt: int):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(
+        f"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 substr(md5(doc_id || chr(31) || '{salt}'), 1, 12) AS hk,
+                 len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                     '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY hk, id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM base
+        )
+        SELECT id, n_tokens FROM cum WHERE c - n_tokens < {budget}
+        ORDER BY id
+        """
+    ).fetchall()
+
+
+@pytest.mark.parametrize("budget", [1, 500, 7000, 10**9])
+def test_token_budget_matches_global_cumsum_oracle(spark, budget):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = sorted(
+        (r.id, r.n_tokens)
+        for r in token_budget_sample(docs, budget, salt=3).collect()
+    )
+    want = [tuple(r) for r in _oracle(SF_ORACLE, budget, 3)]
+    assert got == want
+    if budget >= 10**9:
+        assert len(got) == docs.count()  # budget beyond corpus: keep all
+    else:
+        # the kept total is the FIRST cumulative sum >= budget (crossing
+        # doc kept), and dropping the last kept doc goes under budget
+        total = sum(t for _, t in got)
+        assert total >= min(budget, total)
+        if len(got) < docs.count():
+            assert total >= budget
+
+
+def test_token_budget_partition_invariant_and_small_buckets(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = sorted(
+        (r.id, r.n_tokens)
+        for r in token_budget_sample(docs, 4000, salt=1).collect()
+    )
+    b = sorted(
+        (r.id, r.n_tokens)
+        for r in token_budget_sample(
+            docs.repartition(17, "lang"), 4000, salt=1, n_buckets=16
+        ).collect()
+    )
+    assert a == b  # neither partitioning nor bucket count changes the set
+    assert token_budget_sample(docs, 0).count() == 0
