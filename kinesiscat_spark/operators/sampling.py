@@ -338,3 +338,32 @@ def token_budget_sample(
         .select("id", "n_tokens")
         .unionByName(in_boundary)
     )
+
+
+def mix_corpora_tokens(
+    sources: Sequence[tuple[DataFrame, int]],
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budget corpus mixture: source i contributes its
+    ``token_budget_sample`` prefix of ``budget_i`` tokens, tagged with its
+    index — the "LLaMA-style data mixture" step where each source's share
+    is a TOKEN count. Each source gets an independent salt, so mixing the
+    same table twice draws independent prefixes. Returns
+    (id, n_tokens, source_id)."""
+    if not sources:
+        raise ValueError("mix_corpora_tokens needs at least one source")
+    parts = []
+    for i, (df, budget) in enumerate(sources):
+        parts.append(
+            token_budget_sample(
+                df, budget, salt=salt + i, id_col=id_col,
+                text_col=text_col, n_buckets=n_buckets,
+            ).withColumn("source_id", F.lit(i))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

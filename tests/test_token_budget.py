@@ -75,3 +75,29 @@ def test_token_budget_partition_invariant_and_small_buckets(spark):
     )
     assert a == b  # neither partitioning nor bucket count changes the set
     assert token_budget_sample(docs, 0).count() == 0
+
+
+def test_mix_corpora_tokens_budgets_and_independence(spark):
+    from kinesiscat_spark.operators.sampling import mix_corpora_tokens
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    out = mix_corpora_tokens([(en, 2000), (rest, 1000)], salt=5)
+    rows = out.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source_id, set()).add((r.id, r.n_tokens))
+    # each source contributes exactly its standalone token-budget prefix
+    # (independent salts), and each kept total reaches its budget
+    want0 = {
+        (r.id, r.n_tokens)
+        for r in token_budget_sample(en, 2000, salt=5).collect()
+    }
+    want1 = {
+        (r.id, r.n_tokens)
+        for r in token_budget_sample(rest, 1000, salt=6).collect()
+    }
+    assert by_src[0] == want0 and by_src[1] == want1
+    assert sum(t for _, t in by_src[0]) >= 2000
+    assert sum(t for _, t in by_src[1]) >= 1000

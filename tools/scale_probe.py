@@ -169,6 +169,16 @@ def probes():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return pack_sequences(docs, budget=512, n_shards=64).count()
 
+    def p_token_budget(spark, d):
+        from kinesiscat_spark.operators.sampling import token_budget_sample
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # half the corpus's tokens: the boundary bucket stays mid-range
+        budget = docs.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        ).collect()[0][0] // 2
+        return token_budget_sample(docs, budget).count()
+
     def p_pq_adc(spark, d):
         from kinesiscat_spark.operators.quantize import pq_adc_topk
         from pyspark.sql import functions as F
@@ -215,6 +225,7 @@ def probes():
         "packing": (p_packing, "linear (one shard-window exchange)"),
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
         "pq_adc_topk": (p_pq_adc, "linear (codes scan + LUT broadcast)"),
+        "token_budget_sample": (p_token_budget, "linear (bucket totals + 1-bucket cumsum)"),
     }
 
 
