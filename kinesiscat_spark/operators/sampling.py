@@ -340,6 +340,60 @@ def token_budget_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_cols: Sequence[str],
+    salt: int = 0,
+    method: str = "md5",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in the named
+    split whose hash interval its content hash falls in — mutually
+    exclusive, exhaustive, and IDENTICAL on every cluster, partitioning,
+    and rerun (``randomSplit`` re-draws whenever the partitioning
+    changes, which silently leaks eval rows into training on a re-run).
+    ``weights`` maps split name → share; shares must sum to 1 (±1e-9) and
+    the LAST split absorbs the hash-granularity remainder, so the
+    assignment is total. A different ``salt`` draws an independent split.
+
+    Scale shape: one scan-stage CASE over the hash — no shuffle, no
+    state; ``method="md5"`` reproduces the exact assignment in any
+    engine with md5 (the oracle twin), ``method="xxhash64"`` is the
+    cheaper JVM-only path.
+    """
+    if not weights:
+        raise ValueError("hash_split needs at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    names = list(weights)
+    if method == "md5":
+        h: Column = _md5_prefix(list(key_cols), salt)
+        thresholds = []
+        cum = 0.0
+        for name in names[:-1]:
+            cum += weights[name]
+            thresholds.append(F.lit(md5_threshold(cum)))
+    elif method == "xxhash64":
+        h = _unit_hash(list(key_cols), salt)
+        thresholds = []
+        cum = 0.0
+        for name in names[:-1]:
+            cum += weights[name]
+            thresholds.append(F.lit(cum))
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    expr: Column | None = None
+    for name, t in zip(names[:-1], thresholds):
+        cond = h < t
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assigned = names[-1] if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, F.lit(assigned) if expr is None else assigned)
+
+
 def mix_corpora_tokens(
     sources: Sequence[tuple[DataFrame, int]],
     salt: int = 0,

@@ -16,49 +16,126 @@ from pyspark.sql import DataFrame, SparkSession
 from kinesiscat_spark.io_tables import load_table
 from kinesiscat_spark.operators.clusters import keep_canonical
 from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
-from kinesiscat_spark.operators.sampling import md5_threshold, mix_corpora
+from kinesiscat_spark.operators.sampling import (
+    hash_split,
+    md5_threshold,
+    mix_corpora,
+    mix_corpora_tokens,
+)
 from kinesiscat_spark.queries.dedup_queries import _SHINGLES_CTE, JACCARD_T
 from kinesiscat_spark.registry import query
 
 _EN_W, _REST_W = 0.5, 0.25
 _MIX_SALT = 7
+_TOK_EN, _TOK_REST = 3000, 1500
+_TOK_SALT = 13
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = 11
+
+# token-budget prefix per source: naive global-cumsum replay of the
+# hierarchical Spark plan (same md5 order keys → same selected set)
+def _tok_cte(name: str, pred: str, salt: int, budget: int) -> str:
+    return f"""
+{name} AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM (
+      SELECT doc_id,
+             substr(md5(doc_id || chr(31) || '{salt}'), 1, 12) AS hk,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                 '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      FROM documents WHERE {pred}
+    )
+  ) WHERE c - n_tokens < {budget}
+)"""
+
 
 _SAMPLING_ORACLE = f"""
-SELECT doc_id, lang, 0 AS source_id
+WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
+{_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)}
+SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM documents
 WHERE lang = 'en'
   AND substr(md5(doc_id || chr(31) || '{_MIX_SALT}'), 1, 12)
         < '{md5_threshold(_EN_W)}'
 UNION ALL
-SELECT doc_id, lang, 1 AS source_id
+SELECT 'frac', doc_id, lang, 1, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM documents
 WHERE lang <> 'en'
   AND substr(md5(doc_id || chr(31) || '{_MIX_SALT + 1}'), 1, 12)
         < '{md5_threshold(_REST_W)}'
+UNION ALL
+SELECT 'tok', doc_id, CAST(NULL AS VARCHAR), 0, n_tokens,
+       CAST(NULL AS VARCHAR)
+FROM tb_en
+UNION ALL
+SELECT 'tok', doc_id, CAST(NULL AS VARCHAR), 1, n_tokens,
+       CAST(NULL AS VARCHAR)
+FROM tb_rest
+UNION ALL
+SELECT 'split', doc_id, lang, CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT),
+       CASE WHEN substr(md5(doc_id || chr(31) || '{_SPLIT_SALT}'), 1, 12)
+                 < '{md5_threshold(0.8)}' THEN 'train'
+            WHEN substr(md5(doc_id || chr(31) || '{_SPLIT_SALT}'), 1, 12)
+                 < '{md5_threshold(0.9)}' THEN 'val'
+            ELSE 'test' END
+FROM documents
 """
 
 
 @query("sampling_mix", oracle=_SAMPLING_ORACLE)
 def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus mixture (operators/sampling.py): keep 50% of
-    English documents and 25% of the rest, selected by CONTENT HASH so the
-    same documents are chosen on any cluster, any partitioning, any rerun
-    — never ``rand()``, whose per-partition seeding reshuffles the sample
-    whenever the file layout changes. The md5 method makes the selection
-    engine-portable, which is exactly what the oracle verifies row-by-row.
-    Pure scan-stage filters: no shuffle, no state, pushdown-friendly.
+    """Deterministic sampling surface (operators/sampling.py), three kinds
+    in one lane (round-5 fold), all selected by CONTENT HASH so the same
+    rows are chosen on any cluster, any partitioning, any rerun — never
+    ``rand()``, whose per-partition seeding reshuffles the sample whenever
+    the file layout changes. The md5 method makes every selection
+    engine-portable, which is exactly what the oracle verifies row-by-row:
+
+    - ``kind='frac'``: weighted corpus mixture — 50% of English documents,
+      25% of the rest (``mix_corpora``; pure scan-stage filters).
+    - ``kind='tok'``: TOKEN-budget mixture — the prefix of the md5-shuffled
+      order reaching 3000 (en) / 1500 (rest) whitespace tokens, crossing
+      document kept (``mix_corpora_tokens``; hierarchical bucket plan, the
+      oracle replays the naive global cumsum and must agree exactly).
+    - ``kind='split'``: deterministic 80/10/10 train/val/test assignment
+      (``hash_split``; one scan-stage CASE over the hash interval —
+      exclusive, exhaustive, leak-free across reruns).
     """
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     en = docs.filter(F.col("lang") == "en")
     rest = docs.filter(F.col("lang") != "en")
-    return mix_corpora(
+    null_lang = F.lit(None).cast("string")
+    null_src = F.lit(None).cast("int")
+    null_tok = F.lit(None).cast("long")
+    null_split = F.lit(None).cast("string")
+    frac = mix_corpora(
         [(en, _EN_W), (rest, _REST_W)],
         key_cols=["doc_id"],
         salt=_MIX_SALT,
         method="md5",
-    ).select("doc_id", "lang", "source_id")
+    ).select(
+        F.lit("frac").alias("kind"), "doc_id", "lang", "source_id",
+        null_tok.alias("n_tokens"), null_split.alias("split"),
+    )
+    tok = mix_corpora_tokens(
+        [(en, _TOK_EN), (rest, _TOK_REST)], salt=_TOK_SALT
+    ).select(
+        F.lit("tok").alias("kind"), F.col("id").alias("doc_id"),
+        null_lang.alias("lang"), "source_id", "n_tokens",
+        null_split.alias("split"),
+    )
+    spl = hash_split(docs, _SPLIT_W, ["doc_id"], salt=_SPLIT_SALT).select(
+        F.lit("split").alias("kind"), "doc_id", "lang",
+        null_src.alias("source_id"), null_tok.alias("n_tokens"), "split",
+    )
+    return frac.unionByName(tok).unionByName(spl)
 
 
 _KEEP_CANONICAL_ORACLE = f"""
