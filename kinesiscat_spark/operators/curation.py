@@ -106,6 +106,98 @@ def repetition_signals(text: Column) -> Column:
     return let_(F.split(text, "\n"), body)
 
 
+# --- C4 line/document cleaning (Raffel et al. 2020 §2.2) -------------------
+
+# a line is retained iff it ends in terminal punctuation (period,
+# exclamation/question mark, or a closing quote)
+C4_TERMINAL_RE = '[.!?"”]$'
+C4_BAD_LINE_WORD = "javascript"
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_keep(
+    line: Column, min_words: int = C4_MIN_WORDS_PER_LINE
+) -> Column:
+    """C4's line-retention predicate (Raffel et al. 2020 §2.2): the line
+    ends in a terminal punctuation mark, has at least ``min_words``
+    whitespace words, and does not mention "javascript" (the boilerplate
+    tell). Pure built-in predicate — usable inside an array lambda."""
+    wc = F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda w: F.length(w) > 0))
+    return (
+        F.rtrim(line).rlike(C4_TERMINAL_RE)
+        & (wc >= min_words)
+        & ~F.contains(F.lower(line), F.lit(C4_BAD_LINE_WORD))
+    )
+
+
+def c4_signals(
+    text: Column,
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> Column:
+    """C4-style cleaning signals as one scan-stage struct:
+
+    - ``n_lines`` / ``kept_lines``: line counts before/after the line
+      filter (``c4_line_keep``);
+    - ``clean_text`` / ``clean_chars``: the document rebuilt from the
+      retained lines;
+    - ``keep``: the document-level gate — no ``{`` (code tell), no
+      "lorem ipsum" (placeholder tell) anywhere in the ORIGINAL text, and
+      at least ``min_sentences`` sentence-terminal marks in the retained
+      lines (C4 discards pages with fewer than 3 sentences).
+
+    Zero shuffle: every field is a built-in Column over the document's own
+    line array (let-bound once — an inlined split would re-split per
+    lambda use), so per-row cost is a per-document constant and the
+    operator scales linearly to 100 TB. The same expressions reproduce in
+    DuckDB (`list_filter` + `regexp_matches`), which is what the
+    ``curation_signals`` lane hash-checks.
+    """
+    t = F.coalesce(text, F.lit(""))
+
+    def body(lines: Column) -> Column:
+        def with_kept(kept: Column) -> Column:
+            clean = F.array_join(kept, "\n")
+            n_sentences = F.regexp_count(clean, F.lit("[.!?]"))
+            keep = (
+                ~F.contains(t, F.lit("{"))
+                & ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+                & (n_sentences >= min_sentences)
+            )
+            return F.struct(
+                F.size(lines).cast("long").alias("n_lines"),
+                F.size(kept).cast("long").alias("kept_lines"),
+                F.length(clean).cast("long").alias("clean_chars"),
+                keep.alias("keep"),
+                clean.alias("clean_text"),
+            )
+
+        return let_(
+            F.filter(lines, lambda l: c4_line_keep(l, min_words)), with_kept
+        )
+
+    return let_(F.split(t, "\n"), body)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """Apply the C4 cleaning pass: drop documents failing the page gate
+    and rewrite ``text_col`` to the retained lines. One scan, no shuffle,
+    filter-then-rewrite in a single projection."""
+    sig = c4_signals(F.col(text_col), min_words, min_sentences)
+    return (
+        df.withColumn("_c4", sig)
+        .filter(F.col("_c4.keep"))
+        .withColumn(text_col, F.col("_c4.clean_text"))
+        .drop("_c4")
+    )
+
+
 def top_ngram_char_frac(text: Column, n: int) -> Column:
     """Fraction of the text's characters covered by the single most
     frequent word n-gram (count × gram length / text length). Ties break

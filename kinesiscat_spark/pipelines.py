@@ -56,6 +56,12 @@ class CurationConfig:
     # surviving document with every w-token window that already occurred
     # earlier in the corpus removed. None disables (the default).
     span_removal_w: int | None = None
+    # C4 line/document cleaning (Raffel et al. 2020 §2.2), applied FIRST
+    # (C4 cleans pages before any other gate): retain only lines ending
+    # in terminal punctuation with >= 5 words and no "javascript"; drop
+    # pages with "{", "lorem ipsum", or < 3 sentences. False disables
+    # (the default — the gate is vacuous on punctuation-free corpora).
+    c4_cleaning: bool = False
     id_col: str = "doc_id"
     text_col: str = "text"
     stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
@@ -215,6 +221,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         return df
 
     out = step("input", docs)
+    if cfg.c4_cleaning:
+        from kinesiscat_spark.operators.curation import c4_clean
+
+        out = step("c4", c4_clean(out, cfg.text_col))
     out = step("quality", quality_gate(out, cfg))
     out = step("repetition", repetition_gate(out, cfg))
     out = step("language", language_gate(out, cfg))

@@ -1,0 +1,106 @@
+"""C4 line/document cleaning (Raffel et al. 2020 §2.2): targeted behavior
+cases plus a pure-python differential replay over the sf0.01 corpus."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.operators.curation import c4_clean, c4_signals
+from tests.conftest import SF_ORACLE
+
+_TERM = re.compile(r'[.!?"”]$')
+
+
+def _py_line_keep(line: str, min_words: int = 5) -> bool:
+    return (
+        bool(_TERM.search(line.rstrip()))
+        and len(line.split()) >= min_words
+        and "javascript" not in line.lower()
+    )
+
+
+def _py_signals(text: str | None, min_words=5, min_sentences=3):
+    t = text or ""
+    lines = t.split("\n")
+    kept = [l for l in lines if _py_line_keep(l, min_words)]
+    clean = "\n".join(kept)
+    keep = (
+        "{" not in t
+        and "lorem ipsum" not in t.lower()
+        and len(re.findall(r"[.!?]", clean)) >= min_sentences
+    )
+    return (len(lines), len(kept), len(clean), keep, clean)
+
+
+def test_c4_behavior_cases(spark):
+    rows = [
+        # kept: terminal punct, >=5 words, no javascript
+        ("a", "This line has five good words.\nshort one.\nno terminal punct here at all\nPlease enable JavaScript to continue browsing.\nAnother proper sentence with enough words! Really. Yes."),
+        # dropped doc: contains '{'
+        ("b", "A fine sentence with many words. { code }\nMore fine words in a sentence here. And more. Done."),
+        # dropped doc: lorem ipsum
+        ("c", "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed.\nSecond proper sentence with several words. Third one too. Fourth!"),
+        # dropped doc: fewer than 3 sentences after cleaning
+        ("d", "Only one proper sentence with enough words here.\nnothing else survives"),
+        (None if False else "e", None),  # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", c4_signals(F.col("text")).alias("s")).collect()
+    }
+    a = out["a"].s
+    assert a.n_lines == 5 and a.kept_lines == 2
+    assert a.keep  # 4 terminal marks in the kept lines
+    assert "JavaScript" not in a.clean_text and "short one" not in a.clean_text
+    assert not out["b"].s.keep and not out["c"].s.keep and not out["d"].s.keep
+    e = out["e"].s
+    assert e.n_lines == 1 and e.kept_lines == 0 and not e.keep
+
+    cleaned = c4_clean(df)
+    kept_ids = {r.doc_id for r in cleaned.collect()}
+    assert kept_ids == {"a"}
+    assert cleaned.filter(F.col("doc_id") == "a").collect()[0].text == a.clean_text
+
+
+def test_c4_stage_in_curate_pipeline(spark):
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+
+    rows = [
+        ("a", "This line has five good words.\nAnother proper sentence with enough words! Really. Yes."),
+        ("b", "A fine sentence with many words. { code }\nMore fine words. Done. Yes."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    counts: dict = {}
+    out = curate(
+        df, CurationConfig(min_tokens=1, c4_cleaning=True, stage_counts=counts)
+    )
+    assert {r.doc_id for r in out.collect()} == {"a"}
+    assert counts["input"] == 2 and counts["c4"] == 1
+    # disabled by default: the stage is absent and nothing is dropped
+    counts2: dict = {}
+    curate(df, CurationConfig(min_tokens=1, stage_counts=counts2))
+    assert "c4" not in counts2 and counts2["quality"] == 2
+
+
+def test_c4_differential_replay_sf001(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = {
+        r.doc_id: (r.s.n_lines, r.s.kept_lines, r.s.clean_chars, r.s.keep, r.s.clean_text)
+        for r in docs.select("doc_id", c4_signals(F.col("text")).alias("s")).collect()
+    }
+    want = {
+        r.doc_id: _py_signals(r.text)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+    # the synthetic corpus has no terminal punctuation, so the page gate
+    # is all-false here — the replay exercises the empty-kept path; the
+    # non-vacuous keep/drop split is covered by the constructed corpus in
+    # test_c4_behavior_cases (which is also why C4 stays pytest-
+    # differential rather than a driver-lane fold: on the driver corpus
+    # every c4 column would be a constant)
+    assert all(not v[3] and v[1] == 0 for v in want.values())
