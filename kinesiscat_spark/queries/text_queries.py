@@ -73,11 +73,49 @@ FROM scored
 """
 
 
+# unigram-LM scoring twin (CCNet-style): add-0.5-smoothed model over the
+# ENGLISH documents, every document scored under it. The per-doc logp sum
+# folds over the VALUE-ordered list on both engines (list_sum(list(lp
+# ORDER BY lp)) ↔ Spark sort_array + aggregate) so the double fold is
+# order-defined and cross-engine stable; ties are equal values.
+_LM_ORACLE_CTES = """
+lm_counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents WHERE lang = 'en') GROUP BY w
+),
+lm_tot AS (
+  SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM lm_counts
+),
+lm AS (
+  SELECT w, ln((c + 0.5) / (n + 0.5 * v)) AS logp FROM lm_counts, lm_tot
+),
+lm_doc AS (
+  SELECT doc_id,
+         round(list_sum(list(lp ORDER BY lp)) / count(*), 6) AS avg_logp,
+         round(sum(oov)::DOUBLE / count(*), 6) AS oov_frac
+  FROM (
+    SELECT d.doc_id,
+           coalesce(lm.logp, (SELECT ln(0.5 / (n + 0.5 * v)) FROM lm_tot))
+             AS lp,
+           CASE WHEN lm.logp IS NULL THEN 1 ELSE 0 END AS oov
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents) d
+    LEFT JOIN lm USING (w)
+  ) GROUP BY doc_id
+)
+"""
+
+
 def _quality_plus_langid_oracle() -> str:
     return f"""
-SELECT q.*, l.given_lang, l.pred_lang, l.top_score
+WITH {_LM_ORACLE_CTES}
+SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
+       m.avg_logp, m.oov_frac
 FROM ({_QUALITY_ORACLE}) q
 JOIN ({_langid_oracle()}) l USING (doc_id)
+JOIN lm_doc m USING (doc_id)
 """
 
 
@@ -95,10 +133,46 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates (C4/Gopher-style): documents long enough and containing function
     words score higher. All math is integer/double column expressions — no
     UDF, no shuffle.
+
+    Round 5 (late) folds in unigram-LM quality scoring (CCNet-style,
+    `operators/text.py unigram_model`/`score_documents` shape): a smoothed
+    unigram model trained on the ENGLISH documents, every document scored
+    under it — `avg_logp` (mean token log-probability; the "looks like the
+    reference corpus" gate) and `oov_frac` (share of tokens outside the
+    reference vocabulary). The per-doc sum folds over the VALUE-sorted
+    logp list (`sort_array` + `aggregate` ↔ DuckDB `list_sum(list(lp
+    ORDER BY lp))`) so the double fold is order-defined on both engines.
+    Scale shape: the model is vocabulary-sized and broadcast; the corpus
+    side is one explode + one per-doc aggregate, map-side partialed.
     """
-    from kinesiscat_spark.operators.text import language_id
+    from kinesiscat_spark.operators.dedup import tokens as ws_tokens
+    from kinesiscat_spark.operators.text import language_id, unigram_model
 
     docs = load_table(spark, sf_dir, "documents")
+    model = unigram_model(docs.filter(F.col("lang") == "en"), k=0.5)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("w")
+    )
+    lm_doc = (
+        toks.join(F.broadcast(model.df), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("_oov"),
+            F.sort_array(
+                F.collect_list(F.coalesce("logp", F.lit(model.oov_logp)))
+            ).alias("_lps"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("_lps", F.lit(0.0), lambda a, x: a + x)
+                / F.col("_n"),
+                6,
+            ).alias("avg_logp"),
+            F.round(F.col("_oov") / F.col("_n"), 6).alias("oov_frac"),
+        )
+    )
     tokens = F.split(F.lower(F.col("text")), " ")
     n_tokens = F.size(tokens)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -121,7 +195,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("given_lang"),
         pred.alias("pred_lang"),
         score.alias("top_score"),
-    )
+    ).join(lm_doc, "doc_id")
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
