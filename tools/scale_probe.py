@@ -210,8 +210,18 @@ def probes():
         )
         return bm25_topk(docs, terms, k=25).count()
 
+    def p_pca(spark, d):
+        from kinesiscat_spark.operators.pca import pca_project, pca_train
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        model = pca_train(emb, 16)
+        return float(
+            pca_project(emb, model).select(F.sum(F.col("pca")[0])).first()[0]
+        )
+
     return {
         "dedup_exact": (p_exact, "linear"),
+        "pca_train_project": (p_pca, "linear (1-pass Gram partials + scan projection)"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
         "simhash": (p_simhash, "linear+dup-density"),
         "ngram_jaccard": (p_jaccard, "linear+dup-density"),
