@@ -67,14 +67,28 @@ def pca_train(
     if not 1 <= dim_out <= d:
         raise ValueError(f"dim_out must be in [1, {d}], got {dim_out}")
 
-    # flattened stats vector: upper triangle (i <= j) of x xT, then x, then 1
+    # flattened stats vector: upper triangle (i <= j) of x xT, then x,
+    # then 1 — built with nested transform/sequence, NOT d(d+1)/2 literal
+    # subexpressions: the literal form compiles a ~2k-term codegen method
+    # per plan (tens of seconds of fixed JIT cost); the HOF form is a
+    # constant-size expression tree that loops at runtime instead
     idx_pairs = [(i, j) for i in range(d) for j in range(i, d)]
-    v = F.col(vec_col)
-    stats = F.array(
-        *[v[i].cast("double") * v[j] for i, j in idx_pairs],
-        *[v[i].cast("double") for i in range(d)],
-        F.lit(1.0),
-    )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def stats_of(v: Column) -> Column:
+        seq = F.sequence(F.lit(0), F.lit(d - 1))
+        el = lambda i: F.element_at(v, i + 1)  # noqa: E731
+        upper = F.flatten(
+            F.transform(
+                seq,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(d - 1)), lambda j: el(i) * el(j)
+                ),
+            )
+        )
+        return F.concat(upper, v, F.array(F.lit(1.0)))
+
+    stats = let_(dv, stats_of)
     sums = (
         corpus.select(F.posexplode(stats).alias("pos", "x"))
         .groupBy("pos")
