@@ -56,8 +56,18 @@ def _md5_prefix(cols: Sequence[Column | str], salt: int) -> Column:
 
 def md5_threshold(fraction: float) -> str:
     """Hex threshold such that P(md5_prefix < threshold) == fraction
-    (to within 2^-48)."""
-    return format(int(fraction * (16**_MD5_PREFIX)), f"0{_MD5_PREFIX}x")
+    (to within 2^-48).
+
+    At fraction >= 1 the exact threshold would be a 13-digit hex string
+    ('1' + 12 zeros) — LEXICOGRAPHICALLY that sorts below any 12-char
+    prefix starting with '1'-'f', silently keeping ~1/16 of rows instead
+    of all of them. Return 'g' instead: every hex digit sorts below 'g'
+    (in Spark, DuckDB, and ASCII alike), so `prefix < 'g'` is the
+    always-true comparison and fraction 1.0 keeps everything."""
+    n = int(fraction * (16**_MD5_PREFIX))
+    if n >= 16**_MD5_PREFIX:
+        return "g"
+    return format(n, f"0{_MD5_PREFIX}x")
 
 
 def hash_sample(

@@ -98,3 +98,19 @@ def test_hash_split_validation(spark):
     # single split: everything lands in it
     one = hash_split(docs, {"all": 1.0}, ["doc_id"])
     assert one.filter(one.split != "all").count() == 0
+
+
+def test_md5_threshold_fraction_one_keeps_everything(spark):
+    # regression: md5_threshold(1.0) used to emit a 13-digit hex string,
+    # which lexicographically sorts BELOW most 12-char prefixes — md5
+    # sampling at fraction 1.0 silently kept ~1/16 of rows. The 'g'
+    # sentinel makes `prefix < threshold` always true.
+    from kinesiscat_spark.operators.sampling import hash_sample
+
+    assert md5_threshold(1.0) == "g"
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    assert hash_sample(docs, 1.0, ["doc_id"], method="md5").count() == n
+    # a 1.0/0.0 split assigns every row to the first name
+    out = hash_split(docs, {"train": 1.0, "test": 0.0}, ["doc_id"])
+    assert out.filter(out.split != "train").count() == 0
