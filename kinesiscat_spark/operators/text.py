@@ -103,6 +103,8 @@ def unigram_model(
     totals = counts.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]
+    if totals.n is None:  # empty corpus: no vocabulary, neutral OOV mass
+        return UnigramModel(counts.select("w", F.lit(0.0).alias("logp")), 0.0)
     n, v = float(totals.n), float(totals.v)
     model = counts.select(
         "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("logp")
