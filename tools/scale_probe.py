@@ -219,9 +219,18 @@ def probes():
             pca_project(emb, model).select(F.sum(F.col("pca")[0])).first()[0]
         )
 
+    def p_c4(spark, d):
+        from kinesiscat_spark.operators.curation import c4_signals
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return docs.select(
+            F.sum(c4_signals(F.col("text"))["clean_chars"])
+        ).first()[0] or 0
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "pca_train_project": (p_pca, "linear (1-pass Gram partials + scan projection)"),
+        "c4_signals": (p_c4, "linear (scan-stage line filter)"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
         "simhash": (p_simhash, "linear+dup-density"),
         "ngram_jaccard": (p_jaccard, "linear+dup-density"),
