@@ -1,0 +1,120 @@
+"""Scan-stage Bloom filter as pure Column algebra.
+
+Spark's internal ``BloomFilterAggregate`` is not SQL-registered in this
+build, and ``DataFrameStatFunctions.bloomFilter`` collects a driver-side
+sketch object that can only be probed from a Python UDF.  This module
+builds the filter AS A DATAFRAME instead: a single row holding a
+bit-packed ``array<long>``, assembled entirely JVM-side (explode the k
+probe positions, ``bit_or`` the per-word masks, scatter into a dense
+array with one ``transform`` over ``sequence``).  Consumers broadcast
+that one row and probe it with ``getbit`` — no driver round-trip, no
+Python in the hot path, and the whole build is one aggregation whose
+shuffle payload is at most ``n_bits/64`` (word, mask) rows.
+
+Why it matters at 100 TB: benchmark-decontamination joins the corpus
+n-grams against the held-out set.  When the held-out set is small the
+existing broadcast LEFT join is optimal; when it is NOT broadcastable
+(every eval suite ever published, deduplicated — easily 10⁸ grams) the
+join degrades to shuffling the full corpus gram stream.  A Bloom filter
+at ~10 bits/element is 8× smaller than the key set itself and rejects
+non-members in the scan stage, so only true hits plus an FPR-sized
+trickle of false positives ever reach the exact verify join.  No false
+negatives: the verified output is IDENTICAL to the exact join's, which
+is what lets ``curation_decontaminate``'s DuckDB oracle check this path
+row-for-row with the same SQL twin.
+
+Probe positions are ``pmod(xxhash64(i, value), n_bits)`` for seed index
+i in [0, k) — the standard k-independent-hash construction (Bloom 1970;
+sizing per Broder & Mitzenmacher 2004: FPR ≈ (1 - e^{-kn/m})^k, so the
+defaults m/n ≈ 10, k = 5 give ≈ 0.9 %).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.let import let_
+
+N_BITS_DEFAULT = 1 << 22  # 512 KiB packed; ~10 bits/elem for 4e5 keys
+K_DEFAULT = 5
+
+
+def _probe_positions(value: Column, n_bits: int, k: int) -> list[Column]:
+    """k bit positions for ``value`` — pmod(xxhash64(seed_i, v), n_bits)."""
+    if n_bits <= 0 or k <= 0:
+        raise ValueError(f"n_bits and k must be positive (got {n_bits}, {k})")
+    return [
+        F.pmod(F.xxhash64(F.lit(i), value), F.lit(n_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "g",
+    n_bits: int = N_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """One-row DataFrame ``(bloom: array<long>)`` — the bit-packed filter
+    over every value of ``df[col]``.
+
+    Plan shape: explode k positions per key → ``bit_or`` of the
+    per-64-bit-word masks (partially aggregated map-side, ≤ n_bits/64
+    groups) → one ``map_from_entries`` row → dense array via
+    ``transform(sequence(...))``.  An empty input yields the all-zeros
+    filter, so membership is vacuously false rather than an error.
+    """
+    n_words = (n_bits + 63) // 64
+    pos = df.select(
+        F.explode(F.array(*_probe_positions(F.col(col), n_bits, k))).alias("p")
+    )
+    packed = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.col("p").bitwiseAND(F.lit(63)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("bits"))
+    )
+    sparse = packed.agg(
+        F.map_from_entries(
+            F.coalesce(
+                F.collect_list(F.struct("w", "bits")),
+                F.array().cast("array<struct<w:bigint,bits:bigint>>"),
+            )
+        ).alias("m")
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: Column,
+    value: Column,
+    n_bits: int = N_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+) -> Column:
+    """True iff every probe bit of ``value`` is set in ``bloom`` (the
+    packed array from :func:`bloom_build`).  Guaranteed true for every
+    inserted key; false with probability ≈ FPR for others.
+
+    Each probe position is let-bound so the xxhash64 is computed once
+    per probe, not once per bit-op referencing it.
+    """
+
+    def probe(p: Column) -> Column:
+        word = F.element_at(bloom, F.shiftright(p, 6).cast("int") + F.lit(1))
+        return F.getbit(word, p.bitwiseAND(F.lit(63)).cast("int")) == F.lit(1)
+
+    return reduce(
+        lambda a, b: a & b,
+        [let_(p, probe) for p in _probe_positions(value, n_bits, k)],
+    )

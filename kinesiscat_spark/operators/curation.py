@@ -476,6 +476,8 @@ def contamination_report(
     bench_text_col: str = "text",
     min_hits: int = 1,
     broadcast_benchmark: bool = True,
+    bloom_bits: int | None = None,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Documents sharing ≥ ``min_hits`` distinct word ``n``-grams with the
     benchmark set (train/test overlap, Brown et al. 2020 §C).
@@ -489,6 +491,17 @@ def contamination_report(
     exchange is the per-document count rows. Pass
     ``broadcast_benchmark=False`` for an outsized benchmark to fall back
     to a shuffle join on the gram.
+
+    ``bloom_bits`` switches to the large-benchmark scale path: a
+    bit-packed Bloom filter over the benchmark grams (operators/bloom.py)
+    is broadcast instead of the gram set itself (8–10× smaller at ~10
+    bits/element), non-member grams are rejected in the scan stage, and
+    only the FPR-sized survivor stream reaches the exact verify join —
+    so the corpus gram stream never shuffles even when the benchmark is
+    too big to broadcast (``broadcast_benchmark=False``). Bloom filters
+    have no false negatives and the survivors are re-verified exactly,
+    so the output is row-for-row IDENTICAL to the default path — the
+    same DuckDB oracle checks both.
     """
     bench_grams = (
         benchmark.select(
@@ -502,6 +515,10 @@ def contamination_report(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
     )
     bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
+    if bloom_bits is not None:
+        return _contamination_report_bloom(
+            doc_grams, bench_side, bloom_bits, bloom_k, min_hits
+        )
     return (
         doc_grams.join(bench_side, "g", "left")
         .groupBy("id")
@@ -519,3 +536,70 @@ def contamination_report(
         )
         .filter(F.col("n_gram_hits") >= min_hits)
     )
+
+
+def _contamination_report_bloom(
+    doc_grams: DataFrame,
+    bench_side: DataFrame,
+    bloom_bits: int,
+    bloom_k: int,
+    min_hits: int,
+) -> DataFrame:
+    """Bloom-prefiltered contamination report (see contamination_report).
+
+    Plan shape — one corpus scan, no corpus-wide gram shuffle:
+
+      1. build the filter over the benchmark grams (one aggregation whose
+         shuffle payload is ≤ bloom_bits/64 mask rows),
+      2. cross-join the single filter row (broadcast) into the gram scan
+         and aggregate per document in ONE pass: total gram count plus
+         the collect_list of grams that might be contaminated (NULLs —
+         bloom misses — are dropped by collect_list, so the list is
+         FPR-sized, and the per-doc exchange carries only it),
+      3. explode the survivors and verify against the actual benchmark
+         gram set (inner join; shuffle- or broadcast- per bench_side) —
+         false positives die here, so counts are exact.
+
+    A document none of whose grams survive the filter cannot reach
+    min_hits ≥ 1 and exits at the explode; for min_hits < 1 the totals
+    are joined back so zero-hit documents are reported like the default
+    path does.
+    """
+    from kinesiscat_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    bloom = bloom_build(bench_side.select("g"), "g", bloom_bits, bloom_k)
+    per_doc = (
+        doc_grams.crossJoin(F.broadcast(bloom))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.collect_list(
+                F.when(
+                    bloom_might_contain(
+                        F.col("bloom"), F.col("g"), bloom_bits, bloom_k
+                    ),
+                    F.col("g"),
+                )
+            ).alias("cand"),
+        )
+    )
+    hits = (
+        per_doc.select("id", "n_grams", F.explode("cand").alias("g"))
+        .join(bench_side.drop("_hit"), "g")
+        .groupBy("id", "n_grams")
+        .agg(F.count("*").alias("n_gram_hits"))
+    )
+    if min_hits < 1:
+        hits = (
+            per_doc.select("id", "n_grams")
+            .join(hits.drop("n_grams"), "id", "left")
+            .withColumn("n_gram_hits", F.coalesce("n_gram_hits", F.lit(0)))
+        )
+    return hits.select(
+        "id",
+        "n_gram_hits",
+        "n_grams",
+        F.round(
+            F.col("n_gram_hits") / F.col("n_grams").cast("double"), 6
+        ).alias("contamination_frac"),
+    ).filter(F.col("n_gram_hits") >= min_hits)

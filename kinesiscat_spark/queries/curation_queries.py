@@ -369,27 +369,40 @@ dg AS (
 per_doc AS (SELECT id, count(*) AS n_grams FROM dg GROUP BY id),
 hits AS (
   SELECT id, count(*) AS n_gram_hits FROM dg JOIN bg USING (g) GROUP BY id
+),
+report AS (
+  SELECT id, n_gram_hits, n_grams,
+         round(n_gram_hits / n_grams::double, 6) AS contamination_frac
+  FROM per_doc JOIN hits USING (id)
+  WHERE n_gram_hits >= 1
 )
-SELECT id, n_gram_hits, n_grams,
-       round(n_gram_hits / n_grams::double, 6) AS contamination_frac
-FROM per_doc JOIN hits USING (id)
-WHERE n_gram_hits >= 1
+SELECT 'exact' AS method, * FROM report
+UNION ALL
+SELECT 'bloom' AS method, * FROM report
 """
+
+_DECON_BLOOM_BITS = 1 << 18
 
 
 @query("curation_decontaminate", oracle=_DECON_ORACLE)
 def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py
     contamination_report; Brown et al. 2020 §C): documents sharing ≥ 1
-    distinct word 5-gram with a benchmark set. The benchmark here is
-    derived in-query — a 12-word window from every 7th document — so the
-    oracle can rebuild it from the same tables (real pipelines pass the
-    actual test sets).
+    distinct word 5-gram with a benchmark set, computed BOTH ways — the
+    broadcast-join path (method='exact') and the Bloom-prefilter scale
+    path (method='bloom', operators/bloom.py). Bloom filters have no
+    false negatives and survivors are re-verified exactly, so the two
+    must agree row-for-row: the oracle emits the same SQL result under
+    both labels, which makes the hash check an equality proof for the
+    bloom path. The benchmark here is derived in-query — a 12-word
+    window from every 7th document — so the oracle can rebuild it from
+    the same tables (real pipelines pass the actual test sets).
 
-    Scale shape: the benchmark n-gram set is broadcast (test sets are
-    small by construction); the corpus side explodes its distinct grams
-    and partially aggregates hit counts map-side — the corpus itself never
-    shuffles by gram."""
+    Scale shape: exact path broadcasts the benchmark n-gram set (test
+    sets are small by construction) and the corpus never shuffles by
+    gram; the bloom path replaces that broadcast with a 32 KiB
+    bit-packed filter and an FPR-sized verify join — the shape that
+    survives a benchmark set too large to broadcast."""
     from pyspark.sql import functions as F
 
     from kinesiscat_spark.operators.curation import contamination_report
@@ -400,7 +413,17 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " "
         ).alias("text")
     )
-    return contamination_report(docs, bench, n=_DECON_N)
+    exact = contamination_report(docs, bench, n=_DECON_N)
+    bloom = contamination_report(
+        docs,
+        bench,
+        n=_DECON_N,
+        broadcast_benchmark=False,
+        bloom_bits=_DECON_BLOOM_BITS,
+    )
+    return exact.select(F.lit("exact").alias("method"), "*").unionByName(
+        bloom.select(F.lit("bloom").alias("method"), "*")
+    )
 
 
 # --- end-to-end curation pipeline lane (round 5) ---------------------------
