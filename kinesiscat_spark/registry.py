@@ -68,6 +68,11 @@ def load_all_query_modules() -> None:
         window_queries,
     )
 
+    # past-the-cap lanes (the driver verdicts the first 50; these get the
+    # identical hash check from tests/test_oracle_parity.py instead) —
+    # MUST import after every capped module so they never displace one
+    from kinesiscat_spark.queries import bpe_queries  # noqa: F401
+
 
 def all_queries() -> dict[str, QueryFn]:
     load_all_query_modules()
