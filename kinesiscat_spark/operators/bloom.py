@@ -23,15 +23,21 @@ negatives: the verified output is IDENTICAL to the exact join's, which
 is what lets ``curation_decontaminate``'s DuckDB oracle check this path
 row-for-row with the same SQL twin.
 
-Probe positions are ``pmod(xxhash64(i, value), n_bits)`` for seed index
-i in [0, k) — the standard k-independent-hash construction (Bloom 1970;
-sizing per Broder & Mitzenmacher 2004: FPR ≈ (1 - e^{-kn/m})^k, so the
-defaults m/n ≈ 10, k = 5 give ≈ 0.9 %).
+Hashing is the double-hashing scheme (Kirsch & Mitzenmacher 2006):
+``pos_i = (h1 + i·h2) mod m`` from TWO xxhash64 evaluations per value
+instead of k — asymptotically the same FPR, and the position array is
+let-bound once so a k-probe membership test costs 2 hashes + k adds.
+Sizing per Broder & Mitzenmacher 2004: FPR ≈ (1 − e^{−kn/m})^k; the
+defaults m/n ≈ 10, k = 5 give ≈ 1 %.
+
+Keep the probes OUT of interpreted operators: evaluate membership in a
+Project (whole-stage codegen), never inside a ``collect_list``-style
+ObjectHashAggregate expression — hoisting them there re-evaluates the
+lambda chain interpreted per row, ~40× slower (measured; see
+``curation._contamination_report_bloom``).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,13 +48,31 @@ N_BITS_DEFAULT = 1 << 22  # 512 KiB packed; ~10 bits/elem for 4e5 keys
 K_DEFAULT = 5
 
 
-def _probe_positions(value: Column, n_bits: int, k: int) -> list[Column]:
-    """k bit positions for ``value`` — pmod(xxhash64(seed_i, v), n_bits)."""
-    if n_bits <= 0 or k <= 0:
-        raise ValueError(f"n_bits and k must be positive (got {n_bits}, {k})")
-    return [
-        F.pmod(F.xxhash64(F.lit(i), value), F.lit(n_bits)) for i in range(k)
-    ]
+def _probe_positions(value: Column, n_bits: int, k: int) -> Column:
+    """array<long> of the k probe bit positions for ``value``.
+
+    ``(h1 + i·h2) mod m`` with h1 ∈ [0, m), h2 ∈ [1, m−1] (never 0 —
+    a zero stride would collapse every probe onto h1).  Both hashes are
+    let-bound, so the whole array costs two xxhash64 evaluations; the
+    modular pre-reduction keeps ``h1 + i·h2`` far from long overflow
+    (ANSI mode would throw on wrap).
+    """
+    if n_bits < 2 or k <= 0:
+        raise ValueError(f"need n_bits >= 2 and k > 0 (got {n_bits}, {k})")
+
+    def with_h1(h1: Column) -> Column:
+        def with_h2(h2: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(n_bits)),
+            )
+
+        return let_(
+            F.pmod(F.xxhash64(F.lit(1), value), F.lit(n_bits - 1)) + F.lit(1),
+            with_h2,
+        )
+
+    return let_(F.pmod(F.xxhash64(F.lit(0), value), F.lit(n_bits)), with_h1)
 
 
 def bloom_build(
@@ -68,7 +92,7 @@ def bloom_build(
     """
     n_words = (n_bits + 63) // 64
     pos = df.select(
-        F.explode(F.array(*_probe_positions(F.col(col), n_bits, k))).alias("p")
+        F.explode(_probe_positions(F.col(col), n_bits, k)).alias("p")
     )
     packed = (
         pos.select(
@@ -104,17 +128,10 @@ def bloom_might_contain(
 ) -> Column:
     """True iff every probe bit of ``value`` is set in ``bloom`` (the
     packed array from :func:`bloom_build`).  Guaranteed true for every
-    inserted key; false with probability ≈ FPR for others.
-
-    Each probe position is let-bound so the xxhash64 is computed once
-    per probe, not once per bit-op referencing it.
-    """
+    inserted key; false with probability ≈ FPR for others."""
 
     def probe(p: Column) -> Column:
         word = F.element_at(bloom, F.shiftright(p, 6).cast("int") + F.lit(1))
         return F.getbit(word, p.bitwiseAND(F.lit(63)).cast("int")) == F.lit(1)
 
-    return reduce(
-        lambda a, b: a & b,
-        [let_(p, probe) for p in _probe_positions(value, n_bits, k)],
-    )
+    return F.forall(_probe_positions(value, n_bits, k), probe)

@@ -568,20 +568,22 @@ def _contamination_report_bloom(
     from kinesiscat_spark.operators.bloom import bloom_build, bloom_might_contain
 
     bloom = bloom_build(bench_side.select("g"), "g", bloom_bits, bloom_k)
-    per_doc = (
-        doc_grams.crossJoin(F.broadcast(bloom))
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.collect_list(
-                F.when(
-                    bloom_might_contain(
-                        F.col("bloom"), F.col("g"), bloom_bits, bloom_k
-                    ),
-                    F.col("g"),
-                )
-            ).alias("cand"),
-        )
+    # The probe MUST be evaluated in this Project, not inside the
+    # aggregate: collect_list compiles to ObjectHashAggregate, which has
+    # no whole-stage codegen — hoisting the getbit/transform probes into
+    # its update expression re-evaluates them INTERPRETED per row (~40×
+    # slower, measured).  Down here they run compiled, and the aggregate
+    # sees a plain column.
+    tagged = doc_grams.crossJoin(F.broadcast(bloom)).select(
+        "id",
+        F.when(
+            bloom_might_contain(F.col("bloom"), F.col("g"), bloom_bits, bloom_k),
+            F.col("g"),
+        ).alias("cand_g"),
+    )
+    per_doc = tagged.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.collect_list("cand_g").alias("cand"),
     )
     hits = (
         per_doc.select("id", "n_grams", F.explode("cand").alias("g"))

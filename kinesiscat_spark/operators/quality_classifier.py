@@ -1,0 +1,209 @@
+"""Quality-classifier filtering: hashed-feature logistic regression.
+
+The GPT-3 / CCNet curation recipe (Brown et al. 2020 §A; Wenzek et al.
+2020) trains a linear classifier to separate a high-quality reference
+corpus from raw web text, scores every document, and keeps a
+score-biased sample.  This module is that recipe, Spark-first:
+
+- **Features** are the hashing trick (Weinberger et al. 2009): each
+  whitespace word maps to ``pmod(xxhash64(salt, word), n_features)``.
+  No vocabulary object, no fit step, no dense vector materialized —
+  the per-document feature map is (hashed id, count) rows derived
+  scan-stage from the word array.
+- **Training** is full-batch gradient descent run as a driver loop
+  (the same shape as Lloyd refinement and BPE training): one job per
+  iteration computes the gradient ``Xᵀ(σ(Xw) − y)`` with a narrow
+  (feature id, partial) exchange — the corpus text never shuffles —
+  and the driver applies the step.  The weight vector travels to
+  executors as a one-row DataFrame cross-join (the bloom.py pattern;
+  a literal array of n_features elements would hit the codegen wall
+  PCA documented).  Gradients are quantized at 1e-9 per iteration so
+  the learned model is partition-invariant (the PCA/Lloyd precedent
+  for float partial-sum order).
+- **Scoring** is scan-stage: one aggregate over the word array against
+  the broadcast weight row, no shuffle, no Python.
+- **Selection** replays GPT-3's Pareto trick deterministically:
+  GPT-3 keeps a document iff ``np.random.pareto(α) > 1 − score``; here
+  the uniform draw is content-hashed (the sampling.py discipline — no
+  ``rand()``), so the kept set is identical on any cluster, any
+  partitioning, any rerun.
+
+Training set sizing: the classifier is trained on a labeled SAMPLE
+(reference-vs-raw), not the corpus — |sample| ≪ corpus, so the
+iteration cost is bounded; scoring is the only corpus-wide pass.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.curation import words
+
+N_FEATURES_DEFAULT = 1 << 10
+HASH_SALT = 101
+
+
+def feature_ids(text: Column, n_features: int = N_FEATURES_DEFAULT) -> Column:
+    """array<int> of hashed feature ids, one per word occurrence."""
+    return F.transform(
+        words(text),
+        lambda w: F.pmod(F.xxhash64(F.lit(HASH_SALT), w), F.lit(n_features)).cast(
+            "int"
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    weights: tuple[float, ...]  # n_features
+    bias: float
+    n_features: int
+
+
+def _margin(ids: Column, weights: Column, bias: Column) -> Column:
+    """wᵀx + b over the hashed-id array, reading the weight row slot-wise."""
+    return (
+        F.aggregate(
+            ids,
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(weights, j + F.lit(1)),
+        )
+        + bias
+    )
+
+
+def _weights_row(spark, w: list[float], bias: float) -> DataFrame:
+    return spark.createDataFrame(
+        [(w, float(bias))], "w array<double>, b double"
+    )
+
+
+def _ordered_sum(col: str) -> Column:
+    """Sum as a VALUE-ORDERED left fold: collect, sort, accumulate.
+    Float addition is deterministic given the order, so the gradient is
+    bit-identical on any partitioning (the repo's value-ordered-fold
+    pattern); fine here because training runs on a labeled SAMPLE, so
+    per-feature lists are bounded by the sample size.  The sort + fold
+    evaluate once per group, after the aggregate."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = N_FEATURES_DEFAULT,
+    n_iter: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> QualityModel:
+    """Fit logistic weights on (text, label∈{0,1}) rows; deterministic
+    and partition-invariant (gradients quantized at 1e-9 per step).
+
+    One narrow aggregation per iteration: margins evaluate scan-stage
+    against the broadcast weight row, per-feature gradient partials
+    shuffle as at most (n_features + 1) rows after map-side combine.
+    """
+    spark = labeled.sparkSession
+    feats = labeled.select(
+        F.col(label_col).cast("double").alias("y"),
+        feature_ids(F.col(text_col), n_features).alias("ids"),
+    ).cache()
+    n = feats.count()
+    if n == 0:
+        return QualityModel((0.0,) * n_features, 0.0, n_features)
+
+    w = [0.0] * n_features
+    b = 0.0
+    for _ in range(n_iter):
+        wrow = _weights_row(spark, w, b)
+        err = feats.crossJoin(F.broadcast(wrow)).select(
+            "ids",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-_margin(F.col("ids"), F.col("w"), F.col("b"))))
+                - F.col("y")
+            ).alias("e"),
+        )
+        grad_rows = (
+            err.select(F.explode("ids").alias("j"), "e")
+            .groupBy("j")
+            .agg(_ordered_sum("e").alias("g"))
+            .collect()
+        )
+        bias_grad = err.agg(_ordered_sum("e")).first()[0] or 0.0
+        grad = [0.0] * n_features
+        for r in grad_rows:
+            grad[r.j] = r.g
+        # 1e-9 quantization is belt-and-braces on top of the ordered
+        # folds; the step itself runs driver-side in plain Python
+        w = [
+            wi - lr * (round(gi / n, 9) + l2 * wi)
+            for wi, gi in zip(w, grad)
+        ]
+        b -= lr * round(bias_grad / n, 9)
+    feats.unpersist()
+    return QualityModel(tuple(w), b, n_features)
+
+
+def quality_score(text: Column, model: QualityModel, weights: Column, bias: Column) -> Column:
+    """σ(wᵀx + b) given the broadcast weight-row columns."""
+    return F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-_margin(feature_ids(text, model.n_features), weights, bias))
+    )
+
+
+def score_documents_quality(
+    docs: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Append σ(wᵀx + b) — one scan, weight row broadcast, no shuffle."""
+    wrow = _weights_row(docs.sparkSession, list(model.weights), model.bias)
+    return (
+        docs.crossJoin(F.broadcast(wrow))
+        .withColumn(
+            out_col, quality_score(F.col(text_col), model, F.col("w"), F.col("b"))
+        )
+        .drop("w", "b")
+    )
+
+
+def pareto_keep(
+    score: Column,
+    id_col: Column,
+    alpha: float = 9.0,
+    salt: int = 0,
+) -> Column:
+    """GPT-3's score-biased keep rule, made deterministic: keep iff
+    ``pareto(α) > 1 − score`` where the Pareto draw comes from a
+    content-hashed uniform via the inverse CDF ``(1−u)^(−1/α) − 1``
+    (Brown et al. 2020 §A used np.random.pareto; a seeded RNG would
+    re-draw under retries/repartitioning, silently changing the kept
+    set — content hashing cannot).  High scores always survive; low
+    scores survive with Pareto-tail probability.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (got {alpha})")
+    u = (
+        F.pmod(F.xxhash64(F.lit(salt), id_col), F.lit(1 << 30)).cast("double")
+        / F.lit(float(1 << 30))
+    )
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return pareto > (F.lit(1.0) - score)
+
+
+def sigmoid(x: float) -> float:
+    """Reference scalar sigmoid (numerically symmetric) for tests."""
+    if x >= 0:
+        return 1.0 / (1.0 + math.exp(-x))
+    z = math.exp(x)
+    return z / (1.0 + z)

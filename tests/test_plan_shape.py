@@ -258,18 +258,36 @@ def test_lsh_topk_dedup_exchange_carries_no_vectors(spark):
 
 
 def test_decontaminate_one_pass_broadcast(plans):
-    """contamination_report makes ONE pass over the corpus grams: a single
-    corpus-side explode LEFT-joined against the broadcast benchmark gram
-    set, one aggregation — no second gram explode for totals, no shuffle
-    join, no Python."""
+    """The exact half of contamination_report makes ONE pass over the
+    corpus grams (corpus explode LEFT-joined against the broadcast
+    benchmark gram set, one aggregation); the bloom half adds exactly
+    five more Generates (its own corpus + bench explodes, the build's
+    position explode, the candidate explode, the verify bench explode)
+    — a double corpus explode for totals in EITHER half would raise the
+    count. No Python anywhere."""
     s = plans("curation_decontaminate")
     assert "BroadcastExchange" in s or "BroadcastHashJoin" in s
     assert "EvalPython" not in s
-    # two Generate nodes total: corpus grams + (small) benchmark grams —
-    # the former double-explode of corpus grams would make it three
     import re
 
-    assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 7
+
+
+def test_bloom_probe_stays_out_of_object_agg(plans):
+    """The bloom membership probes must evaluate in a codegen Project,
+    never inside the collect_list ObjectHashAggregate (interpreted,
+    no whole-stage codegen — hoisting the getbit/transform chain there
+    measured ~40× slower per row)."""
+    import re
+
+    s = plans("curation_decontaminate")
+    # formatted explain: the details block for each node starts with its
+    # "(id) NodeName" header; collect the ObjectHashAggregate blocks
+    blocks = re.split(r"^\((\d+)\) ", s, flags=re.M)
+    for header, body in zip(blocks[1::2], blocks[2::2]):
+        if body.startswith("ObjectHashAggregate"):
+            assert "getbit" not in body, f"probe inside node ({header})"
+    assert "getbit" in s  # the probes exist somewhere (a Project)
 
 
 def test_curation_signals_scan_stage(plans):

@@ -163,6 +163,33 @@ def probes():
         )
         return curation.contamination_report(docs, bench, n=5).count()
 
+    def p_bloom_decontaminate(spark, d):
+        from kinesiscat_spark.operators import curation
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        bench = docs.filter(
+            (F.col("doc_id") < 2000) & (F.col("doc_id") % 7 == 0)
+        ).select(
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " "
+            ).alias("text")
+        )
+        return curation.contamination_report(
+            docs,
+            bench,
+            n=5,
+            broadcast_benchmark=False,
+            bloom_bits=1 << 18,
+        ).count()
+
+    def p_bpe_train(spark, d):
+        from kinesiscat_spark.operators.bpe import train_bpe_detailed
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # per-copy token salting grows the DISTINCT-WORD table ~N×, which
+        # is exactly the dimension training cost should follow
+        return len(train_bpe_detailed(docs, 4))
+
     def p_packing(spark, d):
         from kinesiscat_spark.operators.packing import pack_sequences
 
@@ -241,6 +268,8 @@ def probes():
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
         "span_remove": (p_span_remove, "linear (hash exchange + narrow join)"),
         "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
+        "bloom_decontaminate": (p_bloom_decontaminate, "linear (bloom prefilter + FPR-sized verify join)"),
+        "bpe_train": (p_bpe_train, "linear in distinct words (4 merges)"),
         "packing": (p_packing, "linear (one shard-window exchange)"),
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
         "pq_adc_topk": (p_pq_adc, "linear (codes scan + LUT broadcast)"),
@@ -250,6 +279,7 @@ def probes():
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    only = set(sys.argv[2:])  # optional probe-name filter
     from kinesiscat_spark.session import get_spark
 
     spark = get_spark("scale-probe")
@@ -260,6 +290,8 @@ def main() -> None:
     results = {}
     try:
         for name, (fn, expect) in probes().items():
+            if only and name not in only:
+                continue
             fn(spark, small)  # warm (codegen/JIT)
             t0 = time.perf_counter()
             fn(spark, small)
