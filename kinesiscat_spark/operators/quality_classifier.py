@@ -47,13 +47,32 @@ N_FEATURES_DEFAULT = 1 << 10
 HASH_SALT = 101
 
 
-def feature_ids(text: Column, n_features: int = N_FEATURES_DEFAULT) -> Column:
-    """array<int> of hashed feature ids, one per word occurrence."""
+def feature_ids(
+    text: Column,
+    n_features: int = N_FEATURES_DEFAULT,
+    method: str = "xxhash64",
+    salt: int = HASH_SALT,
+) -> Column:
+    """array<int> of hashed feature ids, one per word occurrence, in
+    word order.  ``method='md5'`` costs a digest per word but reproduces
+    in any engine with md5 (12 hex chars → 48-bit int → mod — the
+    sampling.py discipline), which is what lets the classifier lane
+    carry a DuckDB twin; xxhash64 is the fast default."""
+    if method == "md5":
+        hashed = lambda w: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat_ws("\x1f", w, F.lit(str(salt)))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif method == "xxhash64":
+        hashed = lambda w: F.xxhash64(F.lit(salt), w)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
     return F.transform(
         words(text),
-        lambda w: F.pmod(F.xxhash64(F.lit(HASH_SALT), w), F.lit(n_features)).cast(
-            "int"
-        ),
+        lambda w: F.pmod(hashed(w), F.lit(n_features)).cast("int"),
     )
 
 
@@ -62,6 +81,8 @@ class QualityModel:
     weights: tuple[float, ...]  # n_features
     bias: float
     n_features: int
+    hash_method: str = "xxhash64"
+    hash_salt: int = HASH_SALT
 
 
 def _margin(ids: Column, weights: Column, bias: Column) -> Column:
@@ -102,6 +123,8 @@ def train_quality_classifier(
     n_iter: int = 30,
     lr: float = 0.5,
     l2: float = 1e-4,
+    hash_method: str = "xxhash64",
+    hash_salt: int = HASH_SALT,
 ) -> QualityModel:
     """Fit logistic weights on (text, label∈{0,1}) rows; deterministic
     and partition-invariant (gradients quantized at 1e-9 per step).
@@ -113,11 +136,15 @@ def train_quality_classifier(
     spark = labeled.sparkSession
     feats = labeled.select(
         F.col(label_col).cast("double").alias("y"),
-        feature_ids(F.col(text_col), n_features).alias("ids"),
+        feature_ids(F.col(text_col), n_features, hash_method, hash_salt).alias(
+            "ids"
+        ),
     ).cache()
     n = feats.count()
     if n == 0:
-        return QualityModel((0.0,) * n_features, 0.0, n_features)
+        return QualityModel(
+            (0.0,) * n_features, 0.0, n_features, hash_method, hash_salt
+        )
 
     w = [0.0] * n_features
     b = 0.0
@@ -149,14 +176,29 @@ def train_quality_classifier(
         ]
         b -= lr * round(bias_grad / n, 9)
     feats.unpersist()
-    return QualityModel(tuple(w), b, n_features)
+    return QualityModel(tuple(w), b, n_features, hash_method, hash_salt)
 
 
-def quality_score(text: Column, model: QualityModel, weights: Column, bias: Column) -> Column:
+def quality_margin(
+    text: Column, model: QualityModel, weights: Column, bias: Column
+) -> Column:
+    """wᵀx + b (pre-sigmoid) given the broadcast weight-row columns.
+    The margin is pure +/× arithmetic — no transcendental — so it is
+    the quantity the classifier lane hash-checks cross-engine (libm
+    ``exp`` is not bit-specified between engines; σ is monotone, so
+    thresholding on either is equivalent)."""
+    ids = feature_ids(
+        text, model.n_features, model.hash_method, model.hash_salt
+    )
+    return _margin(ids, weights, bias)
+
+
+def quality_score(
+    text: Column, model: QualityModel, weights: Column, bias: Column
+) -> Column:
     """σ(wᵀx + b) given the broadcast weight-row columns."""
     return F.lit(1.0) / (
-        F.lit(1.0)
-        + F.exp(-_margin(feature_ids(text, model.n_features), weights, bias))
+        F.lit(1.0) + F.exp(-quality_margin(text, model, weights, bias))
     )
 
 
@@ -165,13 +207,18 @@ def score_documents_quality(
     model: QualityModel,
     text_col: str = "text",
     out_col: str = "quality_score",
+    output: str = "score",
 ) -> DataFrame:
-    """Append σ(wᵀx + b) — one scan, weight row broadcast, no shuffle."""
+    """Append σ(wᵀx + b) (``output='score'``) or the raw margin
+    (``output='margin'``) — one scan, weight row broadcast, no shuffle."""
+    if output not in ("score", "margin"):
+        raise ValueError(f"unknown output {output!r}")
+    expr = quality_score if output == "score" else quality_margin
     wrow = _weights_row(docs.sparkSession, list(model.weights), model.bias)
     return (
         docs.crossJoin(F.broadcast(wrow))
         .withColumn(
-            out_col, quality_score(F.col(text_col), model, F.col("w"), F.col("b"))
+            out_col, expr(F.col(text_col), model, F.col("w"), F.col("b"))
         )
         .drop("w", "b")
     )

@@ -1,0 +1,108 @@
+"""Quality-classifier lane: one exact gradient step, hash-checked.
+
+The full training loop cannot carry a bit-exact cross-engine oracle —
+σ involves libm ``exp``, which is not bit-specified between the JVM
+and DuckDB.  One step from zero weights, however, is EXACT decimal
+arithmetic end to end: σ(0) = 0.5 exactly, so every per-document error
+is ±0.5, the value-ordered gradient folds sum halves (binary-exact),
+``g/n`` needs ≤5 decimal digits at every test sf (n is 500/10⁴/5·10⁴),
+and the emitted quantity is the pre-sigmoid MARGIN (pure +/× over the
+learned weights in word order) — no transcendental ever evaluated.
+σ is monotone, so a threshold on the margin is the same filter.
+
+Features use the md5 hash method (operators/quality_classifier.py
+``feature_ids``): 12 hex chars → 48-bit int → mod n_features, the
+sampling.py engine-portability discipline (xxhash64 has no DuckDB
+twin).  Later iterations and the Pareto keep rule stay
+pytest-differential in test_quality_classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.registry import query
+
+_QC_N_FEATURES = 64
+_QC_LR = 0.5
+_QC_SALT = 7
+
+_QC_ORACLE = f"""
+WITH
+base AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+    [CAST(('0x' || substr(md5(w || chr(31) || '{_QC_SALT}'), 1, 12)) AS BIGINT)
+       % {_QC_N_FEATURES}
+     for w in list_filter(string_split_regex(trim(coalesce(text, '')),
+                          '\\s+'), x -> len(x) > 0)] AS ids
+  FROM documents
+),
+n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM base),
+grad AS MATERIALIZED (
+  SELECT j,
+         list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(e))),
+                     (a, b) -> a + b) AS g
+  FROM (SELECT unnest(ids) AS j, 0.5::DOUBLE - y AS e FROM base)
+  GROUP BY j
+),
+w1 AS MATERIALIZED (
+  SELECT gs.j,
+         COALESCE(-{_QC_LR}::DOUBLE * round(g / (SELECT n FROM n), 9), 0.0) AS w
+  FROM generate_series(0, {_QC_N_FEATURES - 1}) AS gs(j)
+  LEFT JOIN grad ON grad.j = gs.j
+),
+warr AS MATERIALIZED (SELECT list(w ORDER BY j) AS arr FROM w1),
+b1 AS MATERIALIZED (
+  SELECT -{_QC_LR}::DOUBLE * round(
+           list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(0.5::DOUBLE - y))),
+                       (a, b) -> a + b) / (SELECT n FROM n), 9) AS b
+  FROM base
+)
+SELECT doc_id, y,
+       round(list_reduce(
+               list_prepend(0.0::DOUBLE, [arr[j + 1] for j in ids]),
+               (a, b) -> a + b) + b1.b, 6) AS margin
+FROM base, warr, b1
+"""
+
+
+@query("text_quality_classifier", oracle=_QC_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature logistic-regression quality filter
+    (operators/quality_classifier.py; Brown et al. 2020 §A): one exact
+    gradient step on lang='en'-vs-rest labels, then every document's
+    pre-sigmoid margin — the score the Pareto keep rule thresholds.
+
+    Scale shape: training runs on the labeled sample (here the corpus
+    itself) with ONE narrow (feature id, partial) exchange per
+    iteration; scoring is scan-stage against the broadcast weight row,
+    no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.quality_classifier import (
+        score_documents_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = train_quality_classifier(
+        labeled,
+        n_features=_QC_N_FEATURES,
+        n_iter=1,
+        lr=_QC_LR,
+        l2=0.0,
+        hash_method="md5",
+        hash_salt=_QC_SALT,
+    )
+    scored = score_documents_quality(
+        docs, model, out_col="margin", output="margin"
+    )
+    return scored.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.round("margin", 6).alias("margin"),
+    )

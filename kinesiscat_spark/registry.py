@@ -72,6 +72,7 @@ def load_all_query_modules() -> None:
     # identical hash check from tests/test_oracle_parity.py instead) —
     # MUST import after every capped module so they never displace one
     from kinesiscat_spark.queries import bpe_queries  # noqa: F401
+    from kinesiscat_spark.queries import classifier_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
