@@ -54,6 +54,8 @@ HEADLINE = (
     "curation_signals",
     "curation_span_dup",
     "curation_decontaminate",
+    "text_bpe_train",
+    "text_quality_classifier",
 )
 
 

@@ -128,10 +128,38 @@ def bloom_might_contain(
 ) -> Column:
     """True iff every probe bit of ``value`` is set in ``bloom`` (the
     packed array from :func:`bloom_build`).  Guaranteed true for every
-    inserted key; false with probability ≈ FPR for others."""
+    inserted key; false with probability ≈ FPR for others.
 
-    def probe(p: Column) -> Column:
-        word = F.element_at(bloom, F.shiftright(p, 6).cast("int") + F.lit(1))
-        return F.getbit(word, p.bitwiseAND(F.lit(63)).cast("int")) == F.lit(1)
+    The k probes are UNROLLED as AND'd scalar expressions rather than a
+    ``forall`` over the position array: only the two hash values are
+    let-bound (array-backed), and each probe is pure arithmetic — no
+    per-row array allocation for positions.  Same bits as the build
+    side's :func:`_probe_positions`; measured ~30 % faster per gram
+    than the array+forall spelling at sf0.1.  Recomputing the pmod
+    twice per probe (word index + bit index) is add/multiply only."""
+    if n_bits < 2 or k <= 0:
+        raise ValueError(f"need n_bits >= 2 and k > 0 (got {n_bits}, {k})")
 
-    return F.forall(_probe_positions(value, n_bits, k), probe)
+    def with_h1(h1: Column) -> Column:
+        def with_h2(h2: Column) -> Column:
+            conds = []
+            for i in range(k):
+                p = F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(n_bits))
+                word = F.element_at(
+                    bloom, F.shiftright(p, 6).cast("int") + F.lit(1)
+                )
+                conds.append(
+                    F.getbit(word, p.bitwiseAND(F.lit(63)).cast("int"))
+                    == F.lit(1)
+                )
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        return let_(
+            F.pmod(F.xxhash64(F.lit(1), value), F.lit(n_bits - 1)) + F.lit(1),
+            with_h2,
+        )
+
+    return let_(F.pmod(F.xxhash64(F.lit(0), value), F.lit(n_bits)), with_h1)

@@ -1,0 +1,59 @@
+"""Persist trained artifacts (BPE merge tables, quality classifiers) as
+parquet — the ann_index.py "build once, use many" discipline.
+
+Training a tokenizer or a quality classifier is a corpus-scale job; the
+artifact itself is kilobyte-scale.  Persisting it as plain parquet keeps
+the load path engine-agnostic (any Spark job — or DuckDB, or pandas —
+can read the table back), survives cluster restarts, and lets the
+expensive training run exactly once per corpus snapshot while every
+downstream pipeline (tokenize-and-pack, streaming curation, scoring)
+loads the few-KB table at plan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from kinesiscat_spark.operators.quality_classifier import QualityModel
+
+
+def save_bpe(
+    spark: SparkSession, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Write the merge table as (rank, left, right) parquet rows."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Read a merge table back in rank order (the order encoding needs)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]
+
+
+def save_quality_model(
+    spark: SparkSession, model: QualityModel, path: str
+) -> None:
+    """Write the classifier as one parquet row (weights array + scalars)."""
+    spark.createDataFrame(
+        [
+            (
+                list(model.weights),
+                model.bias,
+                model.n_features,
+                model.hash_method,
+                model.hash_salt,
+            )
+        ],
+        "weights array<double>, bias double, n_features int, "
+        "hash_method string, hash_salt int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
+    [r] = spark.read.parquet(path).collect()
+    return QualityModel(
+        tuple(r.weights), r.bias, r.n_features, r.hash_method, r.hash_salt
+    )

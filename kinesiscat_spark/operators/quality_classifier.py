@@ -210,10 +210,26 @@ def score_documents_quality(
     output: str = "score",
 ) -> DataFrame:
     """Append σ(wᵀx + b) (``output='score'``) or the raw margin
-    (``output='margin'``) — one scan, weight row broadcast, no shuffle."""
+    (``output='margin'``) — one scan, weight row broadcast, no shuffle.
+
+    On a STREAMING DataFrame the weights ride as a single array literal
+    instead of the 1-row cross join (stream-static cross joins are not
+    reliably supported; one Literal(ArrayData) is a constant reference,
+    not n_features expressions, so there is no codegen-wall risk).
+    """
     if output not in ("score", "margin"):
         raise ValueError(f"unknown output {output!r}")
     expr = quality_score if output == "score" else quality_margin
+    if docs.isStreaming:
+        return docs.withColumn(
+            out_col,
+            expr(
+                F.col(text_col),
+                model,
+                F.lit(list(model.weights)),
+                F.lit(model.bias),
+            ),
+        )
     wrow = _weights_row(docs.sparkSession, list(model.weights), model.bias)
     return (
         docs.crossJoin(F.broadcast(wrow))

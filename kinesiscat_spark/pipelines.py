@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesiscat_spark.operators.quality_classifier import QualityModel
+
 
 @dataclass
 class CurationConfig:
@@ -56,6 +58,13 @@ class CurationConfig:
     # surviving document with every w-token window that already occurred
     # earlier in the corpus removed. None disables (the default).
     span_removal_w: int | None = None
+    # Quality-classifier filtering (Brown et al. 2020 §A), applied after
+    # dedup like GPT-3's pipeline: score with the trained model
+    # (operators/quality_classifier.py) and keep via the deterministic
+    # Pareto rule. None disables (the default).
+    quality_model: "QualityModel | None" = None
+    pareto_alpha: float = 9.0
+    pareto_salt: int = 0
     # C4 line/document cleaning (Raffel et al. 2020 §2.2), applied FIRST
     # (C4 cleans pages before any other gate): retain only lines ending
     # in terminal punctuation with >= 5 words and no "javascript"; drop
@@ -234,6 +243,26 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     out = step("near_dedup", near_dedup(out, cfg))
     if cfg.span_removal_w:
         out = step("span_removal", span_removal(out, cfg))
+    if cfg.quality_model is not None:
+        from kinesiscat_spark.operators.quality_classifier import (
+            pareto_keep,
+            score_documents_quality,
+        )
+
+        scored = score_documents_quality(
+            out, cfg.quality_model, cfg.text_col, out_col="_q"
+        )
+        out = step(
+            "classifier",
+            scored.filter(
+                pareto_keep(
+                    F.col("_q"),
+                    F.col(cfg.id_col),
+                    cfg.pareto_alpha,
+                    cfg.pareto_salt,
+                )
+            ).drop("_q"),
+        )
     if cfg.sample_fraction < 1.0:
         from kinesiscat_spark.operators.sampling import hash_sample
 
@@ -334,6 +363,21 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
         order_col=cfg.id_col,
         output_schema=T.StructType(keyed.schema.fields),
     ).drop("_h")
+    if cfg.quality_model is not None:
+        from kinesiscat_spark.operators.quality_classifier import (
+            pareto_keep,
+            score_documents_quality,
+        )
+
+        # streaming-safe: the weight row rides as a literal array (see
+        # score_documents_quality), so this stays a scan-stage filter
+        deduped = score_documents_quality(
+            deduped, cfg.quality_model, cfg.text_col, out_col="_q"
+        ).filter(
+            pareto_keep(
+                F.col("_q"), F.col(cfg.id_col), cfg.pareto_alpha, cfg.pareto_salt
+            )
+        ).drop("_q")
     if cfg.sample_fraction < 1.0:
         deduped = hash_sample(
             deduped,

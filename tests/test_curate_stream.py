@@ -91,3 +91,42 @@ def test_scan_stage_decontamination_matches_report_form(spark, cfg):
     assert sorted(r.doc_id for r in scan.select("doc_id").collect()) == sorted(
         r.doc_id for r in report.select("doc_id").collect()
     )
+
+
+def test_curate_stream_classifier_stage(spark):
+    """The classifier stage runs inside the streaming plan (literal
+    weight array — no stream-static cross join) and keeps exactly the
+    doc_ids the batch composition keeps."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.quality_classifier import (
+        pareto_keep,
+        score_documents_quality,
+        train_quality_classifier,
+    )
+    from kinesiscat_spark.pipelines import (
+        CurationConfig,
+        curate_stream,
+        exact_dedup,
+        quality_gate,
+    )
+    from kinesiscat_spark.streaming import run_to_memory
+    from kinesiscat_spark.streaming.source import read_table_stream
+
+    batch = load_table(spark, SF_SMOKE, "documents")
+    labeled = batch.select(
+        "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = train_quality_classifier(labeled, n_features=64, n_iter=5)
+    cfg = CurationConfig(min_tokens=5, quality_model=model, pareto_salt=11)
+
+    stream = read_table_stream(spark, SF_SMOKE, "documents")
+    drained = run_to_memory(curate_stream(stream, cfg), output_mode="append")
+    got = sorted(r.doc_id for r in drained.select("doc_id").collect())
+
+    b = exact_dedup(quality_gate(batch, cfg), cfg)
+    b = score_documents_quality(b, model, out_col="_q").filter(
+        pareto_keep(F.col("_q"), F.col("doc_id"), 9.0, 11)
+    )
+    want = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert got == want
+    assert 0 < len(got) < batch.count()

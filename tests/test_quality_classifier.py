@@ -152,3 +152,31 @@ def test_pareto_keep_deterministic_and_score_biased(spark):
 def test_pareto_invalid_alpha():
     with pytest.raises(ValueError):
         pareto_keep(F.lit(0.5), F.lit(1), alpha=0.0)
+
+
+def test_curate_classifier_stage(spark, labeled):
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+    from kinesiscat_spark.operators.quality_classifier import (
+        score_documents_quality,
+    )
+
+    model = train_quality_classifier(labeled, n_features=N_FEATURES, n_iter=20)
+    docs = labeled.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    counts: dict = {}
+    cfg = CurationConfig(
+        min_tokens=1, quality_model=model, pareto_salt=5, stage_counts=counts
+    )
+    out = curate(docs, cfg)
+    # the stage ran, filtered something, and equals the manual composition
+    manual = score_documents_quality(docs, model).filter(
+        pareto_keep(F.col("quality_score"), F.col("doc_id"), 9.0, 5)
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in manual.collect()
+    )
+    assert counts["classifier"] <= counts["pii"]
+    assert "quality_score" not in out.columns and "_q" not in out.columns

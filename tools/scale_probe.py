@@ -182,6 +182,20 @@ def probes():
             bloom_bits=1 << 18,
         ).count()
 
+    def p_quality_classifier(spark, d):
+        from kinesiscat_spark.operators.quality_classifier import (
+            score_documents_quality,
+            train_quality_classifier,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        labeled = docs.select(
+            "text", (F.col("lang") == "en").cast("int").alias("label")
+        )
+        model = train_quality_classifier(labeled, n_iter=3)
+        return score_documents_quality(docs, model).count()
+
     def p_bpe_train(spark, d):
         from kinesiscat_spark.operators.bpe import train_bpe_detailed
 
@@ -270,6 +284,7 @@ def probes():
         "decontaminate": (p_decontaminate, "linear (one pass, broadcast bench)"),
         "bloom_decontaminate": (p_bloom_decontaminate, "linear (bloom prefilter + FPR-sized verify join)"),
         "bpe_train": (p_bpe_train, "linear in distinct words (4 merges)"),
+        "quality_classifier": (p_quality_classifier, "linear (3 GD iters + scan-stage scoring)"),
         "packing": (p_packing, "linear (one shard-window exchange)"),
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
         "pq_adc_topk": (p_pq_adc, "linear (codes scan + LUT broadcast)"),
