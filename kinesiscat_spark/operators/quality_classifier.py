@@ -158,16 +158,27 @@ def train_quality_classifier(
                 - F.col("y")
             ).alias("e"),
         )
+        # the bias gradient (Σe) rides the same aggregation as feature id
+        # −1 — every row contributes one sentinel — so each iteration is
+        # ONE job, not a gradient job plus a bias job
         grad_rows = (
-            err.select(F.explode("ids").alias("j"), "e")
+            err.select(
+                F.explode(
+                    F.concat(F.col("ids"), F.array(F.lit(-1)))
+                ).alias("j"),
+                "e",
+            )
             .groupBy("j")
             .agg(_ordered_sum("e").alias("g"))
             .collect()
         )
-        bias_grad = err.agg(_ordered_sum("e")).first()[0] or 0.0
+        bias_grad = 0.0
         grad = [0.0] * n_features
         for r in grad_rows:
-            grad[r.j] = r.g
+            if r.j < 0:
+                bias_grad = r.g
+            else:
+                grad[r.j] = r.g
         # 1e-9 quantization is belt-and-braces on top of the ordered
         # folds; the step itself runs driver-side in plain Python
         w = [
