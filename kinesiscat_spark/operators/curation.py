@@ -263,6 +263,36 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     return let_(word_ngrams(text, n), body)
 
 
+# --- blocklist word filtering (C4 §2.2 "List of ... Bad Words") ------------
+
+
+def blocklist_signals(text: Column, blocklist: tuple[str, ...]) -> Column:
+    """Struct of blocklist statistics: ``n_list_hits`` (tokens whose
+    lowercase form is in ``blocklist``) and ``list_word_frac`` (hits /
+    tokens; NULL for token-free documents).  C4 drops any page with a
+    single hit; Gopher-style pipelines gate on the fraction.
+
+    Scan-stage: the blocklist travels as ONE array literal
+    (``Literal(ArrayData)`` — a constant reference, not len(list)
+    expressions) and each token pays an O(|list|) ``array_contains``.
+    Real-world lists are a few hundred words, so the per-token cost is
+    a small constant; for an outsized list, pre-filter with a Bloom
+    filter (operators/bloom.py) and verify the survivors.
+    """
+
+    def body(ws: Column) -> Column:
+        arr = F.lit([w.lower() for w in blocklist])
+        hits = F.size(F.filter(ws, lambda t: F.array_contains(arr, F.lower(t))))
+        return F.struct(
+            hits.cast("long").alias("n_list_hits"),
+            F.when(
+                F.size(ws) > 0, hits / F.size(ws).cast("double")
+            ).alias("list_word_frac"),
+        )
+
+    return let_(words(text), body)
+
+
 # --- PII -------------------------------------------------------------------
 
 # Deterministic, oracle-reproducible patterns (Java regex ∩ RE2 subset so

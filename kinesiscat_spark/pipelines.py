@@ -46,6 +46,11 @@ class CurationConfig:
     max_dup_line_frac: float = 0.0
     max_top_ngram_char_frac: float = 0.0
     top_ngram_n: int = 2
+    # Blocklist word filtering (C4 §2.2): drop documents whose blocklist
+    # word fraction exceeds the threshold (0.0 = any hit drops, the C4
+    # rule). Empty blocklist disables.
+    blocklist: tuple[str, ...] = ()
+    max_blocklist_frac: float = 0.0
     # PII handling: "keep" (default), "redact" (mask in place), or "drop"
     # (remove documents with any match)
     pii_policy: str = "keep"
@@ -109,6 +114,19 @@ def repetition_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
         frac = top_ngram_char_frac(F.col(cfg.text_col), cfg.top_ngram_n)
         out = out.filter(frac <= cfg.max_top_ngram_char_frac)
     return out
+
+
+def blocklist_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Drop blocklist-heavy documents (C4 §2.2) — scan-stage; documents
+    with no tokens have no hits and are kept."""
+    if not cfg.blocklist:
+        return docs
+    from kinesiscat_spark.operators.curation import blocklist_signals
+
+    frac = blocklist_signals(F.col(cfg.text_col), cfg.blocklist)[
+        "list_word_frac"
+    ]
+    return docs.filter(F.coalesce(frac, F.lit(0.0)) <= cfg.max_blocklist_frac)
 
 
 def pii_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -236,6 +254,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         out = step("c4", c4_clean(out, cfg.text_col))
     out = step("quality", quality_gate(out, cfg))
     out = step("repetition", repetition_gate(out, cfg))
+    out = step("blocklist", blocklist_gate(out, cfg))
     out = step("language", language_gate(out, cfg))
     out = step("pii", pii_gate(out, cfg))
     out = step("decontaminate", decontaminate(out, cfg))
@@ -334,6 +353,7 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
     cfg = cfg or CurationConfig()
     out = quality_gate(stream_docs, cfg)
     out = repetition_gate(out, cfg)
+    out = blocklist_gate(out, cfg)
     out = language_gate(out, cfg)
     out = pii_gate(out, cfg)
     if cfg.benchmark is not None:

@@ -215,6 +215,12 @@ def _ngrams_sql(t: str, n: int) -> str:
     )
 
 
+# lane blocklist: two words present in the synthetic corpus so the
+# signal is non-degenerate (real pipelines pass the published C4 list)
+_BLOCKLIST = ("slow", "stale")
+_BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+
+
 def _signals_oracle() -> str:
     from kinesiscat_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -242,7 +248,13 @@ SELECT doc_id,
   END AS dup_line_frac,
   len(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
   len(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ipv4,
-  len(regexp_extract_all(text, '{PHONE_RE}'))::bigint AS n_phones
+  len(regexp_extract_all(text, '{PHONE_RE}'))::bigint AS n_phones,
+  len(list_filter({_WORDS.format(t="text")},
+      x -> list_contains({_BLOCKLIST_SQL}, lower(x))))::bigint AS n_list_hits,
+  CASE WHEN len({_WORDS.format(t="text")}) > 0 THEN
+    len(list_filter({_WORDS.format(t="text")},
+        x -> list_contains({_BLOCKLIST_SQL}, lower(x))))
+    / len({_WORDS.format(t="text")})::double END AS list_word_frac
 FROM g
 """
 
@@ -263,6 +275,7 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from kinesiscat_spark.operators.curation import (
+        blocklist_signals,
         dup_ngram_char_frac,
         pii_signals,
         repetition_signals,
@@ -278,6 +291,12 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_signals(F.col("text"))["n_emails"].alias("n_emails"),
         pii_signals(F.col("text"))["n_ipv4"].alias("n_ipv4"),
         pii_signals(F.col("text"))["n_phones"].alias("n_phones"),
+        blocklist_signals(F.col("text"), _BLOCKLIST)["n_list_hits"].alias(
+            "n_list_hits"
+        ),
+        blocklist_signals(F.col("text"), _BLOCKLIST)["list_word_frac"].alias(
+            "list_word_frac"
+        ),
     )
 
 

@@ -373,3 +373,36 @@ def test_curation_invariants_random_texts(spark):
         .count()
     )
     assert residue == 0
+
+
+class TestBlocklist:
+    def test_signals_case_insensitive_and_frac(self, spark):
+        from kinesiscat_spark.operators.curation import blocklist_signals
+
+        df = spark.createDataFrame(
+            [("Bad word bAD good",), ("clean text only here",), ("",), (None,)],
+            "text string",
+        )
+        rows = df.select(
+            blocklist_signals(F.col("text"), ("bad", "worse")).alias("s")
+        ).collect()
+        assert (rows[0].s.n_list_hits, rows[0].s.list_word_frac) == (2, 0.5)
+        assert (rows[1].s.n_list_hits, rows[1].s.list_word_frac) == (0, 0.0)
+        assert rows[2].s.n_list_hits == 0 and rows[2].s.list_word_frac is None
+        assert rows[3].s.n_list_hits is None
+
+    def test_gate_drop_any_hit_and_threshold(self, spark):
+        from kinesiscat_spark.pipelines import CurationConfig, blocklist_gate
+
+        df = spark.createDataFrame(
+            [(1, "bad apple pie dish"), (2, "all fine here"), (3, "")],
+            "doc_id long, text string",
+        )
+        strict = CurationConfig(blocklist=("bad",))
+        kept = sorted(r.doc_id for r in blocklist_gate(df, strict).collect())
+        assert kept == [2, 3]  # any hit drops; token-free doc kept
+        lax = CurationConfig(blocklist=("bad",), max_blocklist_frac=0.3)
+        kept = sorted(r.doc_id for r in blocklist_gate(df, lax).collect())
+        assert kept == [1, 2, 3]  # 1/4 = 0.25 <= 0.3
+        off = CurationConfig()
+        assert blocklist_gate(df, off) is df
