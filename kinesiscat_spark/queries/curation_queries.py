@@ -490,8 +490,13 @@ g_rep AS (  -- repetition gates (Gopher A1.1): dup-line frac + top-2-gram frac
            ORDER BY cnt DESC, g DESC LIMIT 1)
           / greatest(len(text), 1)::double ELSE 0.0 END) <= {_PIPE_MAX_TOP2}
 ),
-g_pii AS (  -- pii_policy='drop': no email/IPv4/intl-phone matches
+g_block AS (  -- blocklist gate (C4 2.2): any blocklist hit drops
   SELECT * FROM g_rep
+  WHERE len(list_filter({_WORDS.format(t="text")},
+        x -> list_contains({_BLOCKLIST_SQL}, lower(x)))) = 0
+),
+g_pii AS (  -- pii_policy='drop': no email/IPv4/intl-phone matches
+  SELECT * FROM g_block
   WHERE len(regexp_extract_all(text, '{EMAIL_RE}'))
       + len(regexp_extract_all(text, '{IPV4_RE}'))
       + len(regexp_extract_all(text, '{PHONE_RE}')) = 0
@@ -577,7 +582,8 @@ WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
 @query("curation_pipeline", oracle=_pipeline_oracle())
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE training-data curation pipeline (pipelines.py curate),
-    hash-checked end to end: quality gate → Gopher repetition gates → PII
+    hash-checked end to end: quality gate → Gopher repetition gates →
+    blocklist gate (C4 any-hit drop) → PII
     drop → benchmark decontamination → exact dedup → minhash-LSH near-dup
     pairs → connected components → keep-canonical → deterministic md5
     sampling. One lazy Spark plan; the oracle replays every stage as a CTE
@@ -605,6 +611,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup_line_frac=_PIPE_MAX_DUP_LINE,
         max_top_ngram_char_frac=_PIPE_MAX_TOP2,
         top_ngram_n=2,
+        blocklist=_BLOCKLIST,
         pii_policy="drop",
         benchmark=bench,
         contamination_ngram=_PIPE_DECON_N,
