@@ -1,8 +1,8 @@
-"""BPE tokenizer-training lane: the learned merge table, hash-checked
-against a DuckDB oracle that REPLAYS the whole training loop in SQL.
+"""BPE tokenizer lane: training AND encoding, hash-checked against a
+DuckDB oracle that REPLAYS the whole algorithm in SQL.
 
-The oracle unrolls the ``_BPE_N_MERGES`` iterations into CTE layers
-(the same technique the IVF-refined lane uses for its Lloyd
+The oracle unrolls the ``_BPE_N_MERGES`` training iterations into CTE
+layers (the same technique the IVF-refined lane uses for its Lloyd
 iterations): each layer k counts adjacent pairs over the layer-(k−1)
 symbol table via a list-comprehension zip, takes the deterministic
 argmax (count desc, lexicographic pair; ``min_pair_count`` rides the
@@ -14,6 +14,16 @@ formulations guarantee; see operators/bpe.py).  CTEs are MATERIALIZED:
 DuckDB inlines CTE bodies by default, and the scalar subqueries on
 ``b{k}`` inside the recursion would otherwise re-evaluate the whole
 layer stack per step — exponential in the number of layers.
+
+ENCODING rides the same layers for free: the final symbol table IS the
+encoding of every distinct word under the learned merges (greedy
+rank-order encoding ≡ the training evolution — once training passes
+rank r, no pair of rank ≤ r can reappear, since a pair containing a
+later-fused symbol must itself have a later rank).  The lane therefore
+emits ``kind='merge'`` rows (the merge table with counts) plus
+``kind='doc'`` rows (per-document BPE token counts from the
+Arrow-batched ``tokenize``), and the oracle joins word occurrences
+against the final layer's symbol lengths.
 
 Registered LAST on purpose: the driver verdicts the first 50 lanes and
 all 50 existing slots are load-bearing, so this lane sits past the cap
@@ -44,9 +54,9 @@ p{k} AS MATERIALIZED (
 b{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} WHERE cnt >= {_BPE_MIN_COUNT}
          ORDER BY cnt DESC, a, b LIMIT 1),
 m{k} AS (
-  SELECT freq, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM s{k - 1}
+  SELECT word, freq, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM s{k - 1}
   UNION ALL
-  SELECT freq, syms,
+  SELECT word, freq, syms,
     CASE WHEN pos < len(syms) AND syms[pos] = (SELECT a FROM b{k})
               AND syms[pos + 1] = (SELECT b FROM b{k})
          THEN pos + 2 ELSE pos + 1 END,
@@ -56,14 +66,16 @@ m{k} AS (
          ELSE list_append(acc, syms[pos]) END
   FROM m{k} WHERE pos <= len(syms)
 ),
-s{k} AS MATERIALIZED (SELECT freq, acc AS syms FROM m{k}
+s{k} AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m{k}
          WHERE pos = len(syms) + 1)"""
 
 
 def _bpe_oracle(n_merges: int) -> str:
     layers = ",".join(_layer(k) for k in range(1, n_merges + 1))
-    emit = "\nUNION ALL\n".join(
-        f"SELECT {k - 1} AS merge_rank, a AS lhs, b AS rhs, cnt FROM b{k}"
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS kind, {k - 1} AS merge_rank, a AS lhs, b AS rhs,"
+        f" cnt, CAST(NULL AS BIGINT) AS doc_id,"
+        f" CAST(NULL AS BIGINT) AS n_bpe_tokens FROM b{k}"
         for k in range(1, n_merges + 1)
     )
     return f"""
@@ -74,32 +86,70 @@ wf AS MATERIALIZED (
                '\\s+'), x -> len(x) > 0)) AS word FROM documents)
   GROUP BY word
 ),
-s0 AS MATERIALIZED (SELECT freq,
+s0 AS MATERIALIZED (SELECT word, freq,
          list_append(list_transform(range(1, len(word) + 1), i -> word[i]),
                      '</w>') AS syms
        FROM wf),
-{layers}
-{emit}
+{layers},
+enc AS MATERIALIZED (
+  SELECT word, len(syms)::BIGINT AS n FROM s{n_merges}
+),
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
+                '\\s+'), x -> len(x) > 0)) AS word
+  FROM documents
+),
+doc_counts AS (
+  SELECT d.doc_id, COALESCE(sum(e.n), 0)::BIGINT AS n_bpe_tokens
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, n FROM dwords JOIN enc USING (word)) e
+    ON d.doc_id = e.doc_id
+  GROUP BY d.doc_id
+)
+{merge_rows}
+UNION ALL
+SELECT 'doc', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), doc_id, n_bpe_tokens
+FROM doc_counts
 """
 
 
 @query("text_bpe_train", oracle=_bpe_oracle(_BPE_N_MERGES))
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (operators/bpe.py; Sennrich et
-    al. 2016): the first ``_BPE_N_MERGES`` learned merges with their
-    pair counts, in rank order.
+    """Distributed BPE tokenizer training + encoding (operators/bpe.py;
+    Sennrich et al. 2016): the first ``_BPE_N_MERGES`` learned merges
+    with their pair counts (``kind='merge'``), plus every document's
+    token count under the learned tokenizer (``kind='doc'`` — the
+    Arrow-batched greedy encoder, whose rank-order greediness is
+    provably the training evolution; see module docstring).
 
-    Scale shape: word_frequencies is the only corpus-wide stage (one
-    shuffle, combined map-side); every iteration after runs on the
-    distinct-word table — one narrow pair aggregation plus a scan-stage
-    fold rewrite, with localCheckpoint keeping the plan flat."""
-    from kinesiscat_spark.operators.bpe import train_bpe_detailed
+    Scale shape: word_frequencies is the only corpus-wide training
+    stage (one shuffle, combined map-side); every iteration after runs
+    on the distinct-word table — one narrow pair aggregation plus a
+    scan-stage fold rewrite, with localCheckpoint keeping the plan
+    flat.  Encoding is embarrassingly parallel (per-batch word cache,
+    Zipf ⇒ dict-hit amortized)."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.bpe import tokenize, train_bpe_detailed
 
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_detailed(
         docs, _BPE_N_MERGES, min_pair_count=_BPE_MIN_COUNT
     )
-    return spark.createDataFrame(
-        [(i, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)],
-        "merge_rank int, lhs string, rhs string, cnt bigint",
+    mrows = spark.createDataFrame(
+        [("merge", i, a, b, cnt, None, None) for i, (a, b, cnt) in enumerate(merges)],
+        "kind string, merge_rank int, lhs string, rhs string, cnt bigint,"
+        " doc_id bigint, n_bpe_tokens bigint",
     )
+    counts = tokenize(docs, [(a, b) for a, b, _ in merges]).select(
+        F.lit("doc").alias("kind"),
+        F.lit(None).cast("int").alias("merge_rank"),
+        F.lit(None).cast("string").alias("lhs"),
+        F.lit(None).cast("string").alias("rhs"),
+        F.lit(None).cast("long").alias("cnt"),
+        "doc_id",
+        "n_bpe_tokens",
+    )
+    return mrows.unionByName(counts)
