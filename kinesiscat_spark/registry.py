@@ -73,6 +73,8 @@ def load_all_query_modules() -> None:
     # MUST import after every capped module so they never displace one
     from kinesiscat_spark.queries import bpe_queries  # noqa: F401
     from kinesiscat_spark.queries import classifier_queries  # noqa: F401
+    from kinesiscat_spark.queries import hybrid_queries  # noqa: F401
+    from kinesiscat_spark.queries import chunk_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
