@@ -56,6 +56,8 @@ HEADLINE = (
     "curation_decontaminate",
     "text_bpe_train",
     "text_quality_classifier",
+    "similarity_hybrid_rrf",
+    "text_chunks_shuffled",
 )
 
 

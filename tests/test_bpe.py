@@ -153,3 +153,17 @@ def test_tokenize_counts_and_merges_df(spark, corpus_df):
     mdf = merges_df(spark, merges)
     assert [(r.left, r.right) for r in mdf.orderBy("rank").collect()] == merges
     assert bpe_vocab(merges) == [a + b for a, b in merges]
+
+
+def test_train_degenerate_single_char_runs(spark):
+    """Adversarial: a corpus of one repeated character exercises the
+    self-overlapping pair (a,a) cascade — fold semantics (leftmost,
+    non-overlapping, merged symbol re-usable as LEFT element) must match
+    the replay at every rank."""
+    df = spark.createDataFrame([("a " + "aaaa " * 6 + "aaaaaaaa",)], "text string")
+    merges = train_bpe(df, n_merges=6)
+    texts = ["a " + "aaaa " * 6 + "aaaaaaaa"]
+    assert merges == _py_train(_py_word_freq(texts), 6)
+    [r] = df.select(bpe_encode(F.col("text"), merges).alias("t")).collect()
+    expect = [t for w in texts[0].split() for t in _py_encode(w, merges)]
+    assert r.t == expect
