@@ -1,0 +1,147 @@
+"""SemDeDup: semantic deduplication via k-means cells + within-cell
+cosine pruning (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication").
+
+The recipe: cluster the embedding space with k-means, then inside each
+cluster drop every item that is within cosine ``tau`` of an item that
+precedes it in the cluster's keep order.  The published implementation
+(facebookresearch/SemDeDup) makes "precedes" independent of what was
+already dropped — item x is removed iff ANY earlier-ordered y in the
+same cluster has cos(x, y) >= tau, whether or not y itself survives —
+which turns the greedy into a fully declarative predicate:
+
+    kept(x)  <=>  NOT EXISTS y : cell(y) = cell(x)
+                               AND rank(y) < rank(x)
+                               AND cos(x, y) >= tau
+
+Spark-first layout, sized for 100 TB:
+
+- The k-means build reuses :func:`similarity.ivf_centroids` /
+  :func:`similarity.ivf_assign` verbatim — deterministic seeds (the
+  n_cells lowest-id vectors), optional distributed Lloyd refinement,
+  centroids broadcast so assignment is scan-stage with a single
+  (id, cell) exchange.
+- The quadratic work is confined per cell — the paper's design point:
+  n_cells is chosen so |cell| ~= n/k stays small (the paper used 50k
+  clusters for LAION); total pair cost is sum(|cell|^2), a factor k
+  below the all-pairs join, and each side of the cell-keyed self-join
+  shuffles only (cell, rank, id, vec).
+- Rank and the drop predicate are pure Column arithmetic (fold-based
+  dot products, IEEE-deterministic), so the whole operator replays in
+  ANSI SQL: the ``dedup_semantic`` lane hash-checks kept/dropped flags
+  end to end against DuckDB.
+
+Keep order: ``keep='outlier'`` (default) ranks ascending by cosine to
+the cell centroid — the paper's best-performing choice ("keep examples
+farthest from the centroid", §4.3); ``keep='medoid'`` ranks descending.
+Ties break on id, so the kept set is a total-order function of the data
+— partition-invariant, rerun-invariant, engine-portable.
+
+Skew note: a pathological cell (every vector identical) makes that
+cell's join quadratic in its size, exactly like the all-pairs verify
+stage in ``dedup.embedding_near_dup_pairs``.  The guard is n_cells
+itself — at scale, size k so n/k stays in the 10^3..10^4 range; the
+refinement iterations then split dense regions further.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.similarity import (
+    cosine,
+    ivf_assign,
+    ivf_centroids,
+)
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_iters: int = 0,
+    keep: str = "outlier",
+) -> DataFrame:
+    """(id, cell, centroid_sim, kept) for every input vector — ``kept``
+    is False exactly for the vectors SemDeDup removes.
+
+    Plan shape: centroid build (driver-bounded: only k rows ever leave
+    the executors) -> broadcast-assign (one narrow exchange) -> rank
+    window per cell -> cell-keyed self-join where the drop predicate
+    ``rank(y) < rank(x) AND cos >= tau`` evaluates inside the join ->
+    left semi-derived flag.  Downstream, filter ``kept`` (the usual
+    pipeline step) or join the flags back to the document table.
+    """
+    if keep not in ("outlier", "medoid"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if not 0 < n_cells:
+        raise ValueError(f"n_cells must be positive (got {n_cells})")
+
+    cents = ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec=vec)
+    csim = cosine(F.col(vec), F.col("cvec"))
+    order = F.asc("centroid_sim") if keep == "outlier" else F.desc("centroid_sim")
+    ranked = (
+        emb.select(id_col, vec)
+        .join(assigned, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", F.col(vec).alias("_v"), csim.alias("centroid_sim"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("cell").orderBy(order, F.asc(id_col)))
+            .cast("long"),
+        )
+    )
+    # every shared column is renamed on the `a` side, so the self-join
+    # condition references distinct attributes (no ambiguous-self-join
+    # lineage) and the join key stays a plain equi-key Spark can hash on
+    a = ranked.select(
+        F.col("cell").alias("_ca"),
+        F.col("rnk").alias("_ra"),
+        F.col("_v").alias("_va"),
+    )
+    b = ranked.select(id_col, "cell", "rnk", "_v")
+    dropped = (
+        b.join(
+            a,
+            (F.col("_ca") == F.col("cell"))
+            & (F.col("_ra") < F.col("rnk"))
+            & (cosine(F.col("_va"), F.col("_v")) >= F.lit(tau)),
+            "left_semi",
+        )
+        .select(id_col)
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semdedup_keep(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_cells: int,
+    tau: float,
+    doc_id: str = "doc_id",
+    emb_id: str = "vec_id",
+    vec: str = "embedding",
+    n_iters: int = 0,
+    keep: str = "outlier",
+) -> DataFrame:
+    """The pipeline form: documents whose embedding survives SemDeDup.
+    Documents with no embedding row are kept (nothing to compare)."""
+    flags = semdedup(emb, n_cells, tau, emb_id, vec, n_iters, keep)
+    losers = flags.filter(~F.col("kept")).select(
+        F.col(emb_id).alias(doc_id)
+    )
+    return docs.join(losers, doc_id, "left_anti")
