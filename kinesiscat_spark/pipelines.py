@@ -70,6 +70,16 @@ class CurationConfig:
     quality_model: "QualityModel | None" = None
     pareto_alpha: float = 9.0
     pareto_salt: int = 0
+    # SemDeDup semantic dedup (Abbas et al. 2023), applied after the
+    # text-level near-dedup (the paper runs it on the already-exact-
+    # deduped corpus): an embeddings DataFrame keyed by ``id_col``'s
+    # values in ``semdedup_id_col``. None disables (the default).
+    semdedup_embeddings: DataFrame | None = None
+    semdedup_cells: int = 1024
+    semdedup_tau: float = 0.95
+    semdedup_id_col: str = "vec_id"
+    semdedup_vec_col: str = "embedding"
+    semdedup_iters: int = 0
     # C4 line/document cleaning (Raffel et al. 2020 §2.2), applied FIRST
     # (C4 cleans pages before any other gate): retain only lines ending
     # in terminal punctuation with >= 5 words and no "javascript"; drop
@@ -260,6 +270,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     out = step("decontaminate", decontaminate(out, cfg))
     out = step("exact_dedup", exact_dedup(out, cfg))
     out = step("near_dedup", near_dedup(out, cfg))
+    if cfg.semdedup_embeddings is not None:
+        from kinesiscat_spark.operators.semdedup import semdedup_keep
+
+        out = step(
+            "semantic_dedup",
+            semdedup_keep(
+                out,
+                cfg.semdedup_embeddings,
+                n_cells=cfg.semdedup_cells,
+                tau=cfg.semdedup_tau,
+                doc_id=cfg.id_col,
+                emb_id=cfg.semdedup_id_col,
+                vec=cfg.semdedup_vec_col,
+                n_iters=cfg.semdedup_iters,
+            ),
+        )
     if cfg.span_removal_w:
         out = step("span_removal", span_removal(out, cfg))
     if cfg.quality_model is not None:

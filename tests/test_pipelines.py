@@ -62,7 +62,7 @@ def test_curate_default_is_lazy(spark, monkeypatch):
     cfg = CurationConfig(stage_counts={})
     curate(docs, cfg)
     assert set(cfg.stage_counts) == {
-        "input", "quality", "repetition", "language", "pii",
+        "input", "quality", "repetition", "blocklist", "language", "pii",
         "decontaminate", "exact_dedup", "near_dedup",
     }
 

@@ -8,7 +8,6 @@ import math
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from kinesiscat_spark.operators.semdedup import semdedup, semdedup_keep
 
@@ -168,3 +167,32 @@ def test_bad_args(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], SCHEMA)
     assert semdedup(df, 4, 0.9).count() == 0
+
+
+def test_curate_semdedup_stage(spark):
+    """semdedup_embeddings wires SemDeDup into curate() after near-dedup:
+    the semantic loser disappears, the unembedded docs survive."""
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (7, "one two three four five six seven eight nine"),
+            (8, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(7, [0.6, 0.8]), (8, [0.6, 0.8]), (1, [1.0, 0.0])], SCHEMA
+    )
+    counts: dict[str, int] = {}
+    cfg = CurationConfig(
+        min_tokens=1,
+        semdedup_embeddings=emb,
+        semdedup_cells=2,
+        semdedup_tau=0.999,
+        stage_counts=counts,
+    )
+    out = curate(docs, cfg)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 7]
+    assert counts["semantic_dedup"] == 2

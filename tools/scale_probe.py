@@ -260,6 +260,17 @@ def probes():
             pca_project(emb, model).select(F.sum(F.col("pca")[0])).first()[0]
         )
 
+    def p_semdedup(spark, d):
+        from kinesiscat_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        # n_cells grows with the corpus (the SemDeDup design point: size
+        # k so n/k stays constant) — with fixed cells the per-cell
+        # quadratic stage would grow N² by construction, measuring the
+        # parameter choice, not the plan
+        n_cells = max(16, emb.count() // 30)
+        return semdedup(emb, n_cells=n_cells, tau=0.3).filter("kept").count()
+
     def p_c4(spark, d):
         from kinesiscat_spark.operators.curation import c4_signals
 
@@ -278,6 +289,7 @@ def probes():
         "winnow_fingerprint": (p_fingerprint, "linear"),
         "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
+        "semdedup": (p_semdedup, "linear (cells sized with corpus; per-cell pairs constant)"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
         "span_remove": (p_span_remove, "linear (hash exchange + narrow join)"),
