@@ -58,6 +58,7 @@ HEADLINE = (
     "text_quality_classifier",
     "similarity_hybrid_rrf",
     "text_chunks_shuffled",
+    "dedup_semantic",
 )
 
 

@@ -323,3 +323,20 @@ def test_ppjoin_suffix_filter_in_join_codegen(plans):
     # the suffix bound compares the pivot structs (w) and partition sizes
     # inside a join condition (broadcast at tiny SF, shuffled at scale)
     assert any("w#" in c and "l#" in c and "r#" in c for c in conds), conds
+
+
+def test_semdedup_equijoin_and_broadcast_centroids(plans):
+    """SemDeDup's quadratic stage must stay confined per cell: the
+    self-join hashes on the cell key (never BroadcastNestedLoop /
+    Cartesian over the corpus) and the centroid table broadcasts; no
+    Python anywhere."""
+    s = plans("dedup_semantic")
+    assert "CartesianProduct" not in s
+    # the only nested-loop join allowed is the IVF assign (corpus x k
+    # BROADCAST centroid rows — the standard assign cost, pinned in
+    # test_ivf_assign_exchange_carries_no_vectors); the drop-predicate
+    # semi join must hash/merge on the cell key, never nested-loop
+    assert "BroadcastNestedLoopJoin LeftSemi" not in s
+    assert ("SortMergeJoin LeftSemi" in s) or ("ShuffledHashJoin LeftSemi" in s)
+    assert "BroadcastExchange" in s  # centroids ride to every task
+    assert "Python" not in s and "ArrowEval" not in s
