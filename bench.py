@@ -59,6 +59,7 @@ HEADLINE = (
     "similarity_hybrid_rrf",
     "text_chunks_shuffled",
     "dedup_semantic",
+    "text_heavy_ngrams",
 )
 
 

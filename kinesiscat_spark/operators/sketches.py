@@ -1,0 +1,136 @@
+"""Count-min sketch as pure Column algebra, and exact heavy hitters.
+
+Count-min (Cormode & Muthukrishnan 2005): d hash rows of w counters;
+insert adds 1 to one slot per row, the frequency estimate is the MIN
+over the d slots — an overestimate, never an underestimate (each slot
+holds the key's true count plus whatever collided into it).
+
+Why it matters at 100 TB: finding frequent n-grams (boilerplate
+headers, license blurbs, navigation chrome) with a plain
+``groupBy(gram).count()`` shuffles EVERY gram occurrence — the corpus
+itself.  The sketch route is the ``operators/bloom.py`` discipline
+applied to frequencies:
+
+  1. build the sketch in one aggregation whose shuffle payload is at
+     most d·w (slot, count) rows — the same bit_or/map/dense-array
+     shape as ``bloom_build``, with SUM instead of OR;
+  2. broadcast the one sketch row and probe it scan-stage: only gram
+     occurrences whose ESTIMATE reaches the threshold survive to the
+     exact count.  The no-underestimate guarantee makes the survivor
+     set a superset of the true heavy hitters, so
+  3. the exact groupBy over survivors returns EXACTLY the same rows a
+     full groupBy-HAVING would — which is what lets the
+     ``text_heavy_ngrams`` lane hash-check this path against the
+     trivial SQL twin — while the corpus-wide exchange shrinks from
+     all occurrences to (heavy ∪ collision-noise) occurrences.
+
+Sizing: estimate error ≤ 2N/w with probability 1 − (1/2)^d over the
+hash draws (N = total insertions).  For a threshold T, pick
+w ≳ 2N/(T·slack); the defaults (d=4, w=4096) keep the broadcast at
+d·w longs = 128 KiB.
+
+Probes stay in Project operators (whole-stage codegen), never inside
+ObjectHashAggregate expressions — the bloom.py lesson (~40× measured).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+D_DEFAULT = 4
+W_DEFAULT = 1 << 12
+
+
+def _slot(value: Column, row: int, w: int) -> Column:
+    """Flat index of ``value``'s counter in hash row ``row``: row-major
+    ``row·w + xxhash64(row-seed, value) mod w``."""
+    return F.lit(row * w) + F.pmod(F.xxhash64(F.lit(row), value), F.lit(w))
+
+
+def cms_build(
+    df: DataFrame,
+    col: str = "g",
+    d: int = D_DEFAULT,
+    w: int = W_DEFAULT,
+    weight: str | None = None,
+) -> DataFrame:
+    """One-row DataFrame ``(cms: array<long>)`` — the d×w count-min
+    sketch over every value of ``df[col]`` (row-major flat layout).
+
+    Plan shape: explode the d slot indices per value → SUM per slot
+    (map-side partials; ≤ d·w groups) → one ``map_from_entries`` row →
+    dense array via ``transform(sequence(...))``.  ``weight`` names an
+    optional long column of per-row increments (e.g. pre-aggregated
+    counts); default weight is 1.  Empty input → all-zero sketch.
+    """
+    if d <= 0 or w < 2:
+        raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
+    wcol = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    slots = df.select(
+        F.explode(
+            F.array(*[_slot(F.col(col), r, w) for r in range(d)])
+        ).alias("i"),
+        wcol.alias("_w"),
+    )
+    packed = slots.groupBy("i").agg(F.sum("_w").alias("c"))
+    sparse = packed.agg(
+        F.map_from_entries(
+            F.coalesce(
+                F.collect_list(F.struct("i", "c")),
+                F.array().cast("array<struct<i:bigint,c:bigint>>"),
+            )
+        ).alias("m")
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(d * w - 1).cast("long")),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("cms")
+    )
+
+
+def cms_estimate(
+    cms: Column, value: Column, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> Column:
+    """Frequency estimate: min over the d hash rows — ≥ the true count
+    always, close to it with high probability.  Pure arithmetic + d
+    array reads, unrolled for whole-stage codegen (the bloom.py probe
+    spelling)."""
+    if d <= 0 or w < 2:
+        raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
+    reads = [
+        F.element_at(cms, (_slot(value, r, w) + F.lit(1)).cast("int"))
+        for r in range(d)
+    ]
+    return F.least(*reads) if d > 1 else reads[0]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "g",
+    min_count: int = 100,
+    d: int = D_DEFAULT,
+    w: int = W_DEFAULT,
+) -> DataFrame:
+    """(value, cnt) for every value occurring ≥ ``min_count`` times —
+    EXACT output (identical to ``groupBy.count().filter``), computed
+    the sketch way: broadcast count-min prefilter in the scan stage,
+    exact count only over the surviving occurrences.
+
+    No false negatives (count-min never underestimates), and the final
+    filter re-checks the exact count, so false positives die before
+    the output — same contract as the Bloom-prefiltered
+    decontamination path.
+    """
+    cms = cms_build(df, col, d, w)
+    survivors = df.crossJoin(F.broadcast(cms)).filter(
+        cms_estimate(F.col("cms"), F.col(col), d, w) >= F.lit(min_count)
+    )
+    return (
+        survivors.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -340,3 +340,16 @@ def test_semdedup_equijoin_and_broadcast_centroids(plans):
     assert ("SortMergeJoin LeftSemi" in s) or ("ShuffledHashJoin LeftSemi" in s)
     assert "BroadcastExchange" in s  # centroids ride to every task
     assert "Python" not in s and "ArrowEval" not in s
+
+
+def test_heavy_hitters_sketch_probe_in_project(plans):
+    """The count-min probe must evaluate in a Project (whole-stage
+    codegen), the sketch must broadcast, and the only corpus-keyed
+    exchange is the survivor-only exact count — no Python anywhere."""
+    s = plans("text_heavy_ngrams")
+    assert "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+    assert "Python" not in s and "ArrowEval" not in s
+    # the estimate filter runs before the gram aggregation: a Filter
+    # mentioning the cms array appears below the final HashAggregate
+    assert "cms" in s

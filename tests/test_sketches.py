@@ -1,0 +1,90 @@
+"""Count-min sketch (operators/sketches.py): no-underestimate guarantee,
+exact heavy-hitter differential vs plain groupBy, weighted build,
+partition invariance, degenerate shapes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesiscat_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    heavy_hitters,
+)
+
+
+def _zipf_rows(n, n_keys, seed):
+    rng = random.Random(seed)
+    # key k appears with weight ~ 1/(k+1): a few heavy keys, a long tail
+    return [(f"k{int(rng.paretovariate(1.0)) % n_keys}",) for _ in range(n)]
+
+
+def test_estimate_never_underestimates(spark):
+    rows = _zipf_rows(3000, 40, seed=2)
+    df = spark.createDataFrame(rows, "g string")
+    truth = {r.g: r.cnt for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    est = (
+        df.distinct()
+        .crossJoin(F.broadcast(cms_build(df, "g", d=4, w=256)))
+        .select("g", cms_estimate(F.col("cms"), F.col("g"), 4, 256).alias("e"))
+        .collect()
+    )
+    assert est and all(r.e >= truth[r.g] for r in est)
+
+
+def test_heavy_hitters_exact_differential(spark):
+    rows = _zipf_rows(5000, 60, seed=9)
+    df = spark.createDataFrame(rows, "g string")
+    for min_count in (10, 50, 200):
+        want = sorted(
+            (r.g, r.cnt)
+            for r in df.groupBy("g")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .collect()
+        )
+        # deliberately tiny sketch: heavy collision noise, output still exact
+        got = sorted(
+            (r.g, r.cnt)
+            for r in heavy_hitters(df, "g", min_count, d=3, w=64).collect()
+        )
+        assert got == want, min_count
+
+
+def test_weighted_build_equals_exploded(spark):
+    """A pre-aggregated (key, count) build must equal the exploded one."""
+    rows = [("a", 5), ("b", 3), ("a", 2), ("c", 1)]
+    agg = spark.createDataFrame(rows, "g string, n long")
+    exploded = spark.createDataFrame(
+        [(k,) for k, n in rows for _ in range(n)], "g string"
+    )
+    s1 = cms_build(agg, "g", d=2, w=32, weight="n").collect()[0].cms
+    s2 = cms_build(exploded, "g", d=2, w=32).collect()[0].cms
+    assert s1 == s2
+
+
+def test_partition_invariance(spark):
+    rows = _zipf_rows(2000, 30, seed=4)
+    df = spark.createDataFrame(rows, "g string")
+    a = sorted(tuple(r) for r in heavy_hitters(df, "g", 25).collect())
+    b = sorted(
+        tuple(r) for r in heavy_hitters(df.repartition(17), "g", 25).collect()
+    )
+    assert a == b
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "g string")
+    assert cms_build(df, "g", d=2, w=16).collect()[0].cms == [0] * 32
+    assert heavy_hitters(df, "g", 1).count() == 0
+
+
+def test_bad_args(spark):
+    df = spark.createDataFrame([("x",)], "g string")
+    with pytest.raises(ValueError):
+        cms_build(df, "g", d=0, w=16)
+    with pytest.raises(ValueError):
+        cms_estimate(F.lit([0]), F.lit("x"), d=2, w=1)
