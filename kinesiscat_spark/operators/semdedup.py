@@ -53,6 +53,7 @@ from kinesiscat_spark.operators.similarity import (
     cosine,
     ivf_assign,
     ivf_centroids,
+    l2_norm,
 )
 
 
@@ -79,6 +80,24 @@ def semdedup(
         raise ValueError(f"unknown keep policy {keep!r}")
     if not 0 < n_cells:
         raise ValueError(f"n_cells must be positive (got {n_cells})")
+
+    # Zero-norm / NULL / empty embeddings have no direction: cosine is
+    # undefined (and ANSI mode turns the normalize into DIVIDE_BY_ZERO).
+    # They carry no similarity evidence, so they are excluded from the
+    # cell machinery — never seeds, never candidates — and emitted KEPT
+    # with NULL cell/centroid_sim (a dedup must not drop what it cannot
+    # compare).
+    base = emb.select(id_col, vec).withColumn("_nrm", l2_norm(F.col(vec)))
+    good = base.filter(F.coalesce(F.col("_nrm") > 0, F.lit(False))).drop("_nrm")
+    directionless = base.filter(
+        ~F.coalesce(F.col("_nrm") > 0, F.lit(False))
+    ).select(
+        id_col,
+        F.lit(None).cast("long").alias("cell"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(True).alias("kept"),
+    )
+    emb = good
 
     cents = ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
     assigned = ivf_assign(emb, cents, id_col=id_col, vec=vec)
@@ -124,6 +143,7 @@ def semdedup(
             "centroid_sim",
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
+        .unionByName(directionless)
     )
 
 

@@ -196,3 +196,22 @@ def test_curate_semdedup_stage(spark):
     out = curate(docs, cfg)
     assert sorted(r.doc_id for r in out.collect()) == [1, 7]
     assert counts["semantic_dedup"] == 2
+
+
+def test_directionless_vectors_kept_not_crashing(spark):
+    """Zero-norm / NULL / empty embeddings have no cosine: they must be
+    excluded from the cell machinery (never seeds — a zero seed would be
+    an ANSI DIVIDE_BY_ZERO) and emitted kept with NULL cell/sim."""
+    rows = [
+        (0, [0.0, 0.0]),          # zero norm — would be the seed by id
+        (1, None),                # NULL embedding
+        (2, []),                  # empty array
+        (7, [0.6, 0.8]),
+        (8, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.vec_id: r for r in semdedup(df, 2, tau=0.999).collect()}
+    assert len(out) == 5
+    for i in (0, 1, 2):
+        assert out[i].kept and out[i].cell is None and out[i].centroid_sim is None
+    assert out[7].kept and not out[8].kept
