@@ -102,22 +102,21 @@ def bloom_build(
         .groupBy("w")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("bits"))
     )
-    sparse = packed.agg(
-        F.map_from_entries(
-            F.coalesce(
-                F.collect_list(F.struct("w", "bits")),
-                F.array().cast("array<struct<w:bigint,bits:bigint>>"),
-            )
-        ).alias("m")
+    # Sparse → dense via a left join against range(n_words), NOT
+    # single-row expression work: per-index map lookups are a linear
+    # scan each (O(n_words · |set words|) interpreted — minutes at the
+    # 2^22 default), and a concat fold over sorted entries re-copies the
+    # accumulator per entry (O(|set words|²) when most words are
+    # non-zero — ~50 s measured at 4·10⁵ keys).  The join costs one tiny
+    # exchange of ≤ n_words narrow rows and the final sort/collect is
+    # O(n_words log n_words) — milliseconds at any sane filter size.
+    rng = df.sparkSession.range(n_words).select(F.col("id").alias("w"))
+    dense_rows = rng.join(packed, "w", "left").select(
+        "w", F.coalesce(F.col("bits"), F.lit(0).cast("long")).alias("bits")
     )
-    return sparse.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda i: F.coalesce(
-                F.try_element_at(F.col("m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("bloom")
-    )
+    return dense_rows.agg(
+        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("e")
+    ).select(F.transform(F.col("e"), lambda s: s["bits"]).alias("bloom"))
 
 
 def bloom_might_contain(
