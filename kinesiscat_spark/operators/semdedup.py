@@ -114,6 +114,14 @@ def semdedup(
             .over(Window.partitionBy("cell").orderBy(order, F.asc(id_col)))
             .cast("long"),
         )
+        # three consumers read `ranked` (both self-join sides + the flag
+        # join); per-branch column pruning makes their subtrees differ,
+        # so ReusedExchange never fires and the scan+assign+rank pipeline
+        # would execute three times.  A lazy localCheckpoint materializes
+        # it once (the clusters.py / bpe.py discipline) — at scale this
+        # is the deliberate "materialize the ranked table, then run the
+        # quadratic stage" design, not an optimization hack.
+        .localCheckpoint(eager=False)
     )
     # every shared column is renamed on the `a` side, so the self-join
     # condition references distinct attributes (no ambiguous-self-join

@@ -328,17 +328,18 @@ def test_ppjoin_suffix_filter_in_join_codegen(plans):
 def test_semdedup_equijoin_and_broadcast_centroids(plans):
     """SemDeDup's quadratic stage must stay confined per cell: the
     self-join hashes on the cell key (never BroadcastNestedLoop /
-    Cartesian over the corpus) and the centroid table broadcasts; no
-    Python anywhere."""
+    Cartesian over the corpus); the scan+assign+rank pipeline is
+    materialized ONCE behind a checkpoint and read by all three
+    consumers (both self-join sides + the flag join); no Python
+    anywhere.  The assign stage's broadcast-centroid shape is pinned
+    separately in test_ivf_assign_exchange_carries_no_vectors."""
     s = plans("dedup_semantic")
     assert "CartesianProduct" not in s
-    # the only nested-loop join allowed is the IVF assign (corpus x k
-    # BROADCAST centroid rows — the standard assign cost, pinned in
-    # test_ivf_assign_exchange_carries_no_vectors); the drop-predicate
-    # semi join must hash/merge on the cell key, never nested-loop
     assert "BroadcastNestedLoopJoin LeftSemi" not in s
     assert ("SortMergeJoin LeftSemi" in s) or ("ShuffledHashJoin LeftSemi" in s)
-    assert "BroadcastExchange" in s  # centroids ride to every task
+    # the checkpointed ranked table is what the join sides scan — the
+    # expensive assign/rank pipeline must not be replanned per branch
+    assert "ExistingRDD" in s
     assert "Python" not in s and "ArrowEval" not in s
 
 
