@@ -271,6 +271,19 @@ def probes():
         n_cells = max(16, emb.count() // 30)
         return semdedup(emb, n_cells=n_cells, tau=0.3).filter("kept").count()
 
+    def p_heavy_ngrams(spark, d):
+        from kinesiscat_spark.operators.curation import word_ngrams
+        from kinesiscat_spark.operators.sketches import heavy_hitters
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        grams = docs.select(
+            F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+        )
+        # per-copy token salting keeps every copy's gram counts equal to
+        # the 1x counts, so a fixed threshold yields N x as many heavy
+        # hitters — the linear dimension the sketch path should follow
+        return heavy_hitters(grams, "gram", min_count=30).count()
+
     def p_c4(spark, d):
         from kinesiscat_spark.operators.curation import c4_signals
 
@@ -290,6 +303,7 @@ def probes():
         "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
         "semdedup": (p_semdedup, "linear (cells sized with corpus; per-cell pairs constant)"),
+        "heavy_ngrams": (p_heavy_ngrams, "linear (d*w sketch exchange + survivor-only count)"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
         "span_remove": (p_span_remove, "linear (hash exchange + narrow join)"),
