@@ -408,6 +408,56 @@ def minhash_signature_udf(n_hashes: int = 32, n: int = 3):
     return sig
 
 
+def _minhash_bands(
+    docs: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, _m0.._m{n_hashes-1}, bk: struct<band, key>) — one row per
+    (document, band).
+
+    Signatures come from the Arrow kernel (one md5 per distinct shingle,
+    no exploded-shingle shuffle, no 32-aggregate groupBy; bit-identical
+    to the Column spec — see minhash_signature_udf), unpacked to
+    n_hashes SEPARATE long columns so per-pair agreement counts compile
+    to scalar comparisons inside whole-stage codegen (the array form's
+    size(filter(zip_with(...))) is an interpreted HOF chain — at ~200k
+    candidate-band pairs × 32 elements that alone cost ~1 s at sf0.1).
+    The band key is xxhash64 of the r-length signature slice: a single
+    fixed-width long instead of an array<long> in the join exchange.
+    """
+    r = n_hashes // n_bands
+    from kinesiscat_spark.io_tables import spread
+
+    raw_sig = spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(n_hashes, n)(F.col(text_col)).alias("_sig"),
+    )
+    sig = raw_sig.select(
+        "id", *[F.col("_sig")[i].alias(f"_m{i}") for i in range(n_hashes)]
+    )
+    return sig.select(
+        "id",
+        *[f"_m{i}" for i in range(n_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_m{b * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -452,41 +502,7 @@ def minhash_lsh_pairs(
     pass ``max_bucket=None`` to disable the guard entirely.
     """
     assert n_hashes % n_bands == 0
-    r = n_hashes // n_bands
-    from kinesiscat_spark.io_tables import spread
-
-    # Signatures from the Arrow kernel (one md5 per distinct shingle, no
-    # exploded-shingle shuffle, no 32-aggregate groupBy; bit-identical to
-    # the Column spec — see minhash_signature_udf), unpacked to n_hashes
-    # SEPARATE long columns so the per-pair agreement count below compiles
-    # to scalar comparisons inside whole-stage codegen (the array form's
-    # size(filter(zip_with(...))) is an interpreted HOF chain — at ~200k
-    # candidate-band pairs × 32 elements that alone cost ~1 s at sf0.1).
-    raw_sig = spread(docs, id_col).select(
-        F.col(id_col).alias("id"),
-        minhash_signature_udf(n_hashes, n)(F.col(text_col)).alias("_sig"),
-    )
-    sig = raw_sig.select(
-        "id", *[F.col("_sig")[i].alias(f"_m{i}") for i in range(n_hashes)]
-    )
-    bands = sig.select(
-        "id",
-        *[f"_m{i}" for i in range(n_hashes)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # fixed-width 8-byte band key (see docstring)
-                        F.xxhash64(
-                            *[F.col(f"_m{b * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    )
+    bands = _minhash_bands(docs, n_hashes, n_bands, n, id_col, text_col)
     # Shuffle on the band key before the self-join (same rationale as
     # simhash_pairs): one canonical Exchange → the signature kernel runs
     # once, both aliases reuse it, and the join needs no further shuffle.
@@ -886,3 +902,68 @@ def embedding_cosine_verify(
             ),
         )
     )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float | None = None,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental dedup: drop NEW documents already present in (or, with
+    ``near_threshold``, near-duplicating) an EXISTING corpus snapshot —
+    the continuous-pretraining step that keeps refreshed crawls from
+    re-admitting what earlier snapshots already contributed.
+
+    Exact stage (always): left anti join of sha-256 content digests —
+    the corpus side reduces to DISTINCT digests first, so the exchange
+    carries one 32-byte row per distinct corpus text regardless of the
+    corpus's own duplication.
+
+    Near stage (``near_threshold`` set): the batch pipeline's minhash
+    machinery, asymmetric — new-side band rows join corpus-side band
+    rows on the 8-byte band key, agreement is re-scored from the FULL
+    signatures in the join projection (codegen scalar comparisons, the
+    minhash_lsh_pairs shape), and a new doc is dropped iff any corpus
+    doc estimates >= threshold.  Skew note: corpus band rows collapse to
+    one row per (band key, full signature) before the join —
+    boilerplate-heavy corpus buckets are typically signature-identical,
+    so the classic hot bucket shrinks to one row LOSSLESSLY (duplicate
+    signatures add no evidence: the estimate depends only on the
+    signature values).
+
+    Only (digest) and (band-key, signature) rows ever shuffle; neither
+    side's text column leaves the scan stage.
+    """
+    digests = corpus.select(F.sha2(F.col(text_col), 256).alias("_h")).distinct()
+    out = (
+        new_docs.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .join(digests, "_h", "left_anti")
+        .drop("_h")
+    )
+    if near_threshold is None:
+        return out
+    assert n_hashes % n_bands == 0
+    nb = _minhash_bands(out, n_hashes, n_bands, n, id_col, text_col)
+    cb = _minhash_bands(corpus, n_hashes, n_bands, n, id_col, text_col).drop(
+        "id"
+    ).dropDuplicates(["bk"] + [f"_m{i}" for i in range(n_hashes)])
+    n_agree = sum(
+        F.when(F.col(f"x._m{i}") == F.col(f"y._m{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    hits = (
+        nb.alias("x")
+        .join(cb.alias("y"), F.col("x.bk") == F.col("y.bk"))
+        .filter(
+            (n_agree.cast("double") / F.lit(float(n_hashes)))
+            >= F.lit(near_threshold)
+        )
+        .select(F.col("x.id").alias(id_col))
+        .distinct()
+    )
+    return out.join(hits, id_col, "left_anti")

@@ -77,6 +77,7 @@ def load_all_query_modules() -> None:
     from kinesiscat_spark.queries import chunk_queries  # noqa: F401
     from kinesiscat_spark.queries import semdedup_queries  # noqa: F401
     from kinesiscat_spark.queries import sketch_queries  # noqa: F401
+    from kinesiscat_spark.queries import incremental_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
