@@ -86,7 +86,7 @@ FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py; Abbas et al. 2023): k-means cells
     over the embeddings table, then within each cell drop every vector
-    within cosine {tau} of an earlier-kept-order vector.  Emits the
+    within cosine tau of an earlier-kept-order vector.  Emits the
     per-vector (cell, centroid_sim, kept) flags the pipeline filters on.
 
     Scale shape: centroid build and assignment are the (hash-green) IVF

@@ -271,6 +271,16 @@ def probes():
         n_cells = max(16, emb.count() // 30)
         return semdedup(emb, n_cells=n_cells, tau=0.3).filter("kept").count()
 
+    def p_dedup_against(spark, d):
+        from pyspark.sql import functions as F
+
+        from kinesiscat_spark.operators.dedup import dedup_against
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        return dedup_against(new, corpus, near_threshold=0.5).count()
+
     def p_heavy_ngrams(spark, d):
         from kinesiscat_spark.operators.curation import word_ngrams
         from kinesiscat_spark.operators.sketches import heavy_hitters
@@ -304,6 +314,7 @@ def probes():
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
         "semdedup": (p_semdedup, "linear (cells sized with corpus; per-cell pairs constant)"),
         "heavy_ngrams": (p_heavy_ngrams, "linear (d*w sketch exchange + survivor-only count)"),
+        "dedup_against": (p_dedup_against, "linear+dup-density (digest anti + asymmetric band join)"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
         "span_dup_frac": (p_span_dup, "linear (one span exchange)"),
         "span_remove": (p_span_remove, "linear (hash exchange + narrow join)"),
