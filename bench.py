@@ -60,6 +60,7 @@ HEADLINE = (
     "text_chunks_shuffled",
     "dedup_semantic",
     "text_heavy_ngrams",
+    "dedup_incremental",
 )
 
 
