@@ -125,27 +125,92 @@ def main() -> None:
                 timings[name] = dt
         passes.append(this_pass)
 
+    # Per-method sub-timings for the widened lanes (VERDICT r5: cross-round
+    # per-lane comparison shouldn't need manual halving).  Method-
+    # discriminated lanes sub-time via a literal filter — Catalyst folds
+    # `lit('bloom') = 'exact'` to false and prunes the other union branch,
+    # so each sub-timing executes exactly one method's plan.  Join-shaped
+    # lanes sub-time their component operators directly.  One pass each,
+    # diagnostic only (excluded from `value`).
+    def _decon_sub(m):
+        return lambda: qs["curation_decontaminate"](spark, sf_dir).filter(
+            f"method = '{m}'"
+        )
+
+    def _quant_sub(m):
+        return lambda: qs["similarity_topk_quantized"](spark, sf_dir).filter(
+            f"method = '{m}'"
+        )
+
+    def _span_sub(which):
+        from kinesiscat_spark.operators.curation import (
+            remove_duplicate_spans,
+            span_dup_frac,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return (span_dup_frac(docs, n=6) if which == "detect"
+                else remove_duplicate_spans(docs, w=6))
+
+    from kinesiscat_spark.queries.text_queries import (
+        text_language_id,
+        text_unigram_lm,
+    )
+
+    sub_specs = {
+        "curation_decontaminate": {
+            "exact": _decon_sub("exact"),
+            "bloom": _decon_sub("bloom"),
+        },
+        "similarity_topk_quantized": {
+            "sq8": _quant_sub("sq8"),
+            "pq": _quant_sub("pq"),
+        },
+        "curation_span_dup": {
+            "detect": lambda: _span_sub("detect"),
+            "remove": lambda: _span_sub("remove"),
+        },
+        "text_quality_score": {
+            "langid_heuristic": lambda: text_language_id(spark, sf_dir),
+            "unigram_lm": lambda: text_unigram_lm(spark, sf_dir),
+        },
+    }
+    sub_timings: dict[str, dict[str, float]] = {}
+    for lane, subs in sub_specs.items():
+        if lane not in timings:
+            continue
+        sub_timings[lane] = {}
+        for sub, mk in subs.items():
+            t0 = time.perf_counter()
+            mk().count()
+            sub_timings[lane][sub] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     env_end = _load_snapshot()
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "env": {
-                    "start": env_start,
-                    "end": env_end,
-                    "waited_for_quiet_sec": waited,
-                    "cpus": os.cpu_count(),
-                },
-                "pass_totals": [round(sum(p.values()), 3) for p in passes],
-                "passes": passes,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "env": {
+            "start": env_start,
+            "end": env_end,
+            "waited_for_quiet_sec": waited,
+            "cpus": os.cpu_count(),
+        },
+        "pass_totals": [round(sum(p.values()), 3) for p in passes],
+        "sub_timings": sub_timings,
+    }
+    # Full per-pass detail goes to a file, NOT stdout: the driver records
+    # the final stdout line, and inlining all three passes made
+    # BENCH_r05.json unparseable ("parsed": null — the driver captured
+    # only the tail of the enormous line).  The stdout summary stays
+    # compact; bench_last.json carries everything.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as f:
+        json.dump({**summary, "passes": passes}, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -98,8 +98,11 @@ def _margin(ids: Column, weights: Column, bias: Column) -> Column:
 
 
 def _weights_row(spark, w: list[float], bias: float) -> DataFrame:
+    # Underscore-prefixed temp names (repo convention: _h, _q, _nrm) so a
+    # caller DataFrame that already has a column named "w" or "b" neither
+    # collides nor gets silently dropped by the post-score .drop().
     return spark.createDataFrame(
-        [(w, float(bias))], "w array<double>, b double"
+        [(w, float(bias))], "_w array<double>, _b double"
     )
 
 
@@ -154,7 +157,7 @@ def train_quality_classifier(
             "ids",
             (
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-_margin(F.col("ids"), F.col("w"), F.col("b"))))
+                / (F.lit(1.0) + F.exp(-_margin(F.col("ids"), F.col("_w"), F.col("_b"))))
                 - F.col("y")
             ).alias("e"),
         )
@@ -245,9 +248,9 @@ def score_documents_quality(
     return (
         docs.crossJoin(F.broadcast(wrow))
         .withColumn(
-            out_col, expr(F.col(text_col), model, F.col("w"), F.col("b"))
+            out_col, expr(F.col(text_col), model, F.col("_w"), F.col("_b"))
         )
-        .drop("w", "b")
+        .drop("_w", "_b")
     )
 
 

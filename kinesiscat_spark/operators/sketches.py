@@ -63,10 +63,31 @@ def cms_build(
     dense array via ``transform(sequence(...))``.  ``weight`` names an
     optional long column of per-row increments (e.g. pre-aggregated
     counts); default weight is 1.  Empty input → all-zero sketch.
+
+    ``weight`` values MUST be non-negative: the count-min
+    no-underestimate guarantee (which ``heavy_hitters``'s exactness
+    proof relies on) only holds for non-negative increments — a
+    negative weight can drive a slot below a colliding value's true
+    count and produce silent false negatives downstream.  Enforced
+    here with a runtime check folded into the slot explode (a negative
+    weight raises at execution time rather than corrupting the sketch).
     """
     if d <= 0 or w < 2:
         raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
-    wcol = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    if weight:
+        raw = F.col(weight).cast("long")
+        wcol = F.when(raw >= 0, raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cms_build: negative weight breaks the count-min "
+                          "no-underestimate guarantee (got "),
+                    raw.cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long")
+        )
+    else:
+        wcol = F.lit(1).cast("long")
     slots = df.select(
         F.explode(
             F.array(*[_slot(F.col(col), r, w) for r in range(d)])
@@ -122,6 +143,17 @@ def heavy_hitters(
     filter re-checks the exact count, so false positives die before
     the output — same contract as the Bloom-prefiltered
     decontamination path.
+
+    TWO-SCAN CONTRACT: ``df`` is evaluated twice — once inside
+    ``cms_build`` and once for the probe/exact-count pass.  The two
+    passes are inherent to the sketch design, but recomputing expensive
+    upstream lineage (e.g. a documents scan + n-gram explode feeding
+    ``df``) is not: at corpus scale the gram explode dominates, so
+    callers with non-trivial lineage should ``.persist()`` /
+    ``.localCheckpoint()`` the input (or pass a pre-materialized
+    DataFrame) before calling.  The ``text_heavy_ngrams`` lane accepts
+    the recompute deliberately — its explode is one scan-stage pass and
+    caching it at sf0.1 costs more than recomputing.
     """
     cms = cms_build(df, col, d, w)
     survivors = df.crossJoin(F.broadcast(cms)).filter(

@@ -297,14 +297,23 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         scored = score_documents_quality(
             out, cfg.quality_model, cfg.text_col, out_col="_q"
         )
+        # NULL-text policy (explicit, not a NULL-filter side effect): a
+        # NULL text scores NULL (pinned in test_score_null_text) and a
+        # bare filter would silently drop it.  Keep-on-null, matching
+        # blocklist_gate's explicit keep-on-null and semdedup's "must
+        # not drop what it cannot compare" principle — gates earlier in
+        # the pipeline own the decision about NULL/empty documents.
         out = step(
             "classifier",
             scored.filter(
-                pareto_keep(
-                    F.col("_q"),
-                    F.col(cfg.id_col),
-                    cfg.pareto_alpha,
-                    cfg.pareto_salt,
+                F.coalesce(
+                    pareto_keep(
+                        F.col("_q"),
+                        F.col(cfg.id_col),
+                        cfg.pareto_alpha,
+                        cfg.pareto_salt,
+                    ),
+                    F.lit(True),
                 )
             ).drop("_q"),
         )

@@ -43,9 +43,28 @@ _NEG_DOT = (
     "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))"
 )
 
+_SQ_NORM = (
+    "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+# Mirrors the operator's zero-norm/NULL/empty carve-out (semdedup.py:84-99):
+# directionless vectors are excluded from the cell machinery and emitted
+# kept with NULL cell/centroid_sim.  DuckDB's list_sum over NULL or an
+# empty list is NULL, Spark's fold over an empty array is 0.0 — both fail
+# the COALESCE(norm² > 0, FALSE) test, so the split agrees row for row.
 _SEMDEDUP_ORACLE = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, embedding AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id, v FROM e0
+  WHERE COALESCE({_SQ_NORM.format(v='v')} > 0, FALSE)
+),
+directionless AS (
+  SELECT vec_id, CAST(NULL AS BIGINT) AS cell,
+         CAST(NULL AS DOUBLE) AS centroid_sim, TRUE AS kept
+  FROM e0
+  WHERE NOT COALESCE({_SQ_NORM.format(v='v')} > 0, FALSE)
 ),
 cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
@@ -79,6 +98,8 @@ dropped AS (
 SELECT r.vec_id, r.cell, ROUND(r.centroid_sim, 6) AS centroid_sim,
        (d.vec_id IS NULL) AS kept
 FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+UNION ALL
+SELECT vec_id, cell, centroid_sim, kept FROM directionless
 """
 
 

@@ -119,6 +119,43 @@ JOIN lm_doc m USING (doc_id)
 """
 
 
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM half of ``text_quality_score`` (CCNet-style,
+    operators/text.py unigram_model/score shape): train a smoothed
+    unigram model on the English documents, score every document —
+    ``avg_logp`` over a VALUE-sorted fold (order-defined doubles) and
+    ``oov_frac``.  Standalone so bench.py can sub-time the widened
+    lane's methods separately (VERDICT r5 "what's wrong" #4)."""
+    from kinesiscat_spark.operators.dedup import tokens as ws_tokens
+    from kinesiscat_spark.operators.text import unigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_model(docs.filter(F.col("lang") == "en"), k=0.5)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(model.df), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("_oov"),
+            F.sort_array(
+                F.collect_list(F.coalesce("logp", F.lit(model.oov_logp)))
+            ).alias("_lps"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("_lps", F.lit(0.0), lambda a, x: a + x)
+                / F.col("_n"),
+                6,
+            ).alias("avg_logp"),
+            F.round(F.col("_oov") / F.col("_n"), 6).alias("oov_frac"),
+        )
+    )
+
+
 @query("text_quality_score", oracle=_quality_plus_langid_oracle())
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 token counting + heuristic quality score + language-ID in one
@@ -145,34 +182,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is vocabulary-sized and broadcast; the corpus
     side is one explode + one per-doc aggregate, map-side partialed.
     """
-    from kinesiscat_spark.operators.dedup import tokens as ws_tokens
-    from kinesiscat_spark.operators.text import language_id, unigram_model
+    from kinesiscat_spark.operators.text import language_id
 
     docs = load_table(spark, sf_dir, "documents")
-    model = unigram_model(docs.filter(F.col("lang") == "en"), k=0.5)
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("w")
-    )
-    lm_doc = (
-        toks.join(F.broadcast(model.df), "w", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("_n"),
-            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0)).alias("_oov"),
-            F.sort_array(
-                F.collect_list(F.coalesce("logp", F.lit(model.oov_logp)))
-            ).alias("_lps"),
-        )
-        .select(
-            "doc_id",
-            F.round(
-                F.aggregate("_lps", F.lit(0.0), lambda a, x: a + x)
-                / F.col("_n"),
-                6,
-            ).alias("avg_logp"),
-            F.round(F.col("_oov") / F.col("_n"), 6).alias("oov_frac"),
-        )
-    )
+    lm_doc = text_unigram_lm(spark, sf_dir)
     tokens = F.split(F.lower(F.col("text")), " ")
     n_tokens = F.size(tokens)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
