@@ -32,7 +32,7 @@ HEADLINE = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
+    "lineitem_scalar_aggregates",
     "events_tumbling_window",
     "events_sessionization",
     "events_topk_users_per_type",
@@ -165,6 +165,12 @@ def main() -> None:
         "similarity_topk_quantized": {
             "sq8": _quant_sub("sq8"),
             "pq": _quant_sub("pq"),
+        },
+        "similarity_topk_ivf": {
+            m: (lambda m=m: qs["similarity_topk_ivf"](spark, sf_dir).filter(
+                f"method = '{m}'"
+            ))
+            for m in ("ivf", "ivf_index", "exact", "ivf_refined")
         },
         "curation_span_dup": {
             "detect": lambda: _span_sub("detect"),

@@ -37,9 +37,9 @@ from kinesiscat_spark.operators.quantize import (
     quantize_embeddings,
 )
 from kinesiscat_spark.operators.similarity import (
+    cosine,
     ivf_assign,
     ivf_centroids,
-    pair_cosine_udf,
 )
 
 
@@ -124,10 +124,17 @@ def ivf_index_topk(
         probes, query_id
     )
     if not use_sq8 and not use_pq:
+        # Column cosine, not the Arrow pair kernel: the candidate set is
+        # already pruned to n_probe/n_cells of the corpus, so the
+        # interpreted-fold cost is bounded, and keeping the whole read
+        # path JVM-side makes the lane plan EvalPython-free
+        # (test_plan_shape.py pins it).  cosine() folds in the same
+        # order as pair_cosine_udf (differential-tested), so results
+        # are bit-identical either way.
         cand = indexed.join(F.broadcast(q), "cell").select(
             query_id,
             F.col(id_col).alias("cid"),
-            pair_cosine_udf()(F.col("_qvec"), F.col(vec)).alias("sim"),
+            cosine(F.col("_qvec"), F.col(vec)).alias("sim"),
         )
         w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
         return (

@@ -197,6 +197,7 @@ def dsir_resample(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 0.5,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): keep the ``n_keep``
@@ -210,7 +211,16 @@ def dsir_resample(
     the doc id (``−ln(−ln(u))``, u = unit hash), not ``rand()`` — so the
     same corpus selects the same documents on any cluster, any
     partitioning, any rerun, while still drawing a proper
-    weight-proportional sample across salts.
+    weight-proportional sample across salts.  ``method="md5"`` derives u
+    from the md5 hex prefix instead of xxhash64 — the engine-portable
+    variant the ``sampling_mix`` lane's ``kind='dsir'`` rows hash-check
+    in DuckDB (u is an exact 48-bit dyadic rational, identical in every
+    engine; ln is the already-hash-proven cross-engine pairing).
+
+    Per-document log-probability sums fold over the VALUE-sorted token
+    logp lists (the repo's order-defined-double-fold discipline), so
+    ``log_w`` is bit-identical on any partitioning AND replayable as
+    DuckDB ``list_sum(list(lp ORDER BY lp))``.
 
     Scale shape: ONE explode pass over the raw corpus (the widest stage)
     with BOTH vocabulary-sized model tables broadcast-joined to the same
@@ -231,10 +241,13 @@ def dsir_resample(
     ).join(
         F.broadcast(m_r.df.select("w", F.col("logp").alias("_r"))), "w", "left"
     )
+    ordered_sum = lambda c: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
     sums = scored.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
-        F.sum(F.coalesce("_t", F.lit(m_t.oov_logp))).alias("_sum_t"),
-        F.sum(F.coalesce("_r", F.lit(m_r.oov_logp))).alias("_sum_r"),
+        ordered_sum(F.coalesce("_t", F.lit(m_t.oov_logp))).alias("_sum_t"),
+        ordered_sum(F.coalesce("_r", F.lit(m_r.oov_logp))).alias("_sum_r"),
     )
     # token-less (empty/null-text) docs produce no token rows; a LEFT join
     # from the full id set keeps them selectable with log_w = 0 (weight 1
@@ -242,8 +255,16 @@ def dsir_resample(
     # returned sample below n_keep
     ids = raw.select(F.col(id_col).alias("id"))
     log_w = F.coalesce(F.col("_sum_t") - F.col("_sum_r"), F.lit(0.0))
+    if method == "md5":
+        # 48-bit dyadic rational: exact in double, identical in any engine
+        u = F.conv(_md5_prefix([F.col("id")], salt), 16, 10).cast(
+            "double"
+        ) / F.lit(float(16**_MD5_PREFIX))
+    elif method == "xxhash64":
+        u = _unit_hash([F.col("id")], salt)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
     # clamp u off the endpoints: ln(0) would make the noise infinite
-    u = _unit_hash([F.col("id")], salt)
     u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
     gumbel = -F.log(-F.log(u))
     return (

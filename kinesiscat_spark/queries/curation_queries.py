@@ -52,9 +52,82 @@ def _tok_cte(name: str, pred: str, salt: int, budget: int) -> str:
 )"""
 
 
+_DSIR_KEEP = 64
+_DSIR_SALTS = (17, 18)
+
+# DSIR twin (round 6, VERDICT r5 task 4): two add-0.5 unigram models
+# (target = English docs, raw = all docs), per-doc log importance weight
+# as VALUE-ordered folds (list_sum(list(lp ORDER BY lp)) <-> Spark
+# sort_array+aggregate — the hash-proven pairing), deterministic Gumbel
+# noise from the md5 prefix (u is an exact 48-bit dyadic rational), exact
+# top-64 by round(log_w + gumbel, 9) with id tie-break — the full
+# operators/sampling.py dsir_resample(method='md5') replay.
+_DSIR_U = (
+    "greatest(least(CAST(concat('0x', substr(md5(d.doc_id || chr(31) || "
+    "'{salt}'), 1, 12)) AS BIGINT) / 281474976710656.0, 1.0 - 1e-15), 1e-15)"
+)
+
+
+def _dsir_ctes() -> str:
+    oov = "(SELECT ln(0.5 / (n + 0.5 * v)) FROM dm_{m}_tot)"
+    base = f"""
+dm_t_counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents WHERE lang = 'en') GROUP BY w
+),
+dm_t_tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM dm_t_counts),
+dm_t AS (SELECT w, ln((c + 0.5) / (n + 0.5 * v)) AS lp FROM dm_t_counts, dm_t_tot),
+dm_r_counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents) GROUP BY w
+),
+dm_r_tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM dm_r_counts),
+dm_r AS (SELECT w, ln((c + 0.5) / (n + 0.5 * v)) AS lp FROM dm_r_counts, dm_r_tot),
+dsir_tok AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+dsir_sums AS (
+  SELECT id, count(*) AS n_tokens,
+         list_sum(list(lt ORDER BY lt)) AS st,
+         list_sum(list(lr ORDER BY lr)) AS sr
+  FROM (
+    SELECT t.id,
+           coalesce(dm_t.lp, {oov.format(m='t')}) AS lt,
+           coalesce(dm_r.lp, {oov.format(m='r')}) AS lr
+    FROM dsir_tok t LEFT JOIN dm_t USING (w) LEFT JOIN dm_r USING (w)
+  ) GROUP BY id
+)"""
+    per_salt = []
+    for i, salt in enumerate(_DSIR_SALTS):
+        per_salt.append(f"""
+dsir_sel_{i} AS (
+  SELECT id, n_tokens FROM (
+    SELECT d.doc_id AS id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           round(coalesce(s.st - s.sr, 0.0) +
+                 (-ln(-ln({_DSIR_U.format(salt=salt)}))), 9) AS key
+    FROM documents d LEFT JOIN dsir_sums s ON s.id = d.doc_id
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, id ASC) <= {_DSIR_KEEP}
+)""")
+    return base + "," + ",".join(per_salt)
+
+
+def _dsir_selects() -> str:
+    return "\nUNION ALL\n".join(
+        f"""SELECT 'dsir' AS kind, id AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+       {i} AS source_id, n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM dsir_sel_{i}"""
+        for i in range(len(_DSIR_SALTS))
+    )
+
+
 _SAMPLING_ORACLE = f"""
 WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
-{_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)}
+{_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)},
+{_dsir_ctes()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM documents
@@ -84,6 +157,8 @@ SELECT 'split', doc_id, lang, CAST(NULL AS INTEGER),
                  < '{md5_threshold(0.9)}' THEN 'val'
             ELSE 'test' END
 FROM documents
+UNION ALL
+{_dsir_selects()}
 """
 
 
@@ -105,6 +180,12 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``kind='split'``: deterministic 80/10/10 train/val/test assignment
       (``hash_split``; one scan-stage CASE over the hash interval —
       exclusive, exhaustive, leak-free across reruns).
+    - ``kind='dsir'`` (round 6): DSIR importance resampling
+      (``dsir_resample(method='md5')``, Xie et al. 2023) — top-64 raw
+      documents by log importance weight (target = English docs) plus
+      deterministic md5-derived Gumbel noise, at TWO salts
+      (``source_id`` 0/1); the oracle replays models, value-ordered
+      folds, noise, and the exact top-k row-for-row.
     """
     from pyspark.sql import functions as F
 
@@ -135,7 +216,22 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("kind"), "doc_id", "lang",
         null_src.alias("source_id"), null_tok.alias("n_tokens"), "split",
     )
-    return frac.unionByName(tok).unionByName(spl)
+    out = frac.unionByName(tok).unionByName(spl)
+    from kinesiscat_spark.operators.sampling import dsir_resample
+
+    for i, s in enumerate(_DSIR_SALTS):
+        kept = dsir_resample(docs, en, _DSIR_KEEP, salt=s, method="md5")
+        out = out.unionByName(
+            kept.select(
+                F.lit("dsir").alias("kind"),
+                F.col("id").alias("doc_id"),
+                null_lang.alias("lang"),
+                F.lit(i).cast("int").alias("source_id"),
+                "n_tokens",
+                null_split.alias("split"),
+            )
+        )
+    return out
 
 
 _KEEP_CANONICAL_ORACLE = f"""

@@ -162,7 +162,21 @@ def _jpw(expression: str):
 @query(
     "jp_array_index_slice",
     oracle="""
-SELECT doc_id,
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+e AS (
+  SELECT doc_id, x, length(x) AS klen, ord
+  FROM (SELECT doc_id, unnest(l) AS x,
+               generate_subscripts(l, 1) AS ord
+        FROM w)
+),
+stbl AS (
+  SELECT doc_id,
+    list(x ORDER BY klen ASC, ord ASC) AS sorted_by_len,
+    (list(x ORDER BY klen DESC, ord ASC))[1] AS longest,
+    (list(x ORDER BY klen ASC, ord ASC))[1] AS shortest
+  FROM e GROUP BY doc_id
+)
+SELECT w.doc_id,
   l[1] AS first_word,
   l[-1] AS last_word,
   to_json(l[2:4]) AS mid,
@@ -182,8 +196,11 @@ SELECT doc_id,
   CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
   ROUND(list_avg(list_transform(l, x -> length(x))), 4) AS avg_len,
   list_aggregate(l, 'max') AS max_word,
-  list_aggregate(l, 'min') AS min_word
-FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  list_aggregate(l, 'min') AS min_word,
+  to_json(stbl.sorted_by_len) AS sorted_by_len,
+  stbl.longest AS longest,
+  stbl.shortest AS shortest
+FROM w JOIN stbl ON w.doc_id = stbl.doc_id
 """,
 )
 def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +218,14 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     with truthy predicate, F10 map over expref, F9 length, F21 sum, F2
     avg, F11 max, F14 min — per-record array HOFs
     (jp/interpreter.go:84-113, jp/functions.go:404-621), zero Python.
+
+    Folded in (former jp_sort_functions lane, round 6): F19 sort_by
+    (STABLE sort by expref key — equal keys keep document order), F12
+    max_by / F15 min_by (FIRST element attaining the extreme key) — the
+    comparator-semantics fidelity surface of
+    jp/functions.go:527-575,735-766; the oracle reproduces stability
+    with a (key, original-index) sort and ties-to-first with the same
+    order.
     """
     docs = _words_doc(load_table(spark, sf_dir, "documents"))
     long_words = _jpw("words[?length(@) >= `6`]")
@@ -227,40 +252,6 @@ def jp_array_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_jpw("avg(map(&length(@), words))").col, 4).alias("avg_len"),
         _jpw("max(words)").col.alias("max_word"),
         _jpw("min(words)").col.alias("min_word"),
-    )
-
-
-@query(
-    "jp_sort_functions",
-    oracle="""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-e AS (
-  SELECT doc_id, x, length(x) AS klen, ord
-  FROM (SELECT doc_id, unnest(l) AS x,
-               generate_subscripts(l, 1) AS ord
-        FROM w)
-),
-agg AS (
-  SELECT doc_id,
-    list(x ORDER BY klen ASC, ord ASC) AS sorted_by_len,
-    (list(x ORDER BY klen DESC, ord ASC))[1] AS longest,
-    (list(x ORDER BY klen ASC, ord ASC))[1] AS shortest
-  FROM e GROUP BY doc_id
-)
-SELECT doc_id, to_json(sorted_by_len) AS sorted_by_len, longest, shortest
-FROM agg
-""",
-)
-def jp_sort_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19 sort_by (STABLE sort by expref key — equal keys keep document
-    order), F12 max_by / F15 min_by (FIRST element attaining the extreme
-    key), all native Columns. The comparator-semantics fidelity surface of
-    jp/functions.go:527-575,735-766; the oracle reproduces stability with
-    an (key, original-index) sort and ties-to-first with the same order.
-    """
-    docs = _words_doc(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
         F.to_json(_jpw("sort_by(words, &length(@))").col).alias("sorted_by_len"),
         _jpw("max_by(words, &length(@))").col.alias("longest"),
         _jpw("min_by(words, &length(@))").col.alias("shortest"),

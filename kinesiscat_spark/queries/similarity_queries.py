@@ -54,8 +54,9 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit keeps only k rows per query per partition before the
     single small exchange.
 
-    Driver lane: folded into ``similarity_topk_ivf_refined`` (round 5)
-    under ``method = 'exact'`` — same hash strength, one lane slot.
+    Driver lane: folded into ``similarity_topk_ivf`` (round 6; round 5
+    had it in the refined lane) under ``method = 'exact'`` — same hash
+    strength, one lane slot.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -214,23 +215,27 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@query("similarity_topk_ivf", oracle=_IVF_ORACLE)
-def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: IVF-flat — search only the n_probe nearest cells.
+# Persisted-index scratch dirs, one per (process, sf_dir): the lane builds
+# the index on first use and re-reads it on every later call in the same
+# process — the steady-state read path is what the lane times/checks, and
+# a fresh build per process makes staleness against regenerated testdata
+# impossible.  tempfile dirs, never the repo or testdata trees.
+_INDEX_DIRS: dict[str, str] = {}
 
-    Deterministic build (seed centroids = lowest-id corpus vectors,
-    n_iters=0) so the whole index+search pipeline hash-checks against
-    ANSI SQL; the Lloyd-refined build (n_iters>0) shares every operator.
-    """
-    from kinesiscat_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "embedding"
-    )
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    out = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE)
-    return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _INDEX_DIRS:
+        from kinesiscat_spark.operators.ann_index import build_ivf_index
+
+        path = tempfile.mkdtemp(prefix="kc_ivf_index_")
+        corpus = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") >= N_QUERIES
+        )
+        build_ivf_index(corpus, path, n_cells=N_CELLS, n_iters=0)
+        _INDEX_DIRS[sf_dir] = path
+    return _INDEX_DIRS[sf_dir]
 
 
 N_ITERS = 2
@@ -326,28 +331,54 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-_REFINED_PLUS_EXACT_ORACLE = f"""
+def _ivf_family_oracle() -> str:
+    return f"""
+SELECT 'ivf' AS method, qid, cid, sim, rnk FROM ({_IVF_ORACLE})
+UNION ALL
+SELECT 'ivf_index' AS method, qid, cid, sim, rnk FROM ({_IVF_ORACLE})
+UNION ALL
 SELECT 'exact' AS method, qid, cid, sim, rnk FROM ({_TOPK_ORACLE})
 UNION ALL
-SELECT 'ivf_refined' AS method, qid, cid, sim, rnk FROM ({_ivf_refined_oracle()})
+SELECT 'ivf_refined' AS method, qid, cid, sim, rnk
+FROM ({_ivf_refined_oracle()})
 """
 
 
-@query("similarity_topk_ivf_refined", oracle=_REFINED_PLUS_EXACT_ORACLE)
-def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 Lloyd-refined IVF: two k-means refinement iterations on the
-    centroids before the probe-limited search. The refinement loop is a
-    distributed iterative algorithm (assign via broadcast centroid join →
-    per-dimension avg re-estimation; only k centroid rows exist anywhere),
-    but it is DETERMINISTIC, so its ANSI-SQL twin is generated by
-    unrolling the two iterations into CTE layers (``_ivf_refined_oracle``)
-    — the driver hash-checks it like every other lane.
-    tests/test_similarity.py additionally asserts recall vs exact.
+@query("similarity_topk_ivf", oracle=_ivf_family_oracle())
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF family, four hash-checked methods in one lane (round-6
+    fold: the former similarity_topk_ivf_refined lane moved here whole,
+    and the persisted-index read path gained its driver lane — VERDICT
+    r5 task 6).
 
-    Folded in (round 5, freeing a lane slot for the SQ8-IVF path): the
-    exact brute-force baseline under ``method = 'exact'`` — each side
-    keeps its own full hash check via the UNION ALL oracle.
+    ``method='ivf'``: in-plan IVF-flat — search only the n_probe nearest
+    cells. Deterministic build (seed centroids = lowest-id corpus
+    vectors, n_iters=0) so the whole index+search pipeline hash-checks
+    against ANSI SQL; the Lloyd-refined build (n_iters>0) shares every
+    operator.
+
+    ``method='ivf_index'``: the SAME search semantics served from a
+    PERSISTED index (operators/ann_index.py): centroids + cell-
+    partitioned parquet built once per process, probed cells pushed as a
+    literal IN filter so unprobed cells are skipped by parquet partition
+    pruning (directory-level, never opened). Oracle = the ivf twin —
+    result equality with the in-plan path is exactly the contract.
+    Re-rank is the Column cosine kernel: no EvalPython in the read-path
+    plan (pinned in test_plan_shape.py).
+
+    ``method='exact'``: brute-force cosine top-k baseline — same hash
+    strength, the recall yardstick for every ANN lane.
+
+    ``method='ivf_refined'``: two Lloyd refinement iterations on the
+    centroids before the probe-limited search. The refinement loop is a
+    distributed iterative algorithm (assign via broadcast centroid join
+    -> per-dimension avg re-estimation; only k centroid rows exist
+    anywhere), but it is DETERMINISTIC, so its ANSI-SQL twin is
+    generated by unrolling the iterations into CTE layers
+    (``_ivf_refined_oracle``). tests/test_similarity.py additionally
+    asserts recall vs exact.
     """
+    from kinesiscat_spark.operators.ann_index import ivf_index_topk
     from kinesiscat_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -355,10 +386,17 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    out = ivf_topk(
-        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
+    ivf = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE).select(
+        F.lit("ivf").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    idx = ivf_index_topk(
+        spark, _ivf_index_dir(spark, sf_dir), queries, TOP_K, n_probe=N_PROBE
     ).select(
-        F.lit("ivf_refined").alias("method"),
+        F.lit("ivf_index").alias("method"),
         "qid",
         "cid",
         F.round("sim", 6).alias("sim"),
@@ -367,7 +405,16 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk_exact(spark, sf_dir).select(
         F.lit("exact").alias("method"), "qid", "cid", "sim", "rnk"
     )
-    return exact.unionByName(out)
+    refined = ivf_topk(
+        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
+    ).select(
+        F.lit("ivf_refined").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    return ivf.unionByName(idx).unionByName(exact).unionByName(refined)
 
 
 RERANK_K = 4 * TOP_K

@@ -47,11 +47,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all_query_modules() -> None:
-    """Import every module that registers queries (idempotent)."""
-    # Import order == registration order == the order the driver checks
-    # lanes in; keep the operator-coverage lanes (dedup/envelope/jmespath/
-    # joins/multimodal/text) ahead of the relational showcase so a capped
-    # or truncated harness run still verdicts every distinct operator.
+    """Import every module that registers queries (idempotent).
+
+    Import order == registration order == the order the driver checks
+    lanes in; keep the operator-coverage lanes (dedup/envelope/jmespath/
+    joins/multimodal/text) ahead of the relational showcase so a capped
+    or truncated harness run still verdicts every distinct operator.
+
+    Round 6: the registry is EXACTLY 50 lanes — the round-5 flagships
+    (BPE, quality classifier, hybrid RRF, chunk-shuffle, SemDeDup, heavy
+    hitters, incremental dedup) rotated inside the driver's verdicted 50
+    by folding low-information relational/jmespath/join slots into
+    multi-kind lanes (VERDICT r5 task 1); every folded operator keeps its
+    full hash check inside a UNION ALL oracle.
+    """
     from kinesiscat_spark.queries import (  # noqa: F401
         dedup_queries,
         curation_queries,
@@ -61,23 +70,20 @@ def load_all_query_modules() -> None:
         multimodal_queries,
         packing_queries,
         text_queries,
+        bpe_queries,
+        classifier_queries,
+        hybrid_queries,
+        chunk_queries,
+        semdedup_queries,
+        sketch_queries,
+        incremental_queries,
+        pca_queries,
         relational,
         relational_ext,
         similarity_queries,
         stream_queries,
         window_queries,
     )
-
-    # past-the-cap lanes (the driver verdicts the first 50; these get the
-    # identical hash check from tests/test_oracle_parity.py instead) —
-    # MUST import after every capped module so they never displace one
-    from kinesiscat_spark.queries import bpe_queries  # noqa: F401
-    from kinesiscat_spark.queries import classifier_queries  # noqa: F401
-    from kinesiscat_spark.queries import hybrid_queries  # noqa: F401
-    from kinesiscat_spark.queries import chunk_queries  # noqa: F401
-    from kinesiscat_spark.queries import semdedup_queries  # noqa: F401
-    from kinesiscat_spark.queries import sketch_queries  # noqa: F401
-    from kinesiscat_spark.queries import incremental_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -57,8 +57,10 @@ def test_ivf_recall_vs_exact(spark):
     exact = {
         (r.qid, r.cid) for r in similarity_topk_exact(spark, SF_ORACLE).collect()
     }
+    fam = similarity_topk_ivf(spark, SF_ORACLE)
     approx = {
-        (r.qid, r.cid) for r in similarity_topk_ivf(spark, SF_ORACLE).collect()
+        (r.qid, r.cid)
+        for r in fam.filter("method = 'ivf'").collect()
     }
     recall = len(exact & approx) / len(exact)
     # probing 4/16 cells of a 495-vector corpus; unrefined seed centroids
@@ -66,26 +68,21 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_ivf_refined_recall_not_worse(spark):
-    """The Lloyd-refined lane (similarity_topk_ivf_refined, rows-only in
-    the driver) must recall at least as well as seed centroids minus noise
-    tolerance — refinement moves centroids toward the data, it must not
-    collapse the index."""
+    """The Lloyd-refined method (similarity_topk_ivf lane, round-6 fold)
+    must recall at least as well as seed centroids minus noise tolerance —
+    refinement moves centroids toward the data, it must not collapse the
+    index."""
     from kinesiscat_spark.queries.similarity_queries import (
         similarity_topk_exact,
         similarity_topk_ivf,
-        similarity_topk_ivf_refined,
     )
 
     exact = {
         (r.qid, r.cid) for r in similarity_topk_exact(spark, SF_ORACLE).collect()
     }
-    seed = {
-        (r.qid, r.cid) for r in similarity_topk_ivf(spark, SF_ORACLE).collect()
-    }
-    refined = {
-        (r.qid, r.cid)
-        for r in similarity_topk_ivf_refined(spark, SF_ORACLE).collect()
-    }
+    fam = similarity_topk_ivf(spark, SF_ORACLE).collect()
+    seed = {(r.qid, r.cid) for r in fam if r.method == "ivf"}
+    refined = {(r.qid, r.cid) for r in fam if r.method == "ivf_refined"}
     r_seed = len(exact & seed) / len(exact)
     r_ref = len(exact & refined) / len(exact)
     assert r_ref >= max(0.3, r_seed - 0.2), (
