@@ -79,6 +79,13 @@ def build_ivf_index(
             ),
             id_col,
         )
+    if rows.isEmpty():
+        # partitionBy on an empty frame writes a directory with no parquet
+        # footers — unreadable (UNABLE_TO_INFER_SCHEMA). Write the
+        # schema-bearing empty file unpartitioned; the read path's cell
+        # filter still applies (there is nothing to prune).
+        rows.write.mode("overwrite").parquet(f"{path}/cells")
+        return
     (
         rows.repartition("cell")
         .write.mode("overwrite")

@@ -318,15 +318,72 @@ _BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
 
 
 def _signals_oracle() -> str:
-    from kinesiscat_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+    from kinesiscat_spark.operators.curation import (
+        C4_BAD_LINE_WORD,
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_LINE,
+        C4_TERMINAL_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
 
     g2, g3 = _ngrams_sql("text", 2), _ngrams_sql("text", 3)
+    # Non-degenerate C4 fixture (round 6): same deterministic derivation
+    # as the Spark side — sentence lines from the doc's own words with
+    # id-salted terminal marks / poisons, then the full c4_signals replay.
+    c4_fix = f"""
+c4src AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+c4fix AS (
+  SELECT doc_id,
+    array_to_string(w[1:6], ' ') || '.' ||
+      (CASE WHEN doc_id % 17 = 0 THEN ' {{' ELSE '' END)
+    || chr(10) || array_to_string(w[7:8], ' ') || '!'
+    || chr(10) || array_to_string(w[9:14], ' ') ||
+      (CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END)
+    || chr(10) || (CASE WHEN doc_id % 13 = 0
+        THEN 'this line mentions javascript and has many words.'
+        ELSE array_to_string(w[3:8], ' ') END)
+    || chr(10) || (CASE WHEN doc_id % 19 = 0
+        THEN 'lorem ipsum dolor sit amet here.'
+        ELSE array_to_string(w[1:5], ' ') || '.' END)
+    AS t
+  FROM c4src
+),
+c4 AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS c4_n_lines,
+         len(kept)::BIGINT AS c4_kept_lines,
+         len(clean)::BIGINT AS c4_clean_chars,
+         (NOT contains(t, '{{') AND NOT contains(lower(t), 'lorem ipsum')
+          AND len(regexp_extract_all(clean, '[.!?]')) >= {C4_MIN_SENTENCES})
+           AS c4_keep,
+         clean AS c4_clean_text
+  FROM (
+    SELECT doc_id, t, lines, kept, array_to_string(kept, chr(10)) AS clean
+    FROM (
+      SELECT doc_id, t, lines,
+             list_filter(lines, l ->
+               regexp_matches(rtrim(l), '{C4_TERMINAL_RE}')
+               AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                       x -> len(x) > 0)) >= {C4_MIN_WORDS_PER_LINE}
+               AND NOT contains(lower(l), '{C4_BAD_LINE_WORD}')) AS kept
+      FROM (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM c4fix)
+    )
+  )
+)"""
     return f"""
 WITH g AS (
   SELECT doc_id, text, {g2} AS grams2, {g3} AS grams3,
          string_split(text, chr(10)) AS lines
   FROM documents
-)
+),
+{c4_fix}
 SELECT doc_id,
   CASE WHEN len(list_distinct(grams2)) > 0 THEN round(
     (SELECT cnt * len(g) FROM (
@@ -350,8 +407,9 @@ SELECT doc_id,
   CASE WHEN len({_WORDS.format(t="text")}) > 0 THEN
     len(list_filter({_WORDS.format(t="text")},
         x -> list_contains({_BLOCKLIST_SQL}, lower(x))))
-    / len({_WORDS.format(t="text")})::double END AS list_word_frac
-FROM g
+    / len({_WORDS.format(t="text")})::double END AS list_word_frac,
+  c4_n_lines, c4_kept_lines, c4_clean_chars, c4_keep, c4_clean_text
+FROM g JOIN c4 USING (doc_id)
 """
 
 
@@ -367,11 +425,23 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     All columns are pure built-in Column expressions over the document's
     own line/word arrays — scan-stage, whole-stage codegen, ZERO shuffle —
     so the operator scales linearly to 100 TB (per-row cost is a
-    per-document constant, independent of corpus size)."""
+    per-document constant, independent of corpus size).
+
+    Round 6 (VERDICT r5 task 7): the C4 cleaning signals
+    (``operators/curation.py c4_signals`` — line retention, page gate,
+    rebuilt text) are hash-checked here over a NON-DEGENERATE fixture:
+    the driver corpus has no terminal punctuation, so the lane derives a
+    deterministic punctuation-bearing document per row (sentence lines
+    built from the doc's own words + id-salted terminal marks, short
+    lines, a javascript line, '{' and 'lorem ipsum' page poisons — the
+    same derivation in both engines) and emits the full c4 struct as
+    ``c4_*`` columns.  Every C4 rule flips on some subset of ids, so
+    the columns are non-constant and the hash is load-bearing."""
     from pyspark.sql import functions as F
 
     from kinesiscat_spark.operators.curation import (
         blocklist_signals,
+        c4_signals,
         dup_ngram_char_frac,
         pii_signals,
         repetition_signals,
@@ -379,6 +449,30 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    aj = lambda a, b: F.array_join(F.slice(w, a, b), " ")  # noqa: E731
+    did = F.col("doc_id")
+    l1 = F.concat(
+        aj(1, 6),
+        F.lit("."),
+        F.when(did % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    l2 = F.concat(aj(7, 2), F.lit("!"))
+    l3 = F.concat(
+        aj(9, 6), F.when(did % 3 == 0, F.lit("?")).otherwise(F.lit(""))
+    )
+    l4 = F.when(
+        did % 13 == 0,
+        F.lit("this line mentions javascript and has many words."),
+    ).otherwise(aj(3, 6))
+    l5 = F.when(
+        did % 19 == 0, F.lit("lorem ipsum dolor sit amet here.")
+    ).otherwise(F.concat(aj(1, 5), F.lit(".")))
+    c4_text = F.concat_ws("\n", l1, l2, l3, l4, l5)
+    c4 = c4_signals(c4_text)
     return docs.select(
         "doc_id",
         F.round(top_ngram_char_frac(F.col("text"), 2), 6).alias("top2"),
@@ -393,6 +487,11 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist_signals(F.col("text"), _BLOCKLIST)["list_word_frac"].alias(
             "list_word_frac"
         ),
+        c4["n_lines"].alias("c4_n_lines"),
+        c4["kept_lines"].alias("c4_kept_lines"),
+        c4["clean_chars"].alias("c4_clean_chars"),
+        c4["keep"].alias("c4_keep"),
+        c4["clean_text"].alias("c4_clean_text"),
     )
 
 

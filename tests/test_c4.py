@@ -1,5 +1,11 @@
 """C4 line/document cleaning (Raffel et al. 2020 §2.2): targeted behavior
-cases plus a pure-python differential replay over the sf0.01 corpus."""
+cases plus a pure-python differential replay over the sf0.01 corpus.
+
+Round 6: the operator ALSO has a driver hash check — the
+``curation_signals`` lane derives a punctuation-bearing fixture from the
+(terminal-punctuation-free) driver corpus and hash-checks the full
+c4_signals struct against a DuckDB replay, so the degenerate-corpus gap
+these differentials covered is closed."""
 
 from __future__ import annotations
 

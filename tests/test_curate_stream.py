@@ -130,3 +130,59 @@ def test_curate_stream_classifier_stage(spark):
     want = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert got == want
     assert 0 < len(got) < batch.count()
+
+
+def test_curate_stream_bloom_path_equals_literal_path(spark, cfg):
+    """The large-benchmark Bloom decontamination path (round 6) must keep
+    EXACTLY the documents the literal arrays_overlap path keeps — Bloom
+    has no false negatives and the survivors-only exact verify kills
+    every false positive.  Forced via the pinned size switch
+    (stream_bloom_gram_threshold=0 -> every benchmark takes the Bloom
+    path; the default 10_000 keeps small benchmarks on the literal)."""
+    import dataclasses
+
+    from kinesiscat_spark.pipelines import curate_stream
+    from kinesiscat_spark.streaming import run_to_memory
+    from kinesiscat_spark.streaming.source import read_table_stream
+
+    bloom_cfg = dataclasses.replace(cfg, stream_bloom_gram_threshold=0)
+
+    stream = read_table_stream(spark, SF_SMOKE, "documents")
+    got = sorted(
+        r.doc_id
+        for r in run_to_memory(
+            curate_stream(stream, bloom_cfg), output_mode="append"
+        ).select("doc_id").collect()
+    )
+    stream2 = read_table_stream(spark, SF_SMOKE, "documents")
+    want = sorted(
+        r.doc_id
+        for r in run_to_memory(
+            curate_stream(stream2, cfg), output_mode="append"
+        ).select("doc_id").collect()
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_stream_bloom_switch_is_pinned(spark, cfg):
+    """The size switch is plan-visible: below the threshold the streaming
+    plan carries the arrays_overlap literal; above it (threshold=0) it
+    carries the getbit Bloom probe and NO gram literal."""
+    import dataclasses
+
+    from kinesiscat_spark.pipelines import curate_stream
+    from kinesiscat_spark.streaming.source import read_table_stream
+
+    literal_plan = curate_stream(
+        read_table_stream(spark, SF_SMOKE, "documents"), cfg
+    )._jdf.queryExecution().analyzed().toString()
+    assert "arrays_overlap" in literal_plan
+    assert "getbit" not in literal_plan
+
+    bloom_plan = curate_stream(
+        read_table_stream(spark, SF_SMOKE, "documents"),
+        dataclasses.replace(cfg, stream_bloom_gram_threshold=0),
+    )._jdf.queryExecution().analyzed().toString()
+    assert "getbit" in bloom_plan
+    assert "arrays_overlap" not in bloom_plan
