@@ -701,7 +701,19 @@ class ColumnCompiler:
             else:
                 eq = F.lit(False)  # different static types are never equal
             return Typed(eq if op == "==" else ~eq, T.BooleanType())
-        # ordering: numbers only, else null (jp/interpreter.go:48-55)
+        # ordering: numbers only, else null (jp/interpreter.go:48-55).
+        # A BOXED operand is dynamic — whether it holds a number is a
+        # per-row fact, not a static type, so extract it as try_cast
+        # double (canonical number text casts cleanly; strings are
+        # quoted, bools/null/containers don't cast → NULL → comparator
+        # null → falsy, the evaluator's rule).  Statically refusing the
+        # box here returned null for EVERY element, silently emptying
+        # filter projections over heterogeneous arrays — found by the
+        # round-6 native-vs-evaluator fuzz (test_jmespath_fuzz.py).
+        if _is_box(a.dtype):
+            a = self._box_as_num(a)
+        if _is_box(b.dtype):
+            b = self._box_as_num(b)
         if not (_is_num(a.dtype) and _is_num(b.dtype)):
             return _null(T.BooleanType())
         cmp = {

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from kinesiscat_spark.operators.similarity import (
     cosine,
-    ivf_assign,
+    ivf_assign_arrow,
     ivf_centroids,
     l2_norm,
 )
@@ -100,7 +100,13 @@ def semdedup(
     emb = good
 
     cents = ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
-    assigned = ivf_assign(emb, cents, id_col=id_col, vec=vec)
+    # Arrow assign kernel (round 6): the n·k interpreted-fold assign was
+    # the 8×-probe bottleneck once n_cells grows with the corpus (the
+    # paper's design point).  ivf_assign_arrow is BIT-IDENTICAL to the
+    # Column form (fold-order accumulation, struct-min tie rule — see
+    # its docstring), so the lane's exact-assignment contract and the
+    # DuckDB oracle replay are unchanged.
+    assigned = ivf_assign_arrow(emb, cents, id_col=id_col, vec=vec)
     csim = cosine(F.col(vec), F.col("cvec"))
     order = F.asc("centroid_sim") if keep == "outlier" else F.desc("centroid_sim")
     ranked = (

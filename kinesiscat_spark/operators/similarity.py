@@ -367,6 +367,59 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Nearest cell per vector — BIT-IDENTICAL to
+    ``ivf_assign(..., n_probe=1)``, computed by a vectorized Arrow
+    kernel instead of n·k interpreted HOF folds.
+
+    The Column form's per-pair ``-dot`` is a zip_with/aggregate fold —
+    CodegenFallback, ~100µs per 64-dim fold — and the assign stage
+    evaluates it |vectors| × n_cells times, which dominates SemDeDup
+    wall time once n_cells grows with the corpus (VERDICT r5 task 8:
+    8× probe 4.27).  This kernel accumulates the dots
+    DIMENSION-BY-DIMENSION across a (batch × n_cells) numpy array —
+    exactly the fold order of ``dot`` and of the SQL oracle's
+    ``list_sum`` (the ``_band_keys_udf`` precedent) — so every distance
+    carries the same bits and the argmin (ties → lowest cell, matching
+    the struct-min rule: np.argmin returns the FIRST minimum and the
+    centroid matrix is ordered by cell) selects the identical cell.
+    ``tests/test_semdedup.py`` pins row-for-row equality with the
+    Column form; the ``dedup_semantic`` lane's DuckDB oracle is the
+    cross-engine proof.
+
+    The centroid table collects to the driver (k × d floats — the same
+    k-bounded collect every Lloyd iteration already does) and ships in
+    the kernel closure; per batch the work is d fused multiply-adds
+    over an (N × k) array instead of N·k interpreted folds.
+    """
+    rows = centroids.orderBy("cell").collect()
+    if not rows:
+        return df.select(
+            F.col(id_col), F.lit(None).cast("long").alias("cell")
+        ).limit(0)
+    C = np.asarray([r.cvec for r in rows], dtype=np.float64)  # (k, d)
+    cell_ids = np.asarray([r.cell for r in rows], dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def best_cell(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        V = np.stack(vs.to_numpy()).astype(np.float64)  # (N, d)
+        dots = np.zeros((V.shape[0], C.shape[0]))
+        for i in range(C.shape[1]):
+            dots += V[:, i : i + 1] * C[:, i]
+        # rank by -dot, ties -> lowest cell: argmin over -dots picks the
+        # first (lowest-cell) minimum, the struct-min tie rule
+        return pd.Series(cell_ids[np.argmin(-dots, axis=1)])
+
+    return df.select(F.col(id_col), best_cell(F.col(vec)).alias("cell"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -215,3 +215,30 @@ def test_directionless_vectors_kept_not_crashing(spark):
     for i in (0, 1, 2):
         assert out[i].kept and out[i].cell is None and out[i].centroid_sim is None
     assert out[7].kept and not out[8].kept
+
+
+def test_arrow_assign_equals_column_assign(spark):
+    """ivf_assign_arrow (the round-6 assign kernel) must agree with the
+    Column-fold ivf_assign row for row — including on engineered exact
+    ties (ties -> lowest cell, the struct-min rule) — because the
+    dedup_semantic lane's exactness contract and DuckDB oracle assume
+    the Column semantics."""
+    import random
+
+    from kinesiscat_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    # engineered ties: duplicate centroid seeds (vectors 0 and 1 equal)
+    rows[1] = (1, list(rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, 8)
+    col = {(r.vec_id, r.cell) for r in ivf_assign(df, cents).collect()}
+    arrow = {(r.vec_id, r.cell) for r in ivf_assign_arrow(df, cents).collect()}
+    assert col == arrow
