@@ -180,6 +180,12 @@ def main() -> None:
             "langid_heuristic": lambda: text_language_id(spark, sf_dir),
             "unigram_lm": lambda: text_unigram_lm(spark, sf_dir),
         },
+        "text_heavy_ngrams": {
+            m: (lambda m=m: qs["text_heavy_ngrams"](spark, sf_dir).filter(
+                f"kind = '{m}'"
+            ))
+            for m in ("heavy", "hll_distinct", "exact_distinct")
+        },
     }
     sub_timings: dict[str, dict[str, float]] = {}
     for lane, subs in sub_specs.items():

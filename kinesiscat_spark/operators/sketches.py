@@ -164,3 +164,113 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality (Flajolet, Fusy, Gandouet & Meunier 2007) — the
+# distinct-count companion to the count-min frequency sketch above, as pure
+# Column algebra with the same build shape (explode → bounded groupBy →
+# dense one-row array) and the same cross-engine discipline (md5-derived
+# hashes reproduce in any engine; the estimator folds in register order so
+# the double arithmetic is order-defined on both sides).
+# ---------------------------------------------------------------------------
+
+HLL_P_DEFAULT = 12  # m = 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
+_HLL_HASH_BITS = 60  # 15 md5 hex chars -> non-negative in a signed long
+
+
+def _hll_hash60(value: Column, method: str) -> Column:
+    """60-bit non-negative hash of ``value``.  ``md5`` (15 hex chars via
+    conv) reproduces bit-for-bit in DuckDB/Trino/BigQuery — the oracle
+    path; ``xxhash64`` (sign bit shifted off) is the cheaper JVM path."""
+    if method == "md5":
+        return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    if method == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(value), 4)
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def hll_build(
+    df: DataFrame,
+    col: str = "g",
+    p: int = HLL_P_DEFAULT,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """One-row DataFrame ``(hll: array<long>)`` — the 2^p HyperLogLog
+    registers over every value of ``df[col]``.
+
+    Register index = top p hash bits; rank = position of the highest set
+    bit in the remaining (60-p) bits, counted from the top (+1), with the
+    all-zeros remainder taking rank 60-p+1.  Plan shape mirrors
+    ``cms_build``: one (idx, rank) row per value → MAX per register
+    (map-side partials, ≤ 2^p groups) → dense array via the range join.
+    Empty input → all-zero registers (estimate 0).
+
+    MERGEABILITY (the 100 TB property): registers of a union are the
+    element-wise max of the parts' registers — ``hll_merge`` — so
+    per-partition/per-day sketches combine without re-reading data;
+    pinned exactly (register-for-register) in tests/test_sketches.py.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"need 4 <= p <= 18 (got {p})")
+    m = 1 << p
+    rem_bits = _HLL_HASH_BITS - p
+    h = _hll_hash60(F.col(col), method)
+    idx = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # bin() renders without leading zeros, so length(bin(rem)) is the
+    # bit-length; rank = rem_bits - bit_length + 1 (DuckDB: same via bin())
+    rank = F.when(
+        rem > 0, F.lit(rem_bits) - F.length(F.bin(rem)) + F.lit(1)
+    ).otherwise(F.lit(rem_bits + 1))
+    pairs = df.select(idx.alias("i"), rank.cast("long").alias("r"))
+    packed = pairs.groupBy("i").agg(F.max("r").alias("r"))
+    rng = df.sparkSession.range(m).select(F.col("id").alias("i"))
+    dense = rng.join(packed, "i", "left").select(
+        "i", F.coalesce(F.col("r"), F.lit(0).cast("long")).alias("r")
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("i", "r"))).alias("e")
+    ).select(F.transform(F.col("e"), lambda s: s["r"]).alias("hll"))
+
+
+def hll_estimate(hll: Column, p: int = HLL_P_DEFAULT) -> Column:
+    """Cardinality estimate from the register array: the raw HLL
+    harmonic-mean estimator with the paper's small-range (linear
+    counting) correction.  The 2^-r sum folds in REGISTER ORDER (array
+    order) — identical in Spark's ``aggregate`` and DuckDB's
+    ``list_sum(list_transform(...))`` — so the estimate is bit-stable
+    across engines and partitionings.  The 60-bit hash space makes the
+    paper's large-range correction vacuous at any real cardinality."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = F.aggregate(
+        hll, F.lit(0.0), lambda a, r: a + F.pow(F.lit(2.0), -r.cast("double"))
+    )
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.size(F.filter(hll, lambda r: r == 0))
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+
+
+def hll_merge(a: Column, b: Column) -> Column:
+    """Union of two sketches: element-wise register max."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str = "g",
+    p: int = HLL_P_DEFAULT,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """One-row DataFrame ``(est: double)`` — approximate COUNT(DISTINCT
+    col).  One bounded-exchange pass at any corpus size (vs the exact
+    count-distinct's full shuffle of every distinct value)."""
+    return hll_build(df, col, p, method).select(
+        hll_estimate(F.col("hll"), p).alias("est")
+    )

@@ -1,14 +1,17 @@
-"""Heavy-hitters lane: count-min-prefiltered frequent n-grams, exact.
+"""Sketch lanes: count-min-prefiltered frequent n-grams (EXACT output)
+and HyperLogLog distinct-gram cardinality, one multi-kind lane.
 
-The sketch path's contract is EXACTNESS (count-min never
-underestimates, so the scan-stage estimate filter keeps a superset of
-the true heavy hitters, and the exact re-count kills the collisions) —
-the DuckDB twin is therefore the plain GROUP BY/HAVING, and a hash
-match proves the sketch plumbing end to end, the same way the
-Bloom-prefiltered decontamination twin works.
+The count-min path's contract is EXACTNESS (no-underestimate prefilter +
+exact re-count), so its twin is the plain GROUP BY/HAVING and a hash match
+proves the sketch plumbing end to end — the Bloom-decontamination pattern.
+The HLL path (round 6) is approximate but DETERMINISTIC: md5-derived
+60-bit hashes, register folds in array order — so the DuckDB twin replays
+hash → register → harmonic-mean estimator bit-for-bit and the hash check
+covers the estimator itself, next to an ``exact_distinct`` row that shows
+the accuracy in-lane.
 
-Registered past the driver's 50-lane cap; ``tests/test_oracle_parity.py``
-runs the identical sf0.01 hash check.
+Round 6: registered INSIDE the driver's verdicted 50 (the round-5 cap
+note is obsolete — see registry.py).
 """
 
 from __future__ import annotations
@@ -22,32 +25,93 @@ from kinesiscat_spark.registry import query
 
 _HH_N = 2
 _HH_MIN = 30
+_HLL_P = 12  # m = 4096
 
 _HEAVY_ORACLE = f"""
 WITH g AS (
   SELECT unnest({_ngrams_sql('text', _HH_N)}) AS gram FROM documents
+),
+hllh AS (
+  SELECT CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM g
+),
+hllir AS (
+  SELECT h >> 48 AS i,
+         CASE WHEN (h & 281474976710655) > 0
+              THEN 48 - length(bin(h & 281474976710655)) + 1
+              ELSE 49 END AS r
+  FROM hllh
+),
+hllreg AS (SELECT i, MAX(r) AS r FROM hllir GROUP BY i),
+hlldense AS (
+  SELECT t.i AS i, coalesce(hllreg.r, 0) AS r
+  FROM (SELECT unnest(range(4096)) AS i) t LEFT JOIN hllreg USING (i)
+),
+hllarr AS (SELECT list(r ORDER BY i) AS regs FROM hlldense),
+hllest AS (
+  SELECT CASE WHEN raw <= 10240.0 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros)
+              ELSE raw END AS est
+  FROM (
+    SELECT 12098218.894406674 / list_sum(list_transform(regs, r -> pow(2.0, -r))) AS raw,
+           len(list_filter(regs, r -> r = 0)) AS zeros
+    FROM hllarr
+  )
 )
-SELECT gram, COUNT(*)::BIGINT AS cnt
+SELECT 'heavy' AS kind, gram, COUNT(*)::BIGINT AS cnt,
+       CAST(NULL AS DOUBLE) AS est
 FROM g GROUP BY gram HAVING COUNT(*) >= {_HH_MIN}
+UNION ALL
+SELECT 'exact_distinct' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       COUNT(DISTINCT gram)::BIGINT AS cnt, CAST(NULL AS DOUBLE) AS est
+FROM g
+UNION ALL
+SELECT 'hll_distinct' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       CAST(NULL AS BIGINT) AS cnt, ROUND(est, 4) AS est
+FROM hllest
 """
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
 def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent word {n}-grams (boilerplate detection) via the count-min
-    scale path (operators/sketches.py; Cormode & Muthukrishnan 2005):
-    one d·w-row sketch aggregation, broadcast probe in the scan stage,
-    exact count over the surviving occurrences only.
+    """Sketch family over word {n}-grams, three hash-checked kinds.
 
-    Scale shape: the corpus-wide exchange shrinks from every gram
-    occurrence to the heavy ∪ collision-noise subset; output is exactly
-    the full GROUP BY/HAVING result (no-underestimate guarantee + exact
-    re-count)."""
+    ``kind='heavy'``: frequent n-grams (boilerplate detection) via the
+    count-min scale path (operators/sketches.py; Cormode & Muthukrishnan
+    2005): one d·w-row sketch aggregation, broadcast probe in the scan
+    stage, exact count over the surviving occurrences only.  Output is
+    exactly the full GROUP BY/HAVING result (no-underestimate guarantee
+    + exact re-count).
+
+    ``kind='hll_distinct'`` (round 6): HyperLogLog distinct-gram count
+    (Flajolet et al. 2007; ``hll_distinct(method='md5')``) — ONE
+    bounded-exchange pass (≤ 2^p register rows shuffle) where the exact
+    count-distinct shuffles every distinct gram; the oracle replays
+    hash → registers → estimator bit-for-bit, so the hash check covers
+    the estimator math itself.  ``kind='exact_distinct'`` rides along as
+    the accuracy yardstick (p=12 → ~1.6% expected relative error,
+    asserted in tests/test_sketches.py).
+    """
     from kinesiscat_spark.operators.curation import word_ngrams
-    from kinesiscat_spark.operators.sketches import heavy_hitters
+    from kinesiscat_spark.operators.sketches import heavy_hitters, hll_distinct
 
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram")
     )
-    return heavy_hitters(grams, "gram", min_count=_HH_MIN)
+    null_est = F.lit(None).cast("double")
+    heavy = heavy_hitters(grams, "gram", min_count=_HH_MIN).select(
+        F.lit("heavy").alias("kind"), "gram", "cnt", null_est.alias("est")
+    )
+    exact_d = grams.agg(F.countDistinct("gram").alias("cnt")).select(
+        F.lit("exact_distinct").alias("kind"),
+        F.lit(None).cast("string").alias("gram"),
+        "cnt",
+        null_est.alias("est"),
+    )
+    hll = hll_distinct(grams, "gram", p=_HLL_P, method="md5").select(
+        F.lit("hll_distinct").alias("kind"),
+        F.lit(None).cast("string").alias("gram"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.round("est", 4).alias("est"),
+    )
+    return heavy.unionByName(exact_d).unionByName(hll)
