@@ -166,10 +166,14 @@ def main() -> None:
             "sq8": _quant_sub("sq8"),
             "pq": _quant_sub("pq"),
         },
+        # per-method plans built directly (filtering the lane's union does
+        # not prune the sibling branches — Arrow/checkpoint nodes block
+        # the constant fold; see similarity_queries.ivf_family_method)
         "similarity_topk_ivf": {
-            m: (lambda m=m: qs["similarity_topk_ivf"](spark, sf_dir).filter(
-                f"method = '{m}'"
-            ))
+            m: (lambda m=m: __import__(
+                "kinesiscat_spark.queries.similarity_queries",
+                fromlist=["ivf_family_method"],
+            ).ivf_family_method(spark, sf_dir, m))
             for m in ("ivf", "ivf_index", "exact", "ivf_refined")
         },
         "curation_span_dup": {

@@ -39,6 +39,7 @@ from kinesiscat_spark.operators.quantize import (
 from kinesiscat_spark.operators.similarity import (
     cosine,
     ivf_assign,
+    ivf_assign_arrow,
     ivf_centroids,
 )
 
@@ -64,7 +65,10 @@ def build_ivf_index(
     """
     cents = ivf_centroids(corpus, n_cells, n_iters, id_col, vec)
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-    cells = ivf_assign(corpus, cents, id_col, vec, n_probe=1)
+    # Arrow corpus assign (round 6): bit-identical to the Column fold at
+    # numpy constants; the READ path keeps the Column probe (queries are
+    # tiny) so its plan stays EvalPython-free (test_plan_shape.py)
+    cells = ivf_assign_arrow(corpus, cents, id_col, vec)
     codes = quantize_embeddings(corpus, id_col, vec).select(
         F.col(id_col), F.col("codes")
     )

@@ -278,6 +278,16 @@ def ivf_centroids(
     meaningful centroid delta — makes the refined index reproducible
     across engines and parallelism instead of empirically so. ``None``
     keeps raw doubles.
+
+    Round 6: each iteration MATERIALIZES its k centroid rows (collect +
+    local relation — the "only k rows reach the driver" contract made
+    literal).  The lazy form chained every iteration's corpus pass into
+    one ever-deeper plan, and the Arrow assign's per-iteration centroid
+    collect would have re-evaluated that chain from the seeds each time
+    — O(n_iters²) corpus passes; materializing makes iteration i read
+    exactly one corpus pass, the textbook Lloyd shape.  Values are
+    bit-identical (collected doubles re-enter as the same doubles), so
+    the refined oracle replay is unchanged.
     """
     seeds = (
         corpus.orderBy(id_col)
@@ -293,35 +303,63 @@ def ivf_centroids(
     )
     cents = seeds
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec)
-        # The norm is materialized ONCE per row as its own attribute so
-        # every exploded element row divides by the same computed value
-        # (an element-wise normalize(vec) before posexplode would carry
-        # the full normalized array through the explode instead). Values
-        # are bit-identical: same x.cast(double) / norm per element.
-        sides = corpus.select(
-            F.col(id_col),
-            F.col(vec).alias("_v"),
-            l2_norm(F.col(vec)).alias("_n"),
+        cents = _materialize_cents(
+            corpus.sparkSession,
+            _lloyd_step(corpus, cents, id_col, vec, round_decimals),
         )
-        new = (
-            assigned.join(sides, id_col)
-            .select("cell", F.posexplode("_v").alias("pos", "x"), "_n")
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double") / F.col("_n")).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cell",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
-            )
-        )
-        # renormalize + quantize act on n_cells rows
-        cvec = normalize(F.col("cvec"))
-        if round_decimals is not None:
-            cvec = F.transform(cvec, lambda x: F.round(x, round_decimals))
-        cents = new.select("cell", cvec.alias("cvec"))
     return cents
+
+
+def _lloyd_step(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec: str,
+    round_decimals: int | None,
+) -> DataFrame:
+    """One lazy Lloyd iteration: Arrow assign → per-dimension means →
+    renormalize + quantize.  Split out so the plan-shape test can pin
+    the norm-materialized-once property on the means pipeline directly
+    (the public ``ivf_centroids`` materializes each iteration's k rows,
+    so its final plan is a local relation)."""
+    # Arrow assign (round 6): bit-identical, numpy constants — see
+    # ivf_assign_arrow; every Lloyd iteration assigns the full corpus
+    assigned = ivf_assign_arrow(corpus, cents, id_col, vec)
+    # The norm is materialized ONCE per row as its own attribute so
+    # every exploded element row divides by the same computed value
+    # (an element-wise normalize(vec) before posexplode would carry
+    # the full normalized array through the explode instead). Values
+    # are bit-identical: same x.cast(double) / norm per element.
+    sides = corpus.select(
+        F.col(id_col),
+        F.col(vec).alias("_v"),
+        l2_norm(F.col(vec)).alias("_n"),
+    )
+    new = (
+        assigned.join(sides, id_col)
+        .select("cell", F.posexplode("_v").alias("pos", "x"), "_n")
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double") / F.col("_n")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+        )
+    )
+    # renormalize + quantize act on n_cells rows
+    cvec = normalize(F.col("cvec"))
+    if round_decimals is not None:
+        cvec = F.transform(cvec, lambda x: F.round(x, round_decimals))
+    return new.select("cell", cvec.alias("cvec"))
+
+
+def _materialize_cents(spark, cents: DataFrame) -> DataFrame:
+    """k centroid rows → driver → local relation (see ivf_centroids:
+    one corpus pass per Lloyd iteration instead of a re-evaluated chain).
+    Exact: doubles round-trip bit-for-bit through collect/createDataFrame."""
+    rows = [(r.cell, list(r.cvec)) for r in cents.orderBy("cell").collect()]
+    return spark.createDataFrame(rows, "cell long, cvec array<double>")
 
 
 def ivf_assign(
@@ -440,7 +478,11 @@ def ivf_topk(
     tests; with n_iters=0 the result is deterministic and SQL-checkable.
     """
     cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
-    corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
+    # corpus-side assign via the Arrow kernel (round 6): bit-identical to
+    # the Column fold (see ivf_assign_arrow) but at numpy constants
+    # instead of n_cells interpreted folds per vector — the n·k term is
+    # the dominant in-plan cost once either n or n_cells grows.
+    corpus_cells = ivf_assign_arrow(corpus, cents, corpus_id, vec)
     indexed = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
     ).join(
@@ -496,7 +538,11 @@ def ivf_sq_topk(
 
     rerank_k = rerank_k or 4 * k
     cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
-    corpus_cells = ivf_assign(corpus, cents, corpus_id, vec, n_probe=1)
+    # corpus-side assign via the Arrow kernel (round 6): bit-identical to
+    # the Column fold (see ivf_assign_arrow) but at numpy constants
+    # instead of n_cells interpreted folds per vector — the n·k term is
+    # the dominant in-plan cost once either n or n_cells grows.
+    corpus_cells = ivf_assign_arrow(corpus, cents, corpus_id, vec)
     # the stored index: cell + codes + code norm, no float vectors
     indexed = (
         quantize_embeddings(corpus, corpus_id, vec)

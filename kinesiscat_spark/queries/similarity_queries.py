@@ -378,6 +378,25 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_ivf_refined_oracle``). tests/test_similarity.py additionally
     asserts recall vs exact.
     """
+    parts = [
+        ivf_family_method(spark, sf_dir, m)
+        for m in ("ivf", "ivf_index", "exact", "ivf_refined")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ivf_family_method(
+    spark: SparkSession, sf_dir: str, method: str
+) -> DataFrame:
+    """One method of the ``similarity_topk_ivf`` family as a standalone
+    DataFrame (method column included).  The lane unions all four; bench
+    sub-timings call this directly — filtering the lane's union does NOT
+    prune the other branches (the Arrow/checkpoint nodes block the
+    literal-filter constant fold), so a per-method measurement must
+    build only its own plan."""
     from kinesiscat_spark.operators.ann_index import ivf_index_topk
     from kinesiscat_spark.operators.similarity import ivf_topk
 
@@ -386,35 +405,30 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
-    ivf = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE).select(
-        F.lit("ivf").alias("method"),
+    if method == "ivf":
+        out = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE)
+    elif method == "ivf_index":
+        out = ivf_index_topk(
+            spark, _ivf_index_dir(spark, sf_dir), queries, TOP_K, n_probe=N_PROBE
+        )
+    elif method == "exact":
+        return similarity_topk_exact(spark, sf_dir).select(
+            F.lit("exact").alias("method"), "qid", "cid", "sim", "rnk"
+        )
+    elif method == "ivf_refined":
+        out = ivf_topk(
+            corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE,
+            n_iters=N_ITERS,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return out.select(
+        F.lit(method).alias("method"),
         "qid",
         "cid",
         F.round("sim", 6).alias("sim"),
         "rnk",
     )
-    idx = ivf_index_topk(
-        spark, _ivf_index_dir(spark, sf_dir), queries, TOP_K, n_probe=N_PROBE
-    ).select(
-        F.lit("ivf_index").alias("method"),
-        "qid",
-        "cid",
-        F.round("sim", 6).alias("sim"),
-        "rnk",
-    )
-    exact = similarity_topk_exact(spark, sf_dir).select(
-        F.lit("exact").alias("method"), "qid", "cid", "sim", "rnk"
-    )
-    refined = ivf_topk(
-        corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE, n_iters=N_ITERS
-    ).select(
-        F.lit("ivf_refined").alias("method"),
-        "qid",
-        "cid",
-        F.round("sim", 6).alias("sim"),
-        "rnk",
-    )
-    return ivf.unionByName(idx).unionByName(exact).unionByName(refined)
 
 
 RERANK_K = 4 * TOP_K

@@ -222,12 +222,15 @@ def test_lloyd_loop_norm_is_materialized_once(spark):
     — the norm has to be ONE materialized attribute (computed once per
     row) that the exploded elements divide by. A normalize() regression
     shows up as a lambdafunction (with the full norm fold inside) in the
-    Generate node's generator or in the avg aggregate."""
+    Generate node's generator or in the avg aggregate.  Round 6: the
+    public ivf_centroids materializes each iteration's k rows (its final
+    plan is a local relation), so the pin inspects the lazy _lloyd_step
+    pipeline the loop executes."""
     from kinesiscat_spark.io_tables import load_table
-    from kinesiscat_spark.operators.similarity import ivf_centroids
+    from kinesiscat_spark.operators.similarity import _lloyd_step, ivf_centroids
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    df = ivf_centroids(emb, 8, n_iters=1)
+    df = _lloyd_step(emb, ivf_centroids(emb, 8), "vec_id", "embedding", 12)
     blocks = _explain_blocks(df)
     gens = [b for b in blocks if "(\n" not in b and "Generate" in b and "posexplode" in b]
     assert gens, "expected a posexplode Generate node in the Lloyd loop"
