@@ -18,6 +18,7 @@ anywhere and oracle-checkable in SQL.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -452,3 +453,66 @@ def mix_corpora_tokens(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mix_corpora_temperature(
+    sources: Sequence[DataFrame],
+    total_tokens: int,
+    alpha: float = 0.5,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Temperature-weighted corpus mixture (the multilingual-pretraining
+    α-sampling recipe — Conneau & Lample 2019 XLM §3.1; Xue et al. 2021
+    mT5 §3.2): source i's token budget is
+    ``total_tokens · n_i^α / Σ_j n_j^α`` where ``n_i`` is its corpus
+    token count — α < 1 UPWEIGHTS small sources relative to proportional
+    sampling (α=1) and α=0 gives the uniform mixture.  Budgets floor to
+    ints; each source then contributes its deterministic
+    ``token_budget_sample`` prefix (independent salt per source), so the
+    whole mixture is a content-hash function of the data.
+
+    Returns (id, n_tokens, source_id).
+
+    Determinism/cross-engine note: per-source token counts are exact
+    integer aggregates; ``n^α`` at the default α=0.5 is ``sqrt`` —
+    correctly rounded per IEEE-754 in every engine — and the budget
+    expression evaluates in one fixed order, so a SQL twin reproduces the
+    budgets (and therefore the exact selected set) bit-for-bit.  The
+    ``sampling_mix`` lane's ``kind='temp'`` rows hash-check exactly that.
+
+    Scale shape: ONE aggregate per source for the counts (scalar to the
+    driver — #sources numbers), then the hierarchical token-budget plan
+    per source (bucket totals + a single boundary-bucket cumsum).
+    """
+    if not sources:
+        raise ValueError("mix_corpora_temperature needs at least one source")
+    if total_tokens <= 0 or alpha < 0:
+        raise ValueError(
+            f"need total_tokens > 0 and alpha >= 0 (got {total_tokens}, {alpha})"
+        )
+    n_tok = lambda df: F.sum(  # noqa: E731
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).cast("long")
+    )
+    counts = [
+        (df.agg(n_tok(df).alias("n")).collect()[0].n or 0) for df in sources
+    ]
+    weights = [float(c) ** alpha for c in counts]
+    denom = sum(weights)
+    if denom == 0:
+        raise ValueError("mix_corpora_temperature: all sources are empty")
+    budgets = [int(math.floor(total_tokens * w / denom)) for w in weights]
+    return mix_corpora_tokens(
+        [(df, b) for df, b in zip(sources, budgets)],
+        salt=salt,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )

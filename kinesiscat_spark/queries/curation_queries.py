@@ -52,6 +52,68 @@ def _tok_cte(name: str, pred: str, salt: int, budget: int) -> str:
 )"""
 
 
+_TEMP_TOTAL = 4000
+_TEMP_SALT = 19
+
+# temperature-mixture twin (round 6): per-source token counts are exact
+# integer aggregates, n^0.5 is pow() on both engines (same libm), and the
+# budget expression evaluates in one fixed order — so the floored budgets
+# (and therefore the exact per-source md5-prefix selections) reproduce
+# bit-for-bit.  The per-source prefix replay is the same naive global
+# cumsum the 'tok' kind already hash-checks, with the budget as a scalar
+# subquery instead of a literal.
+_TEMP_NTOK = (
+    "(SELECT coalesce(sum(len(list_filter(string_split_regex(trim(coalesce("
+    "text, '')), '\\s+'), x -> len(x) > 0))), 0) FROM documents WHERE {pred})"
+)
+
+
+def _temp_ctes() -> str:
+    return f"""
+temp_counts AS (
+  SELECT {_TEMP_NTOK.format(pred="lang = 'en'")} AS n_en,
+         {_TEMP_NTOK.format(pred="lang <> 'en'")} AS n_rest
+),
+temp_b_en AS (
+  SELECT CAST(floor({_TEMP_TOTAL} * pow(n_en, 0.5) /
+              (pow(n_en, 0.5) + pow(n_rest, 0.5))) AS BIGINT) AS b
+  FROM temp_counts
+),
+temp_b_rest AS (
+  SELECT CAST(floor({_TEMP_TOTAL} * pow(n_rest, 0.5) /
+              (pow(n_en, 0.5) + pow(n_rest, 0.5))) AS BIGINT) AS b
+  FROM temp_counts
+),
+temp_en AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM (
+      SELECT doc_id,
+             substr(md5(doc_id || chr(31) || '{_TEMP_SALT}'), 1, 12) AS hk,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                 '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      FROM documents WHERE lang = 'en'
+    )
+  ) WHERE c - n_tokens < (SELECT b FROM temp_b_en)
+),
+temp_rest AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM (
+      SELECT doc_id,
+             substr(md5(doc_id || chr(31) || '{_TEMP_SALT + 1}'), 1, 12) AS hk,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                 '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      FROM documents WHERE lang <> 'en'
+    )
+  ) WHERE c - n_tokens < (SELECT b FROM temp_b_rest)
+)"""
+
+
 _DSIR_KEEP = 64
 _DSIR_SALTS = (17, 18)
 
@@ -127,6 +189,7 @@ FROM dsir_sel_{i}"""
 _SAMPLING_ORACLE = f"""
 WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)},
+{_temp_ctes()},
 {_dsir_ctes()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
@@ -158,6 +221,14 @@ SELECT 'split', doc_id, lang, CAST(NULL AS INTEGER),
             ELSE 'test' END
 FROM documents
 UNION ALL
+SELECT 'temp', doc_id, CAST(NULL AS VARCHAR), 0, n_tokens,
+       CAST(NULL AS VARCHAR)
+FROM temp_en
+UNION ALL
+SELECT 'temp', doc_id, CAST(NULL AS VARCHAR), 1, n_tokens,
+       CAST(NULL AS VARCHAR)
+FROM temp_rest
+UNION ALL
 {_dsir_selects()}
 """
 
@@ -180,6 +251,12 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``kind='split'``: deterministic 80/10/10 train/val/test assignment
       (``hash_split``; one scan-stage CASE over the hash interval —
       exclusive, exhaustive, leak-free across reruns).
+    - ``kind='temp'`` (round 6): TEMPERATURE-weighted mixture
+      (``mix_corpora_temperature``; XLM/mT5 α-sampling, α=0.5) — each
+      source's token budget is total·n_i^α/Σn_j^α computed from the
+      corpus's own token counts, then the deterministic token-budget
+      prefix; the oracle recomputes counts, budgets (same pow/floor
+      order), and the exact selected set.
     - ``kind='dsir'`` (round 6): DSIR importance resampling
       (``dsir_resample(method='md5')``, Xie et al. 2023) — top-64 raw
       documents by log importance weight (target = English docs) plus
@@ -217,7 +294,22 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_src.alias("source_id"), null_tok.alias("n_tokens"), "split",
     )
     out = frac.unionByName(tok).unionByName(spl)
-    from kinesiscat_spark.operators.sampling import dsir_resample
+    from kinesiscat_spark.operators.sampling import (
+        dsir_resample,
+        mix_corpora_temperature,
+    )
+
+    temp = mix_corpora_temperature(
+        [en, rest], _TEMP_TOTAL, alpha=0.5, salt=_TEMP_SALT
+    ).select(
+        F.lit("temp").alias("kind"),
+        F.col("id").alias("doc_id"),
+        null_lang.alias("lang"),
+        F.col("source_id").cast("int").alias("source_id"),
+        "n_tokens",
+        null_split.alias("split"),
+    )
+    out = out.unionByName(temp)
 
     for i, s in enumerate(_DSIR_SALTS):
         kept = dsir_resample(docs, en, _DSIR_KEEP, salt=s, method="md5")

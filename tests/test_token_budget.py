@@ -101,3 +101,82 @@ def test_mix_corpora_tokens_budgets_and_independence(spark):
     assert by_src[0] == want0 and by_src[1] == want1
     assert sum(t for _, t in by_src[0]) >= 2000
     assert sum(t for _, t in by_src[1]) >= 1000
+
+
+# --- temperature mixture (round 6) ----------------------------------------
+
+
+def test_temperature_budgets_follow_alpha(spark):
+    """alpha < 1 upweights the small source relative to proportional
+    sampling; alpha=0 is uniform, alpha=1 proportional. Budgets are
+    floor(total * n^alpha / sum)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.sampling import mix_corpora_temperature
+
+    big = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w w w w w w w w w w").alias("text"),  # 10 tokens each
+    )
+    small = spark.range(1000, 1050).select(
+        F.col("id").alias("doc_id"), F.lit("w w w w w").alias("text")
+    )  # 5 tokens each
+    n_big, n_small = 4000, 250
+    total = 1000
+    for alpha in (0.0, 0.5, 1.0):
+        out = mix_corpora_temperature([big, small], total, alpha=alpha)
+        got = {
+            r.source_id: r.t
+            for r in out.groupBy("source_id").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        wb, ws = n_big**alpha, n_small**alpha
+        bb = math.floor(total * wb / (wb + ws))
+        bs = math.floor(total * ws / (wb + ws))
+        # prefix crosses the budget: total within [budget, budget + max_doc)
+        # — unless the source has fewer tokens than its budget, in which
+        # case the whole source is kept (the token_budget_sample contract)
+        assert min(bb, n_big) <= got[0] < min(bb, n_big) + 10, (alpha, got)
+        assert min(bs, n_small) <= got[1] < min(bs, n_small) + 5, (alpha, got)
+
+
+def test_temperature_mixture_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.sampling import mix_corpora_temperature
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("text"),
+    )
+    a = {
+        (r.id, r.source_id)
+        for r in mix_corpora_temperature([docs], 100, salt=3).collect()
+    }
+    b = {
+        (r.id, r.source_id)
+        for r in mix_corpora_temperature(
+            [docs.repartition(7)], 100, salt=3
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_temperature_validation(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.sampling import mix_corpora_temperature
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a b").alias("text")
+    )
+    with _pytest.raises(ValueError):
+        mix_corpora_temperature([], 100)
+    with _pytest.raises(ValueError):
+        mix_corpora_temperature([docs], 0)
+    empty = docs.filter(F.lit(False))
+    with _pytest.raises(ValueError):
+        mix_corpora_temperature([empty], 100)
