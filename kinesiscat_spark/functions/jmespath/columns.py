@@ -944,9 +944,15 @@ class ColumnCompiler:
             # the static path); other subjects → null (box deviation)
             elems = self._box_elems(a.col)
             needle = _json_text(b)  # NULL iff b is JMESPath null
+            # coalesce: array_contains is three-valued — a null ELEMENT
+            # with no match yields SQL NULL, but JMESPath contains() is
+            # false there (null elements don't equal a non-null needle);
+            # found by the round-6 fuzz sweep
             arr_case = F.when(
                 needle.isNull(), F.exists(elems, lambda e: e.isNull())
-            ).otherwise(F.array_contains(elems, needle))
+            ).otherwise(
+                F.coalesce(F.array_contains(elems, needle), F.lit(False))
+            )
             if isinstance(b.dtype, T.StringType):
                 bs = b.col
             elif _is_box(b.dtype):
@@ -968,11 +974,17 @@ class ColumnCompiler:
             return Typed(a.col.contains(b.col), T.BooleanType())
         if isinstance(a.dtype, T.ArrayType) and _is_box(a.dtype.elementType):
             # membership by deep equality = canonical-text equality; a
-            # JMESPath-null needle matches a null element
+            # JMESPath-null needle matches a null element.  coalesce: see
+            # the box branch above (three-valued array_contains).
             needle = _json_text(b)
             out = F.when(
                 needle.isNull(), F.exists(a.col, lambda e: e.isNull())
-            ).otherwise(F.array_contains(a.col, needle))
+            ).otherwise(
+                F.when(
+                    a.col.isNotNull(),
+                    F.coalesce(F.array_contains(a.col, needle), F.lit(False)),
+                )
+            )
             return Typed(out, T.BooleanType())
         if isinstance(a.dtype, T.ArrayType):
             _no_markers(a.dtype, "contains()")
@@ -1224,6 +1236,41 @@ class ColumnCompiler:
 
         return pairs, cmp, knum | kstr
 
+    def _arr_box_keyed(self, arr: Column, elem: T.DataType, key_ast: Node):
+        """The ArrayType twin of ``_box_keyed``: (pairs, cmp, valid) for
+        &expr keys whose COMPILED type is a box (dynamic) over a
+        statically-typed array subject — e.g. ``sort_by(filtered, &@)``
+        where the subject is a filter projection of box elements.  Without
+        this, the static comparator ordered boxed NUMERIC keys by their
+        canonical TEXT ('-3.1' < '-0.9' lexically) — found by the round-6
+        fuzz sweep.  cmp picks numeric vs string ordering by the row-level
+        all-numbers/all-strings guards, exactly like ``_box_keyed``."""
+
+        def kv(x: Column) -> Column:
+            k = box(self.compile(key_ast, Typed(x, elem))).col
+            return F.struct(k.alias("k"), x.alias("e"))
+
+        pairs = F.transform(arr, kv)
+        keys = F.transform(pairs, lambda p: p["k"])
+        knum, _ = self._box_num_elems(keys)
+        kstr, _ = self._box_str_elems(keys)
+
+        def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            ln, rn = l["k"].try_cast("double"), r["k"].try_cast("double")
+            ls = F.try_variant_get(F.try_parse_json(l["k"]), "$", "string")
+            rs = F.try_variant_get(F.try_parse_json(r["k"]), "$", "string")
+            num = F.when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+            st = F.when(ls < rs, -1).when(ls > rs, 1).otherwise(0)
+            return F.when(knum, num).otherwise(st)
+
+        return pairs, cmp, knum | kstr
+
+    def _key_is_box(self, key_ast: Node, elem: T.DataType) -> bool:
+        """Does the &expr key compile to a dynamic (boxed) type against
+        this element type?  Dry-run compile, same trick as the corpus
+        typecheck."""
+        return _is_box(self.compile(key_ast, Typed(F.lit(None), elem)).dtype)
+
     def _f_sort_by(self, node: Node, doc: Typed) -> Typed:
         if len(node.children) != 2:
             raise InvalidArityError("sort_by() takes 2 args")
@@ -1243,6 +1290,13 @@ class ColumnCompiler:
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable("sort_by() needs array")
         elem = a.dtype.elementType
+        if self._key_is_box(key_ast, elem):
+            pairs, cmp, valid = self._arr_box_keyed(a.col, elem, key_ast)
+            srt = F.array_sort(pairs, cmp)
+            out = F.when(F.size(pairs) == 0, a.col).when(
+                valid, F.transform(srt, lambda p: p["e"])
+            )
+            return Typed(out, a.dtype)
 
         def key_fn(x: Column) -> Column:
             return self.compile(key_ast, Typed(x, elem)).col
@@ -1271,6 +1325,17 @@ class ColumnCompiler:
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable(f"{node.value}() needs array")
         elem = a.dtype.elementType
+        if self._key_is_box(key_ast, elem):
+            # dynamic (boxed) keys over a static array: the _arr_box_keyed
+            # comparator (numeric vs string by runtime guard) — see
+            # _f_sort_by; same first-extremal tie rule as below
+            pairs, cmp, valid = self._arr_box_keyed(a.col, elem, key_ast)
+            order = (lambda l, r: -cmp(l, r)) if last else cmp  # noqa: E741
+            srt = F.array_sort(pairs, order)
+            first = F.try_element_at(srt, F.lit(1))
+            return Typed(
+                F.when(valid & (F.size(pairs) > 0), first["e"]), elem
+            )
 
         def key_fn(x: Column) -> Column:
             return self.compile(key_ast, Typed(x, elem)).col

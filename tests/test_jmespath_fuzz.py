@@ -134,6 +134,24 @@ def _gen_expr(rng):
         "map(&type(@), items)", "items[?type(@) == 'string']",
         "abs(`-3`)", "ceil(`1.2`)", "floor(`1.8`)", "sum(`[1, 2]`)",
         "ends_with(to_string(b), '}')", "starts_with(to_string(a), '[')",
+        # trickier shapes (round-6 expansion): nested filters inside
+        # projections, comparator chains over dynamic elements, slices
+        # with steps composed with projections, multiselects of
+        # projections, pipes into functions, filter-on-subfield
+        "items[?k0 > `0`].k1", "items[?@ >= `0` && @ <= `50`]",
+        "items[?@ < `0` || @ > `90`]", "items[1:5:2][*]",
+        "items[::-2] | [0]", "items[*].k0 | [?@ > `10`]",
+        "{n: length(items), first: items[0], all: items[*].k0}",
+        "[items[0], items[-1], a] | [?@]", "items[?k0 == k1]",
+        "a.k0 || a.k1 || `\"fallback\"`", "items[?@ != `null`]",
+        "sort_by(items[?type(@) == 'number'], &@)[-1]",
+        "min_by(items[?type(@) == 'number'], &@)",
+        "length(items[?type(@) == 'object'])",
+        "merge(`{\"x\": 0}`, a) | x", "keys(merge(@, `{\"zz\": 1}`))",
+        "items[?type(@) == 'number'] | sum(@)",
+        "to_number(to_string(items[0]))", "contains(items, `1`)",
+        "items[?contains(to_string(@), '1')]",
+        "a.* | [0]", "items[].k0[]",
     ]
     e = rng.choice(atoms)
     # compose: pipe or boolean-combine two atoms sometimes

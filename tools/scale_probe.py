@@ -294,6 +294,27 @@ def probes():
         # hitters — the linear dimension the sketch path should follow
         return heavy_hitters(grams, "gram", min_count=30).count()
 
+    def p_hll_distinct(spark, d):
+        from kinesiscat_spark.operators.curation import word_ngrams
+        from kinesiscat_spark.operators.sketches import hll_distinct
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        grams = docs.select(
+            F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+        )
+        return float(hll_distinct(grams, "gram").collect()[0].est)
+
+    def p_temperature_mix(spark, d):
+        from kinesiscat_spark.operators.sampling import mix_corpora_temperature
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        en = docs.filter(F.col("lang") == "en")
+        rest = docs.filter(F.col("lang") != "en")
+        # budget scales with the corpus so the boundary bucket stays
+        # mid-range at every N (the token_budget_sample probe discipline)
+        total = int(docs.count()) * 10
+        return mix_corpora_temperature([en, rest], total, alpha=0.5).count()
+
     def p_c4(spark, d):
         from kinesiscat_spark.operators.curation import c4_signals
 
@@ -326,6 +347,8 @@ def probes():
         "bm25_topk": (p_bm25, "linear (scan + 1-row stats + TakeOrdered)"),
         "pq_adc_topk": (p_pq_adc, "linear (codes scan + LUT broadcast)"),
         "token_budget_sample": (p_token_budget, "linear (bucket totals + 1-bucket cumsum)"),
+        "hll_distinct": (p_hll_distinct, "linear (2^p register exchange)"),
+        "temperature_mix": (p_temperature_mix, "linear (per-source counts + bucket plans)"),
     }
 
 
