@@ -1394,6 +1394,13 @@ class ColumnCompiler:
             # other shape's JSON text IS the box text; null → "null"
             out = F.coalesce(self._box_str(a.col), a.col, F.lit("null"))
             return Typed(out, T.StringType())
+        if _contains_box(a.dtype) or has_markers(a.dtype):
+            # container with boxed parts (e.g. a filter projection's
+            # array<box>): F.to_json on the STORAGE would quote the box
+            # text as string elements ('["[]"]' for [[]] — round-6 fuzz
+            # find); _json_text splices each box's JSON raw instead
+            out = F.coalesce(_json_text(a), F.lit("null"))
+            return Typed(out, T.StringType())
         _no_markers(a.dtype, "to_string()")
         if isinstance(a.dtype, T.StringType):
             return a

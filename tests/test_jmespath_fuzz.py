@@ -152,6 +152,26 @@ def _gen_expr(rng):
         "to_number(to_string(items[0]))", "contains(items, `1`)",
         "items[?contains(to_string(@), '1')]",
         "a.* | [0]", "items[].k0[]",
+        # second expansion (exploratory sweep shapes, all holding at 0
+        # failures across 4500 seeded pairs): chained filters, function
+        # compositions over filtered projections, deep multiselects,
+        # equality over containers, negative slices
+        "items[?@ > `0`][?@ < `50`]",
+        "reverse(sort(items[?type(@) == 'number']))",
+        "max(items[?type(@) == 'number'])",
+        "avg(items[?type(@) == 'number'])",
+        "items[?@ == `{}`]", "items[?k0 == `null`]",
+        "not_null(a.k9, items[20], b)",
+        "join(',', items[?type(@) == 'string'])",
+        "a == b", "items == items", "a.k0 == a.k1",
+        "merge(`{}`, `{\"q\": [1, {\"r\": 2}]}`) | q[1].r",
+        "{x: {y: {z: items[0]}}} | x.y.z",
+        "items[-2]", "items[-5:]", "items[:-2]",
+        "map(&length(to_string(@)), items)",
+        "sort_by(items[?type(@) == 'object'], &to_string(@))",
+        "contains(items, items[0])",
+        "ceil(avg(items[?type(@) == 'number']) || `0`)",
+        "type(items[?@])", "items[0].k0.k0", "!items[5]",
     ]
     e = rng.choice(atoms)
     # compose: pipe or boolean-combine two atoms sometimes
