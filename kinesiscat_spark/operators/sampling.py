@@ -506,9 +506,13 @@ def mix_corpora_temperature(
     ]
     weights = [float(c) ** alpha for c in counts]
     denom = sum(weights)
-    if denom == 0:
-        raise ValueError("mix_corpora_temperature: all sources are empty")
-    budgets = [int(math.floor(total_tokens * w / denom)) for w in weights]
+    # All-empty corpus: every budget is 0 and the selection is empty by
+    # definition — degrade to zero budgets instead of raising, so lanes
+    # survive empty inputs like every other operator in the repo.
+    budgets = [
+        int(math.floor(total_tokens * w / denom)) if denom > 0 else 0
+        for w in weights
+    ]
     return mix_corpora_tokens(
         [(df, b) for df, b in zip(sources, budgets)],
         salt=salt,

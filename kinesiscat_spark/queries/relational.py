@@ -62,12 +62,18 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-6 widening: Q10 (returned-item customer ranking) and Q18
+# (large-volume orders via a grouped HAVING on summed quantity) join the Q3
+# lane — the revenue-top-k family in one multi-kind slot. Q10 drops the
+# address/phone output columns absent from the trimmed schema; Q18's
+# threshold is 300 per TPC-H (46 qualifying orders at sf0.01).
 _Q3_ORACLE = """
-SELECT
-  l_orderkey,
+SELECT * FROM (
+SELECT 'q3_shipping' AS kind,
+  l_orderkey AS key, CAST(NULL AS VARCHAR) AS name,
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-  STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
-  o_orderpriority
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS date_s,
+  o_orderpriority AS extra, CAST(NULL AS DOUBLE) AS qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -77,46 +83,143 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+SELECT 'q10_returned' AS kind,
+  c_custkey AS key, c_name AS name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(NULL AS VARCHAR) AS date_s,
+  n_name AS extra, CAST(NULL AS DOUBLE) AS qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+)
+UNION ALL
+SELECT 'q18_big_orders' AS kind,
+  o_orderkey AS key, c_name AS name,
+  ROUND(o_totalprice, 2) AS revenue,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS date_s,
+  CAST(NULL AS VARCHAR) AS extra,
+  ROUND(SUM(l_quantity), 2) AS qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, c_name, o_totalprice, o_orderdate
+HAVING SUM(l_quantity) > 300
 """
 
 
 @query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE)
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: selective join + agg + deterministic top-k.
+    """TPC-H Q3 + Q10 + Q18 — the revenue-ranking family in one multi-kind
+    lane (round-6 widening).
 
+    ``kind='q3_shipping'``: selective join + agg + deterministic top-k.
     customer is small relative to lineitem at every SF -> after the
     mktsegment filter it broadcasts; lineitem never shuffles for that join.
     Top-k uses a total order (revenue DESC, l_orderkey) so the LIMIT is
-    deterministic for the oracle hash.
+    deterministic for the oracle hash — and plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort).
+
+    ``kind='q10_returned'``: the returnflag filter prunes lineitem at the
+    scan; nation broadcasts; one shuffle on orderkey, one on custkey for
+    the customer aggregate; top-20 again TakeOrderedAndProject.
+
+    ``kind='q18_big_orders'``: grouped HAVING on summed quantity. The
+    quantity sum groups on orderkey — the SAME key as the join, so Catalyst
+    reuses one exchange for both; customers arrive via broadcast-friendly
+    dim join. No global sort: the HAVING emits the full qualifying set.
     """
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    cust_b = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders3 = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li3 = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    q3 = (
+        li3.join(orders3, li3.l_orderkey == orders3.o_orderkey)
+        .join(F.broadcast(cust_b), orders3.o_custkey == cust_b.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
+        .agg(rev.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select(
+            F.lit("q3_shipping").alias("kind"),
+            F.col("l_orderkey").alias("key"),
+            F.lit(None).cast("string").alias("name"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
+            F.col("o_orderpriority").alias("extra"),
+            F.lit(None).cast("double").alias("qty"),
+        )
     )
 
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders10 = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li10 = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    q10 = (
+        li10.join(orders10, li10.l_orderkey == orders10.o_orderkey)
+        .join(cust, orders10.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.lit("q10_returned").alias("kind"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            F.lit(None).cast("string").alias("date_s"),
+            F.col("n_name").alias("extra"),
+            F.lit(None).cast("double").alias("qty"),
+        )
+    )
 
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q18 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .agg(F.sum("l_quantity").alias("_qty_raw"))
+        .filter(F.col("_qty_raw") > 300)
+        .withColumn("qty", F.round("_qty_raw", 2))
+        .select(
+            F.lit("q18_big_orders").alias("kind"),
+            F.col("o_orderkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.round("o_totalprice", 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
+            F.lit(None).cast("string").alias("extra"),
+            "qty",
+        )
+    )
+    return q3.unionByName(q10).unionByName(q18)
+
+
+# Round-6 widening: Q7 (bidirectional nation-pair volume, year-bucketed)
+# and Q8 (national market share inside a region, conditional-aggregation
+# ratio) join the Q5 lane — the multi-join international-trade family in
+# one multi-kind slot. Q8's p_type domain here is categorical, so the type
+# filter is an equality.
 _Q5_ORACLE = """
-SELECT
-  n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT 'q5_local' AS kind, n_name AS g1, CAST(NULL AS VARCHAR) AS g2,
+  CAST(NULL AS BIGINT) AS year,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -126,15 +229,58 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name
+UNION ALL
+SELECT 'q7_volume' AS kind, n1.n_name AS g1, n2.n_name AS g2,
+  CAST(YEAR(l_shipdate) AS BIGINT) AS year,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+FROM lineitem
+JOIN supplier s ON l_suppkey = s_suppkey
+JOIN orders o ON l_orderkey = o_orderkey
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+UNION ALL
+SELECT 'q8_share' AS kind, CAST(NULL AS VARCHAR) AS g1,
+  CAST(NULL AS VARCHAR) AS g2,
+  CAST(YEAR(o_orderdate) AS BIGINT) AS year,
+  ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 6) AS value
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier s ON l_suppkey = s_suppkey
+JOIN orders o ON l_orderkey = o_orderkey
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY YEAR(o_orderdate)
 """
 
 
 @query("tpch_q5_local_supplier", oracle=_Q5_ORACLE)
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-join: dims broadcast, facts shuffle once each.
+    """TPC-H Q5 + Q7 + Q8 — the multi-join trade family in one multi-kind
+    lane (round-6 widening).
 
+    ``kind='q5_local'``: dims broadcast, facts shuffle once each.
     supplier/nation/region broadcast (tiny at every SF); the only shuffles
     are lineitem<->orders on orderkey and the result<->customer on custkey.
+
+    ``kind='q7_volume'``: the nation-pair disjunction evaluates AFTER both
+    dim joins, but each side's nation filter (IN the two-name set) is
+    derivable and Catalyst pushes it through the broadcast joins, so the
+    fact rows surviving to the residual are only the two nations' trade.
+
+    ``kind='q8_share'``: market-share ratio via two conditional SUMs in
+    ONE aggregate pass (no self-join, no second scan); the region and
+    p_type filters prune the broadcast build sides before the fact joins.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -145,7 +291,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    return (
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    q5 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
@@ -155,12 +302,82 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+        .agg(F.round(revenue, 2).alias("value"))
+        .select(
+            F.lit("q5_local").alias("kind"),
+            F.col("n_name").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            F.lit(None).cast("long").alias("year"),
+            "value",
         )
     )
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    li7 = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders_all = load_table(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    q7 = (
+        li7.join(F.broadcast(supp), li7.l_suppkey == supp.s_suppkey)
+        .join(orders_all, li7.l_orderkey == orders_all.o_orderkey)
+        .join(cust, orders_all.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("_yr"))
+        .agg(F.round(revenue, 2).alias("value"))
+        .select(
+            F.lit("q7_volume").alias("kind"),
+            F.col("supp_nation").alias("g1"),
+            F.col("cust_nation").alias("g2"),
+            F.col("_yr").cast("long").alias("year"),
+            "value",
+        )
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    asia = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("_cnkey"))
+    li8 = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q8 = (
+        li8.join(F.broadcast(part), li8.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li8.l_suppkey == supp.s_suppkey)
+        .join(orders_all, li8.l_orderkey == orders_all.o_orderkey)
+        .join(cust, orders_all.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("_cnkey"), "left_semi")
+        .join(F.broadcast(n2.withColumnRenamed("cust_nation", "supp_nation2")),
+              F.col("s_nationkey") == F.col("_n2key"))
+        .groupBy(F.year("o_orderdate").alias("_yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation2") == "NATION_3", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("value")
+        )
+        .select(
+            F.lit("q8_share").alias("kind"),
+            F.lit(None).cast("string").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            F.col("_yr").cast("long").alias("year"),
+            "value",
+        )
+    )
+    return q5.unionByName(q7).unionByName(q8)
 
 
 # The former events_agg_by_type lane was folded out: stream_agg_by_type

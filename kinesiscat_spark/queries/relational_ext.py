@@ -31,8 +31,17 @@ from kinesiscat_spark.registry import query
 # under a `kind` column — both are orders-side aggregations whose individual
 # hash checks survive intact in the UNION ALL oracle; the freed slot lets a
 # round-5 flagship lane into the driver's verdicted 50.
+# Round-6 widening: Q12 (late-shipment priority classification, adapted to
+# the trimmed schema — no l_shipmode/l_receiptdate, so "late" is
+# l_shipdate > o_orderdate + 90 days bucketed by ship year) and Q22
+# (positive-balance scalar subquery + anti join + per-nation aggregate,
+# adapted — no c_phone, so the country-code grouping becomes the nation and
+# "no orders" becomes "no URGENT orders" to stay non-degenerate on a corpus
+# where nearly every customer has orders) join the lane.
 _ORDERS_KINDS_ORACLE = """
-SELECT 'q4_priority' AS kind, o_orderpriority AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+SELECT 'q4_priority' AS kind, o_orderpriority AS k,
+       CAST(COUNT(*) AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS cnt2,
+       CAST(NULL AS DOUBLE) AS bal
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1996-07-01'
@@ -43,7 +52,8 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 UNION ALL
 SELECT 'q13_custdist' AS kind, CAST(c_count AS VARCHAR) AS k,
-       CAST(COUNT(*) AS BIGINT) AS cnt
+       CAST(COUNT(*) AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS cnt2,
+       CAST(NULL AS DOUBLE) AS bal
 FROM (
   SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
   FROM customer c
@@ -52,6 +62,27 @@ FROM (
   GROUP BY c.c_custkey
 ) per_cust
 GROUP BY c_count
+UNION ALL
+SELECT 'q12_late_lines' AS kind, CAST(YEAR(l_shipdate) AS VARCHAR) AS k,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS cnt2,
+       CAST(NULL AS DOUBLE) AS bal
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY YEAR(l_shipdate)
+UNION ALL
+SELECT 'q22_idle_balance' AS kind, n_name AS k,
+       CAST(COUNT(*) AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS cnt2,
+       ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY n_name
 """
 
 
@@ -68,6 +99,18 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customers keep a row even when every order is filtered out), then a
     two-level aggregation — the second groupBy runs over at most
     max-orders-per-customer distinct values, a negligible shuffle.
+
+    ``kind='q12_late_lines'`` (round-6 widening): non-equi lateness
+    predicate (l_shipdate > o_orderdate + 90 days) evaluated inside the
+    equi join's codegen — the join itself shuffles only on orderkey; both
+    priority CASE branches fold into one partial aggregate keyed by ship
+    year (a handful of groups at any SF).
+
+    ``kind='q22_idle_balance'`` (round-6 widening): scalar subquery (the
+    positive-balance mean broadcasts as a 1-row literal join), anti join
+    against URGENT orders (pushed filter makes the build side small), and
+    a per-nation aggregate. customer is dim-sized; nothing here scales
+    with lineitem.
     """
     orders_q4 = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -80,10 +123,15 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li["l_shipdate"] > orders_q4["o_orderdate"]),
         "left_semi",
     )
+    _pad = [
+        F.lit(None).cast("long").alias("cnt2"),
+        F.lit(None).cast("double").alias("bal"),
+    ]
     q4 = hit.groupBy("o_orderpriority").agg(F.count("*").alias("cnt")).select(
         F.lit("q4_priority").alias("kind"),
         F.col("o_orderpriority").alias("k"),
         "cnt",
+        *_pad,
     )
 
     cust = load_table(spark, sf_dir, "customer")
@@ -102,30 +150,210 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("q13_custdist").alias("kind"),
         F.col("c_count").cast("string").alias("k"),
         "cnt",
+        *_pad,
     )
-    return q4.unionByName(q13)
+
+    li_all = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q12 = (
+        li_all.join(orders, li_all["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("cnt"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("cnt2"),
+        )
+        .select(
+            F.lit("q12_late_lines").alias("kind"),
+            F.col("ship_year").cast("string").alias("k"),
+            "cnt",
+            "cnt2",
+            F.lit(None).cast("double").alias("bal"),
+        )
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    q22 = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .select(
+            F.lit("q22_idle_balance").alias("kind"),
+            F.col("n_name").alias("k"),
+            "cnt",
+            F.lit(None).cast("long").alias("cnt2"),
+            "bal",
+        )
+    )
+    return q4.unionByName(q13).unionByName(q12).unionByName(q22)
 
 
+# Round-6 widening: Q15 (top supplier by quarter revenue — aggregate view
+# + scalar-subquery max) and Q21 (suppliers who kept multi-supplier orders
+# waiting — EXISTS + NOT EXISTS double correlation, adapted to the trimmed
+# schema: no l_receiptdate/l_commitdate, so "late" is
+# l_shipdate > o_orderdate + 60 days) join the anti-join lane — the
+# existential-pattern family in one multi-kind slot.
 _ANTI_ORACLE = """
-SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+SELECT 'no_big_orders' AS kind, c_custkey AS key, c_name AS name,
+       ROUND(c_acctbal, 2) AS value, CAST(NULL AS BIGINT) AS cnt
 FROM customer
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey AND o_totalprice > 400000
 )
+UNION ALL
+SELECT 'q15_top_supplier' AS kind, s_suppkey AS key, s_name AS name,
+       ROUND(total_revenue, 2) AS value, CAST(NULL AS BIGINT) AS cnt
+FROM supplier JOIN (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+) rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (
+  SELECT MAX(total_revenue) FROM (
+    SELECT SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+  )
+)
+UNION ALL
+SELECT 'q21_waiting' AS kind, s_suppkey AS key, s_name AS name,
+       CAST(NULL AS DOUBLE) AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_suppkey, s_name
 """
 
 
 @query("customers_no_big_orders", oracle=_ANTI_ORACLE)
 def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join. The price filter is applied to the
-    orders side BEFORE the join, so the anti join is a pure equi-join —
-    pushdown-friendly and skew-safe."""
+    """Existential relational patterns in one multi-kind lane (round-6
+    widening of the anti-join lane with TPC-H Q15 + Q21).
+
+    ``kind='no_big_orders'``: NOT EXISTS as a left-anti join. The price
+    filter is applied to the orders side BEFORE the join, so the anti join
+    is a pure equi-join — pushdown-friendly and skew-safe.
+
+    ``kind='q15_top_supplier'``: the revenue view aggregates lineitem down
+    to |supplier| rows ONCE and is reused for both the per-supplier rows
+    and the scalar max (Spark caches nothing here — the view is tiny, the
+    max is a 1-row broadcast cross join, and the quarter filter reaches
+    the scan).
+
+    ``kind='q21_waiting'``: double-correlated existence — the late-lines
+    set is computed once; EXISTS becomes a left-semi join against raw
+    lineitem on orderkey with a suppkey<> residual, NOT EXISTS a left-anti
+    join against the late set itself. Both shuffle on orderkey (the same
+    key as the build), no fan-out, count per supplier at the end.
+    """
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return cust.join(
+    anti = cust.join(
         big, cust["c_custkey"] == big["o_custkey"], "left_anti"
-    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    ).select(
+        F.lit("no_big_orders").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("value"),
+        F.lit(None).cast("long").alias("cnt"),
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    q15 = (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.lit("q15_top_supplier").alias("kind"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.round("total_revenue", 2).alias("value"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select(
+            F.col("l_orderkey").alias("_lok"), F.col("l_suppkey").alias("_lsk")
+        )
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ook"), F.col("l_suppkey").alias("_osk")
+    )
+    late_other = late.select(
+        F.col("_lok").alias("_xok"), F.col("_lsk").alias("_xsk")
+    )
+    q21 = (
+        late.join(
+            others,
+            (F.col("_lok") == F.col("_ook")) & (F.col("_lsk") != F.col("_osk")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("_lok") == F.col("_xok")) & (F.col("_lsk") != F.col("_xsk")),
+            "left_anti",
+        )
+        .groupBy("_lsk")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(supp), F.col("_lsk") == F.col("s_suppkey"))
+        .select(
+            F.lit("q21_waiting").alias("kind"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.lit(None).cast("double").alias("value"),
+            "cnt",
+        )
+    )
+    return anti.unionByName(q15).unionByName(q21)
 
 
 # Round-6 fold: ROLLUP (orders revenue) + CUBE (documents counts) share one
@@ -211,6 +439,12 @@ def revenue_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # Round-6 fold: Q17 + Q6 — the two single-row lineitem aggregates — share
 # one lane slot under `kind`, each keeping its hash check in the UNION ALL.
+# Round-6 widening: Q14 (promo revenue share — conditional aggregation over
+# a part join) and Q19 (disjunctive multi-range predicates spanning the
+# join: OR-of-ANDs over brand/quantity/size) join the lane, completing the
+# single-row lineitem-aggregate family. Q19 is adapted to the trimmed
+# schema (no p_container/l_shipmode in the corpus); Q14's p_type domain is
+# categorical here, so the PROMO% prefix match is an equality.
 _LINEITEM_SCALAR_ORACLE = """
 SELECT 'q17_avg_yearly' AS kind,
        ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS value,
@@ -231,6 +465,27 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+UNION ALL
+SELECT 'q14_promo_share' AS kind,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+UNION ALL
+SELECT 'q19_disjunctive' AS kind,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
 """
 
 
@@ -247,7 +502,19 @@ def lineitem_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the parquet reader (range + between + less-than), the scan reads
     4 columns of 11, and the aggregation is a single map-side partial ->
     one-row exchange. At 100 TB this is I/O-bound by exactly the bytes the
-    row-group statistics can't skip."""
+    row-group statistics can't skip.
+
+    ``kind='q14_promo_share'`` (round-6 widening): conditional aggregation
+    over a broadcast part join — the shipdate month filter reaches the
+    lineitem scan, part broadcasts at any SF, and both SUM branches fold
+    into one partial aggregate (a single pass, not two).
+
+    ``kind='q19_disjunctive'`` (round-6 widening): OR-of-ANDs predicates
+    spanning the join. The per-table halves of each conjunct
+    (brand+size on part, quantity on lineitem) are NOT separable without
+    changing semantics, so the disjunction evaluates post-join inside
+    codegen; Catalyst still pushes the derivable per-side domain bounds
+    (brand IN (...), quantity <= 30) to the scans."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
@@ -280,7 +547,51 @@ def lineitem_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("q6_revenue").alias("kind"), "value", "n_items")
     )
-    return q17.unionByName(q6)
+    part_all = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q14 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part_all), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("value"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.lit("q14_promo_share").alias("kind"), "value", "n_items")
+    )
+    q19 = (
+        li.join(F.broadcast(part_all), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("l_quantity").between(1, 11)
+                & F.col("p_size").between(1, 5)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("l_quantity").between(10, 20)
+                & F.col("p_size").between(1, 10)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("l_quantity").between(20, 30)
+                & F.col("p_size").between(1, 15)
+            )
+        )
+        .agg(
+            F.round(F.sum(rev), 2).alias("value"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.lit("q19_disjunctive").alias("kind"), "value", "n_items")
+    )
+    return q17.unionByName(q6).unionByName(q14).unionByName(q19)
 
 
 # Round-6 fold: analytic windows + exact percentiles + set operations in
