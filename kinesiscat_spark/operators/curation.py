@@ -198,6 +198,130 @@ def c4_clean(
     )
 
 
+# --- Gopher document-quality rules (Rae et al. 2021 §A1.1) -----------------
+
+# Published defaults: a document is kept iff 50 <= words <= 100k, mean word
+# length in [3, 10], hash/ellipsis symbols per word <= 0.1, at most 90% of
+# lines start with a bullet, at most 30% end with an ellipsis, >= 80% of
+# words contain an alphabetic character, and >= 2 of the stopword set occur.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLET_PREFIXES = ("•", "‣", "-", "*")
+
+
+def gopher_signals(
+    text: Column, stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+) -> Column:
+    """Struct of the Gopher §A1.1 document-quality signals:
+
+    - ``n_words``: whitespace word count;
+    - ``mean_word_len``: average characters per word (NULL when empty);
+    - ``alpha_word_frac``: fraction of words containing >= 1 ASCII letter;
+    - ``symbol_word_ratio``: (# of ``#`` + # of ``...``/``…``) per word;
+    - ``bullet_line_frac``: fraction of lines whose first non-blank char
+      is a bullet mark; ``ellipsis_line_frac``: fraction ending in an
+      ellipsis; - ``stop_hits``: number of DISTINCT stopwords present.
+
+    Pure built-in Column algebra over the document's own word/line arrays
+    — scan-stage, whole-stage codegen, ZERO shuffle — so the operator is a
+    per-row constant and scales linearly to 100 TB. The word array is
+    let-bound once and shared by all word-level signals
+    (kinesiscat_spark/let.py)."""
+
+    def body(ws: Column) -> Column:
+        n_words = F.size(ws)
+        nd = n_words.cast("double")
+        symbols = F.regexp_count(
+            F.coalesce(text, F.lit("")), F.lit(r"#|\.\.\.|…")
+        )
+        lower_ws = F.transform(ws, F.lower)
+        stop_arr = F.array([F.lit(s) for s in stopwords])
+
+        def lines_body(lines: Column) -> Column:
+            n_lines = F.size(lines)
+            bullet = F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.substring(F.ltrim(l), 1, 1).isin(
+                        *GOPHER_BULLET_PREFIXES
+                    ),
+                )
+            )
+            ellipsis = F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+                )
+            )
+            return F.struct(
+                n_words.cast("long").alias("n_words"),
+                F.when(
+                    n_words > 0,
+                    F.aggregate(
+                        ws,
+                        F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w),
+                    )
+                    / nd,
+                ).alias("mean_word_len"),
+                F.when(
+                    n_words > 0,
+                    F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / nd,
+                ).alias("alpha_word_frac"),
+                F.when(n_words > 0, symbols / nd).alias("symbol_word_ratio"),
+                F.when(
+                    n_lines > 0, bullet / n_lines.cast("double")
+                ).alias("bullet_line_frac"),
+                F.when(
+                    n_lines > 0, ellipsis / n_lines.cast("double")
+                ).alias("ellipsis_line_frac"),
+                F.size(
+                    F.filter(
+                        stop_arr, lambda s: F.array_contains(lower_ws, s)
+                    )
+                )
+                .cast("long")
+                .alias("stop_hits"),
+            )
+
+        return let_(F.split(F.coalesce(text, F.lit("")), "\n"), lines_body)
+
+    return let_(words(F.coalesce(text, F.lit(""))), body)
+
+
+def gopher_keep(
+    sig: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Gopher keep predicate over a ``gopher_signals`` struct, with the
+    published defaults. NULL signals (empty document) evaluate to a kept
+    =false — an explicit policy, not a NULL-filter side effect."""
+    return (
+        (sig["n_words"] >= min_words)
+        & (sig["n_words"] <= max_words)
+        & F.coalesce(sig["mean_word_len"] >= min_mean_word_len, F.lit(False))
+        & F.coalesce(sig["mean_word_len"] <= max_mean_word_len, F.lit(False))
+        & F.coalesce(
+            sig["symbol_word_ratio"] <= max_symbol_ratio, F.lit(False)
+        )
+        & F.coalesce(
+            sig["bullet_line_frac"] <= max_bullet_frac, F.lit(False)
+        )
+        & F.coalesce(
+            sig["ellipsis_line_frac"] <= max_ellipsis_frac, F.lit(False)
+        )
+        & F.coalesce(sig["alpha_word_frac"] >= min_alpha_frac, F.lit(False))
+        & (sig["stop_hits"] >= min_stop_hits)
+    )
+
+
 def top_ngram_char_frac(text: Column, n: int) -> Column:
     """Fraction of the text's characters covered by the single most
     frequent word n-gram (count × gram length / text length). Ties break

@@ -46,6 +46,13 @@ class CurationConfig:
     max_dup_line_frac: float = 0.0
     max_top_ngram_char_frac: float = 0.0
     top_ngram_n: int = 2
+    # Gopher §A1.1 document-quality rules (word count / mean word length /
+    # symbol ratio / bullet & ellipsis lines / alpha words / stopwords) at
+    # the PUBLISHED thresholds (operators/curation.py gopher_keep). False
+    # disables (the default). gopher_stopwords overrides the stopword set
+    # for corpora whose vocabulary lacks the published one.
+    gopher_rules: bool = False
+    gopher_stopwords: tuple[str, ...] | None = None
     # Blocklist word filtering (C4 §2.2): drop documents whose blocklist
     # word fraction exceeds the threshold (0.0 = any hit drops, the C4
     # rule). Empty blocklist disables.
@@ -131,6 +138,24 @@ def repetition_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
         frac = top_ngram_char_frac(F.col(cfg.text_col), cfg.top_ngram_n)
         out = out.filter(frac <= cfg.max_top_ngram_char_frac)
     return out
+
+
+def gopher_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Drop documents failing the Gopher §A1.1 quality rules at the
+    published thresholds — a pure scan-stage Column predicate (zero
+    shuffle; gopher_keep rejects NULL/empty text explicitly)."""
+    if not cfg.gopher_rules:
+        return docs
+    from kinesiscat_spark.operators.curation import (
+        GOPHER_STOPWORDS,
+        gopher_keep,
+        gopher_signals,
+    )
+
+    sig = gopher_signals(
+        F.col(cfg.text_col), stopwords=cfg.gopher_stopwords or GOPHER_STOPWORDS
+    )
+    return docs.filter(gopher_keep(sig))
 
 
 def blocklist_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -271,6 +296,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         out = step("c4", c4_clean(out, cfg.text_col))
     out = step("quality", quality_gate(out, cfg))
     out = step("repetition", repetition_gate(out, cfg))
+    out = step("gopher", gopher_gate(out, cfg))
     out = step("blocklist", blocklist_gate(out, cfg))
     out = step("language", language_gate(out, cfg))
     out = step("pii", pii_gate(out, cfg))
@@ -478,6 +504,7 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
     cfg = cfg or CurationConfig()
     out = quality_gate(stream_docs, cfg)
     out = repetition_gate(out, cfg)
+    out = gopher_gate(out, cfg)
     out = blocklist_gate(out, cfg)
     out = language_gate(out, cfg)
     out = pii_gate(out, cfg)

@@ -421,6 +421,53 @@ def _signals_oracle() -> str:
     )
 
     g2, g3 = _ngrams_sql("text", 2), _ngrams_sql("text", 3)
+    # Gopher §A1.1 signal replay (round 6): word-level stats over the RAW
+    # text, line/symbol stats over the punctuation fixture extended with
+    # id-salted bullet/ellipsis/hash lines (the raw corpus has none).
+    _SYM_RE = r"#|\.\.\.|…"
+    _BUL = "('•', '‣', '-', '*')"
+    _STOPS = "['the', 'a']"
+
+    def _gopher_cte(name: str, src: str) -> str:
+        return f"""
+{name} AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS {name}_n_words,
+    CASE WHEN len(w) > 0
+         THEN list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+    END AS {name}_mwl,
+    CASE WHEN len(w) > 0
+         THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / len(w)
+    END AS {name}_alpha,
+    CASE WHEN len(w) > 0
+         THEN len(regexp_extract_all(gt, '{_SYM_RE}'))::DOUBLE / len(w)
+    END AS {name}_sym,
+    CASE WHEN len(ls) > 0
+         THEN len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN {_BUL}))::DOUBLE
+              / len(ls)
+    END AS {name}_bul,
+    CASE WHEN len(ls) > 0
+         THEN len(list_filter(ls,
+              l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(ls)
+    END AS {name}_ell,
+    len(list_filter({_STOPS},
+        s -> list_contains(list_transform(w, x -> lower(x)), s)))::BIGINT
+      AS {name}_stops
+  FROM (SELECT doc_id, gt, {_WORDS.format(t="gt")} AS w,
+               string_split(gt, chr(10)) AS ls
+        FROM ({src}))
+)"""
+
+    gw_cte = _gopher_cte("gw", "SELECT doc_id, text AS gt FROM documents")
+    gx_cte = _gopher_cte(
+        "gx",
+        """SELECT doc_id,
+  t || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet point item' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '# hashtag # content # here' ELSE '' END)
+  AS gt FROM c4fix""",
+    )
     # Non-degenerate C4 fixture (round 6): same deterministic derivation
     # as the Spark side — sentence lines from the doc's own words with
     # id-salted terminal marks / poisons, then the full c4_signals replay.
@@ -475,7 +522,9 @@ WITH g AS (
          string_split(text, chr(10)) AS lines
   FROM documents
 ),
-{c4_fix}
+{c4_fix},
+{gw_cte},
+{gx_cte}
 SELECT doc_id,
   CASE WHEN len(list_distinct(grams2)) > 0 THEN round(
     (SELECT cnt * len(g) FROM (
@@ -500,8 +549,30 @@ SELECT doc_id,
     len(list_filter({_WORDS.format(t="text")},
         x -> list_contains({_BLOCKLIST_SQL}, lower(x))))
     / len({_WORDS.format(t="text")})::double END AS list_word_frac,
-  c4_n_lines, c4_kept_lines, c4_clean_chars, c4_keep, c4_clean_text
+  c4_n_lines, c4_kept_lines, c4_clean_chars, c4_keep, c4_clean_text,
+  gw_n_words,
+  ROUND(gw_mwl, 6) AS gw_mean_wl,
+  ROUND(gw_alpha, 6) AS gw_alpha_frac,
+  gw_stops AS gw_stop_hits,
+  ((gw_n_words >= 50) AND (gw_n_words <= 100000)
+   AND COALESCE(gw_mwl >= 3.0, FALSE) AND COALESCE(gw_mwl <= 10.0, FALSE)
+   AND COALESCE(gw_sym <= 0.1, FALSE)
+   AND COALESCE(gw_bul <= 0.9, FALSE)
+   AND COALESCE(gw_ell <= 0.3, FALSE)
+   AND COALESCE(gw_alpha >= 0.8, FALSE)
+   AND (gw_stops >= 2)) AS gw_keep,
+  ROUND(gx_sym, 6) AS gx_symbol_ratio,
+  ROUND(gx_bul, 6) AS gx_bullet_frac,
+  ROUND(gx_ell, 6) AS gx_ellipsis_frac,
+  ((gx_n_words >= 10) AND (gx_n_words <= 100000)
+   AND COALESCE(gx_mwl >= 3.0, FALSE) AND COALESCE(gx_mwl <= 10.0, FALSE)
+   AND COALESCE(gx_sym <= 0.1, FALSE)
+   AND COALESCE(gx_bul <= 0.1, FALSE)
+   AND COALESCE(gx_ell <= 0.1, FALSE)
+   AND COALESCE(gx_alpha >= 0.5, FALSE)
+   AND (gx_stops >= 0)) AS gx_keep
 FROM g JOIN c4 USING (doc_id)
+JOIN gw USING (doc_id) JOIN gx USING (doc_id)
 """
 
 
@@ -535,6 +606,8 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist_signals,
         c4_signals,
         dup_ngram_char_frac,
+        gopher_keep,
+        gopher_signals,
         pii_signals,
         repetition_signals,
         top_ngram_char_frac,
@@ -565,6 +638,25 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.concat(aj(1, 5), F.lit(".")))
     c4_text = F.concat_ws("\n", l1, l2, l3, l4, l5)
     c4 = c4_signals(c4_text)
+    # Gopher §A1.1 (round 6): word-level signals over the RAW text (word
+    # counts/lengths/stopwords are non-degenerate there), line/symbol
+    # signals over the fixture extended with id-salted bullet / ellipsis /
+    # hash lines (the raw corpus has none — same derivation both engines).
+    # Stopwords are corpus-adapted ('the','a' — the published set's words
+    # barely occur in the synthetic vocabulary); thresholds for gx_keep
+    # are tightened to the fixture's scale so every rule flips on some id
+    # subset. gw_keep uses the PUBLISHED Gopher defaults.
+    gx_text = F.concat(
+        c4_text,
+        F.when(did % 5 == 0, F.lit("\n- bullet point item")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("\n# hashtag # content # here")).otherwise(
+            F.lit("")
+        ),
+    )
+    _stops = ("the", "a")
+    gw = gopher_signals(F.col("text"), stopwords=_stops)
+    gx = gopher_signals(gx_text, stopwords=_stops)
     return docs.select(
         "doc_id",
         F.round(top_ngram_char_frac(F.col("text"), 2), 6).alias("top2"),
@@ -584,6 +676,22 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4["clean_chars"].alias("c4_clean_chars"),
         c4["keep"].alias("c4_keep"),
         c4["clean_text"].alias("c4_clean_text"),
+        gw["n_words"].alias("gw_n_words"),
+        F.round(gw["mean_word_len"], 6).alias("gw_mean_wl"),
+        F.round(gw["alpha_word_frac"], 6).alias("gw_alpha_frac"),
+        gw["stop_hits"].alias("gw_stop_hits"),
+        gopher_keep(gw).alias("gw_keep"),
+        F.round(gx["symbol_word_ratio"], 6).alias("gx_symbol_ratio"),
+        F.round(gx["bullet_line_frac"], 6).alias("gx_bullet_frac"),
+        F.round(gx["ellipsis_line_frac"], 6).alias("gx_ellipsis_frac"),
+        gopher_keep(
+            gx,
+            min_words=10,
+            max_bullet_frac=0.1,
+            max_ellipsis_frac=0.1,
+            min_alpha_frac=0.5,
+            min_stop_hits=0,
+        ).alias("gx_keep"),
     )
 
 

@@ -406,3 +406,94 @@ class TestBlocklist:
         assert kept == [1, 2, 3]  # 1/4 = 0.25 <= 0.3
         off = CurationConfig()
         assert blocklist_gate(df, off) is df
+
+
+class TestGopher:
+    """Gopher §A1.1 quality rules (operators/curation.py gopher_signals /
+    gopher_keep) — exact values on handcrafted docs, published-default
+    gate semantics, NULL policy."""
+
+    def _sig(self, spark, text, **kw):
+        from kinesiscat_spark.operators.curation import gopher_signals
+
+        return (
+            spark.range(1)
+            .select(gopher_signals(F.lit(text), **kw).alias("s"))
+            .collect()[0]
+            .s.asDict()
+        )
+
+    def test_word_stats_exact(self, spark):
+        s = self._sig(spark, "the cat sat on the mat")
+        assert s["n_words"] == 6
+        assert s["mean_word_len"] == pytest.approx(17 / 6)
+        assert s["alpha_word_frac"] == 1.0
+        assert s["stop_hits"] == 1  # 'the' (distinct), not 2 occurrences
+
+    def test_symbol_bullet_ellipsis(self, spark):
+        text = "# tag one...\n- bullet line\nplain line ends…\n* second"
+        s = self._sig(spark, text)
+        # symbols: '#', '...', '…' -> 3 over 11 words
+        assert s["symbol_word_ratio"] == pytest.approx(3 / 11)
+        assert s["bullet_line_frac"] == pytest.approx(2 / 4)
+        assert s["ellipsis_line_frac"] == pytest.approx(2 / 4)
+
+    def test_empty_and_null_text(self, spark):
+        from kinesiscat_spark.operators.curation import (
+            gopher_keep,
+            gopher_signals,
+        )
+
+        for t in [F.lit(""), F.lit(None).cast("string")]:
+            row = (
+                spark.range(1)
+                .select(
+                    gopher_signals(t).alias("s"),
+                    gopher_keep(gopher_signals(t)).alias("k"),
+                )
+                .collect()[0]
+            )
+            assert row.s.n_words == 0
+            assert row.s.mean_word_len is None
+            assert row.k is False  # explicit reject, not NULL
+
+    def test_published_gate_defaults(self, spark):
+        from kinesiscat_spark.operators.curation import (
+            gopher_keep,
+            gopher_signals,
+        )
+
+        good = " ".join(
+            ["the", "be", "to", "of"] + [f"word{i}" for i in range(60)]
+        )
+        short = "the be to of tiny doc"
+        symbolic = " ".join(["the be to of"] + ["#"] * 60)
+        df = spark.createDataFrame(
+            [(0, good), (1, short), (2, symbolic)], ["i", "text"]
+        )
+        out = {
+            r.i: r.k
+            for r in df.select(
+                "i", gopher_keep(gopher_signals(F.col("text"))).alias("k")
+            ).collect()
+        }
+        assert out == {0: True, 1: False, 2: False}
+
+    def test_threshold_overrides(self, spark):
+        from kinesiscat_spark.operators.curation import (
+            gopher_keep,
+            gopher_signals,
+        )
+
+        text = "the be cats dogs foxes"  # 5 words, 2 stopwords, mwl 3.6
+        k = (
+            spark.range(1)
+            .select(
+                gopher_keep(
+                    gopher_signals(F.lit(text)), min_words=5
+                ).alias("k")
+            )
+            .collect()[0]
+            .k
+        )
+        assert k is True

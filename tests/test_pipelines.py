@@ -62,8 +62,8 @@ def test_curate_default_is_lazy(spark, monkeypatch):
     cfg = CurationConfig(stage_counts={})
     curate(docs, cfg)
     assert set(cfg.stage_counts) == {
-        "input", "quality", "repetition", "blocklist", "language", "pii",
-        "decontaminate", "exact_dedup", "near_dedup",
+        "input", "quality", "repetition", "gopher", "blocklist", "language",
+        "pii", "decontaminate", "exact_dedup", "near_dedup",
     }
 
 
@@ -115,3 +115,21 @@ def test_curate_repetition_pii_decontamination_gates(spark):
     red = {r.doc_id: r.text for r in curate(docs, cfg2).collect()}
     assert 3 in red and "admin@site.example.org" not in red[3]
     assert "<PII>" in red[3]
+
+
+def test_curate_gopher_gate(spark):
+    from kinesiscat_spark.pipelines import gopher_gate
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total = docs.count()
+    # corpus-adapted stopword set (the synthetic vocabulary lacks the
+    # published one); published thresholds otherwise — the 50-word rule
+    # drops roughly half of this corpus
+    cfg_on = CurationConfig(gopher_rules=True, gopher_stopwords=("the", "a"))
+    n_on = gopher_gate(docs, cfg_on).count()
+    assert 0 < n_on < total
+    # gate off (default) is the identity
+    assert gopher_gate(docs, CurationConfig()).count() == total
+    # and the full pipeline with the gate on never keeps more than the
+    # gate alone allows
+    assert curate(docs, cfg_on).count() <= n_on
