@@ -152,6 +152,88 @@ def score_documents(
     )
 
 
+def perplexity_buckets(
+    scored,
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    method: str = "thresholds",
+    exact: bool = False,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): split a
+    scored corpus into ``n_buckets`` quality tiers by the LM score —
+    head / middle / tail at the default 3. Higher score (= lower
+    perplexity) is better, so bucket 1 is the head.
+
+    Adds ``ppl_bucket`` (1-based long) and ``ppl_label``
+    (``head``/``middle``/``tail`` when n_buckets == 3, else ``b<i>``).
+
+    Two methods:
+
+    - ``method='thresholds'`` (the production path): bucket against
+      score quantile cut-points — ONE aggregate pass over the corpus for
+      the thresholds (``approx_percentile`` t-digest by default; mergeable
+      map-side, constant exchange), broadcast as a 1-row literal join,
+      then a scan-stage CASE. ``exact=True`` swaps in exact
+      ``percentile`` (sorts values on one reducer — fine up to ~10⁸ rows,
+      not at 100 TB).
+    - ``method='rank'`` (the deterministic / oracle twin): global
+      ``row_number`` over (score DESC, id) and integer bucket math
+      ``1 + (rn-1)·k div n`` — bit-exact in any engine (no float
+      thresholds, ties broken by id), at the cost of a total-order sort;
+      use it when reproducibility across engines matters more than the
+      sort (CI fixtures, cross-engine replays, driver oracles).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(1, n_buckets + 1)]
+    )
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    if method == "rank":
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        rn = F.row_number().over(w).cast("long")
+        n = F.count("*").over(Window.partitionBy())
+        bucket = (F.lit(1) + ((rn - 1) * n_buckets / n).cast("long")).cast(
+            "long"
+        )
+        return scored.select(
+            "*",
+            bucket.alias("ppl_bucket"),
+            F.element_at(label_arr, bucket.cast("int")).alias("ppl_label"),
+        )
+    if method != "thresholds":
+        raise ValueError(f"unknown method {method!r}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    cuts = scored.agg(
+        F.expr(
+            f"{fn}({score_col}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("_cuts")
+    )
+    # bucket 1 = head (highest scores): count the cut-points the score
+    # clears from the top
+    bucket = (
+        F.lit(n_buckets)
+        - F.size(
+            F.filter(F.col("_cuts"), lambda c: F.col(score_col) >= c)
+        )
+    ).cast("long")
+    return (
+        scored.join(F.broadcast(cuts))
+        .select(
+            *scored.columns,
+            bucket.alias("ppl_bucket"),
+            F.element_at(label_arr, bucket.cast("int")).alias("ppl_label"),
+        )
+    )
+
+
 def kgram_hashes(text: Column, k: int = 5) -> Column:
     """Rolling k-char-gram hashes: 48-bit ints from md5 of each window."""
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))

@@ -109,10 +109,20 @@ lm_doc AS (
 
 
 def _quality_plus_langid_oracle() -> str:
+    # ppl_bucket replays perplexity_buckets(method='rank'): integer bucket
+    # math over the (avg_logp DESC, doc_id) total order — bit-exact in any
+    # engine (DuckDB's // is integer division; Spark's double division
+    # truncated to long agrees for positive operands).
     return f"""
 WITH {_LM_ORACLE_CTES}
 SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
-       m.avg_logp, m.oov_frac
+       m.avg_logp, m.oov_frac,
+       CAST(1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
+                 * 3) // (COUNT(*) OVER ()) AS BIGINT) AS ppl_bucket,
+       CASE 1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
+                 * 3) // (COUNT(*) OVER ())
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_label
 FROM ({_QUALITY_ORACLE}) q
 JOIN ({_langid_oracle()}) l USING (doc_id)
 JOIN lm_doc m USING (doc_id)
@@ -181,8 +191,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lp))`) so the double fold is order-defined on both engines.
     Scale shape: the model is vocabulary-sized and broadcast; the corpus
     side is one explode + one per-doc aggregate, map-side partialed.
+
+    Round 6 folds in CCNet perplexity BUCKETING (Wenzek et al. 2020 §3.3,
+    ``operators/text.py perplexity_buckets``): head/middle/tail tiers over
+    the LM score. The lane uses ``method='rank'`` — integer bucket math
+    over the (avg_logp DESC, doc_id) total order, bit-exact in any engine
+    — so the hash check pins the full bucketing rule; the production path
+    at 100 TB is ``method='thresholds'`` (approx_percentile cut-points +
+    scan-stage CASE, no global sort), differential-tested against the
+    rank twin in tests/test_text_ops.py.
     """
-    from kinesiscat_spark.operators.text import language_id
+    from kinesiscat_spark.operators.text import language_id, perplexity_buckets
 
     docs = load_table(spark, sf_dir, "documents")
     lm_doc = text_unigram_lm(spark, sf_dir)
@@ -195,7 +214,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 10)
     )
     pred, score = language_id(F.col("text"))
-    return docs.select(
+    out = docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
@@ -209,6 +228,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         score.alias("top_score"),
     ).join(lm_doc, "doc_id")
+    return perplexity_buckets(out, method="rank")
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

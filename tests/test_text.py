@@ -288,3 +288,71 @@ def test_chunk_documents_hypothesis_fuzz(spark):
                 assert toks == [f"t{j}" for j in range(start, start + size)]
 
     run()
+
+
+def test_perplexity_buckets_rank_exact(spark):
+    from kinesiscat_spark.operators.text import perplexity_buckets
+
+    rows = [(i, s) for i, s in enumerate([-1.0, -2.0, -3.0, -4.0, -5.0, -6.0])]
+    df = spark.createDataFrame(rows, ["doc_id", "avg_logp"])
+    out = {
+        r.doc_id: (r.ppl_bucket, r.ppl_label)
+        for r in perplexity_buckets(df, method="rank").collect()
+    }
+    # highest score = head; 6 rows, 3 buckets -> 2 per bucket, ties none
+    assert out == {
+        0: (1, "head"), 1: (1, "head"),
+        2: (2, "middle"), 3: (2, "middle"),
+        4: (3, "tail"), 5: (3, "tail"),
+    }
+    # ties broken by id: equal scores fill buckets in id order
+    tied = spark.createDataFrame(
+        [(i, -1.0) for i in range(6)], ["doc_id", "avg_logp"]
+    )
+    t = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(tied, method="rank").collect()
+    }
+    assert t == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+
+def test_perplexity_buckets_thresholds_vs_rank(spark):
+    from kinesiscat_spark.operators.text import perplexity_buckets
+
+    # 99 distinct scores: both methods must produce monotone buckets
+    # (every head score >= every middle >= every tail) and near-equal
+    # bucket sizes (exact thresholds may shift one row at a boundary)
+    df = spark.createDataFrame(
+        [(i, -float(i) / 7.0) for i in range(99)], ["doc_id", "avg_logp"]
+    )
+    for kw in [dict(method="rank"), dict(method="thresholds", exact=True)]:
+        rows = perplexity_buckets(df, **kw).collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_logp)
+        assert set(by_bucket) == {1, 2, 3}, kw
+        assert min(by_bucket[1]) >= max(by_bucket[2]) >= min(by_bucket[2]), kw
+        assert min(by_bucket[2]) >= max(by_bucket[3]), kw
+        assert all(abs(len(v) - 33) <= 1 for v in by_bucket.values()), (
+            kw,
+            {k: len(v) for k, v in by_bucket.items()},
+        )
+
+
+def test_perplexity_buckets_validation_and_approx(spark):
+    import pytest as _pytest
+
+    from kinesiscat_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(-i)) for i in range(30)], ["doc_id", "avg_logp"]
+    )
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, n_buckets=0)
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, method="nope").collect()
+    # default approx thresholds still produce a full partition with
+    # non-empty head and tail and 5 custom labels
+    out = perplexity_buckets(df, n_buckets=5).collect()
+    assert {r.ppl_label for r in out} <= {"b1", "b2", "b3", "b4", "b5"}
+    assert len(out) == 30 and {r.ppl_bucket for r in out} >= {1, 5}
