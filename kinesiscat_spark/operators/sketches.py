@@ -74,6 +74,28 @@ def cms_build(
     """
     if d <= 0 or w < 2:
         raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
+    return cms_from_slots(cms_slots(df, col, d, w, weight), d, w)
+
+
+def cms_slots(
+    df: DataFrame,
+    col: str = "g",
+    d: int = D_DEFAULT,
+    w: int = W_DEFAULT,
+    weight: str | None = None,
+) -> DataFrame:
+    """The sparse half of ``cms_build``: ``(i, c)`` slot-count rows —
+    ≤ d·w of them regardless of input size.
+
+    Works on BATCH and STREAMING DataFrames alike: the groupBy-sum is a
+    standard streaming aggregation (bounded state — at most d·w groups),
+    so a streaming caller gets a live sketch that is ADDITIVE across
+    micro-batches by construction (sum of per-batch increments = the
+    batch sum; count-min is a linear sketch).  Drain in complete mode and
+    finish with ``cms_from_slots`` — byte-identical to ``cms_build`` over
+    the same rows (pinned in tests/test_sketches.py)."""
+    if d <= 0 or w < 2:
+        raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
     if weight:
         raw = F.col(weight).cast("long")
         wcol = F.when(raw >= 0, raw).otherwise(
@@ -94,15 +116,25 @@ def cms_build(
         ).alias("i"),
         wcol.alias("_w"),
     )
-    packed = slots.groupBy("i").agg(F.sum("_w").alias("c"))
-    # Sparse → dense via a left join against range(d·w), NOT single-row
-    # expression work: per-index map lookups are a linear scan each
-    # (element_at on a Spark map has no hash index — O(d·w · |entries|)
-    # interpreted, ~4 s measured at d·w=16384), and a concat fold over
-    # sorted entries is O(|entries|²) when most slots are hit.  The join
-    # costs one tiny exchange of ≤ d·w narrow rows; the final
-    # sort/collect is O(d·w log d·w) — milliseconds at any sane size.
-    rng = df.sparkSession.range(d * w).select(F.col("id").alias("i"))
+    return slots.groupBy("i").agg(F.sum("_w").alias("c"))
+
+
+def cms_from_slots(
+    packed: DataFrame, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> DataFrame:
+    """Densify ``(i, c)`` slot rows into the one-row ``(cms: array<long>)``
+    sketch (batch only — run it over a drained/materialized slot table).
+
+    Sparse → dense via a left join against range(d·w), NOT single-row
+    expression work: per-index map lookups are a linear scan each
+    (element_at on a Spark map has no hash index — O(d·w · |entries|)
+    interpreted, ~4 s measured at d·w=16384), and a concat fold over
+    sorted entries is O(|entries|²) when most slots are hit.  The join
+    costs one tiny exchange of ≤ d·w narrow rows; the final
+    sort/collect is O(d·w log d·w) — milliseconds at any sane size."""
+    if d <= 0 or w < 2:
+        raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
+    rng = packed.sparkSession.range(d * w).select(F.col("id").alias("i"))
     dense_rows = rng.join(packed, "i", "left").select(
         "i", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )

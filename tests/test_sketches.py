@@ -166,3 +166,75 @@ def test_hll_validation(spark):
         hll_build(df, "g", p=2)
     with pytest.raises(ValueError):
         hll_build(df, "g", method="sha1")
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """Count-min is a LINEAR sketch: the streaming groupBy-sum over slot
+    increments (cms_slots on a readStream, drained in complete mode)
+    must produce the byte-identical dense sketch cms_build computes over
+    the same rows in one batch — across MULTIPLE micro-batches."""
+    from kinesiscat_spark.operators.sketches import (
+        cms_build,
+        cms_from_slots,
+        cms_slots,
+    )
+    from kinesiscat_spark.streaming.source import StreamConfig, run_to_memory
+
+    rng = random.Random(7)
+    rows = [(i, f"w{rng.randint(0, 40)}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["i", "g"])
+    src = str(tmp_path / "src")
+    # 5 files -> 5 micro-batches at batch_size=1
+    df.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema("i long, g string").parquet(src)
+    d, w = 3, 64
+    slot_table = run_to_memory(
+        cms_slots(stream, "g", d, w),
+        output_mode="complete",
+        cfg=StreamConfig(batch_size=1),
+    )
+    streamed = cms_from_slots(slot_table, d, w).collect()[0].cms
+    batch = cms_build(df, "g", d, w).collect()[0].cms
+    assert streamed == batch
+
+
+def test_streaming_heavy_hitters_composition(spark, tmp_path):
+    """The drained streaming sketch plugs into the same probe + exact
+    count as the batch path and returns the identical heavy-hitter set."""
+    from kinesiscat_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_slots,
+        cms_slots,
+        heavy_hitters,
+    )
+    from kinesiscat_spark.streaming.source import StreamConfig, run_to_memory
+
+    rng = random.Random(11)
+    rows = [(i, f"t{rng.randint(0, 15)}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["i", "g"])
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+
+    d, w, min_count = 3, 32, 25
+    stream = spark.readStream.schema("i long, g string").parquet(src)
+    slot_table = run_to_memory(
+        cms_slots(stream, "g", d, w),
+        output_mode="complete",
+        cfg=StreamConfig(batch_size=1),
+    )
+    cms = cms_from_slots(slot_table, d, w)
+    survivors = df.crossJoin(F.broadcast(cms)).filter(
+        cms_estimate(F.col("cms"), F.col("g"), d, w) >= min_count
+    )
+    streamed = {
+        (r.g, r.cnt)
+        for r in survivors.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .collect()
+    }
+    batch = {
+        (r.g, r.cnt) for r in heavy_hitters(df, "g", min_count, d, w).collect()
+    }
+    assert streamed == batch and len(batch) > 0
