@@ -177,6 +177,7 @@ def test_temperature_validation(spark):
         mix_corpora_temperature([], 100)
     with _pytest.raises(ValueError):
         mix_corpora_temperature([docs], 0)
+    # all-empty corpus degrades to zero budgets (empty selection), not an
+    # error — the every-lane-survives-empty-tables invariant (round 6)
     empty = docs.filter(F.lit(False))
-    with _pytest.raises(ValueError):
-        mix_corpora_temperature([empty], 100)
+    assert mix_corpora_temperature([empty], 100).count() == 0
