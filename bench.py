@@ -157,11 +157,32 @@ def main() -> None:
         text_unigram_lm,
     )
 
+    def _kind_sub(lane, kind):
+        return lambda: qs[lane](spark, sf_dir).filter(f"kind = '{kind}'")
+
+    def _kind_subs(lane, kinds):
+        return {k: _kind_sub(lane, k) for k in kinds}
+
     sub_specs = {
         "curation_decontaminate": {
             "exact": _decon_sub("exact"),
             "bloom": _decon_sub("bloom"),
         },
+        # round-6 TPC-H widenings: plain UNION ALL of aggregates, so the
+        # kind filter constant-folds the sibling branches away and each
+        # sub-timing runs exactly one query's plan
+        "tpch_q3_shipping_priority": _kind_subs(
+            "tpch_q3_shipping_priority",
+            ("q3_shipping", "q10_returned", "q18_big_orders"),
+        ),
+        "tpch_q5_local_supplier": _kind_subs(
+            "tpch_q5_local_supplier", ("q5_local", "q7_volume", "q8_share")
+        ),
+        "lineitem_scalar_aggregates": _kind_subs(
+            "lineitem_scalar_aggregates",
+            ("q17_avg_yearly", "q6_revenue", "q14_promo_share",
+             "q19_disjunctive"),
+        ),
         "similarity_topk_quantized": {
             "sq8": _quant_sub("sq8"),
             "pq": _quant_sub("pq"),

@@ -245,9 +245,27 @@ def hll_build(
     per-partition/per-day sketches combine without re-reading data;
     pinned exactly (register-for-register) in tests/test_sketches.py.
     """
+    return hll_from_slots(hll_slots(df, col, p, method), p)
+
+
+def hll_slots(
+    df: DataFrame,
+    col: str = "g",
+    p: int = HLL_P_DEFAULT,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """The sparse half of ``hll_build``: ``(i, r)`` register-max rows —
+    ≤ 2^p of them regardless of input size.
+
+    Works on BATCH and STREAMING DataFrames alike: groupBy-MAX is a
+    standard streaming aggregation with bounded state (≤ 2^p groups), and
+    HLL registers merge by max, so the streaming aggregation's state IS
+    the live sketch — micro-batch additivity for free, exactly like
+    ``cms_slots``.  Drain in complete mode and finish with
+    ``hll_from_slots`` — register-identical to ``hll_build`` over the
+    same rows (pinned in tests/test_sketches.py)."""
     if not 4 <= p <= 18:
         raise ValueError(f"need 4 <= p <= 18 (got {p})")
-    m = 1 << p
     rem_bits = _HLL_HASH_BITS - p
     h = _hll_hash60(F.col(col), method)
     idx = F.shiftright(h, rem_bits)
@@ -258,8 +276,17 @@ def hll_build(
         rem > 0, F.lit(rem_bits) - F.length(F.bin(rem)) + F.lit(1)
     ).otherwise(F.lit(rem_bits + 1))
     pairs = df.select(idx.alias("i"), rank.cast("long").alias("r"))
-    packed = pairs.groupBy("i").agg(F.max("r").alias("r"))
-    rng = df.sparkSession.range(m).select(F.col("id").alias("i"))
+    return pairs.groupBy("i").agg(F.max("r").alias("r"))
+
+
+def hll_from_slots(packed: DataFrame, p: int = HLL_P_DEFAULT) -> DataFrame:
+    """Densify ``(i, r)`` register rows into the one-row
+    ``(hll: array<long>)`` sketch (batch only; the same range-join
+    densification as ``cms_from_slots``)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"need 4 <= p <= 18 (got {p})")
+    m = 1 << p
+    rng = packed.sparkSession.range(m).select(F.col("id").alias("i"))
     dense = rng.join(packed, "i", "left").select(
         "i", F.coalesce(F.col("r"), F.lit(0).cast("long")).alias("r")
     )

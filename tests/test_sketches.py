@@ -238,3 +238,37 @@ def test_streaming_heavy_hitters_composition(spark, tmp_path):
         (r.g, r.cnt) for r in heavy_hitters(df, "g", min_count, d, w).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """HLL registers merge by max, so the streaming groupBy-max over
+    register ranks (hll_slots on a readStream, complete mode) must equal
+    the batch build register-for-register across micro-batches — and
+    therefore give the identical estimate."""
+    from kinesiscat_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_from_slots,
+        hll_slots,
+    )
+    from kinesiscat_spark.streaming.source import StreamConfig, run_to_memory
+
+    rng = random.Random(13)
+    rows = [(i, f"v{rng.randint(0, 300)}") for i in range(600)]
+    df = spark.createDataFrame(rows, ["i", "g"])
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+
+    p = 8
+    stream = spark.readStream.schema("i long, g string").parquet(src)
+    slot_table = run_to_memory(
+        hll_slots(stream, "g", p),
+        output_mode="complete",
+        cfg=StreamConfig(batch_size=1),
+    )
+    streamed = hll_from_slots(slot_table, p)
+    batch = hll_build(df, "g", p)
+    assert streamed.collect()[0].hll == batch.collect()[0].hll
+    est = streamed.select(hll_estimate(F.col("hll"), p).alias("e")).collect()[0].e
+    exact = df.select("g").distinct().count()
+    assert abs(est - exact) / exact < 0.25
