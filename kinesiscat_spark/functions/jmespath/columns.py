@@ -124,6 +124,39 @@ def _is_box(dt: T.DataType) -> bool:
     return isinstance(dt, JsonBoxType)
 
 
+def _demote_vpath(dt: T.DataType) -> T.DataType:
+    """Strip _VariantPath refinements down to plain JsonBox, recursively.
+
+    A _VariantPath's ``base`` column is only meaningful inside the lambda
+    scope (or expression chain) that created it.  When a type crosses a
+    lambda boundary — an HOF's declared element/result type, or a key
+    compile against a FRESH lambda variable — the fast-path base would be
+    a stale probe placeholder or another lambda's variable, and extending
+    it silently yields NULL for every element (found by the round-6 third
+    fuzz expansion: ``map(&k0, items[?...])`` and ``sort_by(..., &k0)``
+    returned nulls over filter-projection subjects).  Plain JsonBox
+    semantics (re-parse the element's canonical text on access) are always
+    correct; only the parse-once optimization is lost."""
+    if isinstance(dt, _VariantPath):
+        return _JSONBOX
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_demote_vpath(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            dt.keyType, _demote_vpath(dt.valueType), dt.valueContainsNull
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _demote_vpath(f.dataType), f.nullable, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _contains_box(dt: T.DataType) -> bool:
     if _is_box(dt):
         return True
@@ -522,7 +555,12 @@ class ColumnCompiler:
         Returns (fn, result_type): result_type is resolved by compiling once
         against a placeholder; Spark lambda variables are only materialized
         inside the HOF call, so we compile per invocation.
+
+        Both the incoming element type and the returned result type cross
+        a lambda boundary, so _VariantPath refinements are demoted to
+        plain JsonBox (see _demote_vpath).
         """
+        elem_type = _demote_vpath(elem_type)
         probe = self.compile(
             rhs, Typed(F.lit(None).cast(_storage(elem_type)), elem_type)
         )
@@ -530,7 +568,7 @@ class ColumnCompiler:
         def fn(x: Column) -> Column:
             return self.compile(rhs, Typed(x, elem_type)).col
 
-        return fn, probe.dtype
+        return fn, _demote_vpath(probe.dtype)
 
     def _box_lambda(self, rhs: Node):
         """Compile ``rhs`` as a function of a VARIANT lambda variable (an
@@ -548,7 +586,9 @@ class ColumnCompiler:
         def fn(v: Column) -> Column:
             return self.compile(rhs, mk(v)).col
 
-        return fn, probe.dtype
+        # the declared result type escapes this lambda's scope — demote
+        # probe-rooted _VariantPath refinements (stale base otherwise)
+        return fn, _demote_vpath(probe.dtype)
 
     def _c_projection(self, node: Node, doc: Typed) -> Typed:
         left, right = node.children
@@ -642,7 +682,7 @@ class ColumnCompiler:
             )
         if not isinstance(dt, T.ArrayType):
             return _null()
-        elem = dt.elementType
+        elem = _demote_vpath(dt.elementType)
 
         def cond_fn(x: Column) -> Column:
             return truthy(self.compile(condition, Typed(x, elem)))
@@ -1246,6 +1286,8 @@ class ColumnCompiler:
         fuzz sweep.  cmp picks numeric vs string ordering by the row-level
         all-numbers/all-strings guards, exactly like ``_box_keyed``."""
 
+        elem = _demote_vpath(elem)
+
         def kv(x: Column) -> Column:
             k = box(self.compile(key_ast, Typed(x, elem))).col
             return F.struct(k.alias("k"), x.alias("e"))
@@ -1269,6 +1311,7 @@ class ColumnCompiler:
         """Does the &expr key compile to a dynamic (boxed) type against
         this element type?  Dry-run compile, same trick as the corpus
         typecheck."""
+        elem = _demote_vpath(elem)
         return _is_box(self.compile(key_ast, Typed(F.lit(None), elem)).dtype)
 
     def _f_sort_by(self, node: Node, doc: Typed) -> Typed:
@@ -1289,7 +1332,7 @@ class ColumnCompiler:
             return Typed(out, _JSONBOX)
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable("sort_by() needs array")
-        elem = a.dtype.elementType
+        elem = _demote_vpath(a.dtype.elementType)
         if self._key_is_box(key_ast, elem):
             pairs, cmp, valid = self._arr_box_keyed(a.col, elem, key_ast)
             srt = F.array_sort(pairs, cmp)
@@ -1324,7 +1367,7 @@ class ColumnCompiler:
             )
         if not isinstance(a.dtype, T.ArrayType):
             raise NotColumnCompilable(f"{node.value}() needs array")
-        elem = a.dtype.elementType
+        elem = _demote_vpath(a.dtype.elementType)
         if self._key_is_box(key_ast, elem):
             # dynamic (boxed) keys over a static array: the _arr_box_keyed
             # comparator (numeric vs string by runtime guard) — see

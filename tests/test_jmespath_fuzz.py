@@ -96,7 +96,7 @@ def _gen_value(rng, depth):
                 False,
                 rng.randint(-99, 99),
                 round(rng.uniform(-5, 5), 3),
-                "".join(rng.choices("abcxyz _-", k=rng.randint(0, 6))),
+                "".join(rng.choices("abcxyz _-ü漢", k=rng.randint(0, 6))),
             ]
         )
     kind = rng.random()
@@ -172,6 +172,29 @@ def _gen_expr(rng):
         "contains(items, items[0])",
         "ceil(avg(items[?type(@) == 'number']) || `0`)",
         "type(items[?@])", "items[0].k0.k0", "!items[5]",
+        # third expansion (round-6 continuation): object projections into
+        # subfields, flatten chains over heterogeneous arrays, string
+        # predicates over dynamic elements, cross-container equality,
+        # projections over multiselects, unicode-bearing literals
+        "a.*.k0", "*.k0", "a.* | [1]", "values(a) | [0]", "keys(a)[0]",
+        "items[][]", "[items, items][]", "[a, b][?@]",
+        "items[*][0]", "items[?k0.k0]", "items[?k1][?k0]",
+        "{k: items[*].k0, m: a.*}", "a | {q: @, t: type(@)}",
+        "sort_by(items[?type(k0) == 'number'], &k0)",
+        "map(&k0, items[?type(@) == 'object'])",
+        "join('-', map(&to_string(@), items))",
+        "items[?type(@) == 'string'][?starts_with(@, 'a')]",
+        "items[?type(@) == 'string'][?ends_with(@, 'z')]",
+        "items[?@ == `true`]", "items[?@ == 'ü漢']",
+        "length(to_string(a))", "items[:3] == items[0:3]",
+        "map(&to_number(to_string(@)), items[?type(@) == 'number'])",
+        "max_by(items[?type(@) == 'string'], &@)",
+        "sort(items[?type(@) == 'string'])",
+        "contains(to_string(items), '{')",
+        "items[?type(@) == 'array'][0]", "items[*].k0[0]",
+        "merge(a, b) || a || b", "to_array(items[0])[0]",
+        "reverse(to_string(a))", "reverse(keys(merge(@, `{\"m\": 0}`)))",
+        "{u: 'ü漢', v: items[0]} | u", "not_null(items[9], a.k0, 'd')",
     ]
     e = rng.choice(atoms)
     # compose: pipe or boolean-combine two atoms sometimes
