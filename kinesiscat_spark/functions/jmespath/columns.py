@@ -894,6 +894,7 @@ class ColumnCompiler:
 
     def _f_sum(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        a = self._coerce_box_arr(a)
         if _is_box(a.dtype):
             # runtime array of numbers → exact sum (0 on empty); any other
             # shape → null (evaluator raises invalid-type — box deviation)
@@ -917,6 +918,7 @@ class ColumnCompiler:
 
     def _f_avg(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        a = self._coerce_box_arr(a)
         if _is_box(a.dtype):
             elems = self._box_elems(a.col)
             valid, nums = self._box_num_elems(elems)
@@ -1040,15 +1042,32 @@ class ColumnCompiler:
             )
         raise NotColumnCompilable("contains() subject must be string or array")
 
+    def _affix_args(self, a: Typed, b: Typed, fname: str):
+        """Decode (subject, prefix/suffix) for starts_with/ends_with: box
+        operands decode to their string value (NULL when the box holds a
+        non-string — the evaluator raises invalid-type there, the
+        documented box deviation)."""
+        if _is_box(a.dtype):
+            sa = self._box_str(a.col)
+        else:
+            _require_str(a, fname)
+            sa = a.col
+        if _is_box(b.dtype):
+            sb = self._box_str(b.col)
+        else:
+            _require_str(b, fname)
+            sb = b.col
+        return sa, sb
+
     def _f_starts_with(self, node: Node, doc: Typed) -> Typed:
         a, b = self._args(node, doc, 2)
-        _require_str(a, "starts_with"), _require_str(b, "starts_with")
-        return Typed(a.col.startswith(b.col), T.BooleanType())
+        sa, sb = self._affix_args(a, b, "starts_with")
+        return Typed(sa.startswith(sb), T.BooleanType())
 
     def _f_ends_with(self, node: Node, doc: Typed) -> Typed:
         a, b = self._args(node, doc, 2)
-        _require_str(a, "ends_with"), _require_str(b, "ends_with")
-        return Typed(a.col.endswith(b.col), T.BooleanType())
+        sa, sb = self._affix_args(a, b, "ends_with")
+        return Typed(sa.endswith(sb), T.BooleanType())
 
     def _f_join(self, node: Node, doc: Typed) -> Typed:
         if len(node.children) != 2:
@@ -1059,6 +1078,16 @@ class ColumnCompiler:
         if sep_node.type != "literal" or not isinstance(sep_node.value, str):
             raise NotColumnCompilable("join() separator must be a string literal")
         a = self.compile(node.children[1], doc)
+        a = self._coerce_box_arr(a)
+        if _is_box(a.dtype):
+            # boxed runtime array of strings → decoded join; empty → '';
+            # any other shape → null (evaluator raises — box deviation)
+            elems = self._box_elems(a.col)
+            svalid, dec = self._box_str_elems(elems)
+            out = F.when(F.size(elems) == 0, F.lit("")).when(
+                svalid, F.array_join(dec, sep_node.value)
+            )
+            return Typed(out, T.StringType())
         if self._all_null_array(a.dtype):
             # join(sep, []) is ''
             return Typed(
@@ -1162,6 +1191,18 @@ class ColumnCompiler:
         )
 
     @staticmethod
+    def _coerce_box_arr(a: Typed) -> Typed:
+        """ArrayType(box) → ONE box (serialize the element texts): lets the
+        JSON-total functions' box paths accept projection outputs whose
+        elements are dynamic (e.g. ``sort(items[?type(@) == 'number'])``
+        over a variant root — the filter projection yields array<box>,
+        which the static paths refuse).  Costs one serialize + reparse;
+        correctness is unchanged (canonical texts round-trip exactly)."""
+        if isinstance(a.dtype, T.ArrayType) and _is_box(a.dtype.elementType):
+            return box(a)
+        return a
+
+    @staticmethod
     def _all_null_array(dt: T.DataType) -> bool:
         """array<null>: every element the schema can hold is null, so a
         non-error document can only supply [] here (a NONEMPTY array of
@@ -1190,6 +1231,7 @@ class ColumnCompiler:
 
     def _f_max(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        a = self._coerce_box_arr(a)
         if _is_box(a.dtype):
             return self._box_minmax(a, take_max=True)
         if self._all_null_array(a.dtype):
@@ -1199,6 +1241,7 @@ class ColumnCompiler:
 
     def _f_min(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        a = self._coerce_box_arr(a)
         if _is_box(a.dtype):
             return self._box_minmax(a, take_max=False)
         if self._all_null_array(a.dtype):
@@ -1208,6 +1251,7 @@ class ColumnCompiler:
 
     def _f_sort(self, node: Node, doc: Typed) -> Typed:
         (a,) = self._args(node, doc, 1)
+        a = self._coerce_box_arr(a)
         if _is_box(a.dtype):
             # sort a boxed runtime array: numbers or strings, re-encoded
             # canonically; sort([]) is []; other shapes → null (deviation)
@@ -1622,7 +1666,14 @@ def _lit_typed(value) -> Typed:
         for o in outs:
             u = _unify(target, o.dtype)
             if u is None:
-                raise NotColumnCompilable("heterogeneous literal array")
+                # heterogeneous literal array: a compile-time constant, so
+                # inline its canonical JSON as ONE box literal — the box
+                # runtime handles it from there (round-6: was a refusal)
+                from kinesiscat_spark.functions.jmespath.schemas import (
+                    canonical_json,
+                )
+
+                return Typed(F.lit(canonical_json(value)), _JSONBOX)
             target = u
         if not outs:
             return Typed(F.array().cast(T.ArrayType(T.StringType())), T.ArrayType(T.StringType()))
