@@ -1133,7 +1133,12 @@ class ColumnCompiler:
                     T.ArrayType(T.StringType()),
                 )
             _no_markers(a.dtype, "keys()")
-            arr = F.array(*[F.lit(f.name) for f in a.dtype.fields])
+            # canonical sorted order, matching the evaluator and the box
+            # path (variant maps serialize sorted) — keys()/values() order
+            # is unspecified by the spec, so we pick one deterministically
+            arr = F.array(
+                *[F.lit(n) for n in sorted(f.name for f in a.dtype.fields)]
+            )
             return Typed(
                 F.when(a.col.isNotNull(), arr), T.ArrayType(T.StringType())
             )
@@ -1150,8 +1155,10 @@ class ColumnCompiler:
             return Typed(F.map_values(a.col), T.ArrayType(a.dtype.valueType))
         if isinstance(a.dtype, T.StructType):
             _no_markers(a.dtype, "values()")
+            # canonical sorted-key order (see keys())
+            sfields = sorted(a.dtype.fields, key=lambda f: f.name)
             target: T.DataType | None = T.NullType()
-            for f in a.dtype.fields:
+            for f in sfields:
                 target = _unify(target, f.dataType)
                 if target is None:
                     break
@@ -1160,14 +1167,14 @@ class ColumnCompiler:
                 arr = F.array(
                     *[
                         box(Typed(a.col.getField(f.name), f.dataType)).col
-                        for f in a.dtype.fields
+                        for f in sfields
                     ]
                 )
                 return Typed(
                     F.when(a.col.isNotNull(), arr), T.ArrayType(_JSONBOX)
                 )
             arr = F.array(
-                *[a.col.getField(f.name).cast(target) for f in a.dtype.fields]
+                *[a.col.getField(f.name).cast(target) for f in sfields]
             )
             return Typed(F.when(a.col.isNotNull(), arr), T.ArrayType(target))
         raise NotColumnCompilable("values() needs object")
@@ -1613,7 +1620,53 @@ class ColumnCompiler:
             for o in outs[1:]:
                 all_present = all_present & o.col.isNotNull()
             return Typed(F.when(all_present, F.struct(*cols)), st)
-        raise NotColumnCompilable("merge() needs uniform object types")
+        # Mixed static/dynamic object args (round 6 — was the last fuzz
+        # refusal class): box every arg and merge at RUNTIME over the
+        # canonical texts.  Right-wins key resolution scans the args'
+        # maps last-to-first with an EXPLICIT presence check
+        # (map_contains_key), so an explicit JSON-null value in a later
+        # arg correctly overrides an earlier value — to_json(variant
+        # null) is the 4-char text 'null', distinguishable from absent.
+        # Output keys sort canonically (UTF-8 binary order == code-point
+        # order, matching schemas.canonical_json).  Any arg that is not
+        # an object (or is JMESPath null) → SQL NULL (the evaluator
+        # raises invalid-type there — documented box deviation).
+        btxts = [box(o).col for o in outs]
+        maps = [F.from_json(t, "map<string,variant>") for t in btxts]
+        ks = F.array_sort(
+            F.array_distinct(
+                F.flatten(F.array(*[F.map_keys(m) for m in maps]))
+            )
+        )
+
+        def vtext(k: Column) -> Column:
+            picks = [
+                F.when(
+                    F.map_contains_key(m, k),
+                    F.coalesce(
+                        F.to_json(F.try_element_at(m, k)), F.lit("null")
+                    ),
+                )
+                for m in reversed(maps)
+            ]
+            return F.coalesce(*picks) if len(picks) > 1 else picks[0]
+
+        def ktext(k: Column) -> Column:
+            j = F.to_json(F.array(k), {"ignoreNullFields": "false"})
+            return j.substr(F.lit(2), F.length(j) - 2)
+
+        body = F.array_join(
+            F.transform(ks, lambda k: F.concat(ktext(k), F.lit(":"), vtext(k))),
+            ",",
+        )
+        all_objects = None
+        for t in btxts:
+            is_obj = t.substr(1, 1) == "{"
+            all_objects = is_obj if all_objects is None else (all_objects & is_obj)
+        out = F.when(
+            all_objects, F.concat(F.lit("{"), body, F.lit("}"))
+        )
+        return Typed(out, _JSONBOX)
 
 
 _KNOWN_FUNCTIONS = {

@@ -186,14 +186,20 @@ def _contains(subject, search):
 # --- array / object --------------------------------------------------------
 
 
+# keys()/values() order is UNSPECIFIED by the spec (the reference's Go map
+# iteration is literally random, jp/functions.go) — we pick canonical
+# sorted-key order so the evaluator, the native Column path (variant maps
+# serialize with sorted keys), and any other engine agree byte-for-byte.
+
+
 @_register("keys", Arg(("object",)))
 def _keys(o):
-    return list(o.keys())
+    return sorted(o.keys())
 
 
 @_register("values", Arg(("object",)))
 def _values(o):
-    return list(o.values())
+    return [o[k] for k in sorted(o.keys())]
 
 
 @_register("merge", Arg(("object",), variadic=True))
