@@ -83,8 +83,11 @@ def _value_projection(node, doc):
     if not isinstance(base, dict):
         return None
     out = []
-    for elem in base.values():
-        r = evaluate(right, elem)
+    # canonical sorted-key order: object iteration order is unspecified
+    # (the reference's Go map iteration is random); sorted matches the
+    # native path's variant maps, so both engines agree element-for-element
+    for k in sorted(base.keys()):
+        r = evaluate(right, base[k])
         if r is not None:
             out.append(r)
     return out

@@ -292,7 +292,10 @@ def _to_array(x):
 def _to_string(x):
     if isinstance(x, str):
         return x
-    return json.dumps(x, separators=(",", ":"), ensure_ascii=False)
+    # sort_keys: JSON object order is unspecified; the reference's Go
+    # json.Marshal sorts map keys, and the native Column path serializes
+    # variants with sorted keys — canonical order everywhere
+    return json.dumps(x, separators=(",", ":"), ensure_ascii=False, sort_keys=True)
 
 
 @_register("to_number", Arg(()))

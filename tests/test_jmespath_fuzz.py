@@ -101,8 +101,17 @@ def _gen_value(rng, depth):
         )
     kind = rng.random()
     if kind < 0.4:
+        # mostly addressable keys (k0..k3, targeted by the expression
+        # grammar), sometimes exotic ones (dots, quotes, spaces, unicode)
+        # that stress keys()/values()/merge()/projections over objects
+        # whose keys the variant path syntax cannot address
+        exotic = ["k.0", "with space", 'qu"ote', "ü漢", "", "$at"]
         return {
-            f"k{i}": _gen_value(rng, depth - 1)
+            (
+                f"k{i}"
+                if rng.random() < 0.8
+                else rng.choice(exotic)
+            ): _gen_value(rng, depth - 1)
             for i in range(rng.randint(0, 4))
         }
     if kind < 0.8:
