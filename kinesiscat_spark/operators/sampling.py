@@ -520,3 +520,59 @@ def mix_corpora_temperature(
         text_col=text_col,
         n_buckets=n_buckets,
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE split boundaries — the
+    train/eval contamination a row-level split cannot prevent when the
+    corpus holds near-duplicates (an eval document whose near-twin sits
+    in train is effectively memorized, not held out; Lee et al. 2022 §6.2
+    measure exactly this leak class).
+
+    ``docs`` must already carry ``split_col`` (``hash_split`` upstream).
+    Returns ``(id_a, id_b, est_jaccard, split_a, split_b)`` — every
+    banded-minhash candidate pair at ``threshold`` whose two sides landed
+    in different splits.  Run it AFTER near-dup dedup to certify the
+    split (the report should be empty), or BEFORE to decide which twin to
+    drop/requarantine.
+
+    Scale shape: the pair generation is ``minhash_lsh_pairs`` (banded
+    8-byte keys, hot-bucket star guard — see its docstring); the split
+    lookups are two joins of the narrow (id, split) projection onto the
+    candidate pairs, which AQE broadcasts when the pair set is small (the
+    expected case — pairs ≪ corpus).
+    """
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket=max_bucket,
+    )
+    sa = docs.select(
+        F.col(id_col).alias("_la"), F.col(split_col).alias("split_a")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("_lb"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, pairs["id_a"] == sa["_la"])
+        .join(sb, pairs["id_b"] == sb["_lb"])
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "est_jaccard", "split_a", "split_b")
+    )

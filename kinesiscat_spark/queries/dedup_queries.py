@@ -146,22 +146,96 @@ FROM est WHERE est_jaccard >= {MINHASH_T}
 
 _MINHASH_ORACLE = minhash_oracle(distinct_pairs=True)
 
+# Round-6 widening: split-leakage detection rides the same lane under a
+# `kind` column — the SAME candidate pairs joined against the md5-interval
+# split assignment (operators/sampling.py hash_split, salt pinned to the
+# sampling_mix lane's), filtered to pairs that STRADDLE splits.  The
+# leak oracle reuses the minhash pair SQL verbatim plus the split CASE.
+_LEAK_SALT = 11  # == curation_queries._SPLIT_SALT (same split assignment)
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+
+def _leak_oracle() -> str:
+    from kinesiscat_spark.operators.sampling import md5_threshold
+
+    split_case = f"""CASE WHEN substr(md5(doc_id || chr(31) || '{_LEAK_SALT}'), 1, 12)
+             < '{md5_threshold(0.8)}' THEN 'train'
+        WHEN substr(md5(doc_id || chr(31) || '{_LEAK_SALT}'), 1, 12)
+             < '{md5_threshold(0.9)}' THEN 'val'
+        ELSE 'test' END"""
+    body = minhash_oracle(distinct_pairs=True)
+    return f"""
+SELECT 'pairs' AS kind, id_a, id_b, est_jaccard,
+       CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
+FROM ({body})
+UNION ALL
+SELECT 'leak' AS kind, p.id_a, p.id_b, p.est_jaccard, sa.split AS split_a,
+       sb.split AS split_b
+FROM ({body}) p
+JOIN (SELECT doc_id, {split_case} AS split FROM documents) sa
+  ON sa.doc_id = p.id_a
+JOIN (SELECT doc_id, {split_case} AS split FROM documents) sb
+  ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_leak_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 approximate near-dup: 32-hash / 8-band minhash LSH, est >= 0.5.
 
     Deterministic (md5 Carter-Wegman hashing) so the DuckDB oracle
     reproduces candidates AND estimates exactly; candidate volume scales
     with duplicate density, not n^2.
+
+    ``kind='leak'`` (round-6 widening): train/eval split-LEAKAGE report
+    (``operators/sampling.py split_leakage_report``) — the same candidate
+    pairs joined against the deterministic 80/10/10 ``hash_split``
+    assignment and filtered to pairs straddling splits: the near-twin
+    contamination a row-level split cannot prevent (Lee et al. 2022
+    §6.2).  Both kinds share one candidate computation in the oracle; on
+    the Spark side the leak branch recomputes pairs (lazy plans dedupe
+    the scan via ReusedExchange where shapes align) and the split lookup
+    is two narrow broadcast joins.
     """
+    from kinesiscat_spark.operators.sampling import (
+        hash_split,
+        split_leakage_report,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
         docs, threshold=MINHASH_T, n_hashes=N_HASHES, n_bands=N_BANDS, n=3
     )
-    return out.select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    pairs = out.select(
+        F.lit("pairs").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.lit(None).cast("string").alias("split_a"),
+        F.lit(None).cast("string").alias("split_b"),
     )
+    split_docs = hash_split(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_cols=["doc_id"],
+        salt=_LEAK_SALT,
+        method="md5",
+    )
+    leak = split_leakage_report(
+        split_docs,
+        threshold=MINHASH_T,
+        n_hashes=N_HASHES,
+        n_bands=N_BANDS,
+        n=3,
+    ).select(
+        F.lit("leak").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        "split_a",
+        "split_b",
+    )
+    return pairs.unionByName(leak)
 
 
 SIMHASH_D = 3

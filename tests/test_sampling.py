@@ -132,3 +132,39 @@ def test_deterministic_shuffle_md5_matches_python(spark):
         key=lambda i: (hashlib.md5(f"{i}\x1f7".encode()).hexdigest()[:12], i),
     )
     assert got == want
+
+
+def test_split_leakage_report(spark):
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+    from kinesiscat_spark.operators.sampling import (
+        hash_split,
+        split_leakage_report,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    split_docs = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_cols=["doc_id"], salt=11, method="md5",
+    )
+    leaks = split_leakage_report(split_docs).collect()
+    all_pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    # every leak is a real candidate pair and straddles splits
+    assert leaks, "corpus has near-dups; some must straddle an 80/10/10 split"
+    for r in leaks:
+        assert (r.id_a, r.id_b) in all_pairs
+        assert r.split_a != r.split_b
+    # a near-dup-free corpus reports nothing: docs with unique texts
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(20))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    clean_split = hash_split(
+        clean, {"train": 0.5, "test": 0.5}, key_cols=["doc_id"]
+    )
+    assert split_leakage_report(clean_split).count() == 0
