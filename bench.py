@@ -183,6 +183,9 @@ def main() -> None:
             ("q17_avg_yearly", "q6_revenue", "q14_promo_share",
              "q19_disjunctive"),
         ),
+        "dedup_minhash_lsh": _kind_subs(
+            "dedup_minhash_lsh", ("pairs", "leak")
+        ),
         "similarity_topk_quantized": {
             "sq8": _quant_sub("sq8"),
             "pq": _quant_sub("pq"),

@@ -233,3 +233,87 @@ def streaming_remove_duplicate_spans(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_STATE = "session_id long, start_us long, last_us long, n long"
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming sessionization: fold each user's event stream into
+    gap-delimited sessions ACROSS micro-batches, emitting a session row
+    the moment a later event CLOSES it (append mode — closed sessions are
+    immutable, the streaming-correct contract).
+
+    The ingest twin of the batch ``events_sessionization`` lane: same gap
+    rule (a session breaks when the inter-event gap exceeds ``gap_us``),
+    same 1-based per-user session numbering, same output columns
+    ``(user_id, session_id, n_events, session_start_us,
+    session_end_us)``.  On an in-order drain, the emitted set is exactly
+    the batch result minus each user's LAST session (which no later event
+    ever closes — production deployments close idle sessions with an
+    event-time timeout/watermark; the open-session tail lives in state
+    either way).  Pinned against the batch lane in
+    tests/test_streaming_sessionize.py.
+
+    Within a micro-batch events sort by (ts, order_col) — the batch
+    lane's deterministic order; ACROSS batches the fold assumes per-user
+    arrival follows event time (true for log ingestion; out-of-order
+    sources need the watermarked window-join path instead).
+
+    Scale design: state is one 4-long tuple per ACTIVE user — bounded by
+    the live-user cardinality, not history; per batch the work is one
+    shuffle on ``user_col`` plus an Arrow call per touched user.
+    """
+    out_schema = (
+        "user_id long, session_id long, n_events long, "
+        "session_start_us long, session_end_us long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        if state.exists:
+            sid, start, last, n = state.get
+        else:
+            sid, start, last, n = 0, None, None, 0
+        closed: list[tuple] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values([ts_us_col, order_col])
+            for ts in batch[ts_us_col]:
+                ts = int(ts)
+                if start is None:
+                    sid, start, last, n = sid + 1, ts, ts, 1
+                elif ts - last > gap_us:
+                    closed.append((user, sid, n, start, last))
+                    sid, start, last, n = sid + 1, ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+        if start is not None:
+            state.update((sid, start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_id",
+                    "n_events",
+                    "session_start_us",
+                    "session_end_us",
+                ],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

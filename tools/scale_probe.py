@@ -323,6 +323,48 @@ def probes():
             F.sum(c4_signals(F.col("text"))["clean_chars"])
         ).first()[0] or 0
 
+    def p_gopher(spark, d):
+        from kinesiscat_spark.operators.curation import (
+            gopher_keep,
+            gopher_signals,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        sig = gopher_signals(F.col("text"), stopwords=("the", "a"))
+        return docs.filter(gopher_keep(sig)).count()
+
+    def p_ppl_buckets(spark, d):
+        from kinesiscat_spark.operators.text import (
+            perplexity_buckets,
+            score_documents,
+            unigram_model,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        model = unigram_model(docs.filter(F.col("lang") == "en"))
+        scored = score_documents(docs, model)
+        # thresholds method — the 100 TB path (approx_percentile pass +
+        # scan-stage CASE); the rank twin's global sort is the lane path
+        return (
+            perplexity_buckets(scored, method="thresholds")
+            .groupBy("ppl_bucket")
+            .count()
+            .count()
+        )
+
+    def p_split_leakage(spark, d):
+        from kinesiscat_spark.operators.sampling import (
+            hash_split,
+            split_leakage_report,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        split_docs = hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+            key_cols=["doc_id"], salt=11, method="md5",
+        )
+        return split_leakage_report(split_docs).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "pca_train_project": (p_pca, "linear (1-pass Gram partials + scan projection)"),
@@ -349,6 +391,9 @@ def probes():
         "token_budget_sample": (p_token_budget, "linear (bucket totals + 1-bucket cumsum)"),
         "hll_distinct": (p_hll_distinct, "linear (2^p register exchange)"),
         "temperature_mix": (p_temperature_mix, "linear (per-source counts + bucket plans)"),
+        "gopher_rules": (p_gopher, "linear (scan-stage)"),
+        "ppl_buckets": (p_ppl_buckets, "linear (LM score pass + t-digest pass + scan CASE)"),
+        "split_leakage": (p_split_leakage, "linear+dup-density (minhash pairs + narrow split joins)"),
     }
 
 
