@@ -54,7 +54,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
-_SESSION_ORACLE = f"""
+_SESSION_BODY = f"""
 WITH ordered AS (
   SELECT
     user_id,
@@ -83,15 +83,46 @@ FROM sessions
 GROUP BY user_id, session_id
 """
 
+# Round-6 widening: the STREAMING sessionizer's closed-session output
+# rides the lane under `kind` — the oracle derives it from the same
+# session SQL (every session except each user's last, which no later
+# event ever closes).
+_SESSION_ORACLE = f"""
+SELECT 'batch' AS kind, * FROM ({_SESSION_BODY})
+UNION ALL
+SELECT 'stream_closed' AS kind, user_id, session_id, n_events,
+       session_start_us, session_end_us
+FROM (
+  SELECT s.*, MAX(session_id) OVER (PARTITION BY user_id) AS _mx
+  FROM ({_SESSION_BODY}) s
+) WHERE session_id < _mx
+"""
+
 
 @query("events_sessionization", oracle=_SESSION_ORACLE)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: gap-based sessionization (30-min inactivity gap) per user.
 
-    Batch twin of session_window: one shuffle on user_id serves both window
-    functions and the final aggregation (same partitioning reused across
-    stages — no second exchange at scale).
+    ``kind='batch'``: batch twin of session_window — one shuffle on
+    user_id serves both window functions and the final aggregation (same
+    partitioning reused across stages — no second exchange at scale).
+
+    ``kind='stream_closed'`` (round-6 widening): the STREAMING
+    sessionizer (``streaming/stateful.py streaming_sessionize``,
+    applyInPandasWithState) drained over the same events — emitted
+    closed sessions must equal the batch sessions minus each user's
+    still-open last one. The lane drains in a single availableNow
+    trigger so the result is independent of file arrival order (the fold
+    sorts within the batch); the cross-micro-batch state path is pinned
+    separately in tests/test_streaming_sessionize.py.
     """
+    from kinesiscat_spark.streaming.source import (
+        StreamConfig,
+        read_events_stream,
+        run_to_memory,
+    )
+    from kinesiscat_spark.streaming.stateful import streaming_sessionize
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
@@ -107,10 +138,21 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = ev.withColumn("is_new", is_new).withColumn(
         "session_id", F.sum("is_new").over(cum)
     )
-    return sessions.groupBy("user_id", "session_id").agg(
+    batch = sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
+    )
+
+    stream_ev = read_events_stream(
+        spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON", batch_size=100000)
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    closed = run_to_memory(
+        streaming_sessionize(stream_ev, _SESSION_GAP_US),
+        output_mode="append",
+    )
+    return batch.select(F.lit("batch").alias("kind"), "*").unionByName(
+        closed.select(F.lit("stream_closed").alias("kind"), "*")
     )
 
 
