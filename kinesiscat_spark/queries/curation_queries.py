@@ -968,7 +968,15 @@ losers AS (SELECT id FROM labels WHERE id <> cluster_id),
 g_near AS (  -- near-dup cluster dedup: keep one canonical doc per cluster
   SELECT * FROM g_exact WHERE doc_id NOT IN (SELECT id FROM losers)
 )
-SELECT doc_id FROM g_near  -- deterministic md5 content-hash sample
+-- kind='batch': the full batch pipeline; kind='stream': the STREAMING
+-- pipeline (curate_stream) — identical gate/dedup/sample layers, but no
+-- inline near-dup stage (candidates are a separate stream; cluster
+-- resolution is a periodic batch job), so its twin samples g_exact.
+SELECT 'batch' AS kind, doc_id FROM g_near
+WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
+      < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
+UNION ALL
+SELECT 'stream' AS kind, doc_id FROM g_exact
 WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
       < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
 """
@@ -990,10 +998,25 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-bucket guard, (id,label)-only CC rounds, partition-invariant
     content-hash sampling); the language gate is exercised by its own
     lane (text_language_id) and disabled here to keep the oracle bounded.
+
+    ``kind='stream'`` (round-6 widening): the STREAMING pipeline
+    (``pipelines.curate_stream``) drained over the same documents at the
+    same config — identical gate/decontaminate/dedup/sample layers
+    hash-checked doc-for-doc; the near-dup stage is absent by design
+    (candidates are a separate stream, cluster resolution a periodic
+    batch job), so its twin samples the exact-dedup layer. The lane
+    drains in one availableNow trigger (first-seen == min-id within a
+    single micro-batch, making the result file-order-independent); the
+    cross-batch state path is pinned in tests/test_curate_stream.py.
     """
     from pyspark.sql import functions as F
 
-    from kinesiscat_spark.pipelines import CurationConfig, curate
+    from kinesiscat_spark.pipelines import CurationConfig, curate, curate_stream
+    from kinesiscat_spark.streaming.source import (
+        StreamConfig,
+        read_table_stream,
+        run_to_memory,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -1017,4 +1040,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_salt=_PIPE_SAMPLE_SALT,
         sample_method="md5",
     )
-    return curate(docs, cfg).select("doc_id")
+    batch = curate(docs, cfg).select(
+        F.lit("batch").alias("kind"), "doc_id"
+    )
+    stream_docs = read_table_stream(
+        spark, sf_dir, "documents", StreamConfig(batch_size=100000)
+    )
+    drained = run_to_memory(curate_stream(stream_docs, cfg), output_mode="append")
+    stream = drained.select(F.lit("stream").alias("kind"), "doc_id")
+    return batch.unionByName(stream)
