@@ -153,6 +153,7 @@ def main() -> None:
                 else remove_duplicate_spans(docs, w=6))
 
     from kinesiscat_spark.queries.text_queries import (
+        text_bigram_lm,
         text_language_id,
         text_unigram_lm,
     )
@@ -207,6 +208,7 @@ def main() -> None:
         "text_quality_score": {
             "langid_heuristic": lambda: text_language_id(spark, sf_dir),
             "unigram_lm": lambda: text_unigram_lm(spark, sf_dir),
+            "bigram_lm": lambda: text_bigram_lm(spark, sf_dir),
         },
         "text_heavy_ngrams": {
             m: (lambda m=m: qs["text_heavy_ngrams"](spark, sf_dir).filter(

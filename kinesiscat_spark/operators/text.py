@@ -152,6 +152,149 @@ def score_documents(
     )
 
 
+class BigramModel(NamedTuple):
+    """A trained interpolated bigram model: the (w1, w2, p_bi) conditional
+    table, the per-context denominators baked in; plus the unigram model
+    it interpolates with, the vocabulary size, smoothing k and mixture
+    weight lam. Probabilities (not logs) are stored so interpolation is a
+    single multiply-add before ONE ln at scoring time."""
+
+    df: "DataFrame"  # (w1, w2, p_bi) — add-k conditional probability
+    ctx: "DataFrame"  # (w1, c1) — context totals, for unseen-pair backoff
+    unigram: UnigramModel
+    v: float
+    k: float
+    lam: float
+
+
+def bigram_model(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    lam: float = 0.7,
+) -> BigramModel:
+    """Interpolated add-k bigram model (the next rung of the CCNet-style
+    LM ladder after ``unigram_model``; production CCNet uses 5-gram
+    KenLM — same distributive shape, deeper context):
+
+      p(w2 | w1) = lam * (c(w1,w2) + k) / (c1(w1) + k*V)
+                 + (1 - lam) * p_uni(w2)
+
+    with V the UNIGRAM vocabulary size and c1(w1) = sum_w2 c(w1,w2)
+    (occurrences of w1 as a left context). An unseen context scores
+    lam/V + (1-lam)*p_uni — never zero.
+
+    Scale shape: one explode to (w1, w2) pairs + one groupBy (map-side
+    partial) for the bigram counts; the context totals are a groupBy of
+    the COUNTS table (bigram-type-sized, not corpus-sized). The model is
+    bigram-type-sized and broadcastable, like the unigram table.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    uni = unigram_model(docs, id_col, text_col, k)
+    # V from the unigram table (cheap count of a vocabulary-sized frame)
+    v = float(uni.df.count())
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy("w1").agg(F.sum("c").alias("c1"))
+    model = counts.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        ((F.col("c") + F.lit(k)) / (F.col("c1") + F.lit(k * v))).alias("p_bi"),
+    )
+    return BigramModel(model, ctx, uni, v, k, lam)
+
+
+def score_documents_bigram(
+    docs,
+    model: BigramModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(id, n_tokens, avg_logp2): mean interpolated-bigram log-probability
+    of each document under ``model``. The first token scores at its
+    unigram probability; token i > 1 at lam*p_bi(w_i | w_{i-1}) +
+    (1-lam)*p_uni(w_i). The per-doc sum folds over the VALUE-sorted logp
+    list so the double arithmetic is order-defined and cross-engine
+    stable (the unigram lane discipline).
+
+    Scale shape: one positions explode, two broadcast joins (bigram and
+    unigram tables), one per-doc aggregate — map-side partialed.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    lam = model.lam
+    uni = model.unigram
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    pos = (
+        toks.select(id_col, "t", F.posexplode("t").alias("i", "w2"))
+        .withColumn(
+            "w1", F.when(F.col("i") > 0, F.element_at(F.col("t"), F.col("i")))
+        )
+        .drop("t")
+    )
+    bi = model.df.select(
+        F.col("w1").alias("_bw1"), F.col("w2").alias("_bw2"), "p_bi"
+    )
+    ctx = model.ctx.select(F.col("w1").alias("_cw1"), "c1")
+    un = uni.df.select(F.col("w").alias("_uw"), F.exp("logp").alias("p_uni"))
+    # unseen-pair backoff keeps the SEEN context's denominator:
+    # p = k / (c1(w1) + k*V); a wholly unseen context has c1 = 0
+    backoff = F.lit(model.k) / (
+        F.coalesce("c1", F.lit(0)) + F.lit(model.k * model.v)
+    )
+    joined = (
+        pos.join(
+            F.broadcast(bi),
+            (pos["w1"] == bi["_bw1"]) & (pos["w2"] == bi["_bw2"]),
+            "left",
+        )
+        .join(F.broadcast(ctx), pos["w1"] == ctx["_cw1"], "left")
+        .join(F.broadcast(un), pos["w2"] == un["_uw"], "left")
+        .select(
+            id_col,
+            "i",
+            F.coalesce("p_uni", F.lit(math.exp(uni.oov_logp))).alias("_pu"),
+            F.coalesce("p_bi", backoff).alias("_pb"),
+        )
+    )
+    lp = F.when(
+        F.col("i") == 0, F.log(F.col("_pu"))
+    ).otherwise(F.log(F.lit(lam) * F.col("_pb") + F.lit(1.0 - lam) * F.col("_pu")))
+    return (
+        joined.select(id_col, lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("_lp")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*")
+            ).alias("avg_logp2"),
+        )
+    )
+
+
 def perplexity_buckets(
     scored,
     score_col: str = "avg_logp",

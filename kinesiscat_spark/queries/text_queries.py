@@ -104,6 +104,59 @@ lm_doc AS (
           FROM documents) d
     LEFT JOIN lm USING (w)
   ) GROUP BY doc_id
+),
+-- interpolated bigram LM (round 6: operators/text.py bigram_model /
+-- score_documents_bigram, k=0.5 lam=0.7): conditional add-k bigram over
+-- the ENGLISH corpus, every document scored; first token at unigram,
+-- later tokens at lam*p_bi + (1-lam)*p_uni; value-sorted per-doc fold
+bg_toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents WHERE lang = 'en'
+),
+bg_counts AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM bg_toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+  ) GROUP BY w1, w2
+),
+bg_ctx AS (SELECT w1, sum(c) AS c1 FROM bg_counts GROUP BY w1),
+bg AS (
+  SELECT w1, w2, (c + 0.5) / (c1 + 0.5 * v) AS p_bi
+  FROM bg_counts JOIN bg_ctx USING (w1), lm_tot
+),
+bg_pos AS (
+  SELECT doc_id, i, t[i] AS w2,
+         CASE WHEN i > 1 THEN t[i - 1] END AS w1
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> len(x) > 0) AS t
+    FROM documents
+  ), unnest(generate_series(1, len(t))) AS u(i)
+),
+bg_doc AS (
+  SELECT doc_id,
+         round(list_sum(list(lp ORDER BY lp)) / count(*), 6) AS avg_logp2
+  FROM (
+    SELECT q.doc_id,
+           CASE WHEN q.i = 1 THEN ln(pu)
+                ELSE ln(0.7 * pb + 0.3 * pu) END AS lp
+    FROM (
+      SELECT p.doc_id, p.i,
+             coalesce(exp(lm.logp),
+                      (SELECT exp(ln(0.5 / (n + 0.5 * v))) FROM lm_tot))
+               AS pu,
+             coalesce(bg.p_bi,
+                      0.5 / (coalesce(cx.c1, 0)
+                             + 0.5 * (SELECT v FROM lm_tot))) AS pb
+      FROM bg_pos p
+      LEFT JOIN lm ON lm.w = p.w2
+      LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      LEFT JOIN bg_ctx cx ON cx.w1 = p.w1
+    ) q
+  ) GROUP BY doc_id
 )
 """
 
@@ -116,7 +169,7 @@ def _quality_plus_langid_oracle() -> str:
     return f"""
 WITH {_LM_ORACLE_CTES}
 SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
-       m.avg_logp, m.oov_frac,
+       m.avg_logp, m.oov_frac, b.avg_logp2,
        CAST(1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
                  * 3) // (COUNT(*) OVER ()) AS BIGINT) AS ppl_bucket,
        CASE 1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
@@ -126,6 +179,7 @@ SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
 FROM ({_QUALITY_ORACLE}) q
 JOIN ({_langid_oracle()}) l USING (doc_id)
 JOIN lm_doc m USING (doc_id)
+LEFT JOIN bg_doc b USING (doc_id)
 """
 
 
@@ -163,6 +217,27 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
             F.round(F.col("_oov") / F.col("_n"), 6).alias("oov_frac"),
         )
+    )
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interpolated-bigram half of ``text_quality_score`` (round 6,
+    operators/text.py bigram_model/score_documents_bigram, k=0.5
+    lam=0.7): conditional add-k bigram trained on the ENGLISH documents,
+    every document scored — the next rung of the CCNet LM ladder after
+    the unigram (production CCNet uses 5-gram KenLM; same distributive
+    shape).  Standalone so bench.py can sub-time it."""
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        score_documents_bigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower("text")
+    )
+    model = bigram_model(docs.filter(F.col("lang") == "en"), k=0.5, lam=0.7)
+    return score_documents_bigram(docs, model).select(
+        "doc_id", F.round("avg_logp2", 6).alias("avg_logp2")
     )
 
 
@@ -228,6 +303,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         score.alias("top_score"),
     ).join(lm_doc, "doc_id")
+    out = out.join(text_bigram_lm(spark, sf_dir), "doc_id", "left")
     return perplexity_buckets(out, method="rank")
 
 

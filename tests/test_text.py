@@ -356,3 +356,84 @@ def test_perplexity_buckets_validation_and_approx(spark):
     out = perplexity_buckets(df, n_buckets=5).collect()
     assert {r.ppl_label for r in out} <= {"b1", "b2", "b3", "b4", "b5"}
     assert len(out) == 30 and {r.ppl_bucket for r in out} >= {1, 5}
+
+
+def test_bigram_model_matches_python_replay(spark):
+    """score_documents_bigram is bit-exact against a pure-Python replay,
+    including the two backoff cases: seen context + unseen pair (keeps
+    the context denominator) and wholly unseen context (c1 = 0)."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        score_documents_bigram,
+    )
+
+    train_texts = ["the cat sat", "the cat ran", "dogs bark loud"]
+    train = spark.createDataFrame(
+        list(enumerate(train_texts)), ["doc_id", "text"]
+    )
+    score_texts = {10: "the cat sat", 11: "cat bark the", 12: "zeb qux the cat"}
+    score = spark.createDataFrame(
+        [(d, t) for d, t in score_texts.items()], ["doc_id", "text"]
+    )
+    m = bigram_model(train, k=0.5, lam=0.7)
+    got = {
+        r.doc_id: r.avg_logp2
+        for r in score_documents_bigram(score, m).collect()
+    }
+
+    toks = [t.split() for t in train_texts]
+    uni = Counter(w for t in toks for w in t)
+    n, v, k, lam = sum(uni.values()), len(uni), 0.5, 0.7
+    bi = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    c1 = Counter()
+    for (a, _), c in bi.items():
+        c1[a] += c
+
+    def pu(w):
+        return (uni.get(w, 0) + k) / (n + k * v)
+
+    def pb(a, b):
+        return (bi.get((a, b), 0) + k) / (c1.get(a, 0) + k * v)
+
+    for d, text in score_texts.items():
+        t = text.split()
+        lps = [math.log(pu(t[0]))] + [
+            math.log(lam * pb(t[i - 1], t[i]) + (1 - lam) * pu(t[i]))
+            for i in range(1, len(t))
+        ]
+        want = sum(sorted(lps)) / len(t)
+        assert got[d] == pytest.approx(want, abs=1e-12), d
+
+
+def test_bigram_prefers_in_distribution_order(spark):
+    """Scrambling word ORDER hurts the bigram score but not the unigram:
+    the bigram model actually uses context."""
+    import pytest
+
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        score_documents,
+        score_documents_bigram,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    train = spark.createDataFrame(
+        [(i, base) for i in range(4)], ["doc_id", "text"]
+    )
+    m = bigram_model(train)
+    words = base.split()
+    scrambled = " ".join(reversed(words))
+    probe = spark.createDataFrame(
+        [(0, base.strip()), (1, scrambled)], ["doc_id", "text"]
+    )
+    bg = {r.doc_id: r.avg_logp2 for r in score_documents_bigram(probe, m).collect()}
+    un = {
+        r.doc_id: r.avg_logp for r in score_documents(probe, m.unigram).collect()
+    }
+    assert bg[0] > bg[1]  # in-order text scores higher under the bigram
+    assert un[0] == pytest.approx(un[1], abs=1e-9)  # unigram is order-blind
