@@ -532,6 +532,7 @@ def split_leakage_report(
     n_bands: int = 8,
     n: int = 3,
     max_bucket: int | None = 1000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs that STRADDLE split boundaries — the
     train/eval contamination a row-level split cannot prevent when the
@@ -544,7 +545,11 @@ def split_leakage_report(
     banded-minhash candidate pair at ``threshold`` whose two sides landed
     in different splits.  Run it AFTER near-dup dedup to certify the
     split (the report should be empty), or BEFORE to decide which twin to
-    drop/requarantine.
+    drop/requarantine.  Pass a precomputed ``pairs`` DataFrame
+    (``minhash_lsh_pairs`` output — (id_a, id_b, est_jaccard)) to share
+    one candidate computation with other consumers: a subtree-identical
+    plan lets Spark reuse the band exchange instead of running the
+    signature kernel twice (the driver lane does this).
 
     Scale shape: the pair generation is ``minhash_lsh_pairs`` (banded
     8-byte keys, hot-bucket star guard — see its docstring); the split
@@ -554,16 +559,17 @@ def split_leakage_report(
     """
     from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(
-        docs,
-        threshold=threshold,
-        n_hashes=n_hashes,
-        n_bands=n_bands,
-        n=n,
-        id_col=id_col,
-        text_col=text_col,
-        max_bucket=max_bucket,
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            max_bucket=max_bucket,
+        )
     sa = docs.select(
         F.col(id_col).alias("_la"), F.col(split_col).alias("split_a")
     )

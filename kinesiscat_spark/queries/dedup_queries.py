@@ -221,13 +221,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=_LEAK_SALT,
         method="md5",
     )
-    leak = split_leakage_report(
-        split_docs,
-        threshold=MINHASH_T,
-        n_hashes=N_HASHES,
-        n_bands=N_BANDS,
-        n=3,
-    ).select(
+    # share ONE candidate computation: the leak branch consumes the same
+    # `out` subtree, so the union's two minhash subtrees are identical and
+    # the band exchange (and its Arrow signature kernel) runs once
+    # (ReusedExchange — pinned by test_minhash_single_kernel_join_est_codegen)
+    leak = split_leakage_report(split_docs, pairs=out).select(
         F.lit("leak").alias("kind"),
         "id_a",
         "id_b",
