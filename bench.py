@@ -174,10 +174,11 @@ def main() -> None:
         # sub-timing runs exactly one query's plan
         "tpch_q3_shipping_priority": _kind_subs(
             "tpch_q3_shipping_priority",
-            ("q3_shipping", "q10_returned", "q18_big_orders"),
+            ("q3_shipping", "q10_returned", "q18_big_orders", "q2_min_cost"),
         ),
         "tpch_q5_local_supplier": _kind_subs(
-            "tpch_q5_local_supplier", ("q5_local", "q7_volume", "q8_share")
+            "tpch_q5_local_supplier",
+            ("q5_local", "q7_volume", "q8_share", "q9_profit")
         ),
         "lineitem_scalar_aggregates": _kind_subs(
             "lineitem_scalar_aggregates",

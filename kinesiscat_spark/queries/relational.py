@@ -18,6 +18,42 @@ from pyspark.sql import functions as F
 from kinesiscat_spark.io_tables import load_table
 from kinesiscat_spark.registry import query
 
+# The corpus has no partsupp table, so the five partsupp-dependent TPC-H
+# queries (Q2/Q9/Q11/Q16/Q20) run over a DERIVED view computed with the
+# same integer arithmetic in both engines: every 4th (part, supplier)
+# combination carries a key-determined supplycost and availqty. This is a
+# completeness device (it exercises the queries' join/subquery SHAPES
+# end-to-end, hash-checked), not synthetic data generation — both sides
+# derive it from the same two real tables, row for row.
+PARTSUPP_SQL = """
+SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+       ((p_partkey * 7 + s_suppkey * 13) % 1000 + 1) / 100.0 AS ps_supplycost,
+       CAST((p_partkey + 3 * s_suppkey) % 50 + 1 AS BIGINT) AS ps_availqty
+FROM part CROSS JOIN supplier
+WHERE (p_partkey + s_suppkey) % 4 = 0
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``PARTSUPP_SQL`` (see comment above)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        part.crossJoin(F.broadcast(supp))
+        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            (
+                ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 1000 + 1)
+                / 100.0
+            ).alias("ps_supplycost"),
+            ((F.col("p_partkey") + 3 * F.col("s_suppkey")) % 50 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+        )
+    )
+
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
@@ -67,7 +103,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lane — the revenue-top-k family in one multi-kind slot. Q10 drops the
 # address/phone output columns absent from the trimmed schema; Q18's
 # threshold is 300 per TPC-H (46 qualifying orders at sf0.01).
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT * FROM (
 SELECT 'q3_shipping' AS kind,
   l_orderkey AS key, CAST(NULL AS VARCHAR) AS name,
@@ -114,6 +150,24 @@ JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, c_name, o_totalprice, o_orderdate
 HAVING SUM(l_quantity) > 300
+UNION ALL
+SELECT 'q2_min_cost' AS kind,
+  p_partkey AS key, s_name AS name,
+  ROUND(ps_supplycost, 2) AS revenue,
+  CAST(NULL AS VARCHAR) AS date_s,
+  n_name AS extra, CAST(NULL AS DOUBLE) AS qty
+FROM part, supplier, ({PARTSUPP_SQL}) partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost)
+    FROM ({PARTSUPP_SQL}) ps2, supplier s2, nation n2, region r2
+    WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA'
+  )
 """
 
 
@@ -137,6 +191,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity sum groups on orderkey — the SAME key as the join, so Catalyst
     reuses one exchange for both; customers arrive via broadcast-friendly
     dim join. No global sort: the HAVING emits the full qualifying set.
+
+    ``kind='q2_min_cost'`` (round-6 widening, derived partsupp — see
+    PARTSUPP_SQL): the classic correlated-min decorrelation — the
+    region-filtered per-part minimum cost is an aggregate of the SAME
+    filtered partsupp subtree, joined back on (partkey, cost); dims
+    broadcast, the part filters prune the probe side at the scan.
     """
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust_b = load_table(spark, sf_dir, "customer").filter(
@@ -208,7 +268,41 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty",
         )
     )
-    return q3.unionByName(q10).unionByName(q18)
+
+    supp = load_table(spark, sf_dir, "supplier")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps_asia = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(asia_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_asia.groupBy(F.col("ps_partkey").alias("_mpk")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    part2 = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    q2 = (
+        ps_asia.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mpk"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(part2), F.col("ps_partkey") == part2["p_partkey"])
+        .select(
+            F.lit("q2_min_cost").alias("kind"),
+            F.col("p_partkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.round("ps_supplycost", 2).alias("revenue"),
+            F.lit(None).cast("string").alias("date_s"),
+            F.col("n_name").alias("extra"),
+            F.lit(None).cast("double").alias("qty"),
+        )
+    )
+    return q3.unionByName(q10).unionByName(q18).unionByName(q2)
 
 
 # Round-6 widening: Q7 (bidirectional nation-pair volume, year-bucketed)
@@ -216,7 +310,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratio) join the Q5 lane — the multi-join international-trade family in
 # one multi-kind slot. Q8's p_type domain here is categorical, so the type
 # filter is an equality.
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT 'q5_local' AS kind, n_name AS g1, CAST(NULL AS VARCHAR) AS g2,
   CAST(NULL AS BIGINT) AS year,
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
@@ -261,6 +355,17 @@ JOIN region ON n1.n_regionkey = r_regionkey
 JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
 WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
 GROUP BY YEAR(o_orderdate)
+UNION ALL
+SELECT 'q9_profit' AS kind, n_name AS g1, CAST(NULL AS VARCHAR) AS g2,
+  CAST(YEAR(o_orderdate) AS BIGINT) AS year,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)
+            - ps_supplycost * l_quantity), 2) AS value
+FROM part, supplier, lineitem, ({PARTSUPP_SQL}) partsupp, orders, nation
+WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_type = 'PROMO'
+GROUP BY n_name, YEAR(o_orderdate)
 """
 
 
@@ -281,6 +386,12 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``kind='q8_share'``: market-share ratio via two conditional SUMs in
     ONE aggregate pass (no self-join, no second scan); the region and
     p_type filters prune the broadcast build sides before the fact joins.
+
+    ``kind='q9_profit'`` (round-6 widening, derived partsupp — see
+    PARTSUPP_SQL): product-type profit by (nation, year). lineitem joins
+    partsupp on the COMPOSITE (partkey, suppkey) key; the p_type filter
+    prunes both the part broadcast and (through the join) the partsupp
+    side, and profit folds into one partial aggregate.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -377,7 +488,34 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return q5.unionByName(q7).unionByName(q8)
+
+    promo = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li9 = load_table(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    q9 = (
+        li9.join(F.broadcast(promo), li9["l_partkey"] == promo["p_partkey"])
+        .join(
+            F.broadcast(ps),
+            (li9["l_partkey"] == ps["ps_partkey"])
+            & (li9["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(orders_all, li9["l_orderkey"] == orders_all["o_orderkey"])
+        .join(F.broadcast(supp), li9["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("_yr"))
+        .agg(F.round(F.sum(profit), 2).alias("value"))
+        .select(
+            F.lit("q9_profit").alias("kind"),
+            F.col("n_name").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            F.col("_yr").cast("long").alias("year"),
+            "value",
+        )
+    )
+    return q5.unionByName(q7).unionByName(q8).unionByName(q9)
 
 
 # The former events_agg_by_type lane was folded out: stream_agg_by_type

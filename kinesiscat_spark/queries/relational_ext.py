@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.queries.relational import PARTSUPP_SQL, derived_partsupp
 from kinesiscat_spark.registry import query
 
 # Round-6 fold (VERDICT r5 task 1): tpch_q4 + tpch_q13 share one lane slot
@@ -38,7 +39,7 @@ from kinesiscat_spark.registry import query
 # adapted — no c_phone, so the country-code grouping becomes the nation and
 # "no orders" becomes "no URGENT orders" to stay non-degenerate on a corpus
 # where nearly every customer has orders) join the lane.
-_ORDERS_KINDS_ORACLE = """
+_ORDERS_KINDS_ORACLE = f"""
 SELECT 'q4_priority' AS kind, o_orderpriority AS k,
        CAST(COUNT(*) AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS cnt2,
        CAST(NULL AS DOUBLE) AS bal
@@ -83,6 +84,32 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
   )
 GROUP BY n_name
+UNION ALL
+SELECT 'q11_important_stock' AS kind, CAST(ps_partkey AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS cnt2,
+       ROUND(SUM(ps_supplycost * ps_availqty), 2) AS bal
+FROM ({PARTSUPP_SQL}) partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_5'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost * ps_availqty) > (
+  SELECT SUM(ps_supplycost * ps_availqty) * 0.002
+  FROM ({PARTSUPP_SQL}) ps2, supplier s2, nation n2
+  WHERE ps2.ps_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+    AND n2.n_name = 'NATION_5'
+)
+UNION ALL
+SELECT 'q16_supplier_cnt' AS kind,
+       p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS k,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS cnt,
+       CAST(NULL AS BIGINT) AS cnt2, CAST(NULL AS DOUBLE) AS bal
+FROM ({PARTSUPP_SQL}) partsupp, part
+WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
 """
 
 
@@ -111,6 +138,13 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     against URGENT orders (pushed filter makes the build side small), and
     a per-nation aggregate. customer is dim-sized; nothing here scales
     with lineitem.
+
+    ``kind='q11_important_stock'`` / ``kind='q16_supplier_cnt'`` (round-6
+    widening, derived partsupp — relational.PARTSUPP_SQL): Q11's grouped
+    HAVING against a scalar total (both aggregates share one semi-joined
+    partsupp subtree; the threshold broadcasts as a 1-row join) and Q16's
+    NOT IN as a left-anti join + exact count-distinct per (brand, type,
+    size).
     """
     orders_q4 = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -198,7 +232,68 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal",
         )
     )
-    return q4.unionByName(q13).unionByName(q12).unionByName(q22)
+
+    # Q11 + Q16 (round-6 widening, derived partsupp — relational.PARTSUPP_SQL)
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = derived_partsupp(spark, sf_dir)
+    n5_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    ps_n5 = ps.join(
+        F.broadcast(n5_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    stock_value = F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = ps_n5.groupBy("ps_partkey").agg(stock_value.alias("_val"))
+    total = ps_n5.agg((stock_value * 0.002).alias("_thresh"))
+    q11 = (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_thresh"))
+        .select(
+            F.lit("q11_important_stock").alias("kind"),
+            F.col("ps_partkey").cast("string").alias("k"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("long").alias("cnt2"),
+            F.round("_val", 2).alias("bal"),
+        )
+    )
+
+    part16 = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    q16 = (
+        ps.join(F.broadcast(part16), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("cnt"))
+        .select(
+            F.lit("q16_supplier_cnt").alias("kind"),
+            F.concat_ws(
+                "|",
+                "p_brand",
+                "p_type",
+                F.col("p_size").cast("string"),
+            ).alias("k"),
+            "cnt",
+            F.lit(None).cast("long").alias("cnt2"),
+            F.lit(None).cast("double").alias("bal"),
+        )
+    )
+    return (
+        q4.unionByName(q13)
+        .unionByName(q12)
+        .unionByName(q22)
+        .unionByName(q11)
+        .unionByName(q16)
+    )
 
 
 # Round-6 widening: Q15 (top supplier by quarter revenue — aggregate view
@@ -207,7 +302,7 @@ def orders_priority_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema: no l_receiptdate/l_commitdate, so "late" is
 # l_shipdate > o_orderdate + 60 days) join the anti-join lane — the
 # existential-pattern family in one multi-kind slot.
-_ANTI_ORACLE = """
+_ANTI_ORACLE = f"""
 SELECT 'no_big_orders' AS kind, c_custkey AS key, c_name AS name,
        ROUND(c_acctbal, 2) AS value, CAST(NULL AS BIGINT) AS cnt
 FROM customer
@@ -250,6 +345,21 @@ WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
       AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
   )
 GROUP BY s_suppkey, s_name
+UNION ALL
+SELECT 'q20_excess_stock' AS kind, s_suppkey AS key, s_name AS name,
+       ROUND(s_acctbal, 2) AS value, CAST(NULL AS BIGINT) AS cnt
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM ({PARTSUPP_SQL}) partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+      )
+  )
+  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
 """
 
 
@@ -273,6 +383,11 @@ def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem on orderkey with a suppkey<> residual, NOT EXISTS a left-anti
     join against the late set itself. Both shuffle on orderkey (the same
     key as the build), no fan-out, count per supplier at the end.
+
+    ``kind='q20_excess_stock'`` (round-6 widening, derived partsupp —
+    relational.PARTSUPP_SQL): nested IN chains as semi joins; the
+    correlated half-quantity subquery decorrelates into an aggregate on
+    the SAME (partkey, suppkey) composite key as the partsupp probe.
     """
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
@@ -353,7 +468,57 @@ def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return anti.unionByName(q15).unionByName(q21)
+
+    # Q20 (round-6 widening, derived partsupp): suppliers holding excess
+    # stock of STANDARD parts relative to what they shipped in 1997.
+    # The correlated half-quantity subquery decorrelates into an aggregate
+    # keyed on (partkey, suppkey) — the SAME composite key as the partsupp
+    # probe, one narrow join; an empty correlation group never matches
+    # (inner join == the SQL NULL-comparison exclusion).
+    ps = derived_partsupp(spark, sf_dir)
+    std_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("_qpk"), F.col("l_suppkey").alias("_qsk")
+        )
+        .agg((F.sum("l_quantity") * 0.5).alias("_half_qty"))
+    )
+    excess_supp = (
+        ps.join(F.broadcast(std_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("_qpk"))
+            & (F.col("ps_suppkey") == F.col("_qsk")),
+        )
+        .filter(F.col("ps_availqty") > F.col("_half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    q20 = (
+        supp.join(
+            F.broadcast(excess_supp),
+            supp["s_suppkey"] == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.lit("q20_excess_stock").alias("kind"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.round("s_acctbal", 2).alias("value"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
+    )
+    return anti.unionByName(q15).unionByName(q21).unionByName(q20)
 
 
 # Round-6 fold: ROLLUP (orders revenue) + CUBE (documents counts) share one
