@@ -171,7 +171,10 @@ def main() -> None:
         },
         # round-6 TPC-H widenings: plain UNION ALL of aggregates, so the
         # kind filter constant-folds the sibling branches away and each
-        # sub-timing runs exactly one query's plan
+        # sub-timing runs exactly one query's plan.  Caveat: the q3 lane's
+        # q3/q10 branches end in ORDER BY + LIMIT, and predicates cannot
+        # push through Limit — so this lane's sub-timings each run the two
+        # limited branches too (upper bounds, not isolates).
         "tpch_q3_shipping_priority": _kind_subs(
             "tpch_q3_shipping_priority",
             ("q3_shipping", "q10_returned", "q18_big_orders", "q2_min_cost"),
