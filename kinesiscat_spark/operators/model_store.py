@@ -57,3 +57,45 @@ def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
     return QualityModel(
         tuple(r.weights), r.bias, r.n_features, r.hash_method, r.hash_salt
     )
+
+
+def save_unigram(spark: SparkSession, model, path: str) -> None:
+    """Write a UnigramModel: the (w, logp) table plus a one-row meta table
+    carrying the OOV mass (parquet subdirs 'table' and 'meta')."""
+    model.df.coalesce(1).write.mode("overwrite").parquet(f"{path}/table")
+    spark.createDataFrame(
+        [(float(model.oov_logp),)], "oov_logp double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_unigram(spark: SparkSession, path: str):
+    from kinesiscat_spark.operators.text import UnigramModel
+
+    [meta] = spark.read.parquet(f"{path}/meta").collect()
+    return UnigramModel(spark.read.parquet(f"{path}/table"), meta.oov_logp)
+
+
+def save_bigram(spark: SparkSession, model, path: str) -> None:
+    """Write a BigramModel: the (w1, w2, p_bi) table, the (w1, c1) context
+    table, the interpolated unigram, and a one-row meta table (v, k, lam)."""
+    model.df.coalesce(1).write.mode("overwrite").parquet(f"{path}/table")
+    model.ctx.coalesce(1).write.mode("overwrite").parquet(f"{path}/ctx")
+    save_unigram(spark, model.unigram, f"{path}/unigram")
+    spark.createDataFrame(
+        [(float(model.v), float(model.k), float(model.lam))],
+        "v double, k double, lam double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram(spark: SparkSession, path: str):
+    from kinesiscat_spark.operators.text import BigramModel
+
+    [meta] = spark.read.parquet(f"{path}/meta").collect()
+    return BigramModel(
+        spark.read.parquet(f"{path}/table"),
+        spark.read.parquet(f"{path}/ctx"),
+        load_unigram(spark, f"{path}/unigram"),
+        meta.v,
+        meta.k,
+        meta.lam,
+    )

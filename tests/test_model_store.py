@@ -76,3 +76,40 @@ def test_tokenize_then_pack_by_bpe_counts(spark, tmp_path):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).first()[0]
     assert sum(counts.values()) > n_words
+
+
+def test_lm_roundtrip_preserves_scores(spark, tmp_path):
+    """Unigram and bigram models survive persist -> reload with identical
+    document scores (the broadcast tables are plain parquet; the scalars
+    ride a one-row meta table)."""
+    from kinesiscat_spark.operators.model_store import (
+        load_bigram,
+        load_unigram,
+        save_bigram,
+        save_unigram,
+    )
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        score_documents,
+        score_documents_bigram,
+        unigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "dogs bark loud")],
+        ["doc_id", "text"],
+    )
+    uni = unigram_model(docs)
+    save_unigram(spark, uni, str(tmp_path / "uni"))
+    uni2 = load_unigram(spark, str(tmp_path / "uni"))
+    a = {r.doc_id: r.avg_logp for r in score_documents(docs, uni).collect()}
+    b = {r.doc_id: r.avg_logp for r in score_documents(docs, uni2).collect()}
+    assert a == b
+
+    bg = bigram_model(docs, k=0.5, lam=0.7)
+    save_bigram(spark, bg, str(tmp_path / "bg"))
+    bg2 = load_bigram(spark, str(tmp_path / "bg"))
+    assert (bg2.v, bg2.k, bg2.lam) == (bg.v, bg.k, bg.lam)
+    x = {r.doc_id: r.avg_logp2 for r in score_documents_bigram(docs, bg).collect()}
+    y = {r.doc_id: r.avg_logp2 for r in score_documents_bigram(docs, bg2).collect()}
+    assert x == y

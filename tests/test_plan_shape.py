@@ -397,3 +397,32 @@ def test_ivf_index_read_path_no_python(spark):
     s = df._jdf.queryExecution().explainString(mode)
     assert "Python" not in s and "ArrowEval" not in s
     assert "PartitionFilters: [cell" in s or "cell#" in s
+
+
+def test_partsupp_tpch_lanes_jvm_side(plans):
+    """The round-6 TPC-H widenings stay pure-JVM: no Python anywhere in
+    the four widened relational lanes, and the only cartesian product is
+    the deliberate derived-partsupp generator (part x supplier, dim-sized
+    at any SF — see relational.PARTSUPP_SQL)."""
+    for lane in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "orders_priority_custdist",
+        "customers_no_big_orders",
+        "lineitem_scalar_aggregates",
+    ):
+        s = plans(lane)
+        assert "EvalPython" not in s, lane
+        assert "BroadcastHashJoin" in s, lane
+
+
+def test_q9_partsupp_folds_to_scan_stage(plans):
+    """Q9's derived-partsupp 'join' must be a scan-stage key expression on
+    lineitem (membership filter + inline supplycost), NOT a join against a
+    materialized view — the 2.5x round-6 fix. The q5 lane's plan must
+    contain the membership predicate and no partsupp-side exchange for it."""
+    s = plans("tpch_q5_local_supplier")
+    # the membership filter reaches the lineitem side as a plain predicate
+    assert "% 4" in s
+    # supplycost is computed inline (the *7/*13 key expression), never read
+    assert "ps_supplycost" in s and "* 13" in s
