@@ -304,6 +304,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity for all pairs ≥ threshold:
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric near-dup measure that
+    catches a short document embedded in a long one (quote farms,
+    aggregator pages, boilerplate-wrapped reposts), which Jaccard
+    structurally misses (a tiny subset of a huge doc has near-zero
+    Jaccard but containment 1.0).
+
+    Returns ``(id_a, id_b, containment, jaccard)`` — both measures from
+    ONE common-count pass, so callers can split "true subsets" (high
+    containment, low Jaccard) from mutual near-dups.
+
+    Scale shape: the classic inverted-index plan (explode → self-join on
+    the shingle hash → count). PPJoin's prefix/length filters do NOT
+    apply — they assume the Jaccard threshold's size-ratio bound, and
+    containment deliberately admits extreme size ratios — so at corpus
+    scale pair volume is governed by posting-list skew: cap document
+    frequency upstream (drop boilerplate shingles before calling) or
+    run it on an LSH-candidate set rather than the raw corpus.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from kinesiscat_spark.io_tables import spread
+
+    sh = spread(docs, id_col).select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sim = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least("n_a", "n_b").cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return sim.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment", "jaccard"
+    )
+
+
 def minhash_signature(text: Column, n_hashes: int = 32, n: int = 3) -> Column:
     """array<long> minhash signature, all JVM-side.
 

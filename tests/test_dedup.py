@@ -296,3 +296,73 @@ def test_ppjoin_suffix_filter_exact_on_random_corpora(spark):
         )
         assert fast == naive, f"seed {seed} threshold {t}"
         assert fast, f"seed {seed} threshold {t} produced no pairs (vacuous)"
+
+
+class TestContainment:
+    """ngram_containment_pairs: the asymmetric near-dup measure —
+    crafted subset pins plus a DuckDB differential on the real corpus."""
+
+    def test_subset_scores_one_jaccard_stays_low(self, spark):
+        from kinesiscat_spark.operators.dedup import ngram_containment_pairs
+
+        short = "alpha beta gamma delta epsilon"
+        long = short + " " + " ".join(f"filler{i}" for i in range(40))
+        df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+        rows = ngram_containment_pairs(df, 0.9, n=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        assert r.containment == 1.0  # every short-doc shingle is in long
+        assert r.jaccard < 0.15  # ...but Jaccard misses the relation
+
+    def test_threshold_and_validation(self, spark):
+        import pytest as _pytest
+
+        from kinesiscat_spark.operators.dedup import ngram_containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "v w x y z")], ["doc_id", "text"]
+        )
+        assert ngram_containment_pairs(df, 0.5).count() == 0  # disjoint
+        with _pytest.raises(ValueError):
+            ngram_containment_pairs(df, 0.0)
+
+    def test_matches_duckdb_on_corpus(self, spark, duck):
+        from kinesiscat_spark.operators.dedup import ngram_containment_pairs
+        from kinesiscat_spark.io_tables import load_table
+        from tests.conftest import SF_ORACLE
+        from tools.oracle_check import compare
+
+        docs = load_table(spark, SF_ORACLE, "documents")
+        got = ngram_containment_pairs(docs, 0.8, n=3).select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        want = duck.sql("""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' ')) AS s
+  FROM toks
+),
+dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+sizes AS (SELECT doc_id, len(s) AS n FROM dsh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / least(sa.n, sb.n)::DOUBLE, 6) AS containment,
+       ROUND(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / least(sa.n, sb.n)::DOUBLE >= 0.8
+""").df()
+        ok, msg = compare(got, want)
+        assert ok, msg
