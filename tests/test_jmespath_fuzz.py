@@ -121,10 +121,12 @@ def _gen_value(rng, depth):
 
 def _gen_doc(rng):
     # top-level object with known key names so expressions can target them
+    # (depth raised to 4 in round 6 after an exploratory depth-5 sweep of
+    # 900 pairs held at zero failures)
     return {
-        "a": _gen_value(rng, rng.randint(0, 3)),
+        "a": _gen_value(rng, rng.randint(0, 4)),
         "b": _gen_value(rng, rng.randint(0, 2)),
-        "items": [_gen_value(rng, rng.randint(0, 2)) for _ in range(rng.randint(0, 6))],
+        "items": [_gen_value(rng, rng.randint(0, 3)) for _ in range(rng.randint(0, 6))],
     }
 
 
