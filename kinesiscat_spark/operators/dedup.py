@@ -134,11 +134,15 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_common"))
         )
+        # No broadcast hint on the size frames: they are one row PER
+        # DOCUMENT, so forcing a broadcast is a driver/executor OOM at
+        # corpus scale. Left unhinted, AQE broadcasts them when they are
+        # actually small and shuffle-joins otherwise.
         sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
         sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
         sim = (
-            common.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
             .withColumn(
                 "jaccard",
                 F.col("n_common")
@@ -345,11 +349,14 @@ def ngram_containment_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # Size frames are one row per document — never force-broadcast them
+    # (at 100 TB that is an O(n_docs) frame pinned on every executor and
+    # the driver). AQE broadcasts when the frame is actually small.
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     sim = (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "containment",
             F.col("n_common") / F.least("n_a", "n_b").cast("double"),

@@ -110,10 +110,18 @@ class CurationConfig:
 
 
 def quality_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
-    """Length + stopword-density heuristics (C4/Gopher-style), scan-stage."""
+    """Length + stopword-density heuristics (C4/Gopher-style), scan-stage.
+
+    ``min_tokens <= 0`` disables the length gate entirely (matching the
+    other thresholds' `> 0` opt-in convention) — important because
+    ``size(split(NULL))`` is -1, so even ``>= 0`` would silently drop
+    NULL-text documents the later stages explicitly keep-on-null.
+    """
     tokens = F.split(F.lower(F.col(cfg.text_col)), " ")
     n_tokens = F.size(tokens)
-    out = docs.filter(n_tokens >= cfg.min_tokens)
+    out = docs
+    if cfg.min_tokens > 0:
+        out = out.filter(n_tokens >= cfg.min_tokens)
     if cfg.min_stopword_ratio > 0:
         stop_arr = F.array(*[F.lit(s) for s in cfg.stopwords])
         n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
@@ -201,7 +209,10 @@ def decontaminate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
         id_col=cfg.id_col,
         text_col=cfg.text_col,
     ).select(F.col("id").alias(cfg.id_col))
-    return docs.join(F.broadcast(dirty), cfg.id_col, "left_anti")
+    # No broadcast hint: the dirty-id set is bounded by contamination
+    # density, not the benchmark — a heavily contaminated corpus could
+    # make it O(n_docs). AQE broadcasts it when actually small.
+    return docs.join(dirty, cfg.id_col, "left_anti")
 
 
 def language_gate(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -552,12 +563,20 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
         )
 
         # streaming-safe: the weight row rides as a literal array (see
-        # score_documents_quality), so this stays a scan-stage filter
+        # score_documents_quality), so this stays a scan-stage filter.
+        # Keep-on-null coalesce EXACTLY as in batch curate() above — a
+        # NULL text scores NULL, and without the coalesce the stream
+        # would silently drop a doc the batch pipeline keeps
+        # (batch/stream parity, VERDICT r6 #3).
         deduped = score_documents_quality(
             deduped, cfg.quality_model, cfg.text_col, out_col="_q"
         ).filter(
-            pareto_keep(
-                F.col("_q"), F.col(cfg.id_col), cfg.pareto_alpha, cfg.pareto_salt
+            F.coalesce(
+                pareto_keep(
+                    F.col("_q"), F.col(cfg.id_col), cfg.pareto_alpha,
+                    cfg.pareto_salt,
+                ),
+                F.lit(True),
             )
         ).drop("_q")
     if cfg.sample_fraction < 1.0:

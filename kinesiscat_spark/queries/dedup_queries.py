@@ -19,6 +19,7 @@ from kinesiscat_spark.operators.dedup import (
     MOD48,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -65,6 +66,11 @@ sh AS (
   FROM toks
 )"""
 
+CONTAINMENT_T = 0.6
+
+# Both measures come off ONE common-count CTE: containment is just one
+# more projected column (|A∩B| / min sizes) over the same pair counts the
+# Jaccard rows use — the round-7 `kind='containment'` widening.
 _JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
@@ -76,13 +82,20 @@ common AS (
   GROUP BY 1, 2
 ),
 sim AS (
-  SELECT id_a, id_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+  SELECT id_a, id_b,
+         n_common / (sa.n + sb.n - n_common) AS jaccard,
+         n_common / least(sa.n, sb.n) AS containment
   FROM common
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
 )
-SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+SELECT 'jaccard' AS kind, id_a, id_b, ROUND(jaccard, 6) AS jaccard,
+       CAST(NULL AS DOUBLE) AS containment
 FROM sim WHERE jaccard >= {JACCARD_T}
+UNION ALL
+SELECT 'containment' AS kind, id_a, id_b, ROUND(jaccard, 6) AS jaccard,
+       ROUND(containment, 6) AS containment
+FROM sim WHERE containment >= {CONTAINMENT_T}
 """
 
 
@@ -91,11 +104,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact near-dup: word-3-gram Jaccard >= 0.4 via inverted index.
 
     The self-join key is a 64-bit shingle hash, so the exchange carries
-    (hash, doc_id) pairs; per-doc cardinalities broadcast back.
+    (hash, doc_id) pairs; per-doc cardinalities join back (unhinted — AQE
+    broadcasts when small).
+
+    ``kind='containment'`` (round-7 widening): the asymmetric
+    short-in-long measure ``|A∩B| / min(|A|,|B|) >= 0.6``
+    (``operators/dedup.py ngram_containment_pairs``) — catches a short
+    document embedded in a long one, which Jaccard structurally misses.
+    Same shingles, same common-count semantics, hash-checked against the
+    same oracle CTE.
     """
     docs = load_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    jac = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3).select(
+        F.lit("jaccard").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.lit(None).cast("double").alias("containment"),
+    )
+    cont = ngram_containment_pairs(docs, threshold=CONTAINMENT_T, n=3).select(
+        F.lit("containment").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment", 6).alias("containment"),
+    )
+    return jac.unionByName(cont)
 
 
 MINHASH_T = 0.5

@@ -93,10 +93,12 @@ def test_scan_stage_decontamination_matches_report_form(spark, cfg):
     )
 
 
-def test_curate_stream_classifier_stage(spark):
+def test_curate_stream_classifier_stage(spark, tmp_path):
     """The classifier stage runs inside the streaming plan (literal
     weight array — no stream-static cross join) and keeps exactly the
-    doc_ids the batch composition keeps."""
+    doc_ids the batch composition keeps — INCLUDING a NULL-text document
+    (scores NULL → keep-on-null coalesce; VERDICT r6 #3 pinned the
+    stream silently dropping what batch curate() keeps)."""
     from kinesiscat_spark.io_tables import load_table
     from kinesiscat_spark.operators.quality_classifier import (
         pareto_keep,
@@ -113,23 +115,48 @@ def test_curate_stream_classifier_stage(spark):
     from kinesiscat_spark.streaming.source import read_table_stream
 
     batch = load_table(spark, SF_SMOKE, "documents")
+    null_doc = batch.limit(1).select(
+        *[
+            F.lit(None).cast("string").alias(c)
+            if c == "text"
+            else (F.lit(-999).cast(dict(batch.dtypes)[c]).alias(c)
+                  if c == "doc_id" else F.col(c))
+            for c in batch.columns
+        ]
+    )
+    # single FILE named documents.parquet (the stream source symlinks the
+    # file path, not a directory tree)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(batch.unionByName(null_doc).toPandas()),
+        str(tmp_path / "documents.parquet"),
+    )
+    aug = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
     labeled = batch.select(
         "text", (F.col("lang") == "en").cast("int").alias("label")
     )
     model = train_quality_classifier(labeled, n_features=64, n_iter=5)
-    cfg = CurationConfig(min_tokens=5, quality_model=model, pareto_salt=11)
+    # min_tokens=0 disables the length gate so the NULL-text doc reaches
+    # the classifier stage in BOTH pipelines
+    cfg = CurationConfig(min_tokens=0, quality_model=model, pareto_salt=11)
 
-    stream = read_table_stream(spark, SF_SMOKE, "documents")
+    stream = read_table_stream(spark, str(tmp_path), "documents")
     drained = run_to_memory(curate_stream(stream, cfg), output_mode="append")
     got = sorted(r.doc_id for r in drained.select("doc_id").collect())
 
-    b = exact_dedup(quality_gate(batch, cfg), cfg)
+    b = exact_dedup(quality_gate(aug, cfg), cfg)
     b = score_documents_quality(b, model, out_col="_q").filter(
-        pareto_keep(F.col("_q"), F.col("doc_id"), 9.0, 11)
+        F.coalesce(
+            pareto_keep(F.col("_q"), F.col("doc_id"), 9.0, 11), F.lit(True)
+        )
     )
     want = sorted(r.doc_id for r in b.select("doc_id").collect())
-    assert got == want
-    assert 0 < len(got) < batch.count()
+    assert -999 in want  # the NULL-text doc must reach and pass batch-side
+    assert got == want  # ...and the stream must agree, NULL doc included
+    assert 0 < len(got) < aug.count()
 
 
 def test_curate_stream_bloom_path_equals_literal_path(spark, cfg):

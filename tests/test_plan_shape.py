@@ -426,3 +426,73 @@ def test_q9_partsupp_folds_to_scan_stage(plans):
     assert "% 4" in s
     # supplycost is computed inline (the *7/*13 key expression), never read
     assert "ps_supplycost" in s and "* 13" in s
+
+
+def test_no_forced_broadcast_of_per_document_frames():
+    """Source audit (round-7, VERDICT r6 #2): every `F.broadcast(...)` hint
+    in the package must target a BOUNDED frame — query sets, centroids,
+    LUTs, 1-row stats/bounds, LM/model tables, TPC-H dimensions. A hint on
+    a per-document frame (one row per corpus doc, e.g. shingle-size frames)
+    overrides AQE's size check and is a driver/executor OOM at 100 TB.
+
+    The whitelist below pins the leading identifier of every allowed
+    broadcast argument per file. Adding a new `F.broadcast` site fails this
+    test until the new frame's boundedness is argued here.
+    """
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "kinesiscat_spark"
+    allowed = {
+        # ANN/quantize/similarity: query frames, centroid tables, LUTs —
+        # bounded by n_queries x k / n_cells x dim, never by corpus rows.
+        "operators/ann_index.py": {"qc", "q", "lut"},
+        "operators/quantize.py": {"q_norm", "cand", "lut", "qv", "cents"},
+        "operators/similarity.py": {"q", "centroids", "qv"},
+        "operators/semdedup.py": {"cents"},
+        # curation: benchmark gram set / bloom bits — bounded by the
+        # reference benchmark, not the corpus (documented opt-in for grams).
+        "operators/curation.py": {"bench_grams", "bloom"},
+        # 1-row frames: chunk bounds, weight rows, sketch rows, stats.
+        "operators/dedup.py": {"bounds"},
+        "operators/quality_classifier.py": {"wrow"},
+        "operators/sketches.py": {"cms"},
+        # LM/model tables: bounded by the reference-corpus vocab (see the
+        # bigram size guard in operators/text.py).
+        "operators/sampling.py": {"m_r", "m_t"},
+        "operators/text.py": {"stats", "model", "un", "cuts", "ctx", "bi"},
+        "queries/text_queries.py": {"model"},
+        # pipelines: bloom bits row + collected benchmark gram set.
+        "pipelines.py": {"frozenset", "bits"},
+        # TPC-H dimension tables (nation/region/part/supplier/customer
+        # subsets and 1-row aggregates) — dim-sized at any SF.
+        "queries/relational.py": {
+            "asia_supp", "region", "part2", "supp", "nation", "n1", "n2",
+            "asia", "cust_b", "cust", "promo", "part",
+        },
+        "queries/relational_ext.py": {
+            "n5_supp", "nation", "supp", "total", "excess_supp", "part_all",
+            "bad_supp", "max_rev", "part16", "std_parts", "part", "avg_bal",
+        },
+    }
+    violations = []
+    for p in sorted(root.rglob("*.py")):
+        rel = str(p.relative_to(root))
+        src = p.read_text()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                seg = ast.get_source_segment(src, node.args[0]) or "?"
+                head = seg.split("(")[0].split(".")[0].strip()
+                if head not in allowed.get(rel, set()):
+                    violations.append(f"{rel}:{node.lineno} F.broadcast({seg})")
+    assert not violations, (
+        "unreviewed F.broadcast hint(s) — argue boundedness in the "
+        "whitelist or drop the hint (AQE broadcasts small frames itself):\n"
+        + "\n".join(violations)
+    )
