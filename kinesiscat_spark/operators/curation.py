@@ -216,7 +216,10 @@ def gopher_signals(
     - ``n_words``: whitespace word count;
     - ``mean_word_len``: average characters per word (NULL when empty);
     - ``alpha_word_frac``: fraction of words containing >= 1 ASCII letter;
-    - ``symbol_word_ratio``: (# of ``#`` + # of ``...``/``…``) per word;
+    - ``hash_word_ratio`` / ``ellipsis_word_ratio``: ``#`` count per word
+      and ``...``/``…`` count per word — SEPARATE ratios, because Rae et
+      al. A1.1 applies its 0.1 threshold to each symbol individually;
+    - ``symbol_word_ratio``: their sum (the combined diagnostic);
     - ``bullet_line_frac``: fraction of lines whose first non-blank char
       is a bullet mark; ``ellipsis_line_frac``: fraction ending in an
       ellipsis; - ``stop_hits``: number of DISTINCT stopwords present.
@@ -230,8 +233,11 @@ def gopher_signals(
     def body(ws: Column) -> Column:
         n_words = F.size(ws)
         nd = n_words.cast("double")
-        symbols = F.regexp_count(
-            F.coalesce(text, F.lit("")), F.lit(r"#|\.\.\.|…")
+        # disjoint patterns, so the counts sum exactly to the combined
+        # `#|\.\.\.|…` scan the ratio previously used
+        hashes = F.regexp_count(F.coalesce(text, F.lit("")), F.lit("#"))
+        ellipses = F.regexp_count(
+            F.coalesce(text, F.lit("")), F.lit(r"\.\.\.|…")
         )
         lower_ws = F.transform(ws, F.lower)
         stop_arr = F.array([F.lit(s) for s in stopwords])
@@ -267,7 +273,13 @@ def gopher_signals(
                     n_words > 0,
                     F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / nd,
                 ).alias("alpha_word_frac"),
-                F.when(n_words > 0, symbols / nd).alias("symbol_word_ratio"),
+                F.when(n_words > 0, hashes / nd).alias("hash_word_ratio"),
+                F.when(n_words > 0, ellipses / nd).alias(
+                    "ellipsis_word_ratio"
+                ),
+                F.when(n_words > 0, (hashes + ellipses) / nd).alias(
+                    "symbol_word_ratio"
+                ),
                 F.when(
                     n_lines > 0, bullet / n_lines.cast("double")
                 ).alias("bullet_line_frac"),
@@ -302,14 +314,22 @@ def gopher_keep(
 ) -> Column:
     """The Gopher keep predicate over a ``gopher_signals`` struct, with the
     published defaults. NULL signals (empty document) evaluate to a kept
-    =false — an explicit policy, not a NULL-filter side effect."""
+    =false — an explicit policy, not a NULL-filter side effect.
+
+    ``max_symbol_ratio`` applies to the hash ratio and the ellipsis ratio
+    SEPARATELY, as published (Rae et al. A1.1 thresholds each
+    symbol-to-word ratio at 0.1 individually; checking their sum would be
+    stricter than the published defaults — ADVICE r6)."""
     return (
         (sig["n_words"] >= min_words)
         & (sig["n_words"] <= max_words)
         & F.coalesce(sig["mean_word_len"] >= min_mean_word_len, F.lit(False))
         & F.coalesce(sig["mean_word_len"] <= max_mean_word_len, F.lit(False))
         & F.coalesce(
-            sig["symbol_word_ratio"] <= max_symbol_ratio, F.lit(False)
+            sig["hash_word_ratio"] <= max_symbol_ratio, F.lit(False)
+        )
+        & F.coalesce(
+            sig["ellipsis_word_ratio"] <= max_symbol_ratio, F.lit(False)
         )
         & F.coalesce(
             sig["bullet_line_frac"] <= max_bullet_frac, F.lit(False)

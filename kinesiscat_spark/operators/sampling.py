@@ -504,7 +504,11 @@ def mix_corpora_temperature(
     counts = [
         (df.agg(n_tok(df).alias("n")).collect()[0].n or 0) for df in sources
     ]
-    weights = [float(c) ** alpha for c in counts]
+    # Empty sources get weight 0 at ANY alpha: Python's 0.0 ** 0.0 is 1.0,
+    # which at alpha=0 would hand empty corpora a full budget share and
+    # silently divert tokens from non-empty ones — the XLM/mT5 recipe
+    # defines n_i = 0 as weight 0 (ADVICE r6).
+    weights = [(float(c) ** alpha) if c > 0 else 0.0 for c in counts]
     denom = sum(weights)
     # All-empty corpus: every budget is 0 and the selection is empty by
     # definition — degrade to zero budgets instead of raising, so lanes

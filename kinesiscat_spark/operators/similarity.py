@@ -443,17 +443,32 @@ def ivf_assign_arrow(
     C = np.asarray([r.cvec for r in rows], dtype=np.float64)  # (k, d)
     cell_ids = np.asarray([r.cell for r in rows], dtype=np.int64)
 
+    dim = C.shape[1]
+
     @F.pandas_udf(T.LongType())
     def best_cell(vs: pd.Series) -> pd.Series:
-        if not len(vs):
-            return pd.Series([], dtype="int64")
-        V = np.stack(vs.to_numpy()).astype(np.float64)  # (N, d)
-        dots = np.zeros((V.shape[0], C.shape[0]))
-        for i in range(C.shape[1]):
-            dots += V[:, i : i + 1] * C[:, i]
-        # rank by -dot, ties -> lowest cell: argmin over -dots picks the
-        # first (lowest-cell) minimum, the struct-min tie rule
-        return pd.Series(cell_ids[np.argmin(-dots, axis=1)])
+        n = len(vs)
+        if not n:
+            return pd.Series([], dtype="Int64")
+        # NULL / ragged vectors get a NULL cell instead of crashing the
+        # batch in np.stack (ADVICE r6: semdedup pre-filters these, but
+        # ivf_topk / ivf_sq_topk / build_ivf_index call this kernel on
+        # the raw corpus). A NULL cell falls out of the downstream cell
+        # equijoins — the same graceful degrade as the Column form.
+        arr = vs.to_numpy()
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in arr), dtype=bool, count=n
+        )
+        out = pd.array([None] * n, dtype="Int64")
+        if valid.any():
+            V = np.stack(arr[valid]).astype(np.float64)  # (N_valid, d)
+            dots = np.zeros((V.shape[0], C.shape[0]))
+            for i in range(dim):
+                dots += V[:, i : i + 1] * C[:, i]
+            # rank by -dot, ties -> lowest cell: argmin over -dots picks
+            # the first (lowest-cell) minimum, the struct-min tie rule
+            out[valid] = cell_ids[np.argmin(-dots, axis=1)]
+        return pd.Series(out, dtype="Int64")
 
     return df.select(F.col(id_col), best_cell(F.col(vec)).alias("cell"))
 

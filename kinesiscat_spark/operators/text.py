@@ -338,18 +338,40 @@ def perplexity_buckets(
         else [f"b{i}" for i in range(1, n_buckets + 1)]
     )
     label_arr = F.array(*[F.lit(s) for s in labels])
+    # NULL-score rows are UNBUCKETED (NULL bucket/label) in both methods:
+    # the thresholds CASE would otherwise dump them in the worst bucket
+    # (NULL >= cut drops from the filter → size 0 → bucket n) and the
+    # rank window would order them after the scored rows — neither is a
+    # quality statement about an unscored document (ADVICE r6).
+    scored_ok = F.col(score_col).isNotNull()
+
+    def _guarded(bucket: Column) -> list[Column]:
+        b = F.when(scored_ok, bucket)
+        # the label is when-guarded too: Catalyst simplifies
+        # element_at(array(lit), idx) to the literal even for NULL idx,
+        # so a NULL bucket would otherwise still get a label
+        return [
+            b.alias("ppl_bucket"),
+            F.when(scored_ok, F.element_at(label_arr, b.cast("int"))).alias(
+                "ppl_label"
+            ),
+        ]
+
+    if n_buckets == 1:
+        # single tier: constant bucket — the thresholds path would build
+        # approx_percentile(score, array()) whose NULL cuts null every
+        # bucket (ADVICE r6); rank degenerates to the same constant.
+        return scored.select("*", *_guarded(F.lit(1).cast("long")))
     if method == "rank":
-        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        # NULLs sort last so scored rows keep ranks 1..n_scored, and n
+        # counts only scored rows — unscored rows must not widen the tail
+        w = Window.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
         rn = F.row_number().over(w).cast("long")
-        n = F.count("*").over(Window.partitionBy())
+        n = F.count(score_col).over(Window.partitionBy())
         bucket = (F.lit(1) + ((rn - 1) * n_buckets / n).cast("long")).cast(
             "long"
         )
-        return scored.select(
-            "*",
-            bucket.alias("ppl_bucket"),
-            F.element_at(label_arr, bucket.cast("int")).alias("ppl_label"),
-        )
+        return scored.select("*", *_guarded(bucket))
     if method != "thresholds":
         raise ValueError(f"unknown method {method!r}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -369,11 +391,7 @@ def perplexity_buckets(
     ).cast("long")
     return (
         scored.join(F.broadcast(cuts))
-        .select(
-            *scored.columns,
-            bucket.alias("ppl_bucket"),
-            F.element_at(label_arr, bucket.cast("int")).alias("ppl_label"),
-        )
+        .select(*scored.columns, *_guarded(bucket))
     )
 
 

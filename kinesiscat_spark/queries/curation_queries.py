@@ -443,6 +443,12 @@ def _signals_oracle() -> str:
     CASE WHEN len(w) > 0
          THEN len(regexp_extract_all(gt, '{_SYM_RE}'))::DOUBLE / len(w)
     END AS {name}_sym,
+    CASE WHEN len(w) > 0
+         THEN len(regexp_extract_all(gt, '#'))::DOUBLE / len(w)
+    END AS {name}_hash,
+    CASE WHEN len(w) > 0
+         THEN len(regexp_extract_all(gt, '\\.\\.\\.|…'))::DOUBLE / len(w)
+    END AS {name}_ellipw,
     CASE WHEN len(ls) > 0
          THEN len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN {_BUL}))::DOUBLE
               / len(ls)
@@ -556,17 +562,21 @@ SELECT doc_id,
   gw_stops AS gw_stop_hits,
   ((gw_n_words >= 50) AND (gw_n_words <= 100000)
    AND COALESCE(gw_mwl >= 3.0, FALSE) AND COALESCE(gw_mwl <= 10.0, FALSE)
-   AND COALESCE(gw_sym <= 0.1, FALSE)
+   AND COALESCE(gw_hash <= 0.1, FALSE)
+   AND COALESCE(gw_ellipw <= 0.1, FALSE)
    AND COALESCE(gw_bul <= 0.9, FALSE)
    AND COALESCE(gw_ell <= 0.3, FALSE)
    AND COALESCE(gw_alpha >= 0.8, FALSE)
    AND (gw_stops >= 2)) AS gw_keep,
   ROUND(gx_sym, 6) AS gx_symbol_ratio,
+  ROUND(gx_hash, 6) AS gx_hash_ratio,
+  ROUND(gx_ellipw, 6) AS gx_ellipsis_word_ratio,
   ROUND(gx_bul, 6) AS gx_bullet_frac,
   ROUND(gx_ell, 6) AS gx_ellipsis_frac,
   ((gx_n_words >= 10) AND (gx_n_words <= 100000)
    AND COALESCE(gx_mwl >= 3.0, FALSE) AND COALESCE(gx_mwl <= 10.0, FALSE)
-   AND COALESCE(gx_sym <= 0.1, FALSE)
+   AND COALESCE(gx_hash <= 0.1, FALSE)
+   AND COALESCE(gx_ellipw <= 0.1, FALSE)
    AND COALESCE(gx_bul <= 0.1, FALSE)
    AND COALESCE(gx_ell <= 0.1, FALSE)
    AND COALESCE(gx_alpha >= 0.5, FALSE)
@@ -682,6 +692,13 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         gw["stop_hits"].alias("gw_stop_hits"),
         gopher_keep(gw).alias("gw_keep"),
         F.round(gx["symbol_word_ratio"], 6).alias("gx_symbol_ratio"),
+        # per-symbol ratios thresholded individually as published (round
+        # 7, ADVICE r6: A1.1 applies 0.1 to EACH symbol ratio, not their
+        # sum — gopher_keep now checks these two, not gx_symbol_ratio)
+        F.round(gx["hash_word_ratio"], 6).alias("gx_hash_ratio"),
+        F.round(gx["ellipsis_word_ratio"], 6).alias(
+            "gx_ellipsis_word_ratio"
+        ),
         F.round(gx["bullet_line_frac"], 6).alias("gx_bullet_frac"),
         F.round(gx["ellipsis_line_frac"], 6).alias("gx_ellipsis_frac"),
         gopher_keep(

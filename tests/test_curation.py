@@ -497,3 +497,39 @@ class TestGopher:
             .k
         )
         assert k is True
+
+
+def test_gopher_symbol_threshold_is_per_symbol(spark):
+    """Rae et al. A1.1 thresholds EACH symbol-to-word ratio at 0.1
+    individually — a doc with hash ratio 0.08 and ellipsis ratio 0.08
+    (combined 0.16) must pass, one with hash ratio 0.12 must fail
+    (ADVICE r6: the combined check was stricter than published)."""
+    from kinesiscat_spark.operators.curation import (
+        gopher_keep,
+        gopher_signals,
+    )
+
+    # 50 base words; symbols ride mid-text so the line-level ellipsis-END
+    # rule (<= 0.3 of lines) stays out of the way
+    words = ("the be to of and that have with " + "lexeme " * 42).split()
+    doc_ok = " ".join(words) + " #### ... ... ... ... end"
+    doc_hash_heavy = " ".join(words) + " " + "#" * 7  # 7/51 > 0.1, no ellipsis
+    df = spark.createDataFrame(
+        [(1, doc_ok), (2, doc_hash_heavy)], "doc_id long, text string"
+    )
+    sig = gopher_signals(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            sig["hash_word_ratio"].alias("h"),
+            sig["ellipsis_word_ratio"].alias("e"),
+            sig["symbol_word_ratio"].alias("s"),
+            gopher_keep(sig).alias("keep"),
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1.h <= 0.1 and r1.e <= 0.1 and r1.s > 0.1
+    assert r1.keep  # passes per-symbol, would fail the combined check
+    assert abs(rows[1].s - (rows[1].h + rows[1].e)) < 1e-12
+    assert not rows[2].keep  # hash ratio alone over 0.1

@@ -162,3 +162,27 @@ def test_rrf_hybrid_bm25_plus_vector(spark):
     lex_ids = {r.cid for r in lex.collect()}
     vec_ids = {r.cid for r in vec.collect()}
     assert all(r.cid in (lex_ids | vec_ids) for r in fused)
+
+
+def test_ivf_assign_arrow_null_and_ragged_vectors(spark):
+    """NULL / wrong-dim embeddings must get a NULL cell, not crash the
+    Arrow batch (ADVICE r6: np.stack PythonException on the raw corpus
+    path used by ivf_topk / ivf_sq_topk / build_ivf_index)."""
+    from kinesiscat_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_centroids,
+    )
+
+    good = [(i, [float(i), float(i + 1)]) for i in range(8)]
+    df = spark.createDataFrame(
+        good + [(100, None), (101, [1.0]), (102, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(
+        spark.createDataFrame(good, "vec_id long, embedding array<double>"),
+        n_cells=2,
+    )
+    out = {r.vec_id: r.cell for r in ivf_assign_arrow(df, cents).collect()}
+    assert len(out) == 11
+    assert out[100] is None and out[101] is None and out[102] is None
+    assert all(out[i] is not None for i, _ in good)

@@ -437,3 +437,34 @@ def test_bigram_prefers_in_distribution_order(spark):
     }
     assert bg[0] > bg[1]  # in-order text scores higher under the bigram
     assert un[0] == pytest.approx(un[1], abs=1e-9)  # unigram is order-blind
+
+
+def test_perplexity_buckets_single_bucket_and_null_scores(spark):
+    """n_buckets=1 is a constant bucket (the thresholds path would build
+    approx_percentile(score, array()) → NULL buckets everywhere), and
+    NULL-score rows stay UNBUCKETED in both methods instead of being
+    dumped in the worst tier (ADVICE r6)."""
+    from kinesiscat_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, -3.0), (4, None)],
+        "doc_id long, avg_logp double",
+    )
+    for method in ("thresholds", "rank"):
+        one = {
+            r.doc_id: (r.ppl_bucket, r.ppl_label)
+            for r in perplexity_buckets(df, n_buckets=1, method=method).collect()
+        }
+        assert one[1] == (1, "b1") and one[2] == (1, "b1")
+        assert one[4] == (None, None), method
+
+        three = {
+            r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(df, n_buckets=3, method=method).collect()
+        }
+        assert three[4] is None, method
+        # scored rows all land in a tier; under rank (deterministic) the
+        # NULL row must not widen the tail — n counts scored rows only
+        assert all(three[i] is not None for i in (1, 2, 3)), method
+        if method == "rank":
+            assert sorted(three[i] for i in (1, 2, 3)) == [1, 2, 3]

@@ -181,3 +181,19 @@ def test_temperature_validation(spark):
     # error — the every-lane-survives-empty-tables invariant (round 6)
     empty = docs.filter(F.lit(False))
     assert mix_corpora_temperature([empty], 100).count() == 0
+
+
+def test_temperature_empty_source_gets_zero_weight(spark):
+    """alpha=0 must NOT hand an empty corpus a budget share: Python's
+    0.0**0.0 == 1.0 would silently divert tokens from non-empty sources;
+    the XLM/mT5 recipe defines n_i = 0 as weight 0 (ADVICE r6)."""
+    from kinesiscat_spark.operators.sampling import mix_corpora_temperature
+
+    full = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    empty = full.limit(0)
+    out = mix_corpora_temperature([full, empty], total_tokens=40, alpha=0.0)
+    # all 40 tokens of budget go to the non-empty source (10 docs of 4)
+    assert out.count() == 10
