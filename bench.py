@@ -154,6 +154,7 @@ def main() -> None:
 
     from kinesiscat_spark.queries.text_queries import (
         text_bigram_lm,
+        text_bigram_lm_persisted,
         text_language_id,
         text_unigram_lm,
     )
@@ -191,6 +192,12 @@ def main() -> None:
         "dedup_minhash_lsh": _kind_subs(
             "dedup_minhash_lsh", ("pairs", "leak")
         ),
+        "dedup_ngram_jaccard": _kind_subs(
+            "dedup_ngram_jaccard", ("jaccard", "containment")
+        ),
+        "events_sessionization": _kind_subs(
+            "events_sessionization", ("batch", "stream_closed", "stream_multi")
+        ),
         "similarity_topk_quantized": {
             "sq8": _quant_sub("sq8"),
             "pq": _quant_sub("pq"),
@@ -213,6 +220,9 @@ def main() -> None:
             "langid_heuristic": lambda: text_language_id(spark, sf_dir),
             "unigram_lm": lambda: text_unigram_lm(spark, sf_dir),
             "bigram_lm": lambda: text_bigram_lm(spark, sf_dir),
+            "bigram_lm_persisted": lambda: text_bigram_lm_persisted(
+                spark, sf_dir
+            ),
         },
         "text_heavy_ngrams": {
             m: (lambda m=m: qs["text_heavy_ngrams"](spark, sf_dir).filter(

@@ -112,6 +112,10 @@ UNION ALL
 SELECT 'doc', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), doc_id, n_bpe_tokens
 FROM doc_counts
+UNION ALL
+SELECT 'doc_persisted', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), doc_id, n_bpe_tokens
+FROM doc_counts
 """
 
 
@@ -143,13 +147,29 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind string, merge_rank int, lhs string, rhs string, cnt bigint,"
         " doc_id bigint, n_bpe_tokens bigint",
     )
-    counts = tokenize(docs, [(a, b) for a, b, _ in merges]).select(
-        F.lit("doc").alias("kind"),
-        F.lit(None).cast("int").alias("merge_rank"),
-        F.lit(None).cast("string").alias("lhs"),
-        F.lit(None).cast("string").alias("rhs"),
-        F.lit(None).cast("long").alias("cnt"),
-        "doc_id",
-        "n_bpe_tokens",
-    )
-    return mrows.unionByName(counts)
+    def _doc_counts(kind: str, merge_list) -> DataFrame:
+        return tokenize(docs, merge_list).select(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("int").alias("merge_rank"),
+            F.lit(None).cast("string").alias("lhs"),
+            F.lit(None).cast("string").alias("rhs"),
+            F.lit(None).cast("long").alias("cnt"),
+            "doc_id",
+            "n_bpe_tokens",
+        )
+
+    counts = _doc_counts("doc", [(a, b) for a, b, _ in merges])
+    # round-7 persistence fold (VERDICT r6 task 4): the same counts
+    # computed through a persisted+reloaded merge table
+    # (operators/model_store.py save_bpe/load_bpe — kilobyte parquet in a
+    # tempfile dir). The oracle emits the identical rows under
+    # kind='doc_persisted', so a hash match proves the save→load→tokenize
+    # path under the driver gate, not just a pytest roundtrip.
+    import tempfile
+
+    from kinesiscat_spark.operators.model_store import load_bpe, save_bpe
+
+    store = tempfile.mkdtemp(prefix="kc_bpe_store_")
+    save_bpe(spark, [(a, b) for a, b, _ in merges], store)
+    persisted = _doc_counts("doc_persisted", load_bpe(spark, store))
+    return mrows.unionByName(counts).unionByName(persisted)

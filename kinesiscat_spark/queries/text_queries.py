@@ -170,6 +170,7 @@ def _quality_plus_langid_oracle() -> str:
 WITH {_LM_ORACLE_CTES}
 SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
        m.avg_logp, m.oov_frac, b.avg_logp2,
+       b.avg_logp2 AS avg_logp2_persisted,
        CAST(1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
                  * 3) // (COUNT(*) OVER ()) AS BIGINT) AS ppl_bucket,
        CASE 1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
@@ -241,6 +242,38 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-persistence fold (round 7, VERDICT r6 task 4): train the SAME
+    interpolated bigram LM as ``text_bigram_lm``, persist it through
+    ``operators/model_store.py save_bigram`` (kilobyte parquet artifacts,
+    tempfile dir — never the repo or testdata trees), reload with
+    ``load_bigram``, and score every document through the LOADED
+    artifact.  The lane's DuckDB oracle replays the in-memory math, so
+    the hash check proves the save→load→score path end-to-end — the one
+    component family that previously had only pytest roundtrips."""
+    import tempfile
+
+    from kinesiscat_spark.operators.model_store import (
+        load_bigram,
+        save_bigram,
+    )
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        score_documents_bigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower("text")
+    )
+    model = bigram_model(docs.filter(F.col("lang") == "en"), k=0.5, lam=0.7)
+    path = tempfile.mkdtemp(prefix="kc_bigram_store_")
+    save_bigram(spark, model, path)
+    loaded = load_bigram(spark, path)
+    return score_documents_bigram(docs, loaded).select(
+        "doc_id", F.round("avg_logp2", 6).alias("avg_logp2_persisted")
+    )
+
+
 @query("text_quality_score", oracle=_quality_plus_langid_oracle())
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 token counting + heuristic quality score + language-ID in one
@@ -304,6 +337,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("top_score"),
     ).join(lm_doc, "doc_id")
     out = out.join(text_bigram_lm(spark, sf_dir), "doc_id", "left")
+    # round 7: the same scores through a persisted+reloaded LM artifact —
+    # the oracle replays the identical math, so a hash match proves the
+    # model_store save→load→score path (see text_bigram_lm_persisted)
+    out = out.join(text_bigram_lm_persisted(spark, sf_dir), "doc_id", "left")
     return perplexity_buckets(out, method="rank")
 
 

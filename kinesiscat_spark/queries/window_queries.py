@@ -96,6 +96,13 @@ FROM (
   SELECT s.*, MAX(session_id) OVER (PARTITION BY user_id) AS _mx
   FROM ({_SESSION_BODY}) s
 ) WHERE session_id < _mx
+UNION ALL
+SELECT 'stream_multi' AS kind, user_id, session_id, n_events,
+       session_start_us, session_end_us
+FROM (
+  SELECT s.*, MAX(session_id) OVER (PARTITION BY user_id) AS _mx
+  FROM ({_SESSION_BODY}) s
+) WHERE session_id < _mx
 """
 
 
@@ -113,8 +120,19 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed sessions must equal the batch sessions minus each user's
     still-open last one. The lane drains in a single availableNow
     trigger so the result is independent of file arrival order (the fold
-    sorts within the batch); the cross-micro-batch state path is pinned
-    separately in tests/test_streaming_sessionize.py.
+    sorts within the batch).
+
+    ``kind='stream_multi'`` (round-7 widening, VERDICT r6 task 8): the
+    SAME sessionizer driven across ≥3 micro-batches — the events split
+    into time-contiguous single-file slices with ascending mtimes
+    (tempfile dir; the file source's (mtime, path) order replays them in
+    event-time order) and drained at maxFilesPerTrigger=1, so sessions
+    that span micro-batch boundaries exercise the cross-batch state
+    carry/extend/close transitions under the driver's hash gate, not
+    just in tests/test_streaming_sessionize.py. Slicing uses ntile over
+    the global (ts_us, event_id) order — deterministic, and the
+    one-reducer sort is lane-fixture setup, not the operator's scale
+    path.
     """
     from kinesiscat_spark.streaming.source import (
         StreamConfig,
@@ -151,8 +169,43 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sessionize(stream_ev, _SESSION_GAP_US),
         output_mode="append",
     )
-    return batch.select(F.lit("batch").alias("kind"), "*").unionByName(
-        closed.select(F.lit("stream_closed").alias("kind"), "*")
+
+    # kind='stream_multi': ≥3 time-sliced micro-batches (see docstring)
+    import os
+    import tempfile
+
+    n_slices = 3
+    sliced = ev.withColumn(
+        "_slice",
+        F.ntile(n_slices).over(Window.orderBy("ts_us", "event_id")),
+    )
+    src = tempfile.mkdtemp(prefix="kc_sess_multi_")
+    for i in range(1, n_slices + 1):
+        sub = os.path.join(src, f"slice_{i:03d}")
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    # maxFilesPerTrigger is a SOURCE option — one file per micro-batch
+    # (availableNow honors it), so the drain is genuinely ≥3 batches
+    multi_stream = (
+        spark.readStream.schema("user_id long, ts_us long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/slice_*")
+    )
+    multi = run_to_memory(
+        streaming_sessionize(multi_stream, _SESSION_GAP_US),
+        output_mode="append",
+    )
+    return (
+        batch.select(F.lit("batch").alias("kind"), "*")
+        .unionByName(closed.select(F.lit("stream_closed").alias("kind"), "*"))
+        .unionByName(multi.select(F.lit("stream_multi").alias("kind"), "*"))
     )
 
 
