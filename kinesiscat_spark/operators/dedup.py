@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_filter: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
@@ -117,6 +118,18 @@ def ngram_jaccard_pairs(
     ``prefix_filter=False``: the classic inverted-index count plan
     (explode → self-join on hash → count collisions) — fewer shuffles,
     right when posting lists are known to be short.
+
+    ``max_shingle_df`` (round 7, the documented 100 TB pruning knob):
+    shingles whose document frequency exceeds the cap are dropped from
+    the CANDIDATE INDEX only — verify still runs over the full hash
+    sets, so every emitted pair's Jaccard is exact and precision is
+    unchanged; the trade is RECALL: a pair whose entire shared prefix is
+    boilerplate (all shared rare-first-prefix shingles above the cap) is
+    never considered. Boilerplate shingles carry no near-dup signal at
+    meaningful thresholds, and they are exactly the m²-posting hot spots
+    that dominate candidate cost at corpus scale. None (default) keeps
+    the operator exact. Prefix-path only (the inverted-index fallback
+    has no index to prune).
     """
     from kinesiscat_spark.io_tables import spread
 
@@ -169,6 +182,14 @@ def ngram_jaccard_pairs(
             "_ord",
             F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
         )
+        # THREE consumers read `ordered` (the prefix index + both verify
+        # sides); per-branch column pruning makes their subtrees differ,
+        # so ReusedExchange never fires and the scan→explode→df-join→
+        # collect chain would execute three times.  A lazy localCheckpoint
+        # materializes it once (the semdedup/clusters/bpe discipline) —
+        # at 100 TB this is the deliberate "build the ordered shingle
+        # table once, then index and verify against it" design.
+        .localCheckpoint(eager=False)
     )
     n_sh = F.size("ord_h")
     # clamp: at threshold 0, n - ceil(t*n) + 1 = n + 1 (the whole array is
@@ -188,6 +209,7 @@ def ngram_jaccard_pairs(
         return F.struct(
             pos.alias("pos"),
             F.element_at(ordc, pos)["h"].alias("h"),
+            F.element_at(ordc, pos)["_df"].alias("df"),
             # NULL pivot ⇔ empty suffix (when s = 0, m degenerates to pos
             # — the matched element itself — so the guard must be on s)
             F.when(s > 0, F.try_element_at(ordc, m)).alias("w"),
@@ -204,7 +226,14 @@ def ngram_jaccard_pairs(
                 lambda pos: _pref_struct(F.col("_ord"), pos),
             )
         ).alias("p"),
-    ).select("id", "n_sh", "p.pos", "p.h", "p.w", "p.l", "p.r")
+    ).select("id", "n_sh", "p.pos", "p.h", "p.df", "p.w", "p.l", "p.r")
+    if max_shingle_df is not None:
+        # index pruning only: dropping a prefix ROW loses the candidates
+        # that row would have generated, nothing else — the positional/
+        # suffix bounds of surviving rows still reference positions in
+        # the FULL rare-first order, so they stay exactness-preserving
+        # for every pair that is still found.
+        prefix = prefix.filter(F.col("df") <= max_shingle_df)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin filters (Xiao et al. WWW'08 §3; both exactness-preserving —
     # they prune only pairs that CANNOT reach Jaccard ≥ t, so the verified

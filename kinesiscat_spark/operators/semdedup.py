@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from kinesiscat_spark.operators.similarity import (
     cosine,
     ivf_assign_arrow,
+    ivf_assign_blas,
     ivf_centroids,
     l2_norm,
 )
@@ -65,6 +66,7 @@ def semdedup(
     vec: str = "embedding",
     n_iters: int = 0,
     keep: str = "outlier",
+    assign: str = "exact",
 ) -> DataFrame:
     """(id, cell, centroid_sim, kept) for every input vector — ``kept``
     is False exactly for the vectors SemDeDup removes.
@@ -78,6 +80,8 @@ def semdedup(
     """
     if keep not in ("outlier", "medoid"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if assign not in ("exact", "blas"):
+        raise ValueError(f"unknown assign method {assign!r}")
     if not 0 < n_cells:
         raise ValueError(f"n_cells must be positive (got {n_cells})")
 
@@ -106,7 +110,13 @@ def semdedup(
     # Column form (fold-order accumulation, struct-min tie rule — see
     # its docstring), so the lane's exact-assignment contract and the
     # DuckDB oracle replay are unchanged.
-    assigned = ivf_assign_arrow(emb, cents, id_col=id_col, vec=vec)
+    #
+    # assign='blas' (round 7): the 100 TB configuration — BLAS ranks all
+    # cells, the exact fold re-ranks only the top-8 (ivf_assign_blas),
+    # cutting the n·k fold to n·8. Differentially equal to 'exact' on
+    # every test corpus; the dedup_semantic lane pins 'exact'.
+    assign_fn = ivf_assign_arrow if assign == "exact" else ivf_assign_blas
+    assigned = assign_fn(emb, cents, id_col=id_col, vec=vec)
     csim = cosine(F.col(vec), F.col("cvec"))
     order = F.asc("centroid_sim") if keep == "outlier" else F.desc("centroid_sim")
     ranked = (

@@ -473,6 +473,74 @@ def ivf_assign_arrow(
     return df.select(F.col(id_col), best_cell(F.col(vec)).alias("cell"))
 
 
+def ivf_assign_blas(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    rerank: int = 8,
+) -> DataFrame:
+    """Nearest cell per vector — the 100 TB assign path (round 7,
+    VERDICT r6 task 5): one float64 BLAS matmul ranks all cells, then the
+    top-``rerank`` candidates are re-scored with the EXACT
+    dimension-by-dimension fold of :func:`ivf_assign_arrow` (same bits,
+    same lowest-cell tie rule), so the chosen cell is the exact-fold
+    argmax within the BLAS top-m.
+
+    Why not just BLAS: pairwise/blocked summation makes BLAS dots differ
+    from the fold in the last ulps, and the lane contract (and the DuckDB
+    oracle) pins the fold's bits. Why not just the fold: accumulating
+    (N × k) temps once per dimension is the 8×-probe bottleneck once
+    n_cells grows with the corpus (SemDeDup's design point — n·k work
+    with a ~50× interpreted constant). This path pays the fold only on
+    m ≪ k candidate cells per vector; it differs from the full exact
+    fold only if the true argmax falls outside the BLAS top-m, which
+    needs m cells within ~1e-15 relative of the best — differential
+    equality on every test corpus is pinned in tests/test_semdedup.py.
+
+    NULL/ragged vectors get a NULL cell, exactly like ivf_assign_arrow.
+    """
+    rows = centroids.orderBy("cell").collect()
+    if not rows:
+        return df.select(
+            F.col(id_col), F.lit(None).cast("long").alias("cell")
+        ).limit(0)
+    C = np.asarray([r.cvec for r in rows], dtype=np.float64)  # (k, d)
+    cell_ids = np.asarray([r.cell for r in rows], dtype=np.int64)
+    k, dim = C.shape
+    m = min(rerank, k)
+
+    @F.pandas_udf(T.LongType())
+    def best_cell(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if not n:
+            return pd.Series([], dtype="Int64")
+        arr = vs.to_numpy()
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in arr), dtype=bool, count=n
+        )
+        out = pd.array([None] * n, dtype="Int64")
+        if valid.any():
+            V = np.stack(arr[valid]).astype(np.float64)  # (N, d)
+            approx = V @ C.T  # BLAS — ranking only, never the final bits
+            if m < k:
+                top = np.argpartition(-approx, m - 1, axis=1)[:, :m]
+            else:
+                top = np.broadcast_to(np.arange(k), (V.shape[0], k)).copy()
+            # candidate columns in ascending cell order so argmin's
+            # first-minimum rule is the lowest-cell tie rule
+            top.sort(axis=1)
+            exact = np.zeros(top.shape)
+            for i in range(dim):
+                exact += V[:, i : i + 1] * C[top, i]
+            out[valid] = cell_ids[
+                top[np.arange(top.shape[0]), np.argmin(-exact, axis=1)]
+            ]
+        return pd.Series(out, dtype="Int64")
+
+    return df.select(F.col(id_col), best_cell(F.col(vec)).alias("cell"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -366,3 +366,33 @@ WHERE n_common / least(sa.n, sb.n)::DOUBLE >= 0.8
 """).df()
         ok, msg = compare(got, want)
         assert ok, msg
+
+
+def test_jaccard_df_cap_prunes_index_not_precision(spark):
+    """max_shingle_df: a generous cap reproduces the exact result; a
+    tight cap returns a SUBSET of the exact pairs with identical jaccard
+    values (index pruning affects recall only, never precision)."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.4).collect()
+    }
+    n_docs = docs.count()
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, 0.4, max_shingle_df=n_docs
+        ).collect()
+    }
+    assert loose == exact  # cap >= corpus size prunes nothing
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.4, max_shingle_df=3).collect()
+    }
+    assert set(tight) <= set(exact)
+    for pair, j in tight.items():
+        assert j == exact[pair]  # values exact for every surviving pair
+    assert exact  # non-vacuous

@@ -242,3 +242,45 @@ def test_arrow_assign_equals_column_assign(spark):
     col = {(r.vec_id, r.cell) for r in ivf_assign(df, cents).collect()}
     arrow = {(r.vec_id, r.cell) for r in ivf_assign_arrow(df, cents).collect()}
     assert col == arrow
+
+
+def test_blas_assign_equals_exact_assign(spark):
+    """ivf_assign_blas (BLAS rank + exact top-m re-rank, the 100 TB
+    assign path) must pick the identical cell as the exact fold on every
+    test corpus — including ties and NULL/ragged vectors."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_assign_blas,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for n_cells in (4, 64):
+        cents = ivf_centroids(emb, n_cells)
+        a = {r.vec_id: r.cell for r in ivf_assign_arrow(emb, cents).collect()}
+        b = {r.vec_id: r.cell for r in ivf_assign_blas(emb, cents).collect()}
+        assert a == b, n_cells
+    # NULL/ragged degrade identically
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, 8)
+    got = {r.vec_id: r.cell for r in ivf_assign_blas(bad, cents).collect()}
+    assert got[2] is None and got[3] is None and got[1] is not None
+
+
+def test_semdedup_blas_assign_equals_exact(spark):
+    """semdedup(assign='blas') keeps/drops exactly the same vectors as
+    the default exact assign (the lane's method) on the test corpus."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.vec_id, r.cell, r.kept) for r in rows
+    )
+    exact = key(semdedup(emb, n_cells=32, tau=0.8).collect())
+    blas = key(semdedup(emb, n_cells=32, tau=0.8, assign="blas").collect())
+    assert exact == blas

@@ -104,6 +104,14 @@ def probes():
         return dedup.simhash_pairs(docs, 3).count()
 
     def p_jaccard(spark, d):
+        # round 7: probes the documented 100 TB configuration — the
+        # df-capped index (max_shingle_df prunes boilerplate postings
+        # from candidate generation; verify stays exact, see
+        # ngram_jaccard_pairs). The exact path is p_jaccard_exact.
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.ngram_jaccard_pairs(docs, 0.4, max_shingle_df=30).count()
+
+    def p_jaccard_exact(spark, d):
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return dedup.ngram_jaccard_pairs(docs, 0.4).count()
 
@@ -269,6 +277,20 @@ def probes():
         # quadratic stage would grow N² by construction, measuring the
         # parameter choice, not the plan
         n_cells = max(16, emb.count() // 30)
+        # round 7: the 100 TB assign (BLAS rank + exact top-8 re-rank,
+        # differentially equal to 'exact' — test_semdedup.py); the n·k
+        # exact fold is p_semdedup_exact.
+        return (
+            semdedup(emb, n_cells=n_cells, tau=0.3, assign="blas")
+            .filter("kept")
+            .count()
+        )
+
+    def p_semdedup_exact(spark, d):
+        from kinesiscat_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n_cells = max(16, emb.count() // 30)
         return semdedup(emb, n_cells=n_cells, tau=0.3).filter("kept").count()
 
     def p_dedup_against(spark, d):
@@ -371,11 +393,13 @@ def probes():
         "c4_signals": (p_c4, "linear (scan-stage line filter)"),
         "minhash_lsh": (p_minhash, "linear+dup-density"),
         "simhash": (p_simhash, "linear+dup-density"),
-        "ngram_jaccard": (p_jaccard, "linear+dup-density"),
+        "ngram_jaccard": (p_jaccard, "linear+dup-density (df-capped index)"),
+        "ngram_jaccard_exact": (p_jaccard_exact, "linear+dup-density"),
         "winnow_fingerprint": (p_fingerprint, "linear"),
         "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
-        "semdedup": (p_semdedup, "linear (cells sized with corpus; per-cell pairs constant)"),
+        "semdedup": (p_semdedup, "linear (cells sized with corpus; BLAS+top-8 exact re-rank assign)"),
+        "semdedup_exact": (p_semdedup_exact, "n·k exact fold assign (superlinear by construction as k grows with n)"),
         "heavy_ngrams": (p_heavy_ngrams, "linear (d*w sketch exchange + survivor-only count)"),
         "dedup_against": (p_dedup_against, "linear+dup-density (digest anti + asymmetric band join)"),
         "repetition_pii_signals": (p_repetition, "linear (scan-stage)"),
@@ -412,13 +436,21 @@ def main() -> None:
         for name, (fn, expect) in probes().items():
             if only and name not in only:
                 continue
+            passes = int(os.environ.get("SCALE_PROBE_PASSES", "1"))
             fn(spark, small)  # warm (codegen/JIT)
-            t0 = time.perf_counter()
-            fn(spark, small)
-            t1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            rows = fn(spark, big)
-            tn = time.perf_counter() - t0
+
+            def _timed(d):
+                t0 = time.perf_counter()
+                r = fn(spark, d)
+                return time.perf_counter() - t0, r
+
+            # min-of-passes: ratios on a shared host are noise-bounded by
+            # the slower pass; SCALE_PROBE_PASSES=2+ tightens receipts
+            t1 = min(_timed(small)[0] for _ in range(passes))
+            tn, rows = _timed(big)
+            for _ in range(passes - 1):
+                t2, rows = _timed(big)
+                tn = min(tn, t2)
             results[name] = {
                 "t_1x_sec": round(t1, 2),
                 f"t_{n}x_sec": round(tn, 2),
