@@ -77,13 +77,21 @@ def load_unigram(spark: SparkSession, path: str):
 
 def save_bigram(spark: SparkSession, model, path: str) -> None:
     """Write a BigramModel: the (w1, w2, p_bi) table, the (w1, c1) context
-    table, the interpolated unigram, and a one-row meta table (v, k, lam)."""
+    table, the interpolated unigram, and a one-row meta table
+    (v, k, lam, n_bi — the bigram-type count scoring size-switches on)."""
     model.df.coalesce(1).write.mode("overwrite").parquet(f"{path}/table")
     model.ctx.coalesce(1).write.mode("overwrite").parquet(f"{path}/ctx")
     save_unigram(spark, model.unigram, f"{path}/unigram")
     spark.createDataFrame(
-        [(float(model.v), float(model.k), float(model.lam))],
-        "v double, k double, lam double",
+        [
+            (
+                float(model.v),
+                float(model.k),
+                float(model.lam),
+                None if model.n_bi is None else float(model.n_bi),
+            )
+        ],
+        "v double, k double, lam double, n_bi double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -98,4 +106,6 @@ def load_bigram(spark: SparkSession, path: str):
         meta.v,
         meta.k,
         meta.lam,
+        # pre-n_bi artifacts lack the column; scoring counts on demand
+        getattr(meta, "n_bi", None),
     )

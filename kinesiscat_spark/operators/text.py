@@ -165,6 +165,12 @@ class BigramModel(NamedTuple):
     v: float
     k: float
     lam: float
+    # bigram-type count, measured at train time; None (e.g. a model built
+    # by an older persisted artifact) means scoring counts on demand. The
+    # CCNet use trains on a bounded reference corpus, but nothing stops a
+    # caller training on the full corpus — where bigram types approach
+    # token count and a forced broadcast is an OOM (VERDICT r6 #4).
+    n_bi: "float | None" = None
 
 
 def bigram_model(
@@ -188,7 +194,11 @@ def bigram_model(
     Scale shape: one explode to (w1, w2) pairs + one groupBy (map-side
     partial) for the bigram counts; the context totals are a groupBy of
     the COUNTS table (bigram-type-sized, not corpus-sized). The model is
-    bigram-type-sized and broadcastable, like the unigram table.
+    bigram-type-sized — broadcastable when trained on a bounded reference
+    corpus (the CCNet use), but NOT in general: trained on the full
+    corpus, bigram types approach token count. The type count is measured
+    here (``n_bi``) and ``score_documents_bigram`` size-switches its join
+    hints on it (VERDICT r6 #4).
     """
     from pyspark.sql import functions as F
 
@@ -217,7 +227,7 @@ def bigram_model(
         "w2",
         ((F.col("c") + F.lit(k)) / (F.col("c1") + F.lit(k * v))).alias("p_bi"),
     )
-    return BigramModel(model, ctx, uni, v, k, lam)
+    return BigramModel(model, ctx, uni, v, k, lam, float(counts.count()))
 
 
 def score_documents_bigram(
@@ -225,6 +235,7 @@ def score_documents_bigram(
     model: BigramModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_rows: int = 10_000_000,
 ):
     """(id, n_tokens, avg_logp2): mean interpolated-bigram log-probability
     of each document under ``model``. The first token scores at its
@@ -233,8 +244,14 @@ def score_documents_bigram(
     list so the double arithmetic is order-defined and cross-engine
     stable (the unigram lane discipline).
 
-    Scale shape: one positions explode, two broadcast joins (bigram and
-    unigram tables), one per-doc aggregate — map-side partialed.
+    Scale shape: one positions explode, model-table joins, one per-doc
+    aggregate — map-side partialed. The model joins carry a broadcast
+    hint only while the bigram-type count stays under ``broadcast_rows``
+    (measured at train time, or counted on demand for loaded artifacts):
+    the CCNet use trains on a bounded reference corpus, but an LM trained
+    on the full corpus has bigram types ≈ token count, and a forced
+    broadcast of that frame is an OOM — above the threshold the joins go
+    unhinted and shuffle on the word keys (VERDICT r6 #4).
     """
     from pyspark.sql import functions as F
 
@@ -260,14 +277,20 @@ def score_documents_bigram(
     backoff = F.lit(model.k) / (
         F.coalesce("c1", F.lit(0)) + F.lit(model.k * model.v)
     )
+    n_bi = model.n_bi if model.n_bi is not None else float(model.df.count())
+    small = n_bi <= broadcast_rows
+    if small:
+        bi = F.broadcast(bi)
+        ctx = F.broadcast(ctx)
+        un = F.broadcast(un)
     joined = (
         pos.join(
-            F.broadcast(bi),
+            bi,
             (pos["w1"] == bi["_bw1"]) & (pos["w2"] == bi["_bw2"]),
             "left",
         )
-        .join(F.broadcast(ctx), pos["w1"] == ctx["_cw1"], "left")
-        .join(F.broadcast(un), pos["w2"] == un["_uw"], "left")
+        .join(ctx, pos["w1"] == ctx["_cw1"], "left")
+        .join(un, pos["w2"] == un["_uw"], "left")
         .select(
             id_col,
             "i",
