@@ -195,6 +195,54 @@ def _null(dtype: T.DataType = T.NullType()) -> Typed:
     return Typed(F.lit(None).cast(_storage(dtype)), dtype)
 
 
+# Functions whose RETURN value is truthy whenever they return at all:
+# sum/length/abs/ceil/floor yield a number (0 included — truthy in
+# JMESPath), type() a non-empty string. avg/to_number are excluded (null
+# on empty/unparseable), merge/to_string are excluded ({}/"" are falsy).
+_TRUTHY_RETURN_FNS = frozenset(
+    {"sum", "length", "abs", "ceil", "floor", "type"}
+)
+
+
+_NO_CONST = object()
+
+
+def _closed(node: Node) -> bool:
+    """True when the subtree's value cannot depend on the document:
+    a literal; a pipe whose LEFT side is closed (JMESPath has no root
+    reference, so the right side sees only the piped value); or a
+    function call whose every argument is closed (expref arguments
+    apply to elements of those closed arguments, so they are closed
+    too)."""
+    if node.type == "literal":
+        return True
+    if node.type == "pipe":
+        return _closed(node.children[0])
+    if node.type == "function_call":
+        return all(
+            c.type == "expref" or _closed(c) for c in node.children
+        )
+    return False
+
+
+def _static_truthiness(node: Node):
+    """JMESPath truthiness of a subtree decided at COMPILE time:
+    True / False when decidable, None otherwise. Used by ||/&& to prune
+    the branch the evaluator's short-circuit would never reach."""
+    if _closed(node):
+        from kinesiscat_spark.functions.jmespath import evaluator
+        from kinesiscat_spark.functions.jmespath.errors import JMESPathError
+
+        try:
+            val = evaluator.evaluate(node, None)
+        except JMESPathError:
+            return None
+        return val not in (None, False) and val != "" and val != [] and val != {}
+    if node.type == "function_call" and node.value in _TRUTHY_RETURN_FNS:
+        return True
+    return None
+
+
 def truthy(tc: Typed) -> Column:
     """JMESPath truthiness as a non-null BooleanType Column."""
     dt = tc.dtype
@@ -338,6 +386,27 @@ def _coerce(tc: Typed, target: T.DataType) -> Typed:
 
 class ColumnCompiler:
     def compile(self, node: Node, doc: Typed) -> Typed:
+        # Constant folding (round 7): a closed subtree (value provably
+        # independent of the document — see _closed) partially evaluates
+        # with the tree evaluator at compile time and compiles as the
+        # resulting literal. Besides being free at runtime, this reaches
+        # branches the type checker would refuse (e.g. a container
+        # function over a value piped from literals). An evaluation
+        # ERROR falls through to the normal compile path — raising is
+        # the evaluator's behavior there, and the static refusal that
+        # may follow is the honest Column-side equivalent.
+        if node.type != "literal" and _closed(node):
+            from kinesiscat_spark.functions.jmespath import evaluator
+            from kinesiscat_spark.functions.jmespath.errors import (
+                JMESPathError,
+            )
+
+            try:
+                val = evaluator.evaluate(node, None)
+            except JMESPathError:
+                val = _NO_CONST
+            if val is not _NO_CONST:
+                return self._c_literal(Node("literal", (), val), doc)
         method = getattr(self, f"_c_{node.type}", None)
         if method is None:
             raise NotColumnCompilable(f"no column compilation for {node.type}")
@@ -683,6 +752,19 @@ class ColumnCompiler:
         if not isinstance(dt, T.ArrayType):
             return _null()
         elem = _demote_vpath(dt.elementType)
+        if self._filter_statically_empty(condition, elem):
+            # `[?type(X) == 'L']` where the STATIC type of X can produce
+            # neither 'L' nor 'null': no element ever passes, so the
+            # projection is [] (null base stays null, the projection
+            # rule). Folding to array<null> matters beyond speed: it
+            # lets aggregate functions that would refuse the element
+            # type (join/sum/avg/sort over the wrong static type) accept
+            # the provably-empty result exactly as the evaluator does —
+            # the last schema-known refusal class (round 7).
+            return Typed(
+                F.when(base.col.isNotNull(), F.array()),
+                T.ArrayType(T.NullType()),
+            )
 
         def cond_fn(x: Column) -> Column:
             return truthy(self.compile(condition, Typed(x, elem)))
@@ -691,6 +773,47 @@ class ColumnCompiler:
         fn, rtype = self._lambda_body(right, elem)
         mapped = F.transform(filtered, fn)
         return Typed(F.filter(mapped, lambda r: r.isNotNull()), T.ArrayType(rtype))
+
+    def _filter_statically_empty(self, condition: Node, elem) -> bool:
+        """True for a filter predicate ``type(X) == 'L'`` whose compiled
+        static type of ``X`` (non-box) can produce neither 'L' nor
+        'null' — no element can ever satisfy it."""
+        if condition.type != "comparator" or condition.value != "==":
+            return False
+        a, b = condition.children
+        if b.type != "literal":
+            a, b = b, a
+        if b.type != "literal" or not isinstance(b.value, str):
+            return False
+        if a.type != "function_call" or a.value != "type" or len(a.children) != 1:
+            return False
+        from kinesiscat_spark.functions.jmespath.errors import JMESPathError
+
+        try:
+            at = self.compile(
+                a.children[0], Typed(F.lit(None).cast(_storage(elem)), elem)
+            )
+        except JMESPathError:
+            return False
+        adt = at.dtype
+        if _is_box(adt):
+            return False
+        if isinstance(adt, T.NullType):
+            name = "null"
+        elif isinstance(adt, T.BooleanType):
+            name = "boolean"
+        elif _is_num(adt):
+            name = "number"
+        elif isinstance(adt, T.StringType):
+            name = "string"
+        elif isinstance(adt, T.ArrayType):
+            name = "array"
+        elif isinstance(adt, (T.StructType, T.MapType)):
+            name = "object"
+        else:
+            return False
+        # a null value of ANY static type reports 'null'
+        return b.value != name and b.value != "null"
 
     def _c_flatten(self, node: Node, doc: Typed) -> Typed:
         base = self.compile(node.children[0], doc)
@@ -765,6 +888,26 @@ class ColumnCompiler:
         return Typed(cmp, T.BooleanType())
 
     def _c_or_expression(self, node: Node, doc: Typed) -> Typed:
+        # Dead-branch pruning (round 7): when the left operand's
+        # truthiness is decidable at COMPILE time, the other branch never
+        # evaluates — exactly the evaluator's short-circuit — so a
+        # branch that would refuse native compilation (e.g. a container
+        # function over a dynamically-piped base) never has to compile.
+        # Two decidable shapes:
+        #  - document-independent ("closed") left: literals, or pipes
+        #    whose left is closed — partially evaluated with the tree
+        #    evaluator at compile time;
+        #  - functions whose return value is truthy whenever they return
+        #    (sum/length/abs/ceil/floor → number, 0 included, truthy;
+        #    type → non-empty string). On inputs where the evaluator
+        #    would RAISE instead of return, compiled Columns are already
+        #    best-effort (they yield null, not errors), so pruning stays
+        #    inside the existing error-envelope policy.
+        known = _static_truthiness(node.children[0])
+        if known is True:
+            return self.compile(node.children[0], doc)
+        if known is False:
+            return self.compile(node.children[1], doc)
         a = self.compile(node.children[0], doc)
         b = self.compile(node.children[1], doc)
         target = _unify(a.dtype, b.dtype)
@@ -779,6 +922,14 @@ class ColumnCompiler:
         return Typed(F.when(truthy(a), a.col).otherwise(b.col), target)
 
     def _c_and_expression(self, node: Node, doc: Typed) -> Typed:
+        # mirror of the _c_or_expression dead-branch pruning: truthy
+        # left → the right side is the result; falsy left → the right
+        # side never evaluates
+        known = _static_truthiness(node.children[0])
+        if known is True:
+            return self.compile(node.children[1], doc)
+        if known is False:
+            return self.compile(node.children[0], doc)
         a = self.compile(node.children[0], doc)
         b = self.compile(node.children[1], doc)
         target = _unify(a.dtype, b.dtype)
@@ -926,6 +1077,10 @@ class ColumnCompiler:
             n = F.size(elems)
             # avg([]) is null (0/0); non-number shapes → null (deviation)
             return Typed(F.when(valid & (n > 0), total / n), T.DoubleType())
+        if self._all_null_array(a.dtype):
+            # a provably-empty array (e.g. a statically-false filter
+            # fold): avg([]) is null
+            return _null(T.DoubleType())
         _require_num_array(a, "avg")
         total = F.aggregate(a.col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
         n = F.size(a.col)

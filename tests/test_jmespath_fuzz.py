@@ -283,3 +283,87 @@ def test_native_compiler_fuzz_variant_rooted(spark):
     print(f"\nfuzz native sweep: {n_native} native, {n_refused} refused")
     assert not failures, "\n".join(failures[:20]) + f"\n({len(failures)} total)"
     assert n_native >= 500, n_native
+
+
+def test_native_refusal_taxonomy_pinned(spark):
+    """Round-7 refusal taxonomy (VERDICT r6 task 6). Over a seeded sweep
+    of evaluator-valid (expression, schema-less document) pairs:
+
+    - the native compiler's refusal rate is <= 0.1%;
+    - every refusal belongs to ONE closed taxonomy class: a
+      container-requiring function (keys/values/map/sort/sort_by/
+      max_by/min_by/length) applied to a field of a DYNAMICALLY-piped
+      value inside a conditionally-reachable ||/&& branch. The evaluator
+      only reaches that branch on some documents — and RAISES
+      invalid-type when it does — so an error-free Column cannot express
+      it; static refusal is the honest behavior. (Branches that are
+      provably dead ARE pruned: compile-time constant folding of closed
+      subtrees + always-truthy function returns — see columns.py
+      _static_truthiness/_closed.)
+    - documents with a faithful static schema NEVER refuse.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.functions.jmespath.columns import (
+        JsonBoxType,
+        compile_column,
+    )
+    from kinesiscat_spark.functions.jmespath.schemas import (
+        Unrepresentable,
+        infer_type,
+    )
+    from tests.test_jmespath_columns_corpus import _has_empty_struct
+
+    TAXONOMY = [
+        _re.compile(r"^(keys|values)\(\) needs object$"),
+        _re.compile(r"^(map|max_by|min_by|sort_by)\(\) needs array$"),
+        _re.compile(r"^sort\(\) needs array<number\|string>$"),
+        _re.compile(r"^length\(\) on unsupported static type$"),
+    ]
+
+    rng = _random.Random(99887)
+    pairs = []
+    for _ in range(2500):
+        doc = _gen_doc(rng)
+        expression = _gen_expr(rng)
+        try:
+            search(expression, doc)
+        except JMESPathError:
+            continue
+        pairs.append((expression, doc))
+
+    unexplained, refused = [], []
+    for expression, doc in pairs:
+        try:
+            compile_column(expression, F.col("c"), JsonBoxType())
+        except JMESPathError as e:
+            refused.append((str(e), expression))
+            if not any(t.match(str(e)) for t in TAXONOMY):
+                unexplained.append(f"{e}: {expression!r}")
+            elif "||" not in expression and "&&" not in expression:
+                unexplained.append(f"not branch-shaped: {expression!r}")
+    rate = len(refused) / len(pairs)
+    assert not unexplained, "\n".join(unexplained)
+    assert rate <= 0.001, f"{len(refused)}/{len(pairs)} = {rate:.4%}\n" + "\n".join(
+        f"{m}: {x}" for m, x in refused
+    )
+
+    # fully-faithful static schemas never refuse (schemas carrying
+    # PADDED/key-union markers — heterogeneous objects squeezed into one
+    # struct — are partially dynamic by construction and excluded, like
+    # the corpus test's empty-struct carve-out)
+    from kinesiscat_spark.functions.jmespath.columns import has_markers
+
+    n_known = 0
+    for expression, doc in pairs:
+        try:
+            dtype = infer_type(doc)
+        except Unrepresentable:
+            continue
+        if _has_empty_struct(dtype) or has_markers(dtype):
+            continue
+        n_known += 1
+        compile_column(expression, F.col("c"), dtype)  # must not raise
+    assert n_known > 150  # the schema-known assertion is non-vacuous
