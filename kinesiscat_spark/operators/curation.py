@@ -779,3 +779,73 @@ def _contamination_report_bloom(
             F.col("n_gram_hits") / F.col("n_grams").cast("double"), 6
         ).alias("contamination_frac"),
     ).filter(F.col("n_gram_hits") >= min_hits)
+
+
+def dedup_lines_across_docs(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document LINE deduplication (the RefinedWeb/FineWeb line-wise
+    stage, Penedo et al. 2023 §4.2): drop every line whose exact text
+    appears in >= ``min_docs`` DISTINCT documents — navbars, cookie
+    banners, boilerplate footers — and reassemble each document from its
+    surviving lines in original order.
+
+    Returns (id, n_lines, n_removed_lines, clean_text). A document whose
+    every line is boilerplate comes back with clean_text '' (kept row,
+    empty rewrite — dropping whole documents is a separate gate's call).
+
+    Scale shape: lines explode once with their position; the cross-doc
+    frequency groups on the 64-bit xxhash64 of the line (one narrow
+    (hash, id) exchange — the line TEXT never shuffles for the count,
+    and the distinct-docs pre-aggregation combines map-side); the
+    boilerplate hash set joins back to the positioned lines (hash equi-
+    join, AQE broadcasts it when small — it is bounded by boilerplate
+    density, not corpus size, but nothing forces the hint); each doc
+    then reassembles surviving lines with one (id)-keyed aggregation.
+    Collision note: a 64-bit hash collision could blame an innocent line
+    at ~n_lines²/2⁶⁴ probability; at trillion-line scale swap in the
+    128-bit md5 the oracle already replays.
+    """
+    from kinesiscat_spark.io_tables import spread
+
+    lines = spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    freq = (
+        lines.select(F.xxhash64("line").alias("h"), "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= min_docs).select("h")
+    kept = lines.join(
+        boiler, F.xxhash64(F.col("line")) == F.col("h"), "left_anti"
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed_lines"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -124,13 +124,26 @@ def exact_stratified_sample(
     n_per_stratum: int,
     key_cols: Sequence[str],
     salt: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
     smaller): rank by the unit hash inside each stratum and keep the first
     n. Deterministic (hash order, key tie-break) and single-shuffle on the
     stratum; at scale the rank window's group-limit keeps only n rows per
-    partition before the exchange."""
-    u = _unit_hash(list(key_cols), salt)
+    partition before the exchange. Skew note: few huge strata concentrate
+    on few reducers — the group-limit caps what each MAP task forwards at
+    n rows per stratum, so the reducer receives at most n·n_map rows, not
+    the stratum.
+
+    ``method="md5"`` ranks by the md5 key prefix instead of xxhash64 —
+    the exact same selection in any engine with md5 (the ``sampling_mix``
+    lane's ``kind='strat'`` oracle replays it row-for-row)."""
+    if method == "md5":
+        u: Column = _md5_prefix(list(key_cols), salt)
+    elif method == "xxhash64":
+        u = _unit_hash(list(key_cols), salt)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
     w = Window.partitionBy(strata_col).orderBy(u, *key_cols)
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -645,3 +645,52 @@ def chunk_documents(
         F.array_join("_c", " ").alias("chunk_text"),
         F.size("_c").cast("long").alias("n_chunk_tokens"),
     )
+
+
+def ngram_novelty(
+    docs,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(id, n_grams, n_novel, novelty): the share of a document's DISTINCT
+    word n-gram shingles whose FIRST corpus occurrence (lowest id) is this
+    document — the per-document duplication-awareness signal behind
+    "how much of this doc is new text?" analyses (Lee et al. 2022 use the
+    inverse: memorized/duplicated spans). A verbatim re-post scores ~0, a
+    fresh document ~1; training-data pipelines sample high-novelty docs
+    first or downweight low-novelty tails.
+
+    Scale shape: distinct shingles explode once (64-bit hashes — text
+    never shuffles), a (gram → min id) aggregate with map-side partials,
+    one join back on the gram hash, and a per-doc count aggregate. Two
+    hash exchanges total, both linear; no per-doc state. "First" is the
+    LOWEST id — deterministic, partition-invariant, and replayable in
+    ANSI SQL (the lane's DuckDB oracle).
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.io_tables import spread
+    from kinesiscat_spark.operators.dedup import shingle_hashes
+
+    inv = spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("g"),
+    )
+    first = inv.groupBy("g").agg(F.min("id").alias("_first"))
+    return (
+        inv.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_first") == F.col("id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

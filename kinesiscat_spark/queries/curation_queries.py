@@ -116,6 +116,8 @@ temp_rest AS (
 
 _DSIR_KEEP = 64
 _DSIR_SALTS = (17, 18)
+_STRAT_SALT = 23
+_STRAT_N = 8
 
 # DSIR twin (round 6, VERDICT r5 task 4): two add-0.5 unigram models
 # (target = English docs, raw = all docs), per-doc log importance weight
@@ -229,6 +231,17 @@ SELECT 'temp', doc_id, CAST(NULL AS VARCHAR), 1, n_tokens,
        CAST(NULL AS VARCHAR)
 FROM temp_rest
 UNION ALL
+SELECT 'strat', doc_id, lang, CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT), source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(doc_id || chr(31) || '{_STRAT_SALT}'), 1, 12),
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_STRAT_N}
+UNION ALL
 {_dsir_selects()}
 """
 
@@ -257,6 +270,12 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus's own token counts, then the deterministic token-budget
       prefix; the oracle recomputes counts, budgets (same pow/floor
       order), and the exact selected set.
+    - ``kind='strat'`` (round 7): EXACT per-stratum quotas
+      (``exact_stratified_sample(method='md5')``) — exactly ``_STRAT_N``
+      documents per ``source`` stratum, ranked by the salted md5 of the
+      id inside each stratum (ties → id). One shuffle on the stratum;
+      the window's group-limit caps what each map task forwards at n
+      rows per stratum. The stratum rides the ``split`` column.
     - ``kind='dsir'`` (round 6): DSIR importance resampling
       (``dsir_resample(method='md5')``, Xie et al. 2023) — top-64 raw
       documents by log importance weight (target = English docs) plus
@@ -310,6 +329,20 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_split.alias("split"),
     )
     out = out.unionByName(temp)
+
+    from kinesiscat_spark.operators.sampling import exact_stratified_sample
+
+    strat = exact_stratified_sample(
+        docs, "source", _STRAT_N, ["doc_id"], salt=_STRAT_SALT, method="md5"
+    ).select(
+        F.lit("strat").alias("kind"),
+        "doc_id",
+        "lang",
+        null_src.alias("source_id"),
+        null_tok.alias("n_tokens"),
+        F.col("source").alias("split"),
+    )
+    out = out.unionByName(strat)
 
     for i, s in enumerate(_DSIR_SALTS):
         kept = dsir_resample(docs, en, _DSIR_KEEP, salt=s, method="md5")
@@ -409,6 +442,69 @@ _BLOCKLIST = ("slow", "stale")
 _BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
 
 
+
+def _c4_fixture_col():
+    """The deterministic punctuation-bearing fixture document (round 6):
+    sentence lines from the doc's own words + id-salted terminal marks,
+    short lines, a javascript line, '{' and 'lorem ipsum' page poisons —
+    the SAME derivation as the oracle's ``_c4_fixture_cte``. Shared by
+    curation_signals (C4/Gopher line signals) and curation_span_dup's
+    round-7 line-dedup fold (the raw corpus has no newlines, so every
+    line-level operator runs over this fixture)."""
+    from pyspark.sql import functions as F
+
+    w = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    aj = lambda a, b: F.array_join(F.slice(w, a, b), " ")  # noqa: E731
+    did = F.col("doc_id")
+    l1 = F.concat(
+        aj(1, 6),
+        F.lit("."),
+        F.when(did % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    l2 = F.concat(aj(7, 2), F.lit("!"))
+    l3 = F.concat(
+        aj(9, 6), F.when(did % 3 == 0, F.lit("?")).otherwise(F.lit(""))
+    )
+    l4 = F.when(
+        did % 13 == 0,
+        F.lit("this line mentions javascript and has many words."),
+    ).otherwise(aj(3, 6))
+    l5 = F.when(
+        did % 19 == 0, F.lit("lorem ipsum dolor sit amet here.")
+    ).otherwise(F.concat(aj(1, 5), F.lit(".")))
+    return F.concat_ws("\n", l1, l2, l3, l4, l5)
+
+
+def _c4_fixture_cte() -> str:
+    """DuckDB twin of ``_c4_fixture_col`` — 'c4src'/'c4fix' CTE bodies."""
+    return """
+c4src AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> len(x) > 0) AS w
+  FROM documents
+),
+c4fix AS (
+  SELECT doc_id,
+    array_to_string(w[1:6], ' ') || '.' ||
+      (CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END)
+    || chr(10) || array_to_string(w[7:8], ' ') || '!'
+    || chr(10) || array_to_string(w[9:14], ' ') ||
+      (CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END)
+    || chr(10) || (CASE WHEN doc_id % 13 = 0
+        THEN 'this line mentions javascript and has many words.'
+        ELSE array_to_string(w[3:8], ' ') END)
+    || chr(10) || (CASE WHEN doc_id % 19 = 0
+        THEN 'lorem ipsum dolor sit amet here.'
+        ELSE array_to_string(w[1:5], ' ') || '.' END)
+    AS t
+  FROM c4src
+)"""
+
+
 def _signals_oracle() -> str:
     from kinesiscat_spark.operators.curation import (
         C4_BAD_LINE_WORD,
@@ -478,28 +574,7 @@ def _signals_oracle() -> str:
     # as the Spark side — sentence lines from the doc's own words with
     # id-salted terminal marks / poisons, then the full c4_signals replay.
     c4_fix = f"""
-c4src AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
-                     x -> len(x) > 0) AS w
-  FROM documents
-),
-c4fix AS (
-  SELECT doc_id,
-    array_to_string(w[1:6], ' ') || '.' ||
-      (CASE WHEN doc_id % 17 = 0 THEN ' {{' ELSE '' END)
-    || chr(10) || array_to_string(w[7:8], ' ') || '!'
-    || chr(10) || array_to_string(w[9:14], ' ') ||
-      (CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END)
-    || chr(10) || (CASE WHEN doc_id % 13 = 0
-        THEN 'this line mentions javascript and has many words.'
-        ELSE array_to_string(w[3:8], ' ') END)
-    || chr(10) || (CASE WHEN doc_id % 19 = 0
-        THEN 'lorem ipsum dolor sit amet here.'
-        ELSE array_to_string(w[1:5], ' ') || '.' END)
-    AS t
-  FROM c4src
-),
+{_c4_fixture_cte()},
 c4 AS (
   SELECT doc_id,
          len(lines)::BIGINT AS c4_n_lines,
@@ -624,29 +699,8 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    w = F.filter(
-        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
-        lambda x: F.length(x) > 0,
-    )
-    aj = lambda a, b: F.array_join(F.slice(w, a, b), " ")  # noqa: E731
     did = F.col("doc_id")
-    l1 = F.concat(
-        aj(1, 6),
-        F.lit("."),
-        F.when(did % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
-    )
-    l2 = F.concat(aj(7, 2), F.lit("!"))
-    l3 = F.concat(
-        aj(9, 6), F.when(did % 3 == 0, F.lit("?")).otherwise(F.lit(""))
-    )
-    l4 = F.when(
-        did % 13 == 0,
-        F.lit("this line mentions javascript and has many words."),
-    ).otherwise(aj(3, 6))
-    l5 = F.when(
-        did % 19 == 0, F.lit("lorem ipsum dolor sit amet here.")
-    ).otherwise(F.concat(aj(1, 5), F.lit(".")))
-    c4_text = F.concat_ws("\n", l1, l2, l3, l4, l5)
+    c4_text = _c4_fixture_col()
     c4 = c4_signals(c4_text)
     # Gopher §A1.1 (round 6): word-level signals over the RAW text (word
     # counts/lengths/stopwords are non-degenerate there), line/symbol
@@ -713,6 +767,7 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPAN_N = 6
+_LINE_MIN_DOCS = 2
 
 _SPAN_DUP_ORACLE = f"""
 WITH dg AS (
@@ -744,14 +799,53 @@ rebuilt AS (
 )
 SELECT p.id, coalesce(n_repeated, 0)::bigint AS n_repeated, n_grams,
        round(coalesce(n_repeated, 0) / n_grams::double, 6) AS span_dup_frac,
-       s.n_tokens::BIGINT AS n_tokens, r.n_removed, r.clean_text
+       s.n_tokens::BIGINT AS n_tokens, r.n_removed, r.clean_text,
+       ld.n_lines, ld.n_removed_lines, ld.line_clean_text
 FROM per_doc p LEFT JOIN rep USING (id)
 JOIN sized s ON s.id = p.id
 JOIN rebuilt r ON r.id = p.id
+JOIN line_dedup ld ON ld.id = p.id
 """
 
 
-@query("curation_span_dup", oracle=_SPAN_DUP_ORACLE)
+def _span_dup_oracle() -> str:
+    # round-7 widening: cross-document LINE dedup over the c4 fixture
+    # (the raw corpus has no newlines) — drop lines appearing in >= 2
+    # distinct docs, rebuild in order. Same derivation as the Spark
+    # operator dedup_lines_across_docs.
+    line_ctes = f""",
+{_c4_fixture_cte()},
+doc_lines AS (
+  SELECT doc_id AS id, g.i AS pos, g.line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM c4fix),
+       LATERAL (SELECT unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS i) g(line, i)
+),
+line_freq AS (
+  SELECT line, COUNT(DISTINCT id) AS n_docs FROM doc_lines GROUP BY line
+),
+line_kept AS (
+  SELECT l.id, l.pos, l.line
+  FROM doc_lines l JOIN line_freq f USING (line)
+  WHERE f.n_docs < {_LINE_MIN_DOCS}
+),
+line_dedup AS (
+  SELECT t.id, t.n_lines,
+         (t.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed_lines,
+         coalesce(k.line_clean_text, '') AS line_clean_text
+  FROM (SELECT id, COUNT(*)::BIGINT AS n_lines FROM doc_lines GROUP BY id) t
+  LEFT JOIN (
+    SELECT id, COUNT(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS line_clean_text
+    FROM line_kept GROUP BY id
+  ) k USING (id)
+)"""
+    head, tail = _SPAN_DUP_ORACLE.split("SELECT p.id,", 1)
+    return head.rstrip().rstrip(")") + ")" + line_ctes + "\nSELECT p.id," + tail
+
+
+
+@query("curation_span_dup", oracle=_span_dup_oracle())
 def curation_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated spans: DETECT and REMOVE in one lane.
 
@@ -775,10 +869,28 @@ def curation_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_dup_frac,
     )
 
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import dedup_lines_across_docs
+
     docs = load_table(spark, sf_dir, "documents")
     frac = span_dup_frac(docs, n=_SPAN_N)
     cleaned = remove_duplicate_spans(docs, w=_SPAN_N)
-    return frac.join(cleaned, "id")
+    # round-7 widening: cross-document LINE dedup (RefinedWeb line-wise
+    # stage, operators/curation.py dedup_lines_across_docs) over the c4
+    # FIXTURE text (the raw corpus is newline-free; the fixture's poison
+    # lines — javascript/lorem — are genuine cross-doc boilerplate, so
+    # the operator is non-degenerate and every column flips per id).
+    fixture = docs.select("doc_id", _c4_fixture_col().alias("text"))
+    lines = dedup_lines_across_docs(
+        fixture, min_docs=_LINE_MIN_DOCS
+    ).select(
+        "id",
+        "n_lines",
+        "n_removed_lines",
+        F.col("clean_text").alias("line_clean_text"),
+    )
+    return frac.join(cleaned, "id").join(lines, "id")
 
 
 _DECON_N = 5

@@ -433,7 +433,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"), "rnk")
 
 
-_FINGERPRINT_ORACLE = """
+_FINGERPRINT_ORACLE = r"""
 WITH hs AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(length(text) - 4, 1)),
@@ -445,23 +445,75 @@ fps AS (
          list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
            j -> list_min(hs[j:j+3]))) AS fps
   FROM hs
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+             i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks
+),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM inv GROUP BY g),
+nov AS (
+  SELECT i.doc_id,
+         COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM inv i JOIN firsts f USING (g) GROUP BY i.doc_id
 )
-SELECT doc_id, unnest(fps) AS fp FROM fps
+SELECT 'fp' AS kind, doc_id, unnest(fps) AS fp,
+       CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_novel,
+       CAST(NULL AS DOUBLE) AS novelty
+FROM fps
+UNION ALL
+SELECT 'novelty' AS kind, doc_id, CAST(NULL AS BIGINT) AS fp,
+       n_grams, n_novel, ROUND(n_novel / n_grams, 6) AS novelty
+FROM nov
 """
 
 
 @query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 document fingerprinting: winnowed rolling 5-gram hashes
-    (window 4), exploded to (doc_id, fp) rows. Computed by the Arrow
-    winnowing kernel (one md5 per k-gram; the Column form
+    (window 4), exploded to (doc_id, fp) rows (``kind='fp'``). Computed
+    by the Arrow winnowing kernel (one md5 per k-gram; the Column form
     ``operators.text.winnow_fingerprints`` is the differential-tested
     spec) — no shuffle; downstream provenance joins exchange
-    (fp, doc_id) pairs."""
+    (fp, doc_id) pairs.
+
+    ``kind='novelty'`` (round-7 widening): per-document n-gram NOVELTY
+    (``operators/text.py ngram_novelty``) — the share of a document's
+    distinct word-3-gram shingles whose first corpus occurrence (lowest
+    doc_id) is this document; the duplication-awareness signal for
+    novelty-weighted sampling. Two linear hash exchanges (gram → min id,
+    then per-doc counts); text never shuffles."""
     from kinesiscat_spark.io_tables import spread
-    from kinesiscat_spark.operators.text import winnow_fingerprints_udf
+    from kinesiscat_spark.operators.text import (
+        ngram_novelty,
+        winnow_fingerprints_udf,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.select(
-        "doc_id", F.explode(winnow_fingerprints_udf()(F.col("text"))).alias("fp")
+    nulls = [
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_novel"),
+        F.lit(None).cast("double").alias("novelty"),
+    ]
+    fp = docs.select(
+        F.lit("fp").alias("kind"),
+        "doc_id",
+        F.explode(winnow_fingerprints_udf()(F.col("text"))).alias("fp"),
+        *nulls,
     )
+    nov = ngram_novelty(docs, n=3).select(
+        F.lit("novelty").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("fp"),
+        "n_grams",
+        "n_novel",
+        F.round("novelty", 6).alias("novelty"),
+    )
+    return fp.unionByName(nov)

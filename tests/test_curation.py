@@ -533,3 +533,29 @@ def test_gopher_symbol_threshold_is_per_symbol(spark):
     assert r1.keep  # passes per-symbol, would fail the combined check
     assert abs(rows[1].s - (rows[1].h + rows[1].e)) < 1e-12
     assert not rows[2].keep  # hash ratio alone over 0.1
+
+
+def test_dedup_lines_across_docs(spark):
+    """Cross-doc line dedup: a line in >= min_docs docs is dropped from
+    ALL of them, unique lines survive in original order, an all-boiler
+    doc rewrites to '' (kept, empty), single-doc repeats are untouched."""
+    from kinesiscat_spark.operators.curation import dedup_lines_across_docs
+
+    rows = [
+        (1, "unique one\nSUBSCRIBE NOW\nunique two"),
+        (2, "SUBSCRIBE NOW\nother text"),
+        (3, "SUBSCRIBE NOW"),
+        (4, "solo line\nsolo line"),  # repeats within ONE doc only: kept
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_lines, r.n_removed_lines, r.clean_text)
+        for r in dedup_lines_across_docs(docs, min_docs=2).collect()
+    }
+    assert got[1] == (3, 1, "unique one\nunique two")
+    assert got[2] == (2, 1, "other text")
+    assert got[3] == (1, 1, "")  # all-boiler doc: kept row, empty rewrite
+    assert got[4] == (2, 0, "solo line\nsolo line")
+    # NULL text -> a single '' line, unique in this corpus -> kept as ''
+    assert got[5] == (1, 0, "")

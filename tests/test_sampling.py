@@ -168,3 +168,37 @@ def test_split_leakage_report(spark):
         clean, {"train": 0.5, "test": 0.5}, key_cols=["doc_id"]
     )
     assert split_leakage_report(clean_split).count() == 0
+
+
+def test_exact_stratified_sample_md5_method(docs):
+    """method='md5' selects a deterministic per-stratum quota that is
+    engine-replayable (the sampling_mix kind='strat' oracle) and differs
+    from the xxhash64 ranking only in ORDER, never in count."""
+    from kinesiscat_spark.operators.sampling import exact_stratified_sample
+
+    out = exact_stratified_sample(
+        docs, "lang", 5, ["doc_id"], salt=23, method="md5"
+    )
+    per = {
+        r.lang: r.n for r in out.groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    full = {
+        r.lang: r.n for r in docs.groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for lang, n in per.items():
+        assert n == min(5, full[lang])
+    # determinism across reruns
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in exact_stratified_sample(
+            docs, "lang", 5, ["doc_id"], salt=23, method="md5"
+        ).collect()
+    )
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_stratified_sample(docs, "lang", 5, ["doc_id"], method="crc")
