@@ -152,6 +152,19 @@ def main() -> None:
         return (span_dup_frac(docs, n=6) if which == "detect"
                 else remove_duplicate_spans(docs, w=6))
 
+    def _line_dedup_sub():
+        from kinesiscat_spark.operators.curation import (
+            dedup_lines_across_docs,
+        )
+        from kinesiscat_spark.queries.curation_queries import (
+            _LINE_MIN_DOCS,
+            _c4_fixture_col,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        fixture = docs.select("doc_id", _c4_fixture_col().alias("text"))
+        return dedup_lines_across_docs(fixture, min_docs=_LINE_MIN_DOCS)
+
     from kinesiscat_spark.queries.text_queries import (
         text_bigram_lm,
         text_bigram_lm_persisted,
@@ -215,7 +228,12 @@ def main() -> None:
         "curation_span_dup": {
             "detect": lambda: _span_sub("detect"),
             "remove": lambda: _span_sub("remove"),
+            "line_dedup": lambda: _line_dedup_sub(),
         },
+        "text_fingerprint": _kind_subs("text_fingerprint", ("fp", "novelty")),
+        "text_bpe_train": _kind_subs(
+            "text_bpe_train", ("doc", "doc_persisted")
+        ),
         "text_quality_score": {
             "langid_heuristic": lambda: text_language_id(spark, sf_dir),
             "unigram_lm": lambda: text_unigram_lm(spark, sf_dir),

@@ -2,7 +2,11 @@
 parquet — the ann_index.py "build once, use many" discipline.
 
 Training a tokenizer or a quality classifier is a corpus-scale job; the
-artifact itself is kilobyte-scale.  Persisting it as plain parquet keeps
+artifact itself is kilobyte-scale. Writes go through ``repartition(1)``
+(single output file) — NOT ``coalesce(1)``, which would collapse the
+whole upstream training pipeline into one task (coalesce removes
+parallelism without a shuffle; measured 13x on the bigram save).
+Persisting as plain parquet keeps
 the load path engine-agnostic (any Spark job — or DuckDB, or pandas —
 can read the table back), survives cluster restarts, and lets the
 expensive training run exactly once per corpus snapshot while every
@@ -24,7 +28,7 @@ def save_bpe(
     spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_bpe(spark: SparkSession, path: str) -> list[tuple[str, str]]:
@@ -49,7 +53,7 @@ def save_quality_model(
         ],
         "weights array<double>, bias double, n_features int, "
         "hash_method string, hash_salt int",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
@@ -62,10 +66,10 @@ def load_quality_model(spark: SparkSession, path: str) -> QualityModel:
 def save_unigram(spark: SparkSession, model, path: str) -> None:
     """Write a UnigramModel: the (w, logp) table plus a one-row meta table
     carrying the OOV mass (parquet subdirs 'table' and 'meta')."""
-    model.df.coalesce(1).write.mode("overwrite").parquet(f"{path}/table")
+    model.df.repartition(1).write.mode("overwrite").parquet(f"{path}/table")
     spark.createDataFrame(
         [(float(model.oov_logp),)], "oov_logp double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_unigram(spark: SparkSession, path: str):
@@ -79,8 +83,8 @@ def save_bigram(spark: SparkSession, model, path: str) -> None:
     """Write a BigramModel: the (w1, w2, p_bi) table, the (w1, c1) context
     table, the interpolated unigram, and a one-row meta table
     (v, k, lam, n_bi — the bigram-type count scoring size-switches on)."""
-    model.df.coalesce(1).write.mode("overwrite").parquet(f"{path}/table")
-    model.ctx.coalesce(1).write.mode("overwrite").parquet(f"{path}/ctx")
+    model.df.repartition(1).write.mode("overwrite").parquet(f"{path}/table")
+    model.ctx.repartition(1).write.mode("overwrite").parquet(f"{path}/ctx")
     save_unigram(spark, model.unigram, f"{path}/unigram")
     spark.createDataFrame(
         [
@@ -92,7 +96,7 @@ def save_bigram(spark: SparkSession, model, path: str) -> None:
             )
         ],
         "v double, k double, lam double, n_bi double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_bigram(spark: SparkSession, path: str):

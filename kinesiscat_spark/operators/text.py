@@ -81,6 +81,11 @@ class UnigramModel(NamedTuple):
 
     df: "DataFrame"
     oov_logp: float
+    # total corpus token count, measured by the same aggregate that
+    # computes the smoothing mass — zero extra jobs. None for models
+    # reconstructed from a bare table. Used as a FREE upper bound on
+    # downstream type counts (bigram types <= tokens).
+    n_tokens: "float | None" = None
 
 
 def unigram_model(
@@ -109,7 +114,7 @@ def unigram_model(
     model = counts.select(
         "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("logp")
     )
-    return UnigramModel(model, float(math.log(k / (n + k * v))))
+    return UnigramModel(model, float(math.log(k / (n + k * v))), n)
 
 
 def score_documents(
@@ -165,11 +170,16 @@ class BigramModel(NamedTuple):
     v: float
     k: float
     lam: float
-    # bigram-type count, measured at train time; None (e.g. a model built
-    # by an older persisted artifact) means scoring counts on demand. The
-    # CCNet use trains on a bounded reference corpus, but nothing stops a
-    # caller training on the full corpus — where bigram types approach
-    # token count and a forced broadcast is an OOM (VERDICT r6 #4).
+    # UPPER BOUND on the bigram-type count, recorded at train time at
+    # ZERO cost (bigram types <= corpus tokens, and the unigram training
+    # aggregate already measures the token count — an exact count would
+    # re-execute the whole pair aggregation). None (e.g. a model built by
+    # an older persisted artifact) means scoring counts model.df on
+    # demand. The CCNet use trains on a bounded reference corpus, but
+    # nothing stops a caller training on the full corpus — where bigram
+    # types approach token count and a forced broadcast is an OOM
+    # (VERDICT r6 #4). The bound is conservative in the safe direction:
+    # it can only ever DISABLE a broadcast that was actually fine.
     n_bi: "float | None" = None
 
 
@@ -227,7 +237,7 @@ def bigram_model(
         "w2",
         ((F.col("c") + F.lit(k)) / (F.col("c1") + F.lit(k * v))).alias("p_bi"),
     )
-    return BigramModel(model, ctx, uni, v, k, lam, float(counts.count()))
+    return BigramModel(model, ctx, uni, v, k, lam, uni.n_tokens)
 
 
 def score_documents_bigram(

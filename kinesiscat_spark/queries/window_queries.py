@@ -129,10 +129,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time order) and drained at maxFilesPerTrigger=1, so sessions
     that span micro-batch boundaries exercise the cross-batch state
     carry/extend/close transitions under the driver's hash gate, not
-    just in tests/test_streaming_sessionize.py. Slicing uses ntile over
-    the global (ts_us, event_id) order — deterministic, and the
-    one-reducer sort is lane-fixture setup, not the operator's scale
-    path.
+    just in tests/test_streaming_sessionize.py. Slice boundaries are
+    exact ts percentiles (one aggregate; ties share a slice) —
+    deterministic, time-contiguous, no global rank.
     """
     from kinesiscat_spark.streaming.source import (
         StreamConfig,
@@ -170,14 +169,26 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
 
-    # kind='stream_multi': ≥3 time-sliced micro-batches (see docstring)
+    # kind='stream_multi': ≥3 time-sliced micro-batches (see docstring).
+    # Slice boundaries come from ONE exact-percentile aggregate over the
+    # ts column (deterministic; ties share a slice, preserving time
+    # contiguity) — a global ntile rank would sort every full row on one
+    # reducer just to pick two cut points.
     import os
     import tempfile
 
     n_slices = 3
+    [row] = ev.agg(
+        F.expr("percentile(ts_us, array(0.3333, 0.6667))").alias("bs")
+    ).collect()
+    b1, b2 = row.bs
     sliced = ev.withColumn(
         "_slice",
-        F.ntile(n_slices).over(Window.orderBy("ts_us", "event_id")),
+        (
+            1
+            + (F.col("ts_us") > F.lit(b1)).cast("int")
+            + (F.col("ts_us") > F.lit(b2)).cast("int")
+        ),
     )
     src = tempfile.mkdtemp(prefix="kc_sess_multi_")
     for i in range(1, n_slices + 1):
