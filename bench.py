@@ -182,6 +182,7 @@ def main() -> None:
         "curation_decontaminate": {
             "exact": _decon_sub("exact"),
             "bloom": _decon_sub("bloom"),
+            "semantic": _decon_sub("semantic"),
         },
         # round-6 TPC-H widenings: plain UNION ALL of aggregates, so the
         # kind filter constant-folds the sibling branches away and each

@@ -849,3 +849,130 @@ def dedup_lines_across_docs(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    tau: float,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec: str = "embedding",
+    method: str = "arrow",
+) -> DataFrame:
+    """SEMANTIC decontamination (round 7): corpus vectors within cosine
+    ``tau`` of ANY benchmark vector — the embedding-space complement of
+    the n-gram ``contamination_report``, catching paraphrased/reworded
+    benchmark leakage that exact n-gram overlap structurally misses
+    (the "rephrased samples" contamination of Yang et al. 2023).
+
+    Returns (id, n_bench_hits, max_sim) for flagged vectors only; anti-
+    join the ids to drop them.
+
+    ``method='arrow'`` (default): a vectorized kernel accumulating dots
+    and norms DIMENSION-BY-DIMENSION across a (batch × n_bench) array —
+    the exact fold order of the Column cosine and the DuckDB oracle
+    (the ivf_assign_arrow discipline; bit-identical, differential-pinned
+    in tests/test_curation.py), at numpy constants instead of n·m
+    interpreted HOF folds (~10× at sf0.1). ``method='column'`` is the
+    pure-Column spec it is tested against.
+
+    Scale shape: benchmarks are small by construction (test sets), so
+    the bench matrix ships in the kernel closure (arrow) or broadcasts
+    (column) and the corpus scans ONCE — per-row output, zero corpus
+    shuffle in the arrow path. At extreme bench sizes restrict
+    candidates first with the ANN machinery (similarity.ivf_topk on
+    bench queries) and exact-verify the candidates with the column math.
+    """
+    if method == "column":
+        from kinesiscat_spark.operators.similarity import cosine
+
+        c = corpus_emb.select(
+            F.col(corpus_id).alias("id"), F.col(vec).alias("_cv")
+        )
+        bench_rows = bench_emb.select(
+            F.col(bench_id).alias("_bid"), F.col(vec).alias("_bv")
+        )
+        sim = cosine(F.col("_cv"), F.col("_bv"))
+        pairs = (
+            c.crossJoin(F.broadcast(bench_rows))
+            .select("id", sim.alias("sim"))
+            .filter(F.col("sim") >= F.lit(float(tau)))
+        )
+        return pairs.groupBy("id").agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown method {method!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = bench_emb.select(F.col(vec).alias("v")).collect()
+    B = (
+        np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 0))
+    )
+    n_bench, dim = B.shape if rows else (0, 0)
+    # bench norms accumulate dimension-by-dimension too: np.sum's pairwise
+    # summation differs in the last ulp from the Column fold's sequential
+    # order (caught by the equality pin — sim(v, v) read 1.0000000000000002)
+    _bn = np.zeros(n_bench)
+    for _i in range(dim):
+        _bn += B[:, _i] * B[:, _i]
+    bnorm = np.sqrt(_bn)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_bench_hits", T.LongType()),
+                T.StructField("max_sim", T.DoubleType()),
+            ]
+        )
+    )
+    def scan(vs):  # Series -> DataFrame (struct); hints unsupported here
+        n = len(vs)
+        out_hits = np.zeros(n, dtype=np.int64)
+        out_max = np.full(n, np.nan)
+        if n and n_bench:
+            arr = vs.to_numpy()
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in arr),
+                dtype=bool,
+                count=n,
+            )
+            if valid.any():
+                V = np.stack(arr[valid]).astype(np.float64)
+                dots = np.zeros((V.shape[0], n_bench))
+                nrm = np.zeros(V.shape[0])
+                # dimension-by-dimension: the Column fold's exact order
+                for i in range(dim):
+                    dots += V[:, i : i + 1] * B[:, i]
+                    nrm += V[:, i] * V[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / (np.sqrt(nrm)[:, None] * bnorm)
+                hits = sims >= tau  # NaN compares false, like SQL null
+                out_hits[valid] = hits.sum(axis=1)
+                mx = np.where(
+                    hits.any(axis=1),
+                    np.where(hits, sims, -np.inf).max(axis=1),
+                    np.nan,
+                )
+                out_max[valid] = mx
+        return pd.DataFrame(
+            {
+                "n_bench_hits": out_hits,
+                "max_sim": [None if np.isnan(x) else x for x in out_max],
+            }
+        )
+
+    return (
+        corpus_emb.select(
+            F.col(corpus_id).alias("id"), scan(F.col(vec)).alias("_r")
+        )
+        .select("id", "_r.n_bench_hits", "_r.max_sim")
+        .filter(F.col("n_bench_hits") > 0)
+    )

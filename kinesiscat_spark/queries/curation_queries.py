@@ -895,6 +895,8 @@ def curation_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_N = 5
 
+_SEM_TAU = 0.4
+
 _DECON_ORACLE = f"""
 WITH bench AS (
   SELECT array_to_string(
@@ -922,6 +924,24 @@ report AS (
 SELECT 'exact' AS method, * FROM report
 UNION ALL
 SELECT 'bloom' AS method, * FROM report WHERE id % 3 = 0
+UNION ALL
+SELECT 'semantic' AS method, id, n_bench_hits AS n_gram_hits,
+       CAST(NULL AS BIGINT) AS n_grams, max_sim AS contamination_frac
+FROM (
+  SELECT id, COUNT(*)::BIGINT AS n_bench_hits, ROUND(MAX(sim), 6) AS max_sim
+  FROM (
+    SELECT a.vec_id AS id,
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON b.vec_id % 9 = 0
+  ) WHERE sim >= {_SEM_TAU}
+  GROUP BY id
+)
 """
 
 _DECON_BLOOM_BITS = 1 << 18
@@ -968,8 +988,29 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_benchmark=False,
         bloom_bits=_DECON_BLOOM_BITS,
     )
-    return exact.select(F.lit("exact").alias("method"), "*").unionByName(
-        bloom.select(F.lit("bloom").alias("method"), "*")
+    # round-7 widening: SEMANTIC decontamination (embedding-space leakage
+    # the n-gram overlap misses — operators/curation.py
+    # semantic_contamination_report). Benchmark = every 9th embedding
+    # (derived in-query so the oracle rebuilds it); benchmark members in
+    # the corpus flag themselves at sim 1.0, the realistic case.
+    from kinesiscat_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_contamination_report(
+        emb, emb.filter(F.col("vec_id") % 9 == 0), tau=_SEM_TAU
+    ).select(
+        F.lit("semantic").alias("method"),
+        "id",
+        F.col("n_bench_hits").alias("n_gram_hits"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.round("max_sim", 6).alias("contamination_frac"),
+    )
+    return (
+        exact.select(F.lit("exact").alias("method"), "*")
+        .unionByName(bloom.select(F.lit("bloom").alias("method"), "*"))
+        .unionByName(sem)
     )
 
 

@@ -181,7 +181,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     [row] = ev.agg(
         F.expr("percentile(ts_us, array(0.3333, 0.6667))").alias("bs")
     ).collect()
-    b1, b2 = row.bs
+    # empty events: percentile is NULL — degenerate boundaries put every
+    # (zero) row in slice 1 and the drain below yields the empty result
+    b1, b2 = row.bs if row.bs is not None else (0, 0)
     sliced = ev.withColumn(
         "_slice",
         (

@@ -559,3 +559,51 @@ def test_dedup_lines_across_docs(spark):
     assert got[4] == (2, 0, "solo line\nsolo line")
     # NULL text -> a single '' line, unique in this corpus -> kept as ''
     assert got[5] == (1, 0, "")
+
+
+def test_semantic_contamination_report(spark):
+    """Embedding-space decontamination: benchmark members flag themselves
+    at sim 1.0, near-duplicates above tau flag too, orthogonal vectors
+    don't; n_bench_hits counts matching benchmark vectors."""
+    from kinesiscat_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # benchmark member
+            (2, [0.999, 0.045]),   # near-dup of 1 (cos ~0.999)
+            (3, [0.0, 1.0]),       # orthogonal to 1: clean
+            (4, [-1.0, 0.0]),      # anti-parallel: clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = emb.filter("vec_id = 1")
+    got = {
+        r.id: (r.n_bench_hits, round(r.max_sim, 3))
+        for r in semantic_contamination_report(emb, bench, tau=0.9).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[2][0] == 1 and got[2][1] >= 0.99
+    assert 3 not in got and 4 not in got
+
+
+def test_semantic_contamination_arrow_equals_column(spark):
+    """The arrow kernel's (id, n_bench_hits, max_sim) must equal the
+    Column spec bit-for-bit on the real embeddings table."""
+    from kinesiscat_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 9 == 0)
+    key = lambda rows: sorted(  # noqa: E731
+        (r.id, r.n_bench_hits, r.max_sim) for r in rows
+    )
+    a = key(semantic_contamination_report(emb, bench, 0.4).collect())
+    c = key(
+        semantic_contamination_report(
+            emb, bench, 0.4, method="column"
+        ).collect()
+    )
+    assert a == c and len(a) > 0

@@ -450,9 +450,10 @@ def test_no_forced_broadcast_of_per_document_frames():
         "operators/quantize.py": {"q_norm", "cand", "lut", "qv", "cents"},
         "operators/similarity.py": {"q", "centroids", "qv"},
         "operators/semdedup.py": {"cents"},
-        # curation: benchmark gram set / bloom bits — bounded by the
-        # reference benchmark, not the corpus (documented opt-in for grams).
-        "operators/curation.py": {"bench_grams", "bloom"},
+        # curation: benchmark gram set / bloom bits / benchmark embedding
+        # rows — all bounded by the reference benchmark (test sets), not
+        # the corpus (documented opt-in for grams).
+        "operators/curation.py": {"bench_grams", "bloom", "bench_rows"},
         # 1-row frames: chunk bounds, weight rows, sketch rows, stats.
         "operators/dedup.py": {"bounds"},
         "operators/quality_classifier.py": {"wrow"},
