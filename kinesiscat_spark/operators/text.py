@@ -704,3 +704,68 @@ def ngram_novelty(
             (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+def vocab_coverage(
+    docs,
+    targets: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Tokenizer-prep vocabulary sizing: for each coverage target t, the
+    SMALLEST vocabulary (most-frequent words first, ties broken
+    lexicographically) whose occurrences cover >= t of the corpus token
+    mass — the classic "how big must the vocab be for 99% coverage"
+    curve behind vocab-size decisions.
+
+    Returns one row per target: (target, vocab_size, coverage) with
+    coverage the exact mass fraction the chosen prefix attains.
+
+    Scale shape: one token explode + word count (map-side combined,
+    vocabulary-sized result), then ONE rank window over the vocab table
+    — the expensive global sort runs over distinct words, never corpus
+    tokens. Deterministic: (count DESC, word) total order, exact integer
+    cumulative sums; only the final fraction is floating point, so the
+    selection replays in ANSI SQL.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if not targets or not all(0.0 < t <= 1.0 for t in targets):
+        raise ValueError(f"targets must be in (0, 1], got {targets}")
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    out = None
+    for t in targets:
+        hit = (
+            ranked.filter(
+                F.col("cum").cast("double") / F.col("total") >= F.lit(float(t))
+            )
+            .agg(
+                F.min("rk").alias("vocab_size"),
+                F.min(F.struct("rk", "cum")).alias("_first"),
+                F.max("total").alias("_total"),
+            )
+            .select(
+                F.lit(float(t)).alias("target"),
+                F.col("vocab_size").cast("long"),
+                F.round(
+                    F.col("_first.cum").cast("double") / F.col("_total"), 6
+                ).alias("coverage"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

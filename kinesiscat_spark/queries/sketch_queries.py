@@ -26,6 +26,7 @@ from kinesiscat_spark.registry import query
 _HH_N = 2
 _HH_MIN = 30
 _HLL_P = 12  # m = 4096
+_VOCAB_TARGETS = (0.5, 0.9, 0.99)
 
 _HEAVY_ORACLE = f"""
 WITH g AS (
@@ -68,7 +69,30 @@ UNION ALL
 SELECT 'hll_distinct' AS kind, CAST(NULL AS VARCHAR) AS gram,
        CAST(NULL AS BIGINT) AS cnt, ROUND(est, 4) AS est
 FROM hllest
+UNION ALL
+SELECT 'vocab' AS kind, t.lbl AS gram,
+       (SELECT MIN(rk) FROM vrk WHERE cum::DOUBLE / total >= t.t) AS cnt,
+       (SELECT ROUND(MIN(struct_pack(rk := rk, cum := cum)).cum::DOUBLE
+                     / MAX(total), 6)
+        FROM vrk WHERE cum::DOUBLE / total >= t.t) AS est
+FROM (VALUES {", ".join(f"('{t:g}', {t!r}::DOUBLE)" for t in _VOCAB_TARGETS)}) t(lbl, t)
 """
+
+_VOCAB_CTE = """,
+vw AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+),
+vwc AS (SELECT w, COUNT(*)::BIGINT AS c FROM vw GROUP BY w),
+vrk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS total
+  FROM vwc
+)
+"""
+_HEAVY_ORACLE = _HEAVY_ORACLE.replace(
+    ")\nSELECT 'heavy'", ")" + _VOCAB_CTE.rstrip() + "\nSELECT 'heavy'"
+)
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -114,4 +138,23 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("cnt"),
         F.round("est", 4).alias("est"),
     )
-    return heavy.unionByName(exact_d).unionByName(hll)
+    # round-7 widening: vocabulary-coverage curve (operators/text.py
+    # vocab_coverage) — minimal most-frequent-first vocab reaching each
+    # coverage target over whitespace tokens; the rank window runs over
+    # the VOCAB table, never corpus tokens. Target labels are f"{t:g}"
+    # strings on both engines.
+    from kinesiscat_spark.operators.text import vocab_coverage
+
+    lbl = F.array(*[F.lit(f"{t:g}") for t in _VOCAB_TARGETS])
+    tgt = F.array(*[F.lit(float(t)) for t in _VOCAB_TARGETS])
+    vocab = vocab_coverage(docs, targets=_VOCAB_TARGETS).select(
+        F.lit("vocab").alias("kind"),
+        F.element_at(
+            lbl, (F.array_position(tgt, F.col("target"))).cast("int")
+        ).alias("gram"),
+        F.col("vocab_size").alias("cnt"),
+        F.col("coverage").alias("est"),
+    )
+    return (
+        heavy.unionByName(exact_d).unionByName(hll).unionByName(vocab)
+    )

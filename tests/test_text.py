@@ -502,3 +502,27 @@ def test_bigram_scoring_size_switches_off_broadcast(spark):
     a = {r.doc_id: r.avg_logp2 for r in hinted.collect()}
     b = {r.doc_id: r.avg_logp2 for r in unhinted.collect()}
     assert a == b
+
+
+def test_vocab_coverage_exact_values(spark):
+    """Hand-computable corpus: counts a=4 b=3 c=2 d=1 (total 10) ->
+    50% needs {a, b} (7/10), 90% needs {a,b,c} (9/10), 99% all four."""
+    from kinesiscat_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.target: (r.vocab_size, r.coverage)
+        for r in vocab_coverage(docs, targets=(0.5, 0.9, 0.99)).collect()
+    }
+    assert got[0.5] == (2, 0.7)
+    assert got[0.9] == (3, 0.9)
+    assert got[0.99] == (4, 1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_coverage(docs, targets=())
+    with _pytest.raises(ValueError):
+        vocab_coverage(docs, targets=(1.5,))
