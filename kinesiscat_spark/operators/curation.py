@@ -925,54 +925,54 @@ def semantic_contamination_report(
         _bn += B[:, _i] * B[:, _i]
     bnorm = np.sqrt(_bn)
 
-    @F.pandas_udf(
-        T.StructType(
-            [
-                T.StructField("n_bench_hits", T.LongType()),
-                T.StructField("max_sim", T.DoubleType()),
-            ]
-        )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", corpus_emb.schema[corpus_id].dataType),
+            T.StructField("n_bench_hits", T.LongType()),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
     )
-    def scan(vs):  # Series -> DataFrame (struct); hints unsupported here
-        n = len(vs)
-        out_hits = np.zeros(n, dtype=np.int64)
-        out_max = np.full(n, np.nan)
-        if n and n_bench:
-            arr = vs.to_numpy()
+
+    # mapInPandas, not a scalar struct UDF: the flagged-only filter runs
+    # INSIDE the kernel, so the plan is one ArrowEvalPython-equivalent
+    # node (a filter pushed against a struct-returning scalar UDF
+    # re-evaluates the kernel — pinned by test_plan_shape.py).
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n or not n_bench:
+                continue
+            arr = pdf["_v"].to_numpy()
             valid = np.fromiter(
                 (v is not None and len(v) == dim for v in arr),
                 dtype=bool,
                 count=n,
             )
-            if valid.any():
-                V = np.stack(arr[valid]).astype(np.float64)
-                dots = np.zeros((V.shape[0], n_bench))
-                nrm = np.zeros(V.shape[0])
-                # dimension-by-dimension: the Column fold's exact order
-                for i in range(dim):
-                    dots += V[:, i : i + 1] * B[:, i]
-                    nrm += V[:, i] * V[:, i]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = dots / (np.sqrt(nrm)[:, None] * bnorm)
-                hits = sims >= tau  # NaN compares false, like SQL null
-                out_hits[valid] = hits.sum(axis=1)
-                mx = np.where(
-                    hits.any(axis=1),
-                    np.where(hits, sims, -np.inf).max(axis=1),
-                    np.nan,
-                )
-                out_max[valid] = mx
-        return pd.DataFrame(
-            {
-                "n_bench_hits": out_hits,
-                "max_sim": [None if np.isnan(x) else x for x in out_max],
-            }
-        )
+            if not valid.any():
+                continue
+            V = np.stack(arr[valid]).astype(np.float64)
+            dots = np.zeros((V.shape[0], n_bench))
+            nrm = np.zeros(V.shape[0])
+            # dimension-by-dimension: the Column fold's exact order
+            for i in range(dim):
+                dots += V[:, i : i + 1] * B[:, i]
+                nrm += V[:, i] * V[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (np.sqrt(nrm)[:, None] * bnorm)
+            hits = sims >= tau  # NaN compares false, like SQL null
+            flagged = hits.any(axis=1)
+            if not flagged.any():
+                continue
+            ids = pdf["id"].to_numpy()[valid][flagged]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_bench_hits": hits[flagged].sum(axis=1),
+                    "max_sim": np.where(hits[flagged], sims[flagged], -np.inf)
+                    .max(axis=1),
+                }
+            )
 
-    return (
-        corpus_emb.select(
-            F.col(corpus_id).alias("id"), scan(F.col(vec)).alias("_r")
-        )
-        .select("id", "_r.n_bench_hits", "_r.max_sim")
-        .filter(F.col("n_bench_hits") > 0)
-    )
+    return corpus_emb.select(
+        F.col(corpus_id).alias("id"), F.col(vec).alias("_v")
+    ).mapInPandas(scan, out_schema)

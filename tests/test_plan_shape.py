@@ -263,12 +263,16 @@ def test_decontaminate_one_pass_broadcast(plans):
     five more Generates (its own corpus + bench explodes, the build's
     position explode, the candidate explode, the verify bench explode)
     — a double corpus explode for totals in EITHER half would raise the
-    count. No Python anywhere."""
+    count. The only Python is the round-7 SEMANTIC branch's deliberate
+    Arrow kernel (one per-row batch kernel over the embeddings scan —
+    never a row-at-a-time BatchEvalPython)."""
     s = plans("curation_decontaminate")
     assert "BroadcastExchange" in s or "BroadcastHashJoin" in s
-    assert "EvalPython" not in s
+    assert "BatchEvalPython" not in s
     import re
 
+    assert len(re.findall(r"^\(\d+\) MapInPandas", s, re.M)) == 1
+    assert "ArrowEvalPython" not in s
     assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 7
 
 
@@ -497,3 +501,48 @@ def test_no_forced_broadcast_of_per_document_frames():
         "whitelist or drop the hint (AQE broadcasts small frames itself):\n"
         + "\n".join(violations)
     )
+
+
+def test_round7_operators_jvm_side_no_text_in_wide_exchanges(spark):
+    """The round-7 operators stay pure-JVM and their corpus-wide
+    exchanges never carry document text (novelty: 64-bit shingle hashes;
+    line dedup's frequency count: 64-bit line hashes; vocab coverage:
+    vocabulary-sized rank window):
+    - no EvalPython anywhere;
+    - no Exchange whose partitioning expression mentions the text column
+      (the per-doc line REBUILD legitimately groups lines by id — that
+      exchange is keyed on id, not text)."""
+    import re
+
+    from kinesiscat_spark.operators.curation import dedup_lines_across_docs
+    from kinesiscat_spark.operators.text import ngram_novelty, vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for name, df in [
+        ("novelty", ngram_novelty(docs)),
+        ("line_dedup", dedup_lines_across_docs(docs)),
+        ("vocab_coverage", vocab_coverage(docs)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+        assert not re.search(
+            r"Exchange hashpartitioning[^\n]*\btext\b", plan
+        ), name
+
+
+def test_semantic_contamination_scan_stage(spark):
+    """The arrow semantic-decontamination path is ONE corpus scan with a
+    per-row kernel — zero exchanges; the bench matrix rides the closure."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_contamination_report(
+        emb, emb.filter(F.col("vec_id") % 9 == 0), tau=0.4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
