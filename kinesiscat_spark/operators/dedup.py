@@ -343,6 +343,8 @@ def ngram_containment_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT similarity for all pairs ≥ threshold:
     ``|A∩B| / min(|A|, |B|)`` — the asymmetric near-dup measure that
@@ -352,16 +354,27 @@ def ngram_containment_pairs(
     Jaccard but containment 1.0).
 
     Returns ``(id_a, id_b, containment, jaccard)`` — both measures from
-    ONE common-count pass, so callers can split "true subsets" (high
+    ONE verify pass, so callers can split "true subsets" (high
     containment, low Jaccard) from mutual near-dups.
 
-    Scale shape: the classic inverted-index plan (explode → self-join on
-    the shingle hash → count). PPJoin's prefix/length filters do NOT
-    apply — they assume the Jaccard threshold's size-ratio bound, and
-    containment deliberately admits extreme size ratios — so at corpus
-    scale pair volume is governed by posting-list skew: cap document
-    frequency upstream (drop boilerplate shingles before calling) or
-    run it on an LSH-candidate set rather than the raw corpus.
+    ``prefix_filter=True`` (default): PPJoin's LENGTH/positional bounds
+    do not transfer to containment (it deliberately admits extreme size
+    ratios), but the PREFIX bound does, one-sided (round 7): a
+    qualifying pair needs overlap α = ⌈t·|s|⌉ on its SMALLER side s, so
+    the overlap cannot fit entirely in s's last α − 1 rare-first
+    positions — the smaller side's prefix (its first |s| − α + 1
+    rare-first shingles, the SAME per-doc prefix formula as Jaccard's)
+    must hit the other side's FULL shingle set. Candidates are therefore
+    prefix(x) ⋈ full-index(y) with |x| ≤ |y|, then verified EXACTLY via
+    array_intersect — output identical to the naive plan. Because
+    prefixes are rare-first, boilerplate shingles enter the index only
+    through the docs that have almost nothing else — the m²-posting hot
+    spots never pair two prefix rows. ``max_shingle_df`` composes as a
+    further (recall-trading) cap, exactly as in ``ngram_jaccard_pairs``.
+
+    ``prefix_filter=False``: the classic inverted-index count plan
+    (explode → self-join → count) — fewer stages, right when posting
+    lists are known short.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -370,6 +383,8 @@ def ngram_containment_pairs(
     sh = spread(docs, id_col).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
+    if prefix_filter:
+        return _containment_prefix_plan(sh, threshold, max_shingle_df)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("h"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -397,6 +412,97 @@ def ngram_containment_pairs(
         )
     )
     return sim.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment", "jaccard"
+    )
+
+
+def _containment_prefix_plan(
+    sh: DataFrame, threshold: float, max_shingle_df: int | None
+) -> DataFrame:
+    """The one-sided prefix-filtered containment plan (see
+    ``ngram_containment_pairs``): candidates = smaller side's rare-first
+    prefix ⋈ the full inverted index, exact ``array_intersect`` verify.
+    Exactness-preserving — differential-pinned against the count plan in
+    tests/test_dedup.py."""
+    inv = sh.select("id", F.explode("sh").alias("h")).repartition("h")
+    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
+    ordered = (
+        inv.join(df_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
+        .select(
+            "id",
+            F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
+            F.transform(F.col("_ord"), lambda s: s["_df"]).alias("ord_df"),
+        )
+        # three consumers (prefix index, full index, verify sets) — the
+        # ngram_jaccard_pairs materialization discipline
+        .localCheckpoint(eager=False)
+    )
+    n_sh = F.size("ord_h")
+    # prefix bound with the doc's OWN size (it only matters when the doc
+    # is the smaller side): |d| − ⌈t·|d|⌉ + 1, clamped at t = 0
+    p_len = F.least(
+        n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + 1, n_sh
+    )
+    prefix = ordered.select(
+        "id",
+        n_sh.alias("n_sh"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), p_len),
+                lambda pos: F.struct(
+                    F.element_at(F.col("ord_h"), pos).alias("h"),
+                    F.element_at(F.col("ord_df"), pos).alias("df"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", "n_sh", "p.h", "p.df")
+    if max_shingle_df is not None:
+        prefix = prefix.filter(F.col("df") <= max_shingle_df)
+    fi = ordered.select(
+        F.col("id").alias("_fid"),
+        n_sh.alias("_fn"),
+        F.explode("ord_h").alias("h"),
+    )
+    cand = (
+        prefix.join(
+            fi,
+            (prefix["h"] == fi["h"])
+            & (prefix["id"] != fi["_fid"])
+            & (prefix["n_sh"] <= fi["_fn"]),
+        )
+        .select(
+            F.least(prefix["id"], fi["_fid"]).alias("id_a"),
+            F.greatest(prefix["id"], fi["_fid"]).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full = ordered.select("id", F.col("ord_h").alias("_hs"))
+    verified = (
+        cand.join(
+            full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_ha", "_hb")))
+        .withColumn(
+            "containment",
+            F.col("n_common")
+            / F.least(F.size("_ha"), F.size("_hb")).cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("_ha") + F.size("_hb") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+    )
+    return verified.filter(F.col("containment") >= threshold).select(
         "id_a", "id_b", "containment", "jaccard"
     )
 

@@ -396,3 +396,30 @@ def test_jaccard_df_cap_prunes_index_not_precision(spark):
     for pair, j in tight.items():
         assert j == exact[pair]  # values exact for every surviving pair
     assert exact  # non-vacuous
+
+
+def test_containment_prefix_plan_equals_count_plan(spark):
+    """The one-sided prefix-filtered containment plan is exactness-
+    preserving: identical (pairs, containment, jaccard) to the naive
+    inverted-index count plan on the real corpus at several thresholds —
+    including t where prefixes are long (0.3) and short (0.95)."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    for t in (0.3, 0.6, 0.95):
+        key = lambda rows: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.containment, r.jaccard) for r in rows
+        )
+        fast = key(ngram_containment_pairs(docs, t).collect())
+        naive = key(
+            ngram_containment_pairs(docs, t, prefix_filter=False).collect()
+        )
+        assert fast == naive, t
+        assert fast  # non-vacuous at every threshold tested
+    # the df cap composes: generous cap == exact
+    n_docs = docs.count()
+    capped = key(
+        ngram_containment_pairs(docs, 0.6, max_shingle_df=n_docs).collect()
+    )
+    assert capped == key(ngram_containment_pairs(docs, 0.6).collect())

@@ -115,6 +115,10 @@ def probes():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return dedup.ngram_jaccard_pairs(docs, 0.4).count()
 
+    def p_containment(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.ngram_containment_pairs(docs, 0.6).count()
+
     def p_fingerprint(spark, d):
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return docs.select(
@@ -395,6 +399,7 @@ def probes():
         "simhash": (p_simhash, "linear+dup-density"),
         "ngram_jaccard": (p_jaccard, "linear+dup-density (df-capped index)"),
         "ngram_jaccard_exact": (p_jaccard_exact, "linear+dup-density"),
+        "ngram_containment": (p_containment, "linear+dup-density (one-sided prefix index)"),
         "winnow_fingerprint": (p_fingerprint, "linear"),
         "cluster_resolve": (p_cluster_resolve, "linear+dup-density (iterative CC)"),
         "embedding_allpairs": (p_embedding_allpairs, "QUADRATIC by design"),
