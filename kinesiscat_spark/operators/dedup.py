@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     prefix_filter: bool = True,
     max_shingle_df: int | None = None,
+    _ordered: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
@@ -166,31 +167,7 @@ def ngram_jaccard_pairs(
             "id_a", "id_b", "jaccard"
         )
 
-    # One explicit hash exchange on h feeds BOTH the document-frequency
-    # aggregate and the inv ⋈ df_h join (ReusedExchange): the shingle
-    # scan + explode — the widest stage of the plan — runs once, not once
-    # per consumer. At 100 TB that's one pass over the text, not three.
-    inv = sh.select("id", F.explode("sh").alias("h")).repartition("h")
-    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
-    # rare-first global order per doc: sort (df, h) pairs, keep the prefix
-    ordered = (
-        inv.join(df_h, "h")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
-        .select(
-            "id",
-            "_ord",
-            F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
-        )
-        # THREE consumers read `ordered` (the prefix index + both verify
-        # sides); per-branch column pruning makes their subtrees differ,
-        # so ReusedExchange never fires and the scan→explode→df-join→
-        # collect chain would execute three times.  A lazy localCheckpoint
-        # materializes it once (the semdedup/clusters/bpe discipline) —
-        # at 100 TB this is the deliberate "build the ordered shingle
-        # table once, then index and verify against it" design.
-        .localCheckpoint(eager=False)
-    )
+    ordered = _ordered if _ordered is not None else _ordered_shingles(sh)
     n_sh = F.size("ord_h")
     # clamp: at threshold 0, n - ceil(t*n) + 1 = n + 1 (the whole array is
     # the prefix; there is no (n+1)-th element to index)
@@ -345,6 +322,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     prefix_filter: bool = True,
     max_shingle_df: int | None = None,
+    _ordered: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT similarity for all pairs ≥ threshold:
     ``|A∩B| / min(|A|, |B|)`` — the asymmetric near-dup measure that
@@ -384,7 +362,7 @@ def ngram_containment_pairs(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
     if prefix_filter:
-        return _containment_prefix_plan(sh, threshold, max_shingle_df)
+        return _containment_prefix_plan(sh, threshold, max_shingle_df, _ordered)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("h"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -416,29 +394,51 @@ def ngram_containment_pairs(
     )
 
 
+def _ordered_shingles(sh: DataFrame) -> DataFrame:
+    """(id, _ord, ord_h, ord_df): each doc's distinct shingle hashes in
+    the global rare-first (document frequency, hash) order, plus the h
+    and df arrays projected out — the shared substrate of the
+    prefix-filtered Jaccard AND containment plans.
+
+    One explicit hash exchange on h feeds BOTH the document-frequency
+    aggregate and the inv ⋈ df_h join (ReusedExchange): the shingle
+    scan + explode — the widest stage — runs once. Multiple consumers
+    read the result (prefix index, full index, both verify sides; the
+    dedup_ngram_jaccard lane reuses ONE build for both measures), and
+    per-branch column pruning would make their subtrees differ so
+    ReusedExchange never fires — a lazy localCheckpoint materializes it
+    once (the semdedup/clusters/bpe discipline). At 100 TB this is the
+    deliberate "build the ordered shingle table once, then index and
+    verify against it" design."""
+    inv = sh.select("id", F.explode("sh").alias("h")).repartition("h")
+    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
+    return (
+        inv.join(df_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
+        .select(
+            "id",
+            "_ord",
+            F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
+            F.transform(F.col("_ord"), lambda s: s["_df"]).alias("ord_df"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _containment_prefix_plan(
-    sh: DataFrame, threshold: float, max_shingle_df: int | None
+    sh: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """The one-sided prefix-filtered containment plan (see
     ``ngram_containment_pairs``): candidates = smaller side's rare-first
     prefix ⋈ the full inverted index, exact ``array_intersect`` verify.
     Exactness-preserving — differential-pinned against the count plan in
     tests/test_dedup.py."""
-    inv = sh.select("id", F.explode("sh").alias("h")).repartition("h")
-    df_h = inv.groupBy("h").agg(F.count("*").alias("_df"))
-    ordered = (
-        inv.join(df_h, "h")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "h"))).alias("_ord"))
-        .select(
-            "id",
-            F.transform(F.col("_ord"), lambda s: s["h"]).alias("ord_h"),
-            F.transform(F.col("_ord"), lambda s: s["_df"]).alias("ord_df"),
-        )
-        # three consumers (prefix index, full index, verify sets) — the
-        # ngram_jaccard_pairs materialization discipline
-        .localCheckpoint(eager=False)
-    )
+    if ordered is None:
+        ordered = _ordered_shingles(sh)
     n_sh = F.size("ord_h")
     # prefix bound with the doc's OWN size (it only matters when the doc
     # is the smaller side): |d| − ⌈t·|d|⌉ + 1, clamped at t = 0

@@ -114,15 +114,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shingles, same common-count semantics, hash-checked against the
     same oracle CTE.
     """
+    from kinesiscat_spark.io_tables import spread
+    from kinesiscat_spark.operators.dedup import (
+        _ordered_shingles,
+        shingle_hashes,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    jac = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3).select(
+    # ONE ordered-shingle build (scan → explode → df-join → collect,
+    # materialized once) serves BOTH measures' prefix indexes and verify
+    # sets — the lane's widest stage runs once, not twice
+    sh = spread(docs, "doc_id").select(
+        F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
+    )
+    ordered = _ordered_shingles(sh)
+    jac = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, n=3, _ordered=ordered
+    ).select(
         F.lit("jaccard").alias("kind"),
         "id_a",
         "id_b",
         F.round("jaccard", 6).alias("jaccard"),
         F.lit(None).cast("double").alias("containment"),
     )
-    cont = ngram_containment_pairs(docs, threshold=CONTAINMENT_T, n=3).select(
+    cont = ngram_containment_pairs(
+        docs, threshold=CONTAINMENT_T, n=3, _ordered=ordered
+    ).select(
         F.lit("containment").alias("kind"),
         "id_a",
         "id_b",
