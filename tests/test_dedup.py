@@ -423,3 +423,41 @@ def test_containment_prefix_plan_equals_count_plan(spark):
         ngram_containment_pairs(docs, 0.6, max_shingle_df=n_docs).collect()
     )
     assert capped == key(ngram_containment_pairs(docs, 0.6).collect())
+
+
+def test_containment_prefix_plan_fuzz(spark):
+    """Seeded adversarial corpora — exact subsets, identical docs, shared
+    boilerplate tails, singleton/short docs — the prefix plan must equal
+    the count plan on every one (the pigeonhole argument has no
+    small-corpus escape hatches)."""
+    import random
+
+    from kinesiscat_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(7702)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "the quick brown fox jumps"
+    for round_i in range(6):
+        docs = []
+        for i in range(24):
+            words = [rng.choice(vocab) for _ in range(rng.randint(1, 18))]
+            if rng.random() < 0.4:
+                words += boiler.split()  # shared boilerplate tail
+            docs.append((i, " ".join(words)))
+        # exact subsets: doc 100+i is a prefix slice of doc i
+        for i in range(0, 24, 5):
+            base = docs[i][1].split()
+            docs.append((100 + i, " ".join(base[: max(3, len(base) // 2)])))
+        # verbatim duplicates
+        docs.append((200, docs[0][1]))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.4, 0.8, 1.0):
+            key = lambda rows: sorted(  # noqa: E731
+                (r.id_a, r.id_b, r.containment, r.jaccard) for r in rows
+            )
+            fast = key(ngram_containment_pairs(df, t).collect())
+            naive = key(
+                ngram_containment_pairs(df, t, prefix_filter=False).collect()
+            )
+            assert fast == naive, (round_i, t)
+        assert fast  # t=1.0 still finds the exact subsets/duplicates
