@@ -87,6 +87,20 @@ class CurationConfig:
     semdedup_id_col: str = "vec_id"
     semdedup_vec_col: str = "embedding"
     semdedup_iters: int = 0
+    # SEMANTIC decontamination (round 7): drop documents whose embedding
+    # is within cosine ``semantic_tau`` of ANY benchmark embedding — the
+    # embedding-space complement of the n-gram ``benchmark`` gate,
+    # catching paraphrased leakage. Keyed like semdedup: the embeddings
+    # frame's ``semdedup_id_col`` values are ``id_col`` values. Runs in
+    # the decontamination stage. None disables (the default).
+    benchmark_embeddings: DataFrame | None = None
+    corpus_embeddings: DataFrame | None = None
+    semantic_tau: float = 0.95
+    # RefinedWeb-style cross-document LINE dedup (round 7, Penedo et al.
+    # 2023 §4.2): drop lines appearing in >= this many distinct docs and
+    # rewrite the survivors in order; runs after near-dup dedup with the
+    # other rewrite stages. None disables (the default).
+    line_dedup_min_docs: int | None = None
     # C4 line/document cleaning (Raffel et al. 2020 §2.2), applied FIRST
     # (C4 cleans pages before any other gate): retain only lines ending
     # in terminal punctuation with >= 5 words and no "javascript"; drop
@@ -312,6 +326,30 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     out = step("language", language_gate(out, cfg))
     out = step("pii", pii_gate(out, cfg))
     out = step("decontaminate", decontaminate(out, cfg))
+    if cfg.benchmark_embeddings is not None:
+        from kinesiscat_spark.operators.curation import (
+            semantic_contamination_report,
+        )
+
+        if cfg.corpus_embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings needs corpus_embeddings (the corpus "
+                "side of the cosine check, keyed like semdedup)"
+            )
+        flagged = semantic_contamination_report(
+            cfg.corpus_embeddings,
+            cfg.benchmark_embeddings,
+            tau=cfg.semantic_tau,
+            corpus_id=cfg.semdedup_id_col,
+            bench_id=cfg.semdedup_id_col,
+            vec=cfg.semdedup_vec_col,
+        ).select(F.col("id").alias(cfg.id_col))
+        # flagged ids are bounded by benchmark-similarity density, not
+        # the corpus — unhinted anti-join, AQE broadcasts when small
+        out = step(
+            "semantic_decontaminate",
+            out.join(flagged, cfg.id_col, "left_anti"),
+        )
     out = step("exact_dedup", exact_dedup(out, cfg))
     out = step("near_dedup", near_dedup(out, cfg))
     if cfg.semdedup_embeddings is not None:
@@ -329,6 +367,23 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
                 vec=cfg.semdedup_vec_col,
                 n_iters=cfg.semdedup_iters,
             ),
+        )
+    if cfg.line_dedup_min_docs is not None:
+        from kinesiscat_spark.operators.curation import (
+            dedup_lines_across_docs,
+        )
+
+        rewritten = dedup_lines_across_docs(
+            out,
+            min_docs=cfg.line_dedup_min_docs,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        ).select(F.col("id").alias(cfg.id_col), "clean_text")
+        out = step(
+            "line_dedup",
+            out.join(rewritten, cfg.id_col).withColumn(
+                cfg.text_col, F.col("clean_text")
+            ).drop("clean_text"),
         )
     if cfg.span_removal_w:
         out = step("span_removal", span_removal(out, cfg))

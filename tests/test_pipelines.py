@@ -133,3 +133,66 @@ def test_curate_gopher_gate(spark):
     # and the full pipeline with the gate on never keeps more than the
     # gate alone allows
     assert curate(docs, cfg_on).count() <= n_on
+
+
+def test_curate_semantic_decontaminate_stage(spark):
+    """curate() with benchmark_embeddings drops exactly the documents
+    whose embedding is within semantic_tau of a benchmark vector."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.curation import (
+        semantic_contamination_report,
+    )
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 9 == 0)
+    cfg = CurationConfig(
+        min_tokens=1,
+        benchmark_embeddings=bench,
+        corpus_embeddings=emb,
+        semantic_tau=0.4,
+    )
+    got = sorted(r.doc_id for r in curate(docs, cfg).select("doc_id").collect())
+    flagged = {
+        r.id for r in semantic_contamination_report(emb, bench, 0.4).collect()
+    }
+    # equivalent composition: drop flagged docs BEFORE the pipeline (the
+    # stage runs before dedup, so post-hoc filtering of the base result
+    # would differ — removing a near-dup cluster's canonical shifts which
+    # member the dedup keeps)
+    base = CurationConfig(min_tokens=1)
+    pre = docs.filter(~F.col("doc_id").isin([int(i) for i in flagged]))
+    want = sorted(r.doc_id for r in curate(pre, base).select("doc_id").collect())
+    assert flagged and got == want
+    assert not (set(got) & flagged)  # no flagged doc survives
+    assert 0 < len(got) < docs.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate(docs, CurationConfig(benchmark_embeddings=bench))
+
+
+def test_curate_line_dedup_stage(spark):
+    """curate() with line_dedup_min_docs rewrites documents to their
+    surviving lines (boilerplate lines in >= k docs removed everywhere)."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.pipelines import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta\nSUBSCRIBE NOW"),
+            (2, "epsilon zeta eta theta\nSUBSCRIBE NOW"),
+            (3, "iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(min_tokens=1, line_dedup_min_docs=2)
+    got = {r.doc_id: r.text for r in curate(docs, cfg).collect()}
+    assert got[1] == "alpha beta gamma delta"
+    assert got[2] == "epsilon zeta eta theta"
+    assert got[3] == "iota kappa lambda mu"
