@@ -600,6 +600,29 @@ def curate_stream(stream_docs: DataFrame, cfg: CurationConfig | None = None) -> 
             )
     # streaming exact dedup: first-seen per content digest. The output
     # schema is DERIVED from the stream's own schema, so any id/text
+    if cfg.benchmark_embeddings is not None:
+        # SEMANTIC decontamination, batch/stream parity (round 7): the
+        # flagged-id frame is computed BATCH-side (embeddings are static)
+        # and anti-joined stream-static — supported append-mode join, no
+        # state. Same stage as curate() above.
+        from kinesiscat_spark.operators.curation import (
+            semantic_contamination_report,
+        )
+
+        if cfg.corpus_embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings needs corpus_embeddings (the corpus "
+                "side of the cosine check, keyed like semdedup)"
+            )
+        flagged = semantic_contamination_report(
+            cfg.corpus_embeddings,
+            cfg.benchmark_embeddings,
+            tau=cfg.semantic_tau,
+            corpus_id=cfg.semdedup_id_col,
+            bench_id=cfg.semdedup_id_col,
+            vec=cfg.semdedup_vec_col,
+        ).select(F.col("id").alias(cfg.id_col))
+        out = out.join(flagged, cfg.id_col, "left_anti")
     # column types the batch pipeline accepts work here too (a hardcoded
     # LongType id would crash applyInPandasWithState on string ids).
     keyed = out.withColumn("_h", F.sha2(F.col(cfg.text_col), 256)).select(

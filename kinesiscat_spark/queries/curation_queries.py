@@ -1023,6 +1023,7 @@ _PIPE_DECON_N = 5
 _PIPE_MINHASH_T = 0.5
 _PIPE_N_HASHES, _PIPE_N_BANDS = 32, 8
 _PIPE_SAMPLE_FRAC, _PIPE_SAMPLE_SALT = 0.5, 7
+_PIPE_SEM_TAU = 0.4
 
 
 def _pipeline_oracle() -> str:
@@ -1082,9 +1083,24 @@ dirty AS (
 g_decon AS (  -- decontamination: drop docs sharing any benchmark n-gram
   SELECT * FROM g_pii WHERE doc_id NOT IN (SELECT id FROM dirty)
 ),
-winners AS (SELECT MIN(doc_id) AS doc_id FROM g_decon GROUP BY sha256(text)),
+sem_flagged AS (  -- SEMANTIC decontamination (round 7): cosine >= tau to
+                  -- any benchmark embedding (bench = every 9th vector)
+  SELECT DISTINCT a.vec_id AS id
+  FROM embeddings a JOIN embeddings b ON b.vec_id % 9 = 0
+  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform(a.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(b.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        >= {_PIPE_SEM_TAU}
+),
+g_sem AS (
+  SELECT * FROM g_decon WHERE doc_id NOT IN (SELECT id FROM sem_flagged)
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM g_sem GROUP BY sha256(text)),
 g_exact AS (  -- exact dedup: lowest id per identical text
-  SELECT g_decon.* FROM g_decon JOIN winners USING (doc_id)
+  SELECT g_sem.* FROM g_sem JOIN winners USING (doc_id)
 ),
 toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM g_exact
@@ -1194,6 +1210,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         )
     )
+    emb = load_table(spark, sf_dir, "embeddings")
     cfg = CurationConfig(
         min_tokens=_PIPE_MIN_TOKENS,
         max_dup_line_frac=_PIPE_MAX_DUP_LINE,
@@ -1209,6 +1226,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=_PIPE_SAMPLE_FRAC,
         sample_salt=_PIPE_SAMPLE_SALT,
         sample_method="md5",
+        # round-7 widening: the SEMANTIC decontamination stage rides the
+        # pipeline in BOTH twins (batch anti-join / stream-static anti-
+        # join) — bench = every 9th embedding, derived in-query so the
+        # oracle rebuilds it
+        benchmark_embeddings=emb.filter(F.col("vec_id") % 9 == 0),
+        corpus_embeddings=emb,
+        semantic_tau=_PIPE_SEM_TAU,
     )
     batch = curate(docs, cfg).select(
         F.lit("batch").alias("kind"), "doc_id"
