@@ -1170,3 +1170,69 @@ def dedup_against(
         .distinct()
     )
     return out.join(hits, id_col, "left_anti")
+
+
+def corpus_minhash_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LEVEL similarity matrix: estimated shingle-set Jaccard
+    between every pair of document groups (sources/snapshots/dumps) from
+    per-group MinHash UNION signatures (Broder 1997 — min over a union
+    is the min of the mins, so a group's signature over the union of its
+    documents' shingle sets is the element-wise min of its documents'
+    signatures).
+
+    The dataset-overlap diagnostic behind mixing decisions: "how much of
+    source B is already in source A" at corpus granularity, where
+    doc-level near-dup pairs are the wrong unit (two dumps can share 80%
+    of their shingle mass with few exact doc-level near-dups).
+
+    Returns (group_a, group_b, n_matches, est_jaccard) for group_a <
+    group_b, est rounded to 6 dp.
+
+    Scale shape: one corpus pass (distinct shingles per doc -> one md5
+    each), then ONE map-side-combined aggregation whose result is
+    (n_groups x n_hashes) minima — the only exchange is bounded by the
+    number of groups, never corpus size; the pairwise compare runs on
+    n_groups rows. Deterministic (md5-derived Carter-Wegman hashes, the
+    minhash_lsh hash family) and replayable in ANSI SQL.
+    """
+    from kinesiscat_spark.io_tables import spread
+
+    sh = spread(docs, id_col).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    )
+    hp = sh.select(
+        "grp",
+        _hexint(F.md5("s"), 1, 12).alias("h1"),
+        _hexint(F.md5("s"), 13, 12).alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = hp.groupBy("grp").agg(*mins).select(
+        "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+    a = sigs.select(F.col("grp").alias("group_a"), F.col("sig").alias("_sa"))
+    b = sigs.select(F.col("grp").alias("group_b"), F.col("sig").alias("_sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            matches.cast("long").alias("n_matches"),
+            F.round(matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+        )
+    )

@@ -599,3 +599,78 @@ def split_leakage_report(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "est_jaccard", "split_a", "split_b")
     )
+
+
+def prototype_prune(
+    emb: DataFrame,
+    prototypes: Sequence[Sequence[float]],
+    keep_per_cell: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): assign every vector to its nearest prototype (squared
+    L2), rank each cell's members HARDEST-first (largest distance to the
+    prototype = least prototypical), and keep the top ``keep_per_cell``
+    per cell — the keep-hard selection that beats random pruning in the
+    data-abundant regime while equalizing cluster budgets.
+
+    Prototypes are a FIXED list (k-means centroids trained elsewhere —
+    ``ivf_centroids`` — or externally supplied class anchors); passing
+    them as literals keeps the operator scan-stage: the only exchange is
+    the per-cell rank window, partitioned on ``cell`` (k-bounded skew:
+    each cell's members sort independently).
+
+    Deterministic: distances fold left-to-right in dimension order
+    (IEEE-identical to the ANSI-SQL ``list_sum(list_transform(
+    list_zip(...)))`` replay), rounded to 9 decimals, ties broken by id;
+    NULL / ragged vectors get NULL cell and are dropped (they have no
+    distance to any prototype).
+
+    Returns (id, cell, dist2) for the kept rows, dist2 rounded to 9 dp.
+    """
+    if keep_per_cell < 1:
+        raise ValueError(f"keep_per_cell must be >= 1 (got {keep_per_cell})")
+    dim = len(prototypes[0])
+    if any(len(p) != dim for p in prototypes):
+        raise ValueError("ragged prototype list")
+    v = F.col(vec)
+    ok = v.isNotNull() & (F.size(v) == dim)
+    dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                9,
+            )
+            for p in prototypes
+        ]
+    )
+    assigned = (
+        emb.filter(ok)
+        .select(
+            F.col(id_col).alias("id"),
+            dists.alias("_d"),
+        )
+        .select(
+            "id",
+            (F.array_position(F.col("_d"), F.array_min("_d")) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_min("_d").alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("dist2"), F.asc("id"))
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep_per_cell)
+        .select("id", "cell", "dist2")
+    )

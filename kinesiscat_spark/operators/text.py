@@ -769,3 +769,75 @@ def vocab_coverage(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency curve: least-squares
+    slope/intercept of ln(frequency) on ln(rank) across the ``top_n``
+    most frequent whitespace tokens (Zipf 1949; natural text slopes near
+    -1, so a shallow slope flags boilerplate/spam-heavy corpora and a
+    steep one flags low-diversity templated text — a corpus-level
+    quality diagnostic next to the per-document Gopher/C4 signals).
+
+    Returns two rows: (stat='slope', n_points, value) and
+    (stat='intercept', n_points, value), value rounded to 6 dp.
+
+    Scale shape: one token explode + word count (map-side combined,
+    vocabulary-sized), ONE rank window over the vocab table, then the
+    four regression sums fold over a single collected array of at most
+    ``top_n`` (rank, ln x, ln y) structs — deterministic because the
+    fold order is rank order on BOTH engines (sort_array <-> DuckDB
+    ``list(... ORDER BY rk)``, the DSIR-proven pairing), so the fit
+    replays bit-for-bit in ANSI SQL.
+    """
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2 (got {top_n})")
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rk"), F.col("c")
+    ).filter(F.col("rk") <= top_n)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("rk"),
+                F.log(F.col("rk").cast("double")).alias("x"),
+                F.log(F.col("c").cast("double")).alias("y"),
+            )
+        )
+    )
+    zero = F.lit(0.0)
+    sums = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.aggregate(arr, zero, lambda a, p: a + p["x"]).alias("sx"),
+        F.aggregate(arr, zero, lambda a, p: a + p["y"]).alias("sy"),
+        F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["y"]).alias("sxy"),
+        F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["x"]).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fitted = sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("_icpt"),
+    )
+    return fitted.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("slope"), F.lit("intercept")),
+                F.array(F.round("_slope", 6), F.round("_icpt", 6)),
+            )
+        ).alias("stat", "value"),
+        "n_points",
+    ).select("stat", "n_points", "value")

@@ -188,11 +188,46 @@ FROM dsir_sel_{i}"""
     )
 
 
+# Prototype-based cluster pruning (round-7 continuation): fixed
+# prototypes inlined as literals (queries/prototypes.py), squared-L2
+# assignment with the repo's IEEE-identical left-fold pairing, keep-hard
+# rank per cell. The distance rides the n_tokens column as an exact
+# nano-quantized integer so the hash pins the arithmetic, not just
+# membership.
+def _cluster_prune_ctes() -> str:
+    from kinesiscat_spark.queries.prototypes import (
+        PROTO_KEEP,
+        prototypes_values_sql,
+    )
+
+    d2 = (
+        "round(list_sum(list_transform(list_zip(e.embedding, pr.p), "
+        "z -> (CAST(z[1] AS DOUBLE) - z[2]) * "
+        "(CAST(z[1] AS DOUBLE) - z[2]))), 9)"
+    )
+    return f"""
+pp_assign AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT e.vec_id, pr.cell, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, pr.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {prototypes_values_sql()}
+    WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+  ) WHERE rn = 1
+),
+pp_keep AS (
+  SELECT vec_id, cell, d2 FROM pp_assign
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+                             ORDER BY d2 DESC, vec_id ASC) <= {PROTO_KEEP}
+)"""
+
+
 _SAMPLING_ORACLE = f"""
 WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)},
 {_temp_ctes()},
-{_dsir_ctes()}
+{_dsir_ctes()},
+{_cluster_prune_ctes().lstrip()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM documents
@@ -243,6 +278,12 @@ FROM (
 ) WHERE rk <= {_STRAT_N}
 UNION ALL
 {_dsir_selects()}
+UNION ALL
+SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS lang, cell AS source_id,
+       CAST(round(d2 * 1e9) AS BIGINT) AS n_tokens,
+       CAST(NULL AS VARCHAR) AS split
+FROM pp_keep
 """
 
 
@@ -276,6 +317,13 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       id inside each stratum (ties → id). One shuffle on the stratum;
       the window's group-limit caps what each map task forwards at n
       rows per stratum. The stratum rides the ``split`` column.
+    - ``kind='cluster'`` (round 7): PROTOTYPE-based pruning (Sorscher et
+      al. 2022 "Beyond neural scaling laws" keep-hard selection) —
+      nearest fixed prototype by squared L2 (literals in both engines,
+      queries/prototypes.py), each cell keeps its ``PROTO_KEEP`` hardest
+      members (largest distance, ties → id). Cell rides ``source_id``;
+      the exact nano-quantized distance rides ``n_tokens`` so the hash
+      pins the fold arithmetic itself.
     - ``kind='dsir'`` (round 6): DSIR importance resampling
       (``dsir_resample(method='md5')``, Xie et al. 2023) — top-64 raw
       documents by log importance weight (target = English docs) plus
@@ -356,7 +404,23 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 null_split.alias("split"),
             )
         )
-    return out
+
+    # kind='cluster' (round-7 continuation): prototype-based pruning
+    # (Sorscher et al. 2022 keep-hard) — fixed literal prototypes, cell
+    # rides source_id, the exact nano-quantized distance rides n_tokens.
+    from kinesiscat_spark.operators.sampling import prototype_prune
+    from kinesiscat_spark.queries.prototypes import PROTO_KEEP, PROTOTYPES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clus = prototype_prune(emb, PROTOTYPES, PROTO_KEEP).select(
+        F.lit("cluster").alias("kind"),
+        F.col("id").cast("string").alias("doc_id"),
+        null_lang.alias("lang"),
+        F.col("cell").alias("source_id"),
+        F.round(F.col("dist2") * 1e9).cast("long").alias("n_tokens"),
+        null_split.alias("split"),
+    )
+    return out.unionByName(clus)
 
 
 _KEEP_CANONICAL_ORACLE = f"""

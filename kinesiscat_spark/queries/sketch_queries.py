@@ -27,6 +27,9 @@ _HH_N = 2
 _HH_MIN = 30
 _HLL_P = 12  # m = 4096
 _VOCAB_TARGETS = (0.5, 0.9, 0.99)
+_ZIPF_TOP = 512
+_CSIM_H = 64  # corpus-similarity minhash width
+_MOD48 = 1 << 48
 
 _HEAVY_ORACLE = f"""
 WITH g AS (
@@ -78,6 +81,68 @@ SELECT 'vocab' AS kind, t.lbl AS gram,
 FROM (VALUES {", ".join(f"('{t:g}', {t!r}::DOUBLE)" for t in _VOCAB_TARGETS)}) t(lbl, t)
 """
 
+# Round-7 continuation widenings: Zipf-law fit (rides the vocab CTEs —
+# regression sums fold in RANK order, the DSIR-proven list_sum <->
+# sort_array+aggregate pairing) and the corpus-level MinHash similarity
+# matrix (per-source UNION signatures, minhash_lsh's md5 Carter-Wegman
+# hash family).
+_ZIPF_CSIM_CTE = f""",
+zrk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk, c FROM vwc
+  QUALIFY rk <= {_ZIPF_TOP}
+),
+zs AS (
+  SELECT count(*)::DOUBLE AS n,
+         list_sum(list(ln(rk::DOUBLE) ORDER BY rk)) AS sx,
+         list_sum(list(ln(c::DOUBLE) ORDER BY rk)) AS sy,
+         list_sum(list(ln(rk::DOUBLE) * ln(c::DOUBLE) ORDER BY rk)) AS sxy,
+         list_sum(list(ln(rk::DOUBLE) * ln(rk::DOUBLE) ORDER BY rk)) AS sxx
+  FROM zrk
+),
+zfit AS (
+  SELECT n::BIGINT AS n_points,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icpt
+  FROM zs
+),
+cm_hp AS (
+  SELECT source,
+         ('0x' || substring(md5(sgl), 1, 12))::BIGINT AS h1,
+         ('0x' || substring(md5(sgl), 13, 12))::BIGINT AS h2
+  FROM (
+    SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 1)),
+             i -> array_to_string(t[i:i+2], ' '))) AS sgl
+    FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS t
+          FROM documents)
+  )
+),
+cm_min AS (
+  SELECT source, t.i AS i, MIN((h1 + t.i * h2) % {_MOD48}) AS v
+  FROM cm_hp CROSS JOIN range(0, {_CSIM_H}) t(i)
+  GROUP BY source, t.i
+),
+cm_sig AS (SELECT source, list(v ORDER BY i) AS sig FROM cm_min GROUP BY source),
+cm_pairs AS (
+  SELECT a.source AS ga, b.source AS gb,
+         len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) AS m
+  FROM cm_sig a JOIN cm_sig b ON a.source < b.source
+)"""
+
+_ZIPF_CSIM_SELECTS = f"""
+UNION ALL
+SELECT 'zipf' AS kind, 'slope' AS gram, n_points AS cnt,
+       ROUND(slope, 6) AS est
+FROM zfit
+UNION ALL
+SELECT 'zipf' AS kind, 'intercept' AS gram, n_points AS cnt,
+       ROUND(icpt, 6) AS est
+FROM zfit
+UNION ALL
+SELECT 'corpus_sim' AS kind, ga || '|' || gb AS gram, m::BIGINT AS cnt,
+       ROUND(m / {_CSIM_H}.0, 6) AS est
+FROM cm_pairs"""
+
 _VOCAB_CTE = """,
 vw AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
@@ -91,8 +156,9 @@ vrk AS (
 )
 """
 _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
-    ")\nSELECT 'heavy'", ")" + _VOCAB_CTE.rstrip() + "\nSELECT 'heavy'"
-)
+    ")\nSELECT 'heavy'",
+    ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + "\nSELECT 'heavy'",
+) + _ZIPF_CSIM_SELECTS
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -114,6 +180,18 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator math itself.  ``kind='exact_distinct'`` rides along as
     the accuracy yardstick (p=12 → ~1.6% expected relative error,
     asserted in tests/test_sketches.py).
+
+    ``kind='zipf'`` (round 7): least-squares Zipf-law fit (slope /
+    intercept of ln freq on ln rank over the top-512 tokens) —
+    corpus-level token-diversity diagnostic; regression sums fold in
+    RANK order on both engines so the fit hash-checks exactly.
+
+    ``kind='corpus_sim'`` (round 7): corpus-LEVEL MinHash similarity
+    matrix (operators/dedup.py corpus_minhash_similarity; Broder 1997
+    union-signature property) — estimated shingle-set Jaccard between
+    every ``source`` pair from per-source element-wise-min signatures;
+    the dataset-overlap signal behind mixing decisions. The only
+    exchange is (n_sources x 64) minima.
     """
     from kinesiscat_spark.operators.curation import word_ngrams
     from kinesiscat_spark.operators.sketches import heavy_hitters, hll_distinct
@@ -155,6 +233,31 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab_size").alias("cnt"),
         F.col("coverage").alias("est"),
     )
+    # round-7 continuation widenings: Zipf-law fit over the same vocab
+    # table (kind='zipf' — corpus-level token-diversity diagnostic) and
+    # the corpus-level MinHash similarity matrix (kind='corpus_sim' —
+    # estimated shingle-Jaccard between every source pair from per-source
+    # UNION signatures; the dataset-overlap signal behind mixing
+    # decisions). Both deterministic and replayed in the SQL twin.
+    from kinesiscat_spark.operators.dedup import corpus_minhash_similarity
+    from kinesiscat_spark.operators.text import zipf_fit
+
+    zipf = zipf_fit(docs, top_n=_ZIPF_TOP).select(
+        F.lit("zipf").alias("kind"),
+        F.col("stat").alias("gram"),
+        F.col("n_points").alias("cnt"),
+        F.col("value").alias("est"),
+    )
+    csim = corpus_minhash_similarity(docs, n_hashes=_CSIM_H).select(
+        F.lit("corpus_sim").alias("kind"),
+        F.concat_ws("|", "group_a", "group_b").alias("gram"),
+        F.col("n_matches").alias("cnt"),
+        F.col("est_jaccard").alias("est"),
+    )
     return (
-        heavy.unionByName(exact_d).unionByName(hll).unionByName(vocab)
+        heavy.unionByName(exact_d)
+        .unionByName(hll)
+        .unionByName(vocab)
+        .unionByName(zipf)
+        .unionByName(csim)
     )

