@@ -674,3 +674,72 @@ def prototype_prune(
         .filter(F.col("_rk") <= keep_per_cell)
         .select("id", "cell", "dist2")
     )
+
+
+def mix_corpora_unimax(
+    sources: Sequence[DataFrame],
+    total_tokens: int,
+    max_epochs: float = 4.0,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """UniMax corpus mixture (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): water-filling budget allocation with a
+    per-source EPOCH cap — smallest source first, each source gets
+    ``min(max_epochs · n_i, remaining_budget / remaining_sources)``
+    tokens, so small sources are repeated at most ``max_epochs`` times
+    (never oversampled into memorization) and the leftover budget pools
+    to the large ones, instead of the temperature recipe's fixed
+    power-law shares.
+
+    Budgets floor to ints; each source then contributes its
+    deterministic ``token_budget_sample`` prefix (independent salt per
+    source). Returns (id, n_tokens, source_id).
+
+    Determinism/cross-engine note: counts are exact integer aggregates;
+    the water-fill visits sources in (count, index) order and evaluates
+    ``min(max_epochs·n, rem/k)`` with one double multiply/divide per
+    step, so an unrolled SQL twin reproduces budgets — and therefore the
+    exact selected set — bit-for-bit.
+
+    Scale shape: ONE aggregate per source for the counts (#sources
+    scalars to the driver), then the hierarchical token-budget plan per
+    source; the water-fill itself is O(#sources log #sources) driver
+    arithmetic.
+    """
+    if not sources:
+        raise ValueError("mix_corpora_unimax needs at least one source")
+    if total_tokens <= 0 or max_epochs <= 0:
+        raise ValueError(
+            f"need total_tokens > 0 and max_epochs > 0 "
+            f"(got {total_tokens}, {max_epochs})"
+        )
+    n_tok = lambda df: F.sum(  # noqa: E731
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).cast("long")
+    )
+    counts = [
+        (df.agg(n_tok(df).alias("n")).collect()[0].n or 0) for df in sources
+    ]
+    k = len(sources)
+    order = sorted(range(k), key=lambda i: (counts[i], i))
+    budgets = [0] * k
+    rem = float(total_tokens)
+    for pos, i in enumerate(order):
+        fair = rem / (k - pos)
+        b = min(float(max_epochs) * counts[i], fair)
+        budgets[i] = int(math.floor(b))
+        rem -= b
+    return mix_corpora_tokens(
+        [(df, b) for df, b in zip(sources, budgets)],
+        salt=salt,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )

@@ -188,6 +188,67 @@ FROM dsir_sel_{i}"""
     )
 
 
+_UNIMAX_TOTAL = 24000
+_UNIMAX_EPOCHS = 1.0
+_UNIMAX_SALT = 29
+
+
+# UniMax twin (round-7 continuation): the 2-source water-fill unrolled —
+# smallest source first ((count, index) order, so en wins ties), each step
+# one double multiply/divide in the same fixed order as the driver-side
+# loop, budgets floored to BIGINT, then the same naive global-cumsum
+# prefix replay the 'tok'/'temp' kinds already hash-check.
+def _unimax_ctes() -> str:
+    e, b = _UNIMAX_EPOCHS, _UNIMAX_TOTAL
+    cap_en = f"least({e!r} * n_en, {b} / 2.0)"
+    cap_rest = f"least({e!r} * n_rest, {b} / 2.0)"
+    return f"""
+um_counts AS (
+  SELECT {_TEMP_NTOK.format(pred="lang = 'en'")} AS n_en,
+         {_TEMP_NTOK.format(pred="lang <> 'en'")} AS n_rest
+),
+um_b AS (
+  SELECT CASE WHEN n_en <= n_rest
+              THEN CAST(floor({cap_en}) AS BIGINT)
+              ELSE CAST(floor(least({e!r} * n_en, {b} - {cap_rest}))
+                   AS BIGINT) END AS b_en,
+         CASE WHEN n_en <= n_rest
+              THEN CAST(floor(least({e!r} * n_rest, {b} - {cap_en}))
+                   AS BIGINT)
+              ELSE CAST(floor({cap_rest}) AS BIGINT) END AS b_rest
+  FROM um_counts
+),
+um_en AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM (
+      SELECT doc_id,
+             substr(md5(doc_id || chr(31) || '{_UNIMAX_SALT}'), 1, 12) AS hk,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                 '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      FROM documents WHERE lang = 'en'
+    )
+  ) WHERE c - n_tokens < (SELECT b_en FROM um_b)
+),
+um_rest AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY hk, doc_id
+             ROWS UNBOUNDED PRECEDING) AS c
+    FROM (
+      SELECT doc_id,
+             substr(md5(doc_id || chr(31) || '{_UNIMAX_SALT + 1}'), 1, 12)
+               AS hk,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                 '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      FROM documents WHERE lang <> 'en'
+    )
+  ) WHERE c - n_tokens < (SELECT b_rest FROM um_b)
+)"""
+
+
 # Prototype-based cluster pruning (round-7 continuation): fixed
 # prototypes inlined as literals (queries/prototypes.py), squared-L2
 # assignment with the repo's IEEE-identical left-fold pairing, keep-hard
@@ -227,6 +288,7 @@ WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)},
 {_temp_ctes()},
 {_dsir_ctes()},
+{_unimax_ctes().lstrip()},
 {_cluster_prune_ctes().lstrip()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
@@ -279,6 +341,14 @@ FROM (
 UNION ALL
 {_dsir_selects()}
 UNION ALL
+SELECT 'unimax' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       0 AS source_id, n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM um_en
+UNION ALL
+SELECT 'unimax' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       1 AS source_id, n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM um_rest
+UNION ALL
 SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS lang, cell AS source_id,
        CAST(round(d2 * 1e9) AS BIGINT) AS n_tokens,
@@ -317,6 +387,12 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       id inside each stratum (ties → id). One shuffle on the stratum;
       the window's group-limit caps what each map task forwards at n
       rows per stratum. The stratum rides the ``split`` column.
+    - ``kind='unimax'`` (round 7): UniMax mixture (Chung et al. 2023) —
+      water-filling budgets with a per-source EPOCH cap: smallest source
+      first, each gets ``min(max_epochs·n_i, remaining/left)`` tokens, so
+      small sources are never oversampled and the leftover pools to the
+      large ones. The oracle unrolls the 2-source water-fill and replays
+      the exact budgets and prefixes.
     - ``kind='cluster'`` (round 7): PROTOTYPE-based pruning (Sorscher et
       al. 2022 "Beyond neural scaling laws" keep-hard selection) —
       nearest fixed prototype by squared L2 (literals in both engines,
@@ -404,6 +480,25 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 null_split.alias("split"),
             )
         )
+
+    # kind='unimax' (round-7 continuation): UniMax water-filling mixture
+    # (Chung et al. 2023) — per-source epoch cap, leftover pools to the
+    # large sources; at lane constants the small source gets its FULL
+    # epoch and the large one is budget-limited.
+    from kinesiscat_spark.operators.sampling import mix_corpora_unimax
+
+    unimax = mix_corpora_unimax(
+        [en, rest], _UNIMAX_TOTAL, max_epochs=_UNIMAX_EPOCHS,
+        salt=_UNIMAX_SALT,
+    ).select(
+        F.lit("unimax").alias("kind"),
+        F.col("id").alias("doc_id"),
+        null_lang.alias("lang"),
+        F.col("source_id").cast("int").alias("source_id"),
+        "n_tokens",
+        null_split.alias("split"),
+    )
+    out = out.unionByName(unimax)
 
     # kind='cluster' (round-7 continuation): prototype-based pruning
     # (Sorscher et al. 2022 keep-hard) — fixed literal prototypes, cell

@@ -240,3 +240,43 @@ def test_prototype_prune_keep_hard(spark):
         prototype_prune(emb, protos, keep_per_cell=0)
     with pytest.raises(ValueError):
         prototype_prune(emb, [[0.0], [1.0, 2.0]], keep_per_cell=1)
+
+
+def test_unimax_water_fill_budgets(spark):
+    """Small source capped at max_epochs·n, leftover pools to the large
+    one; selections are the deterministic token-budget prefixes."""
+    import pytest
+
+    from kinesiscat_spark.operators.sampling import (
+        mix_corpora_unimax,
+        token_budget_sample,
+    )
+
+    small = spark.createDataFrame(
+        [(f"s{i}", "a b c") for i in range(10)],  # 30 tokens
+        "doc_id string, text string",
+    )
+    big = spark.createDataFrame(
+        [(f"b{i}", "a b c d e f g h i j") for i in range(30)],  # 300 tokens
+        "doc_id string, text string",
+    )
+    out = mix_corpora_unimax([small, big], 200, max_epochs=2.0, salt=7)
+    rows = out.collect()
+    by_src = {0: [], 1: []}
+    for r in rows:
+        by_src[r.source_id].append(r)
+    # water-fill: small first (30 < 300), cap 2*30=60 < fair 100 -> 60;
+    # big: min(600, 200-60=140) -> 140
+    small_ids = {r.id for r in by_src[0]}
+    assert small_ids == {f"s{i}" for i in range(10)}  # 30 <= 60: all kept
+    exp_big = {
+        r.id
+        for r in token_budget_sample(big, 140, salt=8).collect()
+    }
+    assert {r.id for r in by_src[1]} == exp_big
+    with pytest.raises(ValueError):
+        mix_corpora_unimax([], 100)
+    with pytest.raises(ValueError):
+        mix_corpora_unimax([small], 0)
+    with pytest.raises(ValueError):
+        mix_corpora_unimax([small], 100, max_epochs=0)
