@@ -1220,6 +1220,11 @@ def corpus_minhash_similarity(
     sigs = hp.groupBy("grp").agg(*mins).select(
         "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
     )
+    # materialize the (n_groups x H) signature table once — both sides of
+    # the pairwise self-join would otherwise re-run the full corpus
+    # scan + aggregation (the _ordered_shingles lesson); the checkpoint
+    # is n_groups rows, never corpus-sized
+    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select(F.col("grp").alias("group_a"), F.col("sig").alias("_sa"))
     b = sigs.select(F.col("grp").alias("group_b"), F.col("sig").alias("_sb"))
     matches = F.size(

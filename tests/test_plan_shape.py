@@ -546,3 +546,44 @@ def test_semantic_contamination_scan_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_prototype_prune_scan_stage_single_exchange(spark):
+    """Cluster pruning is literal-prototype Column algebra: no Python
+    anywhere, and the ONLY exchange is the per-cell rank window."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.sampling import prototype_prune
+    from kinesiscat_spark.queries.prototypes import PROTOTYPES
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p = (
+        prototype_prune(emb, PROTOTYPES, 24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in p
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(cell" in p
+
+
+def test_corpus_minhash_single_corpus_pass(spark):
+    """The pairwise self-join must NOT re-run the corpus signature
+    pipeline per side: signatures are materialized once (n_groups rows),
+    so the final plan holds ONE group exchange and zero parquet scans."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import corpus_minhash_similarity
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = (
+        corpus_minhash_similarity(docs, n_hashes=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in p
+    # the checkpointed signature table feeds BOTH join sides: the corpus
+    # scan + signature aggregation appear at most once in the plan (zero
+    # once the checkpoint has materialized), never once per side
+    assert p.count("Scan parquet") + p.count("FileScan") <= 1
+    assert p.count("Exchange hashpartitioning(grp") <= 1

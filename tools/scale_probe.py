@@ -391,6 +391,31 @@ def probes():
         )
         return split_leakage_report(split_docs).count()
 
+    def p_corpus_sim(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup.corpus_minhash_similarity(docs, n_hashes=64).count()
+
+    def p_zipf(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return text.zipf_fit(docs, top_n=512).count()
+
+    def p_prototype_prune(spark, d):
+        from kinesiscat_spark.operators.sampling import prototype_prune
+        from kinesiscat_spark.queries.prototypes import PROTOTYPES
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return prototype_prune(emb, PROTOTYPES, keep_per_cell=64).count()
+
+    def p_unimax(spark, d):
+        from kinesiscat_spark.operators.sampling import mix_corpora_unimax
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        en = docs.filter(F.col("lang") == "en")
+        rest = docs.filter(F.col("lang") != "en")
+        return mix_corpora_unimax(
+            [en, rest], 240_000, max_epochs=1.0, salt=29
+        ).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "pca_train_project": (p_pca, "linear (1-pass Gram partials + scan projection)"),
@@ -423,6 +448,10 @@ def probes():
         "gopher_rules": (p_gopher, "linear (scan-stage)"),
         "ppl_buckets": (p_ppl_buckets, "linear (LM score pass + t-digest pass + scan CASE)"),
         "split_leakage": (p_split_leakage, "linear+dup-density (minhash pairs + narrow split joins)"),
+        "corpus_minhash_sim": (p_corpus_sim, "linear (group-bounded minima exchange)"),
+        "zipf_fit": (p_zipf, "linear (vocab count + one rank window over vocab)"),
+        "prototype_prune": (p_prototype_prune, "linear (literal-prototype scan assign + k-cell window)"),
+        "unimax_mix": (p_unimax, "linear (per-source counts + bucket plans)"),
     }
 
 
