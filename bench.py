@@ -168,6 +168,7 @@ def main() -> None:
     from kinesiscat_spark.queries.text_queries import (
         text_bigram_lm,
         text_bigram_lm_persisted,
+        text_kn_lm,
         text_language_id,
         text_unigram_lm,
     )
@@ -242,6 +243,7 @@ def main() -> None:
             "bigram_lm_persisted": lambda: text_bigram_lm_persisted(
                 spark, sf_dir
             ),
+            "kn_lm": lambda: text_kn_lm(spark, sf_dir),
         },
         "text_heavy_ngrams": {
             m: (lambda m=m: qs["text_heavy_ngrams"](spark, sf_dir).filter(

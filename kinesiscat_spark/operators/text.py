@@ -841,3 +841,153 @@ def zipf_fit(
         ).alias("stat", "value"),
         "n_points",
     ).select("stat", "n_points", "value")
+
+
+class KNModel(NamedTuple):
+    """A trained interpolated Kneser-Ney bigram model (Kneser & Ney 1995;
+    Chen & Goodman 1999 interpolated form): raw pair counts, per-context
+    totals + continuation fan-outs, per-word continuation fan-ins, and
+    the scalar type/vocab masses the closed-form probability needs.
+    Tables hold COUNTS (not probabilities) because KN's discount applies
+    at scoring time: p(w2|w1) = max(c-D,0)/c1 + (D·n1f(w1)/c1)·p_cont(w2).
+    """
+
+    pairs: "DataFrame"  # (w1, w2, c)
+    ctx: "DataFrame"  # (w1, c1, n1f) — total count + distinct-successor fan-out
+    back: "DataFrame"  # (w2, n1b) — distinct-predecessor fan-in
+    n_types: float  # distinct bigram types
+    v: float  # unigram vocabulary size
+    d: float  # absolute discount
+    k: float  # add-k smoothing of the continuation distribution
+
+
+def kneser_ney_model(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: float = 0.75,
+    k: float = 0.5,
+) -> KNModel:
+    """Interpolated Kneser-Ney bigram model — the next rung of the LM
+    ladder after ``bigram_model``'s add-k interpolation, and the
+    smoothing family production KenLM actually uses (modified KN):
+    instead of mixing with the raw unigram, mass discounted from seen
+    pairs backs off to the CONTINUATION distribution
+    ``p_cont(w2) ∝ N1+(·w2)`` — how many contexts a word completes, not
+    how often it occurs — which famously stops high-frequency but
+    single-context words ("Francisco") from absorbing backoff mass.
+    ``p_cont`` is add-``k`` smoothed over (n_types + k·V) so OOV words
+    keep nonzero mass.
+
+    Scale shape: identical to ``bigram_model`` — one explode to (w1, w2)
+    pairs, one map-side-combined groupBy for counts; ctx/back fan-outs
+    are groupBys of the COUNTS table (bigram-type-sized); two scalar
+    aggregates (n_types, V). Every table is bigram-type- or vocab-sized.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"discount d must be in (0, 1), got {d}")
+    uni = unigram_model(docs, id_col, text_col, k)
+    v = float(uni.df.count())
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").cast("double").alias("n1f")
+    )
+    back = counts.groupBy("w2").agg(
+        F.count("*").cast("double").alias("n1b")
+    )
+    n_types = float(counts.count())
+    return KNModel(counts, ctx, back, n_types, v, d, k)
+
+
+def score_documents_kn(
+    docs,
+    model: KNModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_rows: int = 10_000_000,
+):
+    """(id, n_tokens, avg_logp_kn): mean interpolated-Kneser-Ney bigram
+    log-probability per document. Token i > 1 with a SEEN context w1
+    scores ``ln(max(c-D,0)/c1 + (D·n1f(w1)/c1)·p_cont(w2))``; the first
+    token and unseen contexts score ``ln(p_cont(w2))``. The per-doc sum
+    folds over the VALUE-sorted logp list (the unigram lane discipline)
+    so the double fold is order-defined and cross-engine stable.
+
+    Scale shape: one positions explode + three model joins + one per-doc
+    aggregate, map-side partialed; the joins carry a broadcast hint only
+    while the bigram-type count stays under ``broadcast_rows`` (the
+    bigram lane's size switch — a full-corpus-trained model shuffles on
+    the word keys instead).
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    pos = (
+        toks.select(id_col, "t", F.posexplode("t").alias("i", "w2"))
+        .withColumn(
+            "w1", F.when(F.col("i") > 0, F.element_at(F.col("t"), F.col("i")))
+        )
+        .drop("t")
+    )
+    bi = model.pairs.select(
+        F.col("w1").alias("_bw1"), F.col("w2").alias("_bw2"), "c"
+    )
+    ctx = model.ctx.select(F.col("w1").alias("_cw1"), "c1", "n1f")
+    back = model.back.select(F.col("w2").alias("_kw"), "n1b")
+    small = model.n_types <= broadcast_rows
+    if small:
+        bi, ctx, back = F.broadcast(bi), F.broadcast(ctx), F.broadcast(back)
+    pc = (F.coalesce("n1b", F.lit(0.0)) + F.lit(model.k)) / F.lit(
+        model.n_types + model.k * model.v
+    )
+    seen = (
+        F.greatest(F.coalesce("c", F.lit(0.0)) - F.lit(model.d), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(model.d) * F.col("n1f") / F.col("c1") * pc
+    )
+    p = F.when((F.col("i") == 0) | F.col("c1").isNull(), pc).otherwise(seen)
+    joined = (
+        pos.join(
+            bi,
+            (pos["w1"] == bi["_bw1"]) & (pos["w2"] == bi["_bw2"]),
+            "left",
+        )
+        .join(ctx, pos["w1"] == ctx["_cw1"], "left")
+        .join(back, pos["w2"] == back["_kw"], "left")
+        .select(id_col, F.log(p).alias("_lp"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("_lp")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*")
+            ).alias("avg_logp_kn"),
+        )
+    )

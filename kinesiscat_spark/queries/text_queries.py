@@ -157,6 +157,36 @@ bg_doc AS (
       LEFT JOIN bg_ctx cx ON cx.w1 = p.w1
     ) q
   ) GROUP BY doc_id
+),
+-- interpolated Kneser-Ney bigram (round-7 continuation:
+-- operators/text.py kneser_ney_model / score_documents_kn, D=0.75
+-- k=0.5): discounted seen-pair mass backs off to the CONTINUATION
+-- distribution p_cont(w2) = (N1+(.w2) + k) / (n_types + k*V); first
+-- token and unseen contexts score p_cont alone; value-sorted per-doc
+-- fold. Rides the SAME bg_counts/bg_pos tables as the add-k bigram.
+kn_ctx AS (
+  SELECT w1, sum(c) AS c1, count(*)::DOUBLE AS n1f FROM bg_counts GROUP BY w1
+),
+kn_back AS (SELECT w2, count(*)::DOUBLE AS n1b FROM bg_counts GROUP BY w2),
+kn_tot AS (SELECT count(*)::DOUBLE AS nt FROM bg_counts),
+kn_doc AS (
+  SELECT doc_id,
+         round(list_sum(list(lp ORDER BY lp)) / count(*), 6) AS avg_logp_kn
+  FROM (
+    SELECT q.doc_id,
+           CASE WHEN q.i = 1 OR q.c1 IS NULL THEN ln(pc)
+                ELSE ln(greatest(coalesce(q.c, 0) - 0.75, 0) / q.c1
+                        + 0.75 * q.n1f / q.c1 * pc) END AS lp
+    FROM (
+      SELECT p.doc_id, p.i, bc.c, cx.c1, cx.n1f,
+             (coalesce(kb.n1b, 0) + 0.5) /
+               ((SELECT nt FROM kn_tot) + 0.5 * (SELECT v FROM lm_tot)) AS pc
+      FROM bg_pos p
+      LEFT JOIN bg_counts bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+      LEFT JOIN kn_ctx cx ON cx.w1 = p.w1
+      LEFT JOIN kn_back kb ON kb.w2 = p.w2
+    ) q
+  ) GROUP BY doc_id
 )
 """
 
@@ -171,6 +201,7 @@ WITH {_LM_ORACLE_CTES}
 SELECT q.*, l.given_lang, l.pred_lang, l.top_score,
        m.avg_logp, m.oov_frac, b.avg_logp2,
        b.avg_logp2 AS avg_logp2_persisted,
+       kn.avg_logp_kn,
        CAST(1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
                  * 3) // (COUNT(*) OVER ()) AS BIGINT) AS ppl_bucket,
        CASE 1 + ((ROW_NUMBER() OVER (ORDER BY m.avg_logp DESC, q.doc_id) - 1)
@@ -181,6 +212,7 @@ FROM ({_QUALITY_ORACLE}) q
 JOIN ({_langid_oracle()}) l USING (doc_id)
 JOIN lm_doc m USING (doc_id)
 LEFT JOIN bg_doc b USING (doc_id)
+LEFT JOIN kn_doc kn USING (doc_id)
 """
 
 
@@ -274,6 +306,27 @@ def text_bigram_lm_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney fold (round-7 continuation,
+    operators/text.py kneser_ney_model/score_documents_kn, D=0.75 k=0.5):
+    the smoothing family production KenLM uses — discounted seen-pair
+    mass backs off to the CONTINUATION distribution (contexts a word
+    completes, not raw frequency). Trained on the ENGLISH documents,
+    every document scored. Standalone so bench.py can sub-time it."""
+    from kinesiscat_spark.operators.text import (
+        kneser_ney_model,
+        score_documents_kn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower("text")
+    )
+    model = kneser_ney_model(docs.filter(F.col("lang") == "en"), d=0.75, k=0.5)
+    return score_documents_kn(docs, model).select(
+        "doc_id", F.round("avg_logp_kn", 6).alias("avg_logp_kn")
+    )
+
+
 @query("text_quality_score", oracle=_quality_plus_langid_oracle())
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 token counting + heuristic quality score + language-ID in one
@@ -341,6 +394,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle replays the identical math, so a hash match proves the
     # model_store save→load→score path (see text_bigram_lm_persisted)
     out = out.join(text_bigram_lm_persisted(spark, sf_dir), "doc_id", "left")
+    # round-7 continuation: interpolated Kneser-Ney (see text_kn_lm)
+    out = out.join(text_kn_lm(spark, sf_dir), "doc_id", "left")
     return perplexity_buckets(out, method="rank")
 
 

@@ -562,3 +562,41 @@ def test_zipf_fit_exact_power_law(spark):
 
     with _pytest.raises(ValueError):
         zipf_fit(docs, top_n=1)
+
+
+def test_kneser_ney_hand_computed(spark):
+    """KN arithmetic on a corpus small enough to do by hand.
+
+    Train on one doc "a b a c": pairs (a,b),(b,a),(a,c) each once;
+    ctx a: c1=2 n1f=2, b: c1=1 n1f=1; fan-ins all 1; n_types=3, V=3;
+    p_cont(seen w) = (1+0.5)/(3+0.5*3) = 1/3, p_cont(OOV) = 0.5/4.5."""
+    import math
+
+    from kinesiscat_spark.operators.text import (
+        kneser_ney_model,
+        score_documents_kn,
+    )
+
+    train = spark.createDataFrame(
+        [("t1", "a b a c")], "doc_id string, text string"
+    )
+    model = kneser_ney_model(train, d=0.75, k=0.5)
+    assert model.n_types == 3.0 and model.v == 3.0
+
+    docs = spark.createDataFrame(
+        [("d1", "a b"), ("d2", "c z")], "doc_id string, text string"
+    )
+    got = {r.doc_id: r for r in score_documents_kn(docs, model).collect()}
+    # d1: first token a -> p_cont(a)=1/3; "b" after seen ctx "a":
+    # max(1-0.75,0)/2 + 0.75*(2/2)*(1/3) = 0.125 + 0.25 = 0.375
+    exp_d1 = (math.log(1.5 / 4.5) + math.log(0.375)) / 2
+    assert abs(got["d1"].avg_logp_kn - exp_d1) < 1e-12
+    # d2: first token c -> 1/3; "z" after ctx "c" (NEVER a context) and
+    # z OOV -> p_cont(z) = 0.5/4.5
+    exp_d2 = (math.log(1.5 / 4.5) + math.log(0.5 / 4.5)) / 2
+    assert abs(got["d2"].avg_logp_kn - exp_d2) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kneser_ney_model(train, d=1.5)
