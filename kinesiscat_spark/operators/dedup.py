@@ -1202,23 +1202,9 @@ def corpus_minhash_similarity(
     n_groups rows. Deterministic (md5-derived Carter-Wegman hashes, the
     minhash_lsh hash family) and replayable in ANSI SQL.
     """
-    from kinesiscat_spark.io_tables import spread
-
-    sh = spread(docs, id_col).select(
-        F.col(group_col).alias("grp"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
-    )
-    hp = sh.select(
-        "grp",
-        _hexint(F.md5("s"), 1, 12).alias("h1"),
-        _hexint(F.md5("s"), 13, 12).alias("h2"),
-    )
-    mins = [
-        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = hp.groupBy("grp").agg(*mins).select(
-        "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+    sigs = corpus_minhash_signatures(
+        docs, group_col=group_col, n_hashes=n_hashes, n=n,
+        id_col=id_col, text_col=text_col,
     )
     # materialize the (n_groups x H) signature table once — both sides of
     # the pairwise self-join would otherwise re-run the full corpus
@@ -1240,4 +1226,40 @@ def corpus_minhash_similarity(
             matches.cast("long").alias("n_matches"),
             F.round(matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
         )
+    )
+
+
+def corpus_minhash_signatures(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, sig) per-group MinHash UNION signatures — the signature half
+    of ``corpus_minhash_similarity``, split out because element-wise min
+    is a MONOID: the same groupBy-min is a standard STREAMING aggregation
+    with bounded state (n_groups x n_hashes minima), so a streaming
+    caller drains a LIVE per-group signature in complete mode that equals
+    the batch signature over the same rows (pinned in tests/test_dedup.py
+    — the cms_slots/hll_slots incremental-sketch pattern)."""
+    from kinesiscat_spark.io_tables import spread
+
+    src = docs if docs.isStreaming else spread(docs, id_col)
+    sh = src.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    )
+    hp = sh.select(
+        "grp",
+        _hexint(F.md5("s"), 1, 12).alias("h1"),
+        _hexint(F.md5("s"), 13, 12).alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    return hp.groupBy("grp").agg(*mins).select(
+        "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
     )

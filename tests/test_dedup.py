@@ -511,3 +511,38 @@ def test_corpus_minhash_similarity_union_property(spark):
     pr = corpus_minhash_similarity(both, n_hashes=32).collect()[0]
     assert pr.n_matches == 32  # same union set -> same signature
     assert expected == [min(p) for p in zip(doc_sigs["a1"], doc_sigs["a2"])]
+
+
+def test_streaming_corpus_signatures_equal_batch(spark, tmp_path):
+    """Element-wise min is a monoid: the streaming groupBy-min over
+    per-group shingle hashes (complete mode, multiple micro-batches)
+    must produce the exact batch union signatures."""
+    import random
+
+    from kinesiscat_spark.operators.dedup import corpus_minhash_signatures
+    from kinesiscat_spark.streaming.source import StreamConfig, run_to_memory
+
+    rng = random.Random(11)
+    words = [f"w{rng.randint(0, 50)}" for _ in range(400)]
+    rows = [
+        (str(i), f"g{i % 3}", " ".join(words[i: i + 8]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = spark.readStream.schema(
+        "doc_id string, source string, text string"
+    ).parquet(src)
+    streamed = run_to_memory(
+        corpus_minhash_signatures(stream, n_hashes=16),
+        output_mode="complete",
+        cfg=StreamConfig(batch_size=1),
+    )
+    got = {r.grp: r.sig for r in streamed.collect()}
+    want = {
+        r.grp: r.sig
+        for r in corpus_minhash_signatures(df, n_hashes=16).collect()
+    }
+    assert got == want and set(got) == {"g0", "g1", "g2"}
