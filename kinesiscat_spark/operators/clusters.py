@@ -115,3 +115,45 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster resolution: keep the HIGHEST-``score_col``
+    member of each duplicate cluster (ties → lowest id) instead of
+    ``keep_canonical``'s lowest-id rule — the "keep the best
+    representative" policy real pipelines apply once a quality signal
+    exists (longest text, highest LM score, freshest snapshot), so a
+    near-dup cluster surrenders its truncated/boilerplate variants
+    rather than whichever happened to carry the smallest id.
+
+    Same scale shape as keep_canonical: connected components exchange
+    (id, label) pairs, then ONE rank window partitioned by cluster over
+    the CLUSTER MEMBERS only (pair-dense rows, not the corpus), and a
+    left-anti join drops the losers. Deterministic: (score DESC, id ASC)
+    total order within each cluster.
+    """
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, id_a, id_b)
+    members = cc.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("id")
+    )
+    losers = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -36,6 +36,11 @@ class CurationConfig:
     near_dup_threshold: float = 0.5
     minhash_hashes: int = 32
     minhash_bands: int = 8
+    # near-dup cluster winner: "canonical" (lowest id) or "best" (highest
+    # ``near_dup_score_col``, ties → lowest id — the keep-the-best-
+    # representative policy once a quality signal exists)
+    near_dup_keep: str = "canonical"
+    near_dup_score_col: str = "n_chars"
     sample_fraction: float = 1.0  # 1.0 disables sampling
     sample_salt: int = 0
     # "xxhash64" (cheapest JVM path) or "md5" (reproduces the exact same
@@ -251,9 +256,11 @@ def exact_dedup(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
 
 
 def near_dedup(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
-    from kinesiscat_spark.operators.clusters import keep_canonical
+    from kinesiscat_spark.operators.clusters import keep_best, keep_canonical
     from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
 
+    if cfg.near_dup_keep not in ("canonical", "best"):
+        raise ValueError(f"unknown near_dup_keep {cfg.near_dup_keep!r}")
     pairs = minhash_lsh_pairs(
         docs,
         threshold=cfg.near_dup_threshold,
@@ -262,6 +269,10 @@ def near_dedup(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
         id_col=cfg.id_col,
         text_col=cfg.text_col,
     )
+    if cfg.near_dup_keep == "best":
+        return keep_best(
+            docs, pairs, cfg.near_dup_score_col, id_col=cfg.id_col
+        )
     return keep_canonical(docs, pairs, id_col=cfg.id_col)
 
 

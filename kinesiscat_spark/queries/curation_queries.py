@@ -1312,6 +1312,18 @@ labels AS (SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
 losers AS (SELECT id FROM labels WHERE id <> cluster_id),
 g_near AS (  -- near-dup cluster dedup: keep one canonical doc per cluster
   SELECT * FROM g_exact WHERE doc_id NOT IN (SELECT id FROM losers)
+),
+best_losers AS (  -- keep-BEST policy (round 7): highest n_chars wins,
+                  -- ties -> lowest id (operators/clusters.py keep_best)
+  SELECT id FROM (
+    SELECT l.id,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, l.id ASC) AS rk
+    FROM labels l JOIN g_exact d ON d.doc_id = l.id
+  ) WHERE rk > 1
+),
+g_near_best AS (
+  SELECT * FROM g_exact WHERE doc_id NOT IN (SELECT id FROM best_losers)
 )
 -- kind='batch': the full batch pipeline; kind='stream': the STREAMING
 -- pipeline (curate_stream) — identical gate/dedup/sample layers, but no
@@ -1322,6 +1334,10 @@ WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
       < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
 UNION ALL
 SELECT 'stream' AS kind, doc_id FROM g_exact
+WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
+      < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
+UNION ALL
+SELECT 'batch_best' AS kind, doc_id FROM g_near_best
 WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
       < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
 """
@@ -1401,4 +1417,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_to_memory(curate_stream(stream_docs, cfg), output_mode="append")
     stream = drained.select(F.lit("stream").alias("kind"), "doc_id")
-    return batch.unionByName(stream)
+    # kind='batch_best' (round-7 continuation): the SAME pipeline with the
+    # quality-aware cluster winner (keep_best on n_chars — longest member
+    # wins, ties -> lowest id) instead of lowest-id keep_canonical.
+    import dataclasses
+
+    best_cfg = dataclasses.replace(
+        cfg, near_dup_keep="best", near_dup_score_col="n_chars"
+    )
+    best = curate(docs, best_cfg).select(
+        F.lit("batch_best").alias("kind"), "doc_id"
+    )
+    return batch.unionByName(stream).unionByName(best)

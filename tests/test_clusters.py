@@ -95,3 +95,38 @@ def test_keep_canonical_jaccard_matches_duckdb_closure(spark, duck):
     want = duck.execute(_KEEP_CANONICAL_ORACLE).fetchdf()
     ok, msg = compare(got, want)
     assert ok, msg
+
+
+def test_keep_best_highest_score_wins(spark):
+    """keep_best keeps the highest-score member per cluster (ties ->
+    lowest id), keeps unpaired docs, and differs from keep_canonical
+    exactly when the best member is not the min-id member."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.clusters import keep_best, keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7), (9, 1)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {1,2,3} (transitive via 2), {4,5}; 9 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    best = {r.doc_id for r in keep_best(docs, pairs, "n_chars").collect()}
+    # cluster 1: doc 2 has max n_chars; cluster 2: tie 7/7 -> lowest id 4
+    assert best == {2, 4, 9}
+    canon = {r.doc_id for r in keep_canonical(docs, pairs).collect()}
+    assert canon == {1, 4, 9}
+
+
+def test_near_dedup_keep_policy_validation(spark):
+    import pytest
+
+    from kinesiscat_spark.pipelines import CurationConfig, near_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "x y z", 5)], "doc_id string, text string, n_chars long"
+    )
+    with pytest.raises(ValueError):
+        near_dedup(docs, CurationConfig(near_dup_keep="bogus"))
