@@ -824,13 +824,20 @@ def zipf_fit(
         F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["y"]).alias("sxy"),
         F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["x"]).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # degenerate corpora (empty, or a single distinct rank) have a zero
+    # slope denominator: NULL fit instead of an ANSI divide-by-zero
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0.0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     fitted = sums.select(
         F.col("n").cast("long").alias("n_points"),
         slope.alias("_slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("_icpt"),
+        F.when(
+            (F.col("n") != 0.0) & slope.isNotNull(),
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"),
+        ).alias("_icpt"),
     )
     return fitted.select(
         F.explode(

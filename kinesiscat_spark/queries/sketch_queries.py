@@ -99,10 +99,13 @@ zs AS (
          list_sum(list(ln(rk::DOUBLE) * ln(rk::DOUBLE) ORDER BY rk)) AS sxx
   FROM zrk
 ),
-zfit AS (
+zfit AS (  -- CASE-guarded like the Spark fit: NULL on degenerate corpora
   SELECT n::BIGINT AS n_points,
-         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icpt
+         CASE WHEN n * sxx - sx * sx <> 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+         CASE WHEN n <> 0 AND n * sxx - sx * sx <> 0
+              THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         END AS icpt
   FROM zs
 ),
 cm_hp AS (

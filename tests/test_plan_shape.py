@@ -465,7 +465,10 @@ def test_no_forced_broadcast_of_per_document_frames():
         # LM/model tables: bounded by the reference-corpus vocab (see the
         # bigram size guard in operators/text.py).
         "operators/sampling.py": {"m_r", "m_t"},
-        "operators/text.py": {"stats", "model", "un", "cuts", "ctx", "bi"},
+        # "back" = the Kneser-Ney continuation fan-in table — vocab-sized,
+        # same boundedness (and the same size switch) as "ctx"/"bi".
+        "operators/text.py": {"stats", "model", "un", "cuts", "ctx", "bi",
+                              "back"},
         "queries/text_queries.py": {"model"},
         # pipelines: bloom bits row + collected benchmark gram set.
         "pipelines.py": {"frozenset", "bits"},
