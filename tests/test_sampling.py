@@ -280,3 +280,70 @@ def test_unimax_water_fill_budgets(spark):
         mix_corpora_unimax([small], 0)
     with pytest.raises(ValueError):
         mix_corpora_unimax([small], 100, max_epochs=0)
+
+
+def test_unimax_water_fill_properties(spark):
+    """Water-fill invariants across regimes: budgets never exceed the
+    epoch cap, never exceed the total, all-capped corpora undershoot by
+    design, and the small source always gets >= its fair share when
+    uncapped."""
+    import math
+
+    def water_fill(counts, total, epochs):
+        k = len(counts)
+        order = sorted(range(k), key=lambda i: (counts[i], i))
+        budgets = [0] * k
+        rem = float(total)
+        for pos, i in enumerate(order):
+            fair = rem / (k - pos)
+            b = min(float(epochs) * counts[i], fair)
+            budgets[i] = int(math.floor(b))
+            rem -= b
+        return budgets
+
+    # regime 1: everything capped -> sum < total (UniMax undershoots)
+    b = water_fill([10, 20, 30], total=1000, epochs=2.0)
+    assert b == [20, 40, 60]
+    # regime 2: nothing capped -> equal fair shares
+    b = water_fill([10_000, 20_000, 30_000], total=300, epochs=4.0)
+    assert b == [100, 100, 100]
+    # regime 3: mixed — leftover from capped small sources pools upward
+    b = water_fill([50, 10_000, 10_000], total=1000, epochs=1.0)
+    assert b[0] == 50 and b[1] == b[2] == 475
+    for counts, total, epochs in [
+        ([3, 7, 11, 1000], 500, 1.5),
+        ([0, 5, 5], 100, 2.0),
+        ([1], 10, 0.5),
+    ]:
+        got = water_fill(counts, total, epochs)
+        assert sum(got) <= total
+        assert all(g <= epochs * c for g, c in zip(got, counts))
+
+    # the Spark operator agrees with the reference water-fill on budgets:
+    # three sources in the mixed regime, budget check via selected tokens
+    from kinesiscat_spark.operators.sampling import mix_corpora_unimax
+
+    small = spark.createDataFrame(
+        [(f"s{i}", "a b c d e") for i in range(10)],  # 50 tokens
+        "doc_id string, text string",
+    )
+    big1 = spark.createDataFrame(
+        [(f"x{i}", " ".join(["w"] * 20)) for i in range(500)],
+        "doc_id string, text string",
+    )
+    big2 = spark.createDataFrame(
+        [(f"y{i}", " ".join(["w"] * 20)) for i in range(500)],
+        "doc_id string, text string",
+    )
+    out = mix_corpora_unimax([small, big1, big2], 1000, max_epochs=1.0)
+    per_src = {
+        r.source_id: r.total
+        for r in out.groupBy("source_id")
+        .agg(__import__("pyspark").sql.functions.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    # small fully selected (50 <= cap 50); each big source's prefix may
+    # CROSS its 475 budget by at most one doc (20 tokens)
+    assert per_src[0] == 50
+    for s in (1, 2):
+        assert 475 <= per_src[s] < 475 + 20

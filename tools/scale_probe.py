@@ -406,6 +406,16 @@ def probes():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return prototype_prune(emb, PROTOTYPES, keep_per_cell=64).count()
 
+    def p_kn_lm(spark, d):
+        from kinesiscat_spark.operators.text import (
+            kneser_ney_model,
+            score_documents_kn,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        model = kneser_ney_model(docs.filter(F.col("lang") == "en"))
+        return score_documents_kn(docs, model).count()
+
     def p_unimax(spark, d):
         from kinesiscat_spark.operators.sampling import mix_corpora_unimax
 
@@ -452,6 +462,7 @@ def probes():
         "zipf_fit": (p_zipf, "linear (vocab count + one rank window over vocab)"),
         "prototype_prune": (p_prototype_prune, "linear (literal-prototype scan assign + k-cell window)"),
         "unimax_mix": (p_unimax, "linear (per-source counts + bucket plans)"),
+        "kn_lm": (p_kn_lm, "linear (pair counts + size-switched model joins + per-doc fold)"),
     }
 
 
