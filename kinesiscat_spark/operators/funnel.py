@@ -1,0 +1,80 @@
+"""Funnel analysis over event streams (extension surface X7 family).
+
+The classic product-analytics sequence query: how far does each user get
+through an ORDERED list of steps (view -> click -> purchase), and do they
+complete it within a horizon? Semantics are greedy earliest-completion —
+step i+1 matches the EARLIEST event of its type strictly after the matched
+step-i event — which is deterministic (min over integer microseconds) and
+replayable in ANSI SQL, unlike "any subsequence" variants whose witness is
+ambiguous.
+
+Scale shape: one per-user min-aggregate per step (map-side combined) plus
+one user-keyed join per step — k small (user, t) frames, never the event
+rows themselves; everything shuffles on user_id only. No windows over the
+full event table, no arrays of per-user event history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, reached, t0_us, t_end_us, completed) per user who performed
+    the first step.
+
+    ``reached`` counts CONSECUTIVE matched steps (1..len(steps));
+    ``t_end_us`` is the completion time of the last step (NULL unless all
+    steps matched); ``completed`` is true iff all steps matched within
+    ``horizon_us`` of the first step's timestamp. Ties on identical
+    timestamps do not cascade (the next step must be STRICTLY later) —
+    simultaneous multi-step events are not a funnel progression.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps (got {list(steps)})")
+    if horizon_us <= 0:
+        raise ValueError(f"horizon_us must be > 0 (got {horizon_us})")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("_type"),
+    )
+    cur = (
+        ev.filter(F.col("_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    prev = "t0"
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("_type") == step)
+            .join(cur.select("user_id", prev), "user_id")
+            .filter(F.col("ts_us") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+        prev = f"t{i}"
+    last = f"t{len(steps) - 1}"
+    reached = F.lit(1)
+    for i in range(1, len(steps)):
+        reached = reached + F.col(f"t{i}").isNotNull().cast("int")
+    return cur.select(
+        "user_id",
+        reached.cast("int").alias("reached"),
+        F.col("t0").alias("t0_us"),
+        F.col(last).alias("t_end_us"),
+        F.coalesce(
+            (F.col(last) - F.col("t0")) <= F.lit(horizon_us), F.lit(False)
+        ).alias("completed"),
+    )

@@ -222,7 +222,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOPK_ORACLE = """
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_HORIZON_US = 200_000 * 1_000_000  # ~2.3 days at the corpus cadence
+
+_TOPK_ORACLE = f"""
 WITH totals AS (
   SELECT event_type, user_id, ROUND(SUM(value), 2) AS total_value
   FROM events
@@ -234,10 +237,45 @@ ranked AS (
     ROW_NUMBER() OVER (PARTITION BY event_type
                        ORDER BY total_value DESC, user_id) AS rank
   FROM totals
+),
+-- funnel twin (round-7 continuation, operators/funnel.py): greedy
+-- earliest-completion — step i+1 is the EARLIEST event of its type
+-- STRICTLY after the matched step-i event; exact integer-microsecond
+-- math on both engines
+f0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+f1 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1 FROM events e
+  JOIN f0 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND epoch_us(e.ts) > f0.t0
+  GROUP BY e.user_id
+),
+f2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+  JOIN f1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND epoch_us(e.ts) > f1.t1
+  GROUP BY e.user_id
+),
+funnel AS (
+  SELECT f0.user_id,
+         (1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT) AS reached,
+         t0, t2,
+         coalesce(t2 - t0 <= {_FUNNEL_HORIZON_US}, false) AS completed
+  FROM f0 LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
 )
-SELECT event_type, user_id, total_value, CAST(rank AS BIGINT) AS rank
+SELECT 'topk' AS kind, event_type, user_id, total_value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(NULL AS BIGINT) AS t0_us, CAST(NULL AS BIGINT) AS t_end_us,
+       CAST(NULL AS BOOLEAN) AS completed
 FROM ranked
 WHERE rank <= 5
+UNION ALL
+SELECT 'funnel' AS kind, CAST(NULL AS VARCHAR) AS event_type, user_id,
+       CAST(NULL AS DOUBLE) AS total_value, CAST(reached AS BIGINT) AS rank,
+       t0 AS t0_us, t2 AS t_end_us, completed
+FROM funnel
 """
 
 
@@ -256,7 +294,34 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(
         F.desc("total_value"), F.asc("user_id")
     )
-    return (
+    null_l = F.lit(None).cast("long")
+    topk = (
         totals.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("topk").alias("kind"),
+            "event_type",
+            "user_id",
+            "total_value",
+            "rank",
+            null_l.alias("t0_us"),
+            null_l.alias("t_end_us"),
+            F.lit(None).cast("boolean").alias("completed"),
+        )
     )
+    # kind='funnel' (round-7 continuation, operators/funnel.py): per-user
+    # ordered-step progression view -> click -> purchase with a
+    # completion horizon; reached rides the rank column.
+    from kinesiscat_spark.operators.funnel import funnel_report
+
+    fun = funnel_report(ev, _FUNNEL_STEPS, _FUNNEL_HORIZON_US).select(
+        F.lit("funnel").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        "user_id",
+        F.lit(None).cast("double").alias("total_value"),
+        F.col("reached").cast("long").alias("rank"),
+        "t0_us",
+        "t_end_us",
+        "completed",
+    )
+    return topk.unionByName(fun)

@@ -105,3 +105,50 @@ def test_interval_join_non_utc_session(spark):
         assert [r.eid for r in out.collect()] == [100]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_funnel_greedy_earliest_completion(spark):
+    """Funnel semantics pinned on a hand-built event log: greedy earliest
+    match, strictly-later cascade, horizon boundary, partial progress,
+    and no-first-step users absent."""
+    import datetime as dt
+
+    import pytest
+
+    from kinesiscat_spark.operators.funnel import funnel_report
+
+    def t(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1 completes within horizon: A@0 -> B@2 -> C@4
+        (1, t(0), "A"), (1, t(2), "B"), (1, t(4), "C"),
+        # u2 reaches B only (C before B doesn't count)
+        (2, t(0), "A"), (2, t(1), "C"), (2, t(3), "B"),
+        # u3: B at the SAME ts as A does not cascade; later B does,
+        # C exactly AT the horizon boundary counts (<=)
+        (3, t(10), "A"), (3, t(10), "B"), (3, t(12), "B"), (3, t(20), "C"),
+        # u4 never does A -> absent
+        (4, t(0), "B"), (4, t(1), "C"),
+        # u5 completes but OUTSIDE the horizon
+        (5, t(0), "A"), (5, t(1), "B"), (5, t(60), "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.user_id: r
+        for r in funnel_report(
+            ev, ("A", "B", "C"), horizon_us=10_000_000
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].reached, out[1].completed) == (3, True)
+    assert (out[2].reached, out[2].completed) == (2, False)
+    assert out[2].t_end_us is None
+    assert (out[3].reached, out[3].completed) == (3, True)  # 20-10 <= 10
+    assert (out[5].reached, out[5].completed) == (3, False)
+    with pytest.raises(ValueError):
+        funnel_report(ev, ("A",), horizon_us=1)
+    with pytest.raises(ValueError):
+        funnel_report(ev, ("A", "B"), horizon_us=0)
