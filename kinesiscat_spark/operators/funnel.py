@@ -78,3 +78,65 @@ def funnel_report(
             (F.col(last) - F.col("t0")) <= F.lit(horizon_us), F.lit(False)
         ).alias("completed"),
     )
+
+
+def retention_report(
+    events: DataFrame,
+    offsets: Sequence[int],
+    activity_type: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the epoch DAY of their
+    first qualifying event; for each offset k, the share of a cohort
+    active again exactly k days later — the other classic
+    product-analytics sequence query next to the funnel.
+
+    ``activity_type`` restricts both cohorting and activity to one event
+    type (None = any event). Returns one row per (cohort_day, offset):
+    (cohort_day, day_offset, cohort_size, n_active, retention), rate
+    rounded to 6 dp. Exact integer day math; deterministic.
+
+    Scale shape: one per-user min-aggregate (cohorts), one distinct over
+    (user, day) — both map-side combined, shuffling (user/day)-sized
+    keys — then a user-keyed join and a (cohort, offset)-keyed count;
+    nothing is ever per-event wide.
+    """
+    if not offsets or any(k <= 0 for k in offsets):
+        raise ValueError(f"offsets must be positive (got {list(offsets)})")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        F.col(type_col).alias("_type"),
+    )
+    if activity_type is not None:
+        ev = ev.filter(F.col("_type") == activity_type)
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    acts = ev.select("user_id", "day").distinct()
+    hits = (
+        acts.join(cohorts, "user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .filter(F.col("day_offset").isin(*[int(k) for k in offsets]))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        hits.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

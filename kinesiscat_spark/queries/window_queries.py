@@ -15,14 +15,43 @@ from pyspark.sql.window import Window
 from kinesiscat_spark.io_tables import load_table, utc_wall
 from kinesiscat_spark.registry import query
 
-_TUMBLING_ORACLE = """
-SELECT
+_RETENTION_OFFSETS = (1, 7, 14)
+_RETENTION_TYPE = "purchase"
+
+_TUMBLING_ORACLE = f"""
+WITH pe AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+  WHERE event_type = '{_RETENTION_TYPE}'
+),
+rc AS (SELECT user_id, MIN(day) AS cohort_day FROM pe GROUP BY user_id),
+rsz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM rc GROUP BY cohort_day),
+ract AS (SELECT DISTINCT user_id, day FROM pe),
+rhit AS (
+  SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+  FROM ract JOIN rc USING (user_id)
+  WHERE day - cohort_day IN {_RETENTION_OFFSETS}
+  GROUP BY 1, 2
+)
+SELECT 'window' AS kind,
   STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  ROUND(SUM(value), 2) AS total_value
+  ROUND(SUM(value), 2) AS total_value,
+  CAST(NULL AS BIGINT) AS day_offset, CAST(NULL AS DOUBLE) AS retention
 FROM events
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+-- retention twin (round-7 continuation, operators/funnel.py
+-- retention_report over '{_RETENTION_TYPE}' events): cohort by first
+-- purchase day, share active again exactly k days later
+SELECT 'retention' AS kind,
+  CAST(cohort_day AS VARCHAR) AS window_start,
+  CAST(NULL AS VARCHAR) AS event_type,
+  CAST(n_active AS BIGINT) AS n_events,
+  CAST(cohort_size AS DOUBLE) AS total_value,
+  CAST(day_offset AS BIGINT) AS day_offset,
+  ROUND(n_active / cohort_size::DOUBLE, 6) AS retention
+FROM rhit JOIN rsz USING (cohort_day)
 """
 
 
@@ -34,13 +63,15 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     form this is readStream + withWatermark("ts", ...) + the same groupBy.
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
+    null_l = F.lit(None).cast("long")
+    win = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
+            F.lit("window").alias("kind"),
             # utc_wall: render UTC digits regardless of session timezone
             F.date_format(utc_wall(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"
@@ -48,8 +79,27 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "total_value",
+            null_l.alias("day_offset"),
+            F.lit(None).cast("double").alias("retention"),
         )
     )
+    # kind='retention' (round-7 continuation, operators/funnel.py):
+    # purchase-cohort retention at day offsets 1/7/14; cohort_size rides
+    # total_value, n_active rides n_events.
+    from kinesiscat_spark.operators.funnel import retention_report
+
+    ret = retention_report(
+        ev, _RETENTION_OFFSETS, activity_type=_RETENTION_TYPE
+    ).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort_day").cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_active").cast("long").alias("n_events"),
+        F.col("cohort_size").cast("double").alias("total_value"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "retention",
+    )
+    return win.unionByName(ret)
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes

@@ -152,3 +152,44 @@ def test_funnel_greedy_earliest_completion(spark):
         funnel_report(ev, ("A",), horizon_us=1)
     with pytest.raises(ValueError):
         funnel_report(ev, ("A", "B"), horizon_us=0)
+
+
+def test_retention_cohort_math(spark):
+    """Cohort retention pinned by hand: two cohorts, exact offsets,
+    distinct-day semantics (two events one day count once), and the
+    activity-type filter."""
+    import datetime as dt
+
+    import pytest
+
+    from kinesiscat_spark.operators.funnel import retention_report
+
+    def d(day, h=0):
+        return dt.datetime(2024, 1, 1 + day, 1 + h)
+
+    rows = [
+        # cohort day0: users 1,2.  u1 active d1 twice + d7; u2 only d0
+        (1, d(0), "p"), (1, d(1), "p"), (1, d(1, 2), "p"), (1, d(7), "p"),
+        (2, d(0), "p"),
+        # cohort day2: user 3, active d3 (offset 1)
+        (3, d(2), "p"), (3, d(3), "p"),
+        # user 4 has only non-matching events -> no cohort
+        (4, d(0), "x"), (4, d(1), "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    base = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    got = {
+        (r.cohort_day, r.day_offset): (r.cohort_size, r.n_active, r.retention)
+        for r in retention_report(ev, (1, 7), activity_type="p").collect()
+    }
+    assert got == {
+        (base, 1): (2, 1, 0.5),
+        (base, 7): (2, 1, 0.5),
+        (base + 2, 1): (1, 1, 1.0),
+    }
+    with pytest.raises(ValueError):
+        retention_report(ev, ())
+    with pytest.raises(ValueError):
+        retention_report(ev, (0,))
