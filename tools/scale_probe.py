@@ -78,6 +78,31 @@ def synth(spark, n_copies: int) -> str:
     for c in ecopies[1:]:
         big_emb = big_emb.unionByName(c)
     big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # events: shift user/event ids per copy, keep timestamps — every copy
+    # carries the SAME per-user temporal structure, so funnel/retention
+    # row counts scale exactly with N while per-user work stays constant.
+    # (load_table handles the TIMESTAMP(NANOS) source; the copy we write
+    # is plain microseconds, which the probes read directly.)
+    from kinesiscat_spark.io_tables import load_table
+
+    ev = load_table(spark, BASE, "events")
+    vcopies = []
+    for c in range(n_copies):
+        vcopies.append(
+            ev.select(
+                (F.col("event_id") + c * 100_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + c * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    big_ev = vcopies[0]
+    for c in vcopies[1:]:
+        big_ev = big_ev.unionByName(c)
+    big_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
     return out
 
 
@@ -406,6 +431,22 @@ def probes():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return prototype_prune(emb, PROTOTYPES, keep_per_cell=64).count()
 
+    def p_funnel(spark, d):
+        from kinesiscat_spark.operators.funnel import funnel_report
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        return funnel_report(
+            ev, ("view", "click", "purchase"), 200_000 * 1_000_000
+        ).count()
+
+    def p_retention(spark, d):
+        from kinesiscat_spark.operators.funnel import retention_report
+
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        return retention_report(
+            ev, (1, 7, 14), activity_type="purchase"
+        ).count()
+
     def p_kn_lm(spark, d):
         from kinesiscat_spark.operators.text import (
             kneser_ney_model,
@@ -463,6 +504,8 @@ def probes():
         "prototype_prune": (p_prototype_prune, "linear (literal-prototype scan assign + k-cell window)"),
         "unimax_mix": (p_unimax, "linear (per-source counts + bucket plans)"),
         "kn_lm": (p_kn_lm, "linear (pair counts + size-switched model joins + per-doc fold)"),
+        "funnel": (p_funnel, "linear (per-step user-keyed min-agg + join)"),
+        "retention": (p_retention, "linear (user min-agg + distinct days + keyed joins)"),
     }
 
 
