@@ -326,6 +326,12 @@ SELECT 'funnel' AS kind, CAST(NULL AS VARCHAR) AS event_type, user_id,
        CAST(NULL AS DOUBLE) AS total_value, CAST(reached AS BIGINT) AS rank,
        t0 AS t0_us, t2 AS t_end_us, completed
 FROM funnel
+UNION ALL
+SELECT 'funnel_stream' AS kind, CAST(NULL AS VARCHAR) AS event_type,
+       user_id, CAST(NULL AS DOUBLE) AS total_value,
+       CAST({len(_FUNNEL_STEPS)} AS BIGINT) AS rank,
+       t0 AS t0_us, t2 AS t_end_us, completed
+FROM funnel WHERE reached = {len(_FUNNEL_STEPS)}
 """
 
 
@@ -374,4 +380,39 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_end_us",
         "completed",
     )
-    return topk.unionByName(fun)
+    # kind='funnel_stream' (round-7 continuation): the STATEFUL streaming
+    # funnel (streaming/stateful.py streaming_funnel,
+    # applyInPandasWithState) drained over the same events — emitted
+    # completions must equal the batch rows with reached == n_steps (the
+    # open-funnel tail lives in state). Single availableNow drain here;
+    # the cross-micro-batch state path is pinned in
+    # tests/test_streaming_funnel.py.
+    from kinesiscat_spark.streaming.source import (
+        StreamConfig,
+        read_events_stream,
+        run_to_memory,
+    )
+    from kinesiscat_spark.streaming.stateful import streaming_funnel
+
+    stream_ev = read_events_stream(
+        spark, sf_dir,
+        StreamConfig(iterator_type="TRIM_HORIZON", batch_size=100000),
+    ).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type",
+    )
+    drained = run_to_memory(
+        streaming_funnel(stream_ev, _FUNNEL_STEPS, _FUNNEL_HORIZON_US),
+        output_mode="append",
+    )
+    fun_stream = drained.select(
+        F.lit("funnel_stream").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        "user_id",
+        F.lit(None).cast("double").alias("total_value"),
+        F.lit(len(_FUNNEL_STEPS)).cast("long").alias("rank"),
+        "t0_us",
+        "t_end_us",
+        "completed",
+    )
+    return topk.unionByName(fun).unionByName(fun_stream)

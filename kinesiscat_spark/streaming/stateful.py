@@ -317,3 +317,76 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_STATE = "stage long, t0_us long, t_prev_us long"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: "tuple[str, ...]",
+    horizon_us: int,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming funnel: advance each user's ordered-step progression
+    ACROSS micro-batches and emit one row the moment the LAST step
+    matches (append mode — a completion is immutable).
+
+    The ingest twin of ``operators/funnel.py funnel_report``: same greedy
+    earliest-completion rule (step i+1 matches the first event of its
+    type STRICTLY after the matched step-i event), same horizon flag. On
+    an in-order drain the emitted set is exactly the batch rows with
+    ``reached == len(steps)`` — partially-progressed users live in state,
+    as an open funnel should (production closes them with a timeout).
+    Pinned against the batch operator in tests/test_streaming_funnel.py.
+
+    Scale design: state is one 3-long tuple per user still mid-funnel —
+    completed users keep a terminal marker; per batch the work is one
+    shuffle on ``user_col`` plus an Arrow call per touched user.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps (got {list(steps)})")
+    if horizon_us <= 0:
+        raise ValueError(f"horizon_us must be > 0 (got {horizon_us})")
+    k = len(steps)
+    out_schema = "user_id long, t0_us long, t_end_us long, completed boolean"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        stage, t0, t_prev = state.get if state.exists else (0, None, None)
+        done: list[tuple] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) and stage < k:
+            batch = batch.sort_values([ts_us_col, order_col])
+            for ts, typ in zip(batch[ts_us_col], batch[type_col]):
+                if stage >= k:
+                    break
+                ts = int(ts)
+                if typ != steps[stage]:
+                    continue
+                if stage > 0 and ts <= t_prev:
+                    continue
+                if stage == 0:
+                    t0 = ts
+                stage, t_prev = stage + 1, ts
+                if stage == k:
+                    done.append((user, t0, ts, ts - t0 <= horizon_us))
+        if stage > 0:  # users who matched nothing carry no state
+            state.update((stage, t0, t_prev))
+        if done:
+            yield pd.DataFrame(
+                done, columns=["user_id", "t0_us", "t_end_us", "completed"]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

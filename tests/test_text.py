@@ -600,3 +600,34 @@ def test_kneser_ney_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         kneser_ney_model(train, d=1.5)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    """On random corpora the fold-order fit must agree with numpy's
+    least-squares solution to ~1e-9 (same math, different summation
+    order), including the top_n truncation and (count DESC, word)
+    tie-break."""
+    import random
+
+    import numpy as np
+
+    from kinesiscat_spark.operators.text import zipf_fit
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(60)]
+    words = [vocab[min(int(rng.expovariate(0.08)), 59)] for _ in range(3000)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 300: (i + 1) * 300])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    for top_n in (8, 512):
+        got = {r.stat: r.value for r in zipf_fit(docs, top_n=top_n).collect()}
+        from collections import Counter
+
+        counts = Counter(w for i in range(10) for w in words[i * 300: (i + 1) * 300])
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+        y = np.log(np.array([c for _, c in ranked], dtype=float))
+        slope, icpt = np.polyfit(x, y, 1)
+        assert abs(got["slope"] - round(slope, 6)) <= 2e-6
+        assert abs(got["intercept"] - round(icpt, 6)) <= 2e-6
