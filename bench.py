@@ -249,8 +249,16 @@ def main() -> None:
             m: (lambda m=m: qs["text_heavy_ngrams"](spark, sf_dir).filter(
                 f"kind = '{m}'"
             ))
-            for m in ("heavy", "hll_distinct", "exact_distinct")
+            for m in ("heavy", "hll_distinct", "exact_distinct", "vocab",
+                      "zipf", "corpus_sim")
         },
+        "events_tumbling_window": _kind_subs(
+            "events_tumbling_window", ("window", "retention")
+        ),
+        "events_topk_users_per_type": _kind_subs(
+            "events_topk_users_per_type",
+            ("topk", "funnel", "funnel_stream"),
+        ),
     }
     sub_timings: dict[str, dict[str, float]] = {}
     for lane, subs in sub_specs.items():

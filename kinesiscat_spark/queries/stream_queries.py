@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesiscat_spark.queries.window_queries import _TUMBLING_ORACLE
+from kinesiscat_spark.queries.window_queries import _TUMBLING_BASE
 from kinesiscat_spark.io_tables import utc_wall
 from kinesiscat_spark.registry import query
 from kinesiscat_spark.streaming import StreamConfig, read_events_stream, run_to_memory
@@ -159,7 +159,7 @@ _WATERMARK_DELAY = "1 hour"
 
 _TUMBLING_APPEND_ORACLE = f"""
 SELECT window_start, event_type, n_events, total_value
-FROM ({_TUMBLING_ORACLE})
+FROM ({_TUMBLING_BASE})
 WHERE STRPTIME(window_start, '%Y-%m-%d %H:%M:%S') + INTERVAL '1 hour'
       <= (SELECT MAX(ts) FROM events) - INTERVAL '{_WATERMARK_DELAY}'
 """
@@ -167,7 +167,7 @@ WHERE STRPTIME(window_start, '%Y-%m-%d %H:%M:%S') + INTERVAL '1 hour'
 _TUMBLING_PLUS_AGG_ORACLE = f"""
 SELECT 'window' AS kind, window_start, event_type, n_events, total_value,
        CAST(NULL AS DOUBLE) AS avg_value
-FROM ({_TUMBLING_ORACLE})
+FROM ({_TUMBLING_BASE})
 UNION ALL
 SELECT 'by_type' AS kind, CAST(NULL AS VARCHAR) AS window_start, event_type,
        n_events, total_value, avg_value

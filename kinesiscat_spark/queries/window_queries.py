@@ -18,6 +18,19 @@ from kinesiscat_spark.registry import query
 _RETENTION_OFFSETS = (1, 7, 14)
 _RETENTION_TYPE = "purchase"
 
+# The window rows ALONE — composed by the streaming lanes' oracles
+# (stream_queries nests this under STRPTIME/watermark predicates, which
+# must never see the retention rows).
+_TUMBLING_BASE = """
+SELECT
+  STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
 _TUMBLING_ORACLE = f"""
 WITH pe AS (
   SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
@@ -32,14 +45,9 @@ rhit AS (
   WHERE day - cohort_day IN {_RETENTION_OFFSETS}
   GROUP BY 1, 2
 )
-SELECT 'window' AS kind,
-  STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-  event_type,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  ROUND(SUM(value), 2) AS total_value,
+SELECT 'window' AS kind, window_start, event_type, n_events, total_value,
   CAST(NULL AS BIGINT) AS day_offset, CAST(NULL AS DOUBLE) AS retention
-FROM events
-GROUP BY 2, 3
+FROM ({_TUMBLING_BASE})
 UNION ALL
 -- retention twin (round-7 continuation, operators/funnel.py
 -- retention_report over '{_RETENTION_TYPE}' events): cohort by first
