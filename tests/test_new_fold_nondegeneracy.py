@@ -1,0 +1,77 @@
+"""The round-7-continuation lane folds must stay NON-DEGENERATE at the
+oracle SF: a fold whose rows are all-equal/trivial would still hash-match
+its twin while verifying nothing."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_sketch_lane_zipf_and_corpus_sim(spark, qs):
+    rows = qs["text_heavy_ngrams"](spark, SF_ORACLE).collect()
+    zipf = {r.gram: r for r in rows if r.kind == "zipf"}
+    assert set(zipf) == {"slope", "intercept"}
+    assert zipf["slope"].est < -0.05         # a falling curve (synthetic
+    # corpus: flatter than natural text's ~-1, but decisively negative)
+    assert zipf["slope"].cnt == 512          # top_n fully populated
+    csim = [r for r in rows if r.kind == "corpus_sim"]
+    assert len(csim) == 190                  # C(20,2) source pairs
+    ests = {r.est for r in csim}
+    assert len(ests) > 5                     # estimates actually vary
+    assert all(0.0 <= r.est <= 1.0 for r in csim)
+
+
+def test_sampling_lane_cluster_and_unimax(spark, qs):
+    rows = qs["sampling_mix"](spark, SF_ORACLE).collect()
+    clus = [r for r in rows if r.kind == "cluster"]
+    cells = {r.source_id for r in clus}
+    assert len(cells) >= 4                   # multiple prototypes in play
+    assert len(clus) > len(cells)            # more than one keeper per cell
+    dists = {r.n_tokens for r in clus}
+    assert len(dists) > 10                   # distances vary (hash pins them)
+    uni = [r for r in rows if r.kind == "unimax"]
+    assert {r.source_id for r in uni} == {0, 1}
+    n0 = sum(1 for r in uni if r.source_id == 0)
+    n1 = sum(1 for r in uni if r.source_id == 1)
+    assert n0 > 0 and n1 > 0
+
+
+def test_quality_lane_kn_scores(spark, qs):
+    rows = qs["text_quality_score"](spark, SF_ORACLE).collect()
+    kn = [r.avg_logp_kn for r in rows if r.avg_logp_kn is not None]
+    assert len(kn) == len(rows)              # every doc scored
+    assert len(set(kn)) > len(rows) // 2     # scores vary per doc
+    assert all(v < 0 for v in kn)            # log-probs
+
+
+def test_events_lane_funnel_and_retention(spark, qs):
+    rows = qs["events_topk_users_per_type"](spark, SF_ORACLE).collect()
+    fun = [r for r in rows if r.kind == "funnel"]
+    assert len(fun) > 0
+    flags = {r.completed for r in fun}
+    assert flags == {True, False}            # horizon actually splits
+    stream = [r for r in rows if r.kind == "funnel_stream"]
+    full = [r for r in fun if r.rank == 3]
+    assert {(r.user_id, r.t0_us, r.t_end_us, r.completed) for r in stream} \
+        == {(r.user_id, r.t0_us, r.t_end_us, r.completed) for r in full}
+
+    trows = qs["events_tumbling_window"](spark, SF_ORACLE).collect()
+    ret = [r for r in trows if r.kind == "retention"]
+    assert len(ret) >= 3
+    assert any(0.0 < r.retention < 1.0 for r in ret)  # non-trivial rates
+
+
+def test_pipeline_lane_best_policy_differs(spark, qs):
+    rows = qs["curation_pipeline"](spark, SF_ORACLE).collect()
+    batch = {r.doc_id for r in rows if r.kind == "batch"}
+    best = {r.doc_id for r in rows if r.kind == "batch_best"}
+    assert batch and best
+    assert batch != best                     # the winner policy changes picks
