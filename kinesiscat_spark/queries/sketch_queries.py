@@ -146,6 +146,66 @@ SELECT 'corpus_sim' AS kind, ga || '|' || gb AS gram, m::BIGINT AS cnt,
        ROUND(m / {_CSIM_H}.0, 6) AS est
 FROM cm_pairs"""
 
+# Per-half HLL register/estimator replay (round-7 continuation set ops):
+# same hash → register → harmonic-mean machinery as the full-stream
+# pipeline, restricted by a doc-parity predicate. The union estimate
+# needs NO new pipeline: max-over-subsets partitions, so the merged
+# registers ARE the full-stream registers (hllest).
+def _hll_half_ctes(s: str, pred: str) -> str:
+    return f""",
+hllh_{s} AS (
+  SELECT CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM gd WHERE {pred}
+),
+hllir_{s} AS (
+  SELECT h >> 48 AS i,
+         CASE WHEN (h & 281474976710655) > 0
+              THEN 48 - length(bin(h & 281474976710655)) + 1
+              ELSE 49 END AS r
+  FROM hllh_{s}
+),
+hllreg_{s} AS (SELECT i, MAX(r) AS r FROM hllir_{s} GROUP BY i),
+hlldense_{s} AS (
+  SELECT t.i AS i, coalesce(hllreg_{s}.r, 0) AS r
+  FROM (SELECT unnest(range(4096)) AS i) t LEFT JOIN hllreg_{s} USING (i)
+),
+hllarr_{s} AS (SELECT list(r ORDER BY i) AS regs FROM hlldense_{s}),
+hllest_{s} AS (
+  SELECT CASE WHEN raw <= 10240.0 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros)
+              ELSE raw END AS est
+  FROM (
+    SELECT 12098218.894406674 / list_sum(list_transform(regs, r -> pow(2.0, -r))) AS raw,
+           len(list_filter(regs, r -> r = 0)) AS zeros
+    FROM hllarr_{s}
+  )
+)"""
+
+
+_HLL_SETOPS_CTE = f""",
+gd AS (
+  SELECT doc_id, unnest({_ngrams_sql('text', _HH_N)}) AS gram FROM documents
+){_hll_half_ctes('e', 'doc_id % 2 = 0')}{_hll_half_ctes('o', 'doc_id % 2 = 1')},
+gboth AS (
+  SELECT gram FROM (
+    SELECT gram,
+           MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS me,
+           MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS mo
+    FROM gd GROUP BY gram
+  ) WHERE me = 1 AND mo = 1
+)"""
+
+_HLL_SETOPS_SELECTS = """
+UNION ALL
+SELECT 'hll_union' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       CAST(NULL AS BIGINT) AS cnt, ROUND(est, 4) AS est
+FROM hllest
+UNION ALL
+SELECT 'hll_intersect' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       (SELECT COUNT(*) FROM gboth)::BIGINT AS cnt,
+       ROUND(e.est + o.est - u.est, 4) AS est
+FROM hllest_e e, hllest_o o, hllest u"""
+
 _VOCAB_CTE = """,
 vw AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
@@ -160,8 +220,9 @@ vrk AS (
 """
 _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
     ")\nSELECT 'heavy'",
-    ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + "\nSELECT 'heavy'",
-) + _ZIPF_CSIM_SELECTS
+    ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + _HLL_SETOPS_CTE
+    + "\nSELECT 'heavy'",
+) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -257,10 +318,70 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").alias("cnt"),
         F.col("est_jaccard").alias("est"),
     )
+    # round-7 continuation: HLL SET OPERATIONS — the corpus's grams split
+    # into even/odd doc halves, each sketched independently; the union
+    # estimate comes from hll_merge (element-wise register max), so its
+    # hash check against the FULL-stream registers proves mergeability —
+    # the 100 TB property (per-partition sketches combine without
+    # re-reading data) — under the driver gate, not just in pytest. The
+    # intersection estimate is inclusion-exclusion over the three
+    # estimators, with the EXACT intersection riding cnt as the accuracy
+    # yardstick.
+    from kinesiscat_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    gp = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram"),
+    )
+    ha = hll_build(gp.filter("even"), "gram", p=_HLL_P, method="md5")
+    hb = hll_build(gp.filter("NOT even"), "gram", p=_HLL_P, method="md5")
+    both_exact = (
+        gp.groupBy("gram")
+        .agg(
+            F.max(F.col("even").cast("int")).alias("_e"),
+            F.max((~F.col("even")).cast("int")).alias("_o"),
+        )
+        .filter((F.col("_e") == 1) & (F.col("_o") == 1))
+        .agg(F.count("*").alias("_nboth"))
+    )
+    pair = (
+        ha.select(F.col("hll").alias("_a"))
+        .crossJoin(hb.select(F.col("hll").alias("_b")))
+        .crossJoin(both_exact)
+    )
+    e_a = hll_estimate(F.col("_a"), p=_HLL_P)
+    e_b = hll_estimate(F.col("_b"), p=_HLL_P)
+    e_u = hll_estimate(hll_merge(F.col("_a"), F.col("_b")), p=_HLL_P)
+    setops = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hll_union").alias("kind"),
+                    F.lit(None).cast("long").alias("cnt"),
+                    F.round(e_u, 4).alias("est"),
+                ),
+                F.struct(
+                    F.lit("hll_intersect").alias("kind"),
+                    F.col("_nboth").alias("cnt"),
+                    F.round(e_a + e_b - e_u, 4).alias("est"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.kind"),
+        F.lit(None).cast("string").alias("gram"),
+        F.col("s.cnt"),
+        F.col("s.est"),
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
         .unionByName(vocab)
         .unionByName(zipf)
         .unionByName(csim)
+        .unionByName(setops)
     )
