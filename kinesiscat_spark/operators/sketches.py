@@ -42,9 +42,20 @@ D_DEFAULT = 4
 W_DEFAULT = 1 << 12
 
 
-def _slot(value: Column, row: int, w: int) -> Column:
+def _slot(value: Column, row: int, w: int, method: str = "xxhash64") -> Column:
     """Flat index of ``value``'s counter in hash row ``row``: row-major
-    ``row·w + xxhash64(row-seed, value) mod w``."""
+    ``row·w + hash(row-seed, value) mod w``. ``method='md5'`` derives the
+    row hash from md5's first 48 bits (slower, but bit-identical in ANSI
+    SQL — the oracle-checkable path, mirroring ``hll_build``)."""
+    if method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(str(row)), value)), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.lit(row * w) + F.pmod(h, F.lit(w))
     return F.lit(row * w) + F.pmod(F.xxhash64(F.lit(row), value), F.lit(w))
 
 
@@ -54,6 +65,7 @@ def cms_build(
     d: int = D_DEFAULT,
     w: int = W_DEFAULT,
     weight: str | None = None,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """One-row DataFrame ``(cms: array<long>)`` — the d×w count-min
     sketch over every value of ``df[col]`` (row-major flat layout).
@@ -74,7 +86,7 @@ def cms_build(
     """
     if d <= 0 or w < 2:
         raise ValueError(f"need d > 0 and w >= 2 (got {d}, {w})")
-    return cms_from_slots(cms_slots(df, col, d, w, weight), d, w)
+    return cms_from_slots(cms_slots(df, col, d, w, weight, method), d, w)
 
 
 def cms_slots(
@@ -83,6 +95,7 @@ def cms_slots(
     d: int = D_DEFAULT,
     w: int = W_DEFAULT,
     weight: str | None = None,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """The sparse half of ``cms_build``: ``(i, c)`` slot-count rows —
     ≤ d·w of them regardless of input size.
@@ -112,7 +125,7 @@ def cms_slots(
         wcol = F.lit(1).cast("long")
     slots = df.select(
         F.explode(
-            F.array(*[_slot(F.col(col), r, w) for r in range(d)])
+            F.array(*[_slot(F.col(col), r, w, method) for r in range(d)])
         ).alias("i"),
         wcol.alias("_w"),
     )
@@ -333,3 +346,31 @@ def hll_distinct(
     return hll_build(df, col, p, method).select(
         hll_estimate(F.col("hll"), p).alias("est")
     )
+
+
+def cms_inner_product(
+    a: Column, b: Column, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> Column:
+    """Count-min INNER-PRODUCT estimate (Cormode & Muthukrishnan 2005
+    §4.3): ``min over rows r of Σ_w a[r·w+j]·b[r·w+j]`` estimates
+    ``Σ_g f_a(g)·f_b(g)`` — the join-size / co-occurrence mass between
+    two frequency distributions, straight from two mergeable d×w
+    sketches without touching the raw streams. One-sided like the point
+    estimate: never an underestimate, within ε·|a|₁·|b|₁ whp.
+
+    All-integer arithmetic (long counters, long products), so the
+    estimate is bit-identical in any engine and any fold order.
+    """
+    sums = [
+        F.aggregate(
+            F.zip_with(
+                F.slice(a, r * w + 1, w),
+                F.slice(b, r * w + 1, w),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for r in range(d)
+    ]
+    return F.least(*sums)

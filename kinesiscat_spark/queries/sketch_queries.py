@@ -30,6 +30,7 @@ _VOCAB_TARGETS = (0.5, 0.9, 0.99)
 _ZIPF_TOP = 512
 _CSIM_H = 64  # corpus-similarity minhash width
 _MOD48 = 1 << 48
+_CMS_D, _CMS_W = 4, 1 << 14  # inner-product sketch (w sized for ~% error)
 
 _HEAVY_ORACLE = f"""
 WITH g AS (
@@ -195,6 +196,46 @@ gboth AS (
   ) WHERE me = 1 AND mo = 1
 )"""
 
+# CMS inner-product replay: md5 slot hashes per half, slot-count frames
+# joined on the flat index, per-row product sums, min over rows — exact
+# BIGINT arithmetic end to end (no float-order concerns).
+_CMS_DOT_CTE = f""",
+cse AS (
+  SELECT t.r * {_CMS_W} + ('0x' || substr(md5(CAST(t.r AS VARCHAR)
+           || chr(31) || gram), 1, 12))::BIGINT % {_CMS_W} AS i,
+         COUNT(*)::BIGINT AS c
+  FROM gd CROSS JOIN range(0, {_CMS_D}) t(r) WHERE doc_id % 2 = 0
+  GROUP BY 1
+),
+cso AS (
+  SELECT t.r * {_CMS_W} + ('0x' || substr(md5(CAST(t.r AS VARCHAR)
+           || chr(31) || gram), 1, 12))::BIGINT % {_CMS_W} AS i,
+         COUNT(*)::BIGINT AS c
+  FROM gd CROSS JOIN range(0, {_CMS_D}) t(r) WHERE doc_id % 2 = 1
+  GROUP BY 1
+),
+cdot AS (
+  SELECT MIN(s) AS est FROM (
+    SELECT e.i // {_CMS_W} AS r, SUM(e.c * o.c)::BIGINT AS s
+    FROM cse e JOIN cso o ON e.i = o.i
+    GROUP BY 1
+  )
+),
+cexact AS (
+  SELECT SUM(ce * co)::BIGINT AS dot FROM (
+    SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ce,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS co
+    FROM gd GROUP BY gram
+  )
+)"""
+
+_CMS_DOT_SELECT = """
+UNION ALL
+SELECT 'cms_dot' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       (SELECT dot FROM cexact) AS cnt,
+       CAST(est AS DOUBLE) AS est
+FROM cdot"""
+
 _HLL_SETOPS_SELECTS = """
 UNION ALL
 SELECT 'hll_union' AS kind, CAST(NULL AS VARCHAR) AS gram,
@@ -221,8 +262,8 @@ vrk AS (
 _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
     ")\nSELECT 'heavy'",
     ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + _HLL_SETOPS_CTE
-    + "\nSELECT 'heavy'",
-) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS
+    + _CMS_DOT_CTE + "\nSELECT 'heavy'",
+) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -377,6 +418,39 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cnt"),
         F.col("s.est"),
     )
+    # round-7 continuation: CMS INNER PRODUCT (Cormode & Muthukrishnan
+    # 2005 §4.3) between the two halves' gram-frequency distributions —
+    # join-size / co-occurrence mass straight from two mergeable d×w
+    # sketches (method='md5' so the estimate replays in ANSI SQL);
+    # all-integer arithmetic, the EXACT Σ f_e·f_o rides cnt as the
+    # accuracy yardstick.
+    from kinesiscat_spark.operators.sketches import cms_build, cms_inner_product
+
+    ca = cms_build(gp.filter("even"), "gram", d=_CMS_D, w=_CMS_W, method="md5")
+    cb = cms_build(
+        gp.filter("NOT even"), "gram", d=_CMS_D, w=_CMS_W, method="md5"
+    )
+    dot_exact = (
+        gp.groupBy("gram")
+        .agg(
+            F.sum(F.col("even").cast("long")).alias("_ce"),
+            F.sum((~F.col("even")).cast("long")).alias("_co"),
+        )
+        .agg(F.sum(F.col("_ce") * F.col("_co")).alias("_dot"))
+    )
+    cms_dot = (
+        ca.select(F.col("cms").alias("_ca"))
+        .crossJoin(cb.select(F.col("cms").alias("_cb")))
+        .crossJoin(dot_exact)
+        .select(
+            F.lit("cms_dot").alias("kind"),
+            F.lit(None).cast("string").alias("gram"),
+            F.col("_dot").cast("long").alias("cnt"),
+            cms_inner_product(F.col("_ca"), F.col("_cb"), _CMS_D, _CMS_W)
+            .cast("double")
+            .alias("est"),
+        )
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
@@ -384,4 +458,5 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zipf)
         .unionByName(csim)
         .unionByName(setops)
+        .unionByName(cms_dot)
     )

@@ -308,3 +308,50 @@ def test_hll_setops_inclusion_exclusion_accuracy(spark):
     assert row.eq  # merged registers ARE the full-stream registers
     inter = row.ea + row.eb - row.eu
     assert abs(inter - 10_000) / 10_000 < 0.05
+
+
+def test_cms_inner_product_one_sided_and_close(spark):
+    """The CMS inner-product estimate never underestimates the exact
+    Σ f_a(g)·f_b(g) and lands within a few percent at d=4, w=2^14;
+    holds for both hash methods."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    rng = random.Random(5)
+    # skewed (Zipf-ish) draws: co-occurrence mass concentrates on the
+    # shared head, where the CMS dot is RELATIVELY tight; the absolute
+    # error bound eps*|a|1*|b|1 is asserted either way
+    a_vals = [f"k{min(int(rng.expovariate(0.01)), 2000)}" for _ in range(20_000)]
+    b_vals = [f"k{min(int(rng.expovariate(0.01)), 2000)}" for _ in range(20_000)]
+    from collections import Counter
+
+    ca, cb = Counter(a_vals), Counter(b_vals)
+    exact = sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+    dfa = spark.createDataFrame([(v,) for v in a_vals], ["g"])
+    dfb = spark.createDataFrame([(v,) for v in b_vals], ["g"])
+    for method in ("xxhash64", "md5"):
+        sa = cms_build(dfa, "g", d=4, w=1 << 14, method=method)
+        sb = cms_build(dfb, "g", d=4, w=1 << 14, method=method)
+        est = (
+            sa.select(F.col("cms").alias("_a"))
+            .crossJoin(sb.select(F.col("cms").alias("_b")))
+            .select(
+                cms_inner_product(F.col("_a"), F.col("_b"), 4, 1 << 14)
+                .alias("e")
+            )
+            .collect()[0]
+            .e
+        )
+        assert est >= exact                      # one-sided guarantee
+        # the paper's whp bound: error <= (e/w)*|a|1*|b|1 per row
+        import math
+
+        bound = math.e / (1 << 14) * 20_000 * 20_000
+        assert est - exact <= bound
+        assert (est - exact) / exact < 0.05      # tight on skewed mass
