@@ -250,7 +250,8 @@ def main() -> None:
                 f"kind = '{m}'"
             ))
             for m in ("heavy", "hll_distinct", "exact_distinct", "vocab",
-                      "zipf", "corpus_sim")
+                      "zipf", "corpus_sim", "hll_union", "hll_intersect",
+                      "cms_dot")
         },
         "events_tumbling_window": _kind_subs(
             "events_tumbling_window", ("window", "retention")
