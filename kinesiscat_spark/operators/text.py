@@ -998,3 +998,78 @@ def score_documents_kn(
             ).alias("avg_logp_kn"),
         )
     )
+
+
+def class_tfidf(
+    docs: DataFrame,
+    group_col: str = "source",
+    top_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Class-based TF-IDF (c-TF-IDF, Grootendorst 2022 — the BERTopic
+    class-representation formula): treat each document group as ONE
+    pseudo-document and score term t in class s as
+
+        score(t, s) = tf_{t,s} · ln(1 + A / f_t)
+
+    with ``tf_{t,s}`` the term's count inside the class, ``f_t`` its
+    corpus-wide count, and ``A`` the average class token mass — the
+    "what distinguishes this source from the rest" diagnostic behind
+    per-source corpus cards. Returns the ``top_k`` terms per class:
+    (group, term, rank, score), score rounded to 6 dp.
+
+    Deterministic: counts are exact integer aggregates; A = total/n
+    classes divides in one fixed order; ranking is (score DESC, term)
+    with the rank window over the (class, term) COUNT table — never
+    corpus tokens. Replayable in ANSI SQL.
+
+    Scale shape: one token explode + one map-side-combined groupBy for
+    (class, term) counts; corpus term totals and class masses are
+    groupBys OF that table. The rank window partitions by class over
+    vocabulary-sized rows.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    ct = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    ft = ct.groupBy("t").agg(F.sum("c").alias("f"))
+    mass = ct.groupBy("grp").agg(F.sum("c").alias("m"))
+    a = mass.agg(
+        (F.sum("m").cast("double") / F.count("*")).alias("_a")
+    )
+    scored = (
+        ct.join(ft, "t")
+        .crossJoin(a)
+        .select(
+            "grp",
+            "t",
+            (
+                F.col("c").cast("double")
+                * F.log(
+                    F.lit(1.0) + F.col("_a") / F.col("f").cast("double")
+                )
+            ).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("_score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias("group"),
+            F.col("t").alias("term"),
+            F.col("rank").cast("long"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

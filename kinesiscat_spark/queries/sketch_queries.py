@@ -236,6 +236,38 @@ SELECT 'cms_dot' AS kind, CAST(NULL AS VARCHAR) AS gram,
        CAST(est AS DOUBLE) AS est
 FROM cdot"""
 
+# c-TF-IDF replay (Grootendorst 2022): per-class term counts, corpus term
+# totals from the SAME counts, A = mean class token mass; score and rank
+# in the exact arithmetic order of operators/text.py class_tfidf.
+_CTFIDF_TOPK = 3
+_CTFIDF_CTE = """,
+ctf_ct AS (
+  SELECT source AS grp, w AS t, COUNT(*)::BIGINT AS c FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+),
+ctf_ft AS (SELECT t, SUM(c)::BIGINT AS f FROM ctf_ct GROUP BY t),
+ctf_mass AS (SELECT grp, SUM(c)::BIGINT AS m FROM ctf_ct GROUP BY grp),
+ctf_a AS (SELECT SUM(m)::DOUBLE / COUNT(*) AS a FROM ctf_mass),
+ctf_scored AS (
+  SELECT grp, t,
+         c::DOUBLE * ln(1.0 + (SELECT a FROM ctf_a) / f::DOUBLE) AS score
+  FROM ctf_ct JOIN ctf_ft USING (t)
+),
+ctf_top AS (
+  SELECT grp, t, score,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY score DESC, t ASC) AS rk
+  FROM ctf_scored
+)"""
+
+_CTFIDF_SELECT = f"""
+UNION ALL
+SELECT 'ctfidf' AS kind, grp || '|' || t AS gram, CAST(rk AS BIGINT) AS cnt,
+       ROUND(score, 6) AS est
+FROM ctf_top WHERE rk <= {_CTFIDF_TOPK}"""
+
 _HLL_SETOPS_SELECTS = """
 UNION ALL
 SELECT 'hll_union' AS kind, CAST(NULL AS VARCHAR) AS gram,
@@ -262,8 +294,8 @@ vrk AS (
 _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
     ")\nSELECT 'heavy'",
     ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + _HLL_SETOPS_CTE
-    + _CMS_DOT_CTE + "\nSELECT 'heavy'",
-) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT
+    + _CMS_DOT_CTE + _CTFIDF_CTE + "\nSELECT 'heavy'",
+) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT + _CTFIDF_SELECT
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -451,6 +483,17 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est"),
         )
     )
+    # round-7 continuation: c-TF-IDF per-source distinctive terms
+    # (Grootendorst 2022 — the per-source corpus-card diagnostic); rank
+    # rides cnt, score rides est.
+    from kinesiscat_spark.operators.text import class_tfidf
+
+    ctfidf = class_tfidf(docs, group_col="source", top_k=_CTFIDF_TOPK).select(
+        F.lit("ctfidf").alias("kind"),
+        F.concat_ws("|", "group", "term").alias("gram"),
+        F.col("rank").alias("cnt"),
+        F.col("score").alias("est"),
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
@@ -459,4 +502,5 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(csim)
         .unionByName(setops)
         .unionByName(cms_dot)
+        .unionByName(ctfidf)
     )

@@ -631,3 +631,34 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
         slope, icpt = np.polyfit(x, y, 1)
         assert abs(got["slope"] - round(slope, 6)) <= 2e-6
         assert abs(got["intercept"] - round(icpt, 6)) <= 2e-6
+
+
+def test_class_tfidf_distinctive_terms(spark):
+    """c-TF-IDF surfaces each class's DISTINCTIVE terms: a term unique to
+    one class tops that class even when a shared term is more frequent,
+    and validation rejects top_k < 1."""
+    import pytest
+
+    from kinesiscat_spark.operators.text import class_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "s1", "common common common zebra zebra"),
+            ("b", "s1", "common zebra"),
+            ("c", "s2", "common common common yak"),
+            ("d", "s2", "common yak yak"),
+        ],
+        "doc_id string, source string, text string",
+    )
+    out = class_tfidf(docs, top_k=2).collect()
+    top = {
+        r.group: r.term for r in out if r.rank == 1
+    }
+    assert top == {"s1": "zebra", "s2": "yak"}
+    # ranks dense per class, scores positive
+    assert sorted((r.group, r.rank) for r in out) == [
+        ("s1", 1), ("s1", 2), ("s2", 1), ("s2", 2)
+    ]
+    assert all(r.score > 0 for r in out)
+    with pytest.raises(ValueError):
+        class_tfidf(docs, top_k=0)
