@@ -1073,3 +1073,78 @@ def class_tfidf(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990):
+    adjacent word pairs whose co-occurrence beats chance,
+
+        pmi(a, b) = ln( p(a,b) / (p(a) · p(b)) )
+                  = ln c_ab − ln c_a − ln c_b + 2·ln N − ln M
+
+    with ``c_ab`` the bigram's count, ``c_a``/``c_b`` unigram counts,
+    ``N`` total words and ``M`` total bigrams. The phrase-mining /
+    tokenizer-seeding diagnostic (high-PMI pairs are the multi-word units
+    a BPE merge table learns first); a ``min_count`` floor drops the
+    unstable rare-pair tail as the paper prescribes. Returns the
+    ``top_k`` pairs: (gram, cnt, pmi), pmi rounded to 6 dp.
+
+    Deterministic: every count is an exact integer aggregate; the score
+    is five ``ln`` calls folded in one written order (same libm doubles
+    on both engines — the Zipf-fit precedent), so it replays in ANSI
+    SQL. Ranking is (pmi DESC, gram ASC) via orderBy+limit, which Spark
+    executes as TakeOrderedAndProject — a distributed top-k, no single
+    reducer sees the full collocation table.
+
+    Scale shape: one word explode feeding a map-side-combined bigram
+    count and a unigram count (both vocabulary-bounded); the two scalar
+    totals ride a 1-row crossJoin; the unigram joins are vocab-sized
+    (AQE broadcasts when small). Text itself never shuffles.
+    """
+    from kinesiscat_spark.operators.curation import word_ngrams, words
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 (got {min_count})")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    w = docs.select(F.explode(words(F.col(text_col))).alias("w"))
+    uni = w.groupBy("w").agg(F.count("*").alias("c"))
+    g = docs.select(
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    pairs = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    totals = w.agg(F.count("*").alias("_n")).crossJoin(
+        g.agg(F.count("*").alias("_m"))
+    )
+    ua = uni.select(F.col("w").alias("_wa"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("w").alias("_wb"), F.col("c").alias("_cb"))
+    scored = (
+        pairs.withColumn("_wa", F.substring_index("gram", " ", 1))
+        .withColumn("_wb", F.substring_index("gram", " ", -1))
+        .join(ua, "_wa")
+        .join(ub, "_wb")
+        .crossJoin(totals)
+        .select(
+            "gram",
+            "cnt",
+            (
+                F.log(F.col("cnt").cast("double"))
+                - F.log(F.col("_ca").cast("double"))
+                - F.log(F.col("_cb").cast("double"))
+                + F.lit(2.0) * F.log(F.col("_n").cast("double"))
+                - F.log(F.col("_m").cast("double"))
+            ).alias("_pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("_pmi"), F.asc("gram")).limit(top_k).select(
+        "gram", "cnt", F.round("_pmi", 6).alias("pmi")
+    )

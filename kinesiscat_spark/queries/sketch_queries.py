@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesiscat_spark.io_tables import load_table
-from kinesiscat_spark.queries.curation_queries import _ngrams_sql
+from kinesiscat_spark.queries.curation_queries import _WORDS, _ngrams_sql
 from kinesiscat_spark.registry import query
 
 _HH_N = 2
@@ -279,6 +279,46 @@ SELECT 'hll_intersect' AS kind, CAST(NULL AS VARCHAR) AS gram,
        ROUND(e.est + o.est - u.est, 4) AS est
 FROM hllest_e e, hllest_o o, hllest u"""
 
+# PMI collocation replay (Church & Hanks 1990): unigram counts off the
+# SAME trimmed word stream word_ngrams rides, bigram counts straight from
+# the existing g CTE, score = five ln calls folded in the operator's
+# written order (same libm doubles — the Zipf precedent), rank over the
+# min-count-filtered collocation table only.
+_PMI_MIN = 5
+_PMI_TOPK = 10
+_PMI_CTE = f""",
+pmi_w AS (
+  SELECT unnest({{words}}) AS w FROM documents
+),
+pmi_uc AS (SELECT w, COUNT(*)::BIGINT AS c FROM pmi_w GROUP BY w),
+pmi_tot AS (
+  SELECT (SELECT COUNT(*) FROM pmi_w)::BIGINT AS n,
+         (SELECT COUNT(*) FROM g)::BIGINT AS m
+),
+pmi_pc AS (
+  SELECT gram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY gram
+  HAVING COUNT(*) >= {_PMI_MIN}
+),
+pmi_scored AS (
+  SELECT p.gram, p.cnt,
+         ln(p.cnt::DOUBLE) - ln(ca.c::DOUBLE) - ln(cb.c::DOUBLE)
+           + 2.0 * ln(t.n::DOUBLE) - ln(t.m::DOUBLE) AS pmi
+  FROM pmi_pc p
+  JOIN pmi_uc ca ON ca.w = split_part(p.gram, ' ', 1)
+  JOIN pmi_uc cb ON cb.w = split_part(p.gram, ' ', 2)
+  CROSS JOIN pmi_tot t
+),
+pmi_top AS (
+  SELECT gram, cnt, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, gram ASC) AS rk
+  FROM pmi_scored
+)"""
+
+_PMI_SELECT = f"""
+UNION ALL
+SELECT 'pmi' AS kind, gram, cnt, ROUND(pmi, 6) AS est
+FROM pmi_top WHERE rk <= {_PMI_TOPK}"""
+
 _VOCAB_CTE = """,
 vw AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
@@ -294,8 +334,13 @@ vrk AS (
 _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
     ")\nSELECT 'heavy'",
     ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + _HLL_SETOPS_CTE
-    + _CMS_DOT_CTE + _CTFIDF_CTE + "\nSELECT 'heavy'",
-) + _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT + _CTFIDF_SELECT
+    + _CMS_DOT_CTE + _CTFIDF_CTE
+    + _PMI_CTE.format(words=_WORDS.format(t="text"))
+    + "\nSELECT 'heavy'",
+) + (
+    _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT
+    + _CTFIDF_SELECT + _PMI_SELECT
+)
 
 
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
@@ -494,6 +539,17 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("cnt"),
         F.col("score").alias("est"),
     )
+    # round-7 continuation: PMI collocations (Church & Hanks 1990) — the
+    # phrase-mining / tokenizer-seeding diagnostic; rides the same word
+    # stream as the heavy bigrams, distributed top-k via orderBy+limit.
+    from kinesiscat_spark.operators.text import pmi_collocations
+
+    pmi = pmi_collocations(docs, min_count=_PMI_MIN, top_k=_PMI_TOPK).select(
+        F.lit("pmi").alias("kind"),
+        F.col("gram"),
+        F.col("cnt"),
+        F.col("pmi").alias("est"),
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
@@ -503,4 +559,5 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(setops)
         .unionByName(cms_dot)
         .unionByName(ctfidf)
+        .unionByName(pmi)
     )

@@ -75,3 +75,12 @@ def test_pipeline_lane_best_policy_differs(spark, qs):
     best = {r.doc_id for r in rows if r.kind == "batch_best"}
     assert batch and best
     assert batch != best                     # the winner policy changes picks
+
+
+def test_sketch_lane_pmi(spark, qs):
+    rows = qs["text_heavy_ngrams"](spark, SF_ORACLE).collect()
+    pmi = [r for r in rows if r.kind == "pmi"]
+    assert len(pmi) == 10                    # full top-k populated
+    assert len({r.est for r in pmi}) > 5     # scores actually vary
+    assert all(r.cnt >= 5 for r in pmi)      # floor respected
+    assert all(r.est > 0 for r in pmi)       # genuine collocations

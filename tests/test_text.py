@@ -662,3 +662,44 @@ def test_class_tfidf_distinctive_terms(spark):
     assert all(r.score > 0 for r in out)
     with pytest.raises(ValueError):
         class_tfidf(docs, top_k=0)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a 2-doc corpus replays Church & Hanks' formula with the
+    operator's exact fold order (the five-ln sum), ties break gram-asc,
+    and the min_count floor drops singleton pairs."""
+    import math
+
+    import pytest
+
+    from kinesiscat_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z q"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=1, top_k=10).collect()
+    # words: x y x y | x z q -> N=7; bigrams: x y, y x, x y | x z, z q -> M=5
+    n, m = 7, 5
+    uni = {"x": 3, "y": 2, "z": 1, "q": 1}
+    pairs = {"x y": 2, "y x": 1, "x z": 1, "z q": 1}
+
+    def pmi(g, c):
+        a, b = g.split(" ")
+        return round(
+            math.log(c) - math.log(uni[a]) - math.log(uni[b])
+            + 2.0 * math.log(n) - math.log(m),
+            6,
+        )
+
+    got = {r.gram: (r.cnt, r.pmi) for r in out}
+    assert got == {g: (c, pmi(g, c)) for g, c in pairs.items()}
+    # ordering: pmi desc, gram asc ("x y" and "x z" tie at ln(49/15))
+    assert [r.gram for r in out] == ["z q", "x y", "x z", "y x"]
+    # the floor drops every singleton pair
+    only = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    assert [(r.gram, r.cnt) for r in only] == [("x y", 2)]
+    with pytest.raises(ValueError):
+        pmi_collocations(docs, min_count=0)
+    with pytest.raises(ValueError):
+        pmi_collocations(docs, top_k=0)
