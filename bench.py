@@ -208,7 +208,7 @@ def main() -> None:
             "dedup_minhash_lsh", ("pairs", "leak")
         ),
         "dedup_ngram_jaccard": _kind_subs(
-            "dedup_ngram_jaccard", ("jaccard", "containment")
+            "dedup_ngram_jaccard", ("jaccard", "containment", "rank")
         ),
         "events_sessionization": _kind_subs(
             "events_sessionization", ("batch", "stream_closed", "stream_multi")

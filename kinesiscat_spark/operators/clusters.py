@@ -157,3 +157,94 @@ def keep_best(
         .select(F.col("id").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    n_iters: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over the undirected near-dup pair graph (Page et
+    al. 1999; edge-weighted generalization à la Xing & Ghorbani 2004):
+    (id, rank) for every node appearing in ``pairs``, with
+
+        r_{k+1}(v) = (1−d)/N + d · Σ_{u∈nbr(v)} r_k(u) · w(u,v) / S(u)
+
+    where S(u) = Σ_x w(u,x) is u's out-strength; ``weight_col=None``
+    means w ≡ 1 (S = degree — classic PageRank). On a duplicate graph
+    with similarity weights the rank is a centrality score for cluster
+    representatives — the highest-rank member sits closest to the
+    cluster's similarity center of mass (a degree-smoothed alternative
+    to ``keep_best``'s single quality column). Weights must be positive.
+    Every node has S > 0 (it appears in a pair), so there is no dangling
+    mass and each iteration redistributes rank exactly. Note near-dup
+    clusters are near-CLIQUES: under w ≡ 1 every regular component holds
+    the uniform 1/N forever, so the weighted form is the informative one
+    on dedup graphs.
+
+    Deterministic and ANSI-SQL-replayable: per-node strength and
+    neighbor sums fold in VALUE order (sort_array + aggregate ↔ DuckDB
+    ``list_sum(list(c ORDER BY c))`` — the DSIR-proven pairing), every
+    other step is one written arithmetic order over identical IEEE
+    doubles, and ``n_iters`` unrolls into CTE layers on the oracle side
+    (the Lloyd-IVF recipe).
+
+    Scale shape: the doubled edge list and strength table materialize
+    once (localCheckpoint — O(n_iters) edge passes, not O(n_iters²)
+    lineage replays); each iteration is one key-partitioned join + one
+    groupBy whose exchange carries (node, contrib) rows bounded by the
+    EDGE count, never documents. N rides a 1-row crossJoin. Rank rounds
+    to 6 dp at the edge.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1) (got {damping})")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1 (got {n_iters})")
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst"), w.alias("w")
+    )
+    rev = pairs.select(
+        F.col(id_b).alias("src"), F.col(id_a).alias("dst"), w.alias("w")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
+    strength = (
+        edges.groupBy("src")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("w")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s_out")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n1 = strength.agg(F.count("*").alias("_n"))
+    ranks = strength.select(F.col("src").alias("v")).crossJoin(n1).select(
+        "v", (F.lit(1.0) / F.col("_n")).alias("r")
+    )
+    for _ in range(n_iters):
+        contribs = edges.join(
+            ranks.withColumnRenamed("v", "src"), "src"
+        ).join(strength, "src").select(
+            F.col("dst").alias("v"),
+            (F.col("r") * F.col("w") / F.col("s_out")).alias("c"),
+        )
+        summed = contribs.groupBy("v").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("c")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("_s")
+        )
+        ranks = summed.crossJoin(n1).select(
+            "v",
+            (
+                (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                + F.lit(damping) * F.col("_s")
+            ).alias("r"),
+        ).localCheckpoint(eager=False)
+    return ranks.select("v", F.round("r", 6).alias("rank"))

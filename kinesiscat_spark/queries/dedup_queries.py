@@ -68,6 +68,55 @@ sh AS (
 
 CONTAINMENT_T = 0.6
 
+PR_DAMPING = 0.85
+PR_ITERS = 4
+
+
+def _pagerank_layers() -> str:
+    """WEIGHTED PageRank replay (Page et al. 1999; w = raw jaccard) over
+    the jaccard ∪ containment pair graph: ``PR_ITERS`` unrolled CTE
+    layers (the Lloyd-IVF recipe), per-node strength and neighbor sums
+    folded in VALUE order (``list_sum(list(c ORDER BY c))`` ↔ Spark
+    sort_array+aggregate — the DSIR-proven pairing), every arithmetic
+    step in the operator's written order over identical IEEE doubles.
+    The weights matter: dup clusters are near-cliques, and unweighted
+    PageRank holds the uniform 1/N on every regular component — the
+    similarity-weighted form is the one whose centrality actually varies
+    (pinned non-degenerate at the oracle SF)."""
+    d = PR_DAMPING
+    layers = []
+    for k in range(1, PR_ITERS + 1):
+        layers.append(f""",
+pr{k} AS (
+  SELECT t.v, (1.0 - {d!r}) / (SELECT n FROM prn) + {d!r} * t.s AS r
+  FROM (
+    SELECT e.dst AS v,
+           list_sum(list(p.r * e.w / s.s_out
+                         ORDER BY p.r * e.w / s.s_out)) AS s
+    FROM prw e JOIN pr{k - 1} p ON p.v = e.src
+    JOIN prs s ON s.v = e.src
+    GROUP BY e.dst
+  ) t
+)""")
+    return f""",
+predge AS (
+  SELECT id_a, id_b, jaccard AS w FROM sim
+  WHERE jaccard >= {{jt}} OR containment >= {{ct}}
+),
+prw AS (
+  SELECT id_a AS src, id_b AS dst, w FROM predge
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, w FROM predge
+),
+prs AS (
+  SELECT src AS v, list_sum(list(w ORDER BY w)) AS s_out
+  FROM prw GROUP BY src
+),
+prn AS (SELECT COUNT(*)::BIGINT AS n FROM prs),
+pr0 AS (SELECT v, 1.0 / (SELECT n FROM prn) AS r FROM prs)
+{"".join(layers)}"""
+
+
 # Both measures come off ONE common-count CTE: containment is just one
 # more projected column (|A∩B| / min sizes) over the same pair counts the
 # Jaccard rows use — the round-7 `kind='containment'` widening.
@@ -88,7 +137,7 @@ sim AS (
   FROM common
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-)
+){_pagerank_layers().format(jt=JACCARD_T, ct=CONTAINMENT_T)}
 SELECT 'jaccard' AS kind, id_a, id_b, ROUND(jaccard, 6) AS jaccard,
        CAST(NULL AS DOUBLE) AS containment
 FROM sim WHERE jaccard >= {JACCARD_T}
@@ -96,6 +145,10 @@ UNION ALL
 SELECT 'containment' AS kind, id_a, id_b, ROUND(jaccard, 6) AS jaccard,
        ROUND(containment, 6) AS containment
 FROM sim WHERE containment >= {CONTAINMENT_T}
+UNION ALL
+SELECT 'rank' AS kind, v AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       ROUND(r, 6) AS jaccard, CAST(NULL AS DOUBLE) AS containment
+FROM pr{PR_ITERS}
 """
 
 
@@ -128,25 +181,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
     )
     ordered = _ordered_shingles(sh)
-    jac = ngram_jaccard_pairs(
-        docs, threshold=JACCARD_T, n=3, _ordered=ordered
-    ).select(
+    jp = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3, _ordered=ordered)
+    jac = jp.select(
         F.lit("jaccard").alias("kind"),
         "id_a",
         "id_b",
         F.round("jaccard", 6).alias("jaccard"),
         F.lit(None).cast("double").alias("containment"),
     )
-    cont = ngram_containment_pairs(
+    cp = ngram_containment_pairs(
         docs, threshold=CONTAINMENT_T, n=3, _ordered=ordered
-    ).select(
+    )
+    cont = cp.select(
         F.lit("containment").alias("kind"),
         "id_a",
         "id_b",
         F.round("jaccard", 6).alias("jaccard"),
         F.round("containment", 6).alias("containment"),
     )
-    return jac.unionByName(cont)
+    # round-7 continuation (kind='rank'): similarity-WEIGHTED PageRank
+    # centrality (Page et al. 1999; w = raw jaccard) over the jaccard ∪
+    # containment pair graph — the representative score for duplicate
+    # clusters (operators/clusters.py pagerank). The weighting matters:
+    # dup clusters are near-cliques, where unweighted PageRank stays at
+    # the uniform 1/N; the jaccard-weighted walk breaks the symmetry, so
+    # the hash check pins genuinely varying centralities through all
+    # four unrolled iterations.
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    edges = (
+        jp.select("id_a", "id_b", "jaccard")
+        .unionByName(cp.select("id_a", "id_b", "jaccard"))
+        .distinct()
+    )
+    rank = pagerank(
+        edges, damping=PR_DAMPING, n_iters=PR_ITERS, weight_col="jaccard"
+    ).select(
+        F.lit("rank").alias("kind"),
+        F.col("v").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("rank").alias("jaccard"),
+        F.lit(None).cast("double").alias("containment"),
+    )
+    return jac.unionByName(cont).unionByName(rank)
 
 
 MINHASH_T = 0.5

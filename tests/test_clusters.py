@@ -130,3 +130,82 @@ def test_near_dedup_keep_policy_validation(spark):
     )
     with pytest.raises(ValueError):
         near_dedup(docs, CurationConfig(near_dup_keep="bogus"))
+
+
+def test_pagerank_path_graph_hand_computed(spark):
+    """PageRank on the path a-b-c replays the textbook recurrence with
+    the operator's exact fold order; ranks sum to ~1 and the center node
+    dominates."""
+    import pytest
+
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r.v: r.rank for r in pagerank(pairs, n_iters=2).collect()}
+
+    n, d = 3, 0.85
+    r = {1: 1.0 / n, 2: 1.0 / n, 3: 1.0 / n}
+    deg = {1: 1, 2: 2, 3: 1}
+    for _ in range(2):
+        contrib = {
+            1: [r[2] / deg[2]],
+            2: sorted([r[1] / deg[1], r[3] / deg[3]]),
+            3: [r[2] / deg[2]],
+        }
+        nxt = {}
+        for v, cs in contrib.items():
+            s = 0.0
+            for c in cs:
+                s = s + c
+            nxt[v] = (1.0 - d) / n + d * s
+        r = nxt
+    assert got == {v: round(x, 6) for v, x in r.items()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got[2] > got[1] == got[3]
+    with pytest.raises(ValueError):
+        pagerank(pairs, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(pairs, n_iters=0)
+
+
+def test_pagerank_weighted_triangle_hand_computed(spark):
+    """Similarity-weighted PageRank on a triangle with unequal weights:
+    the heavier-connected node wins, replaying the weighted recurrence
+    in the operator's exact value-sorted fold order (a clique is regular,
+    so the UNWEIGHTED walk would stay uniform — the weighted one must
+    not)."""
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 3.0)],
+        "id_a long, id_b long, w double",
+    )
+    got = {
+        r.v: r.rank
+        for r in pagerank(pairs, n_iters=3, weight_col="w").collect()
+    }
+    n, d = 3, 0.85
+    w = {(1, 2): 1.0, (1, 3): 2.0, (2, 3): 3.0}
+    wf = {**w, **{(b, a): x for (a, b), x in w.items()}}
+    s = {u: sum(sorted(x for (a, _), x in wf.items() if a == u))
+         for u in (1, 2, 3)}
+    r = {u: 1.0 / n for u in (1, 2, 3)}
+    for _ in range(3):
+        nxt = {}
+        for v in (1, 2, 3):
+            cs = sorted(
+                r[u] * wf[(u, v)] / s[u] for u in (1, 2, 3) if u != v
+            )
+            acc = 0.0
+            for c in cs:
+                acc = acc + c
+            nxt[v] = (1.0 - d) / n + d * acc
+        r = nxt
+    assert got == {v: round(x, 6) for v, x in r.items()}
+    # node 3 carries the heaviest edges; node 1 the lightest
+    assert got[3] > got[2] > got[1]
+    # unweighted on the same (regular) triangle: uniform forever
+    flat = {x.rank for x in pagerank(pairs, n_iters=3).collect()}
+    assert flat == {round(1.0 / 3, 6)}

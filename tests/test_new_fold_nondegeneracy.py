@@ -84,3 +84,16 @@ def test_sketch_lane_pmi(spark, qs):
     assert len({r.est for r in pmi}) > 5     # scores actually vary
     assert all(r.cnt >= 5 for r in pmi)      # floor respected
     assert all(r.est > 0 for r in pmi)       # genuine collocations
+
+
+def test_jaccard_lane_pagerank(spark, qs):
+    rows = qs["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()
+    pairs = [r for r in rows if r.kind in ("jaccard", "containment")]
+    rank = [r for r in rows if r.kind == "rank"]
+    nodes = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert {r.id_a for r in rank} == nodes    # every graph node ranked
+    ests = [r.jaccard for r in rank]
+    assert abs(sum(ests) - 1.0) < 1e-3        # rank mass conserved
+    # the similarity weighting breaks the clique symmetry: the multi-node
+    # component's members separate from the uniform 1/N of isolated pairs
+    assert len(set(ests)) > 2
