@@ -407,6 +407,45 @@ def dup_ngram_char_frac(text: Column, n: int) -> Column:
     return let_(word_ngrams(text, n), body)
 
 
+def token_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of the document's own token distribution:
+
+        H = −Σ_t (c_t/n) · ln(c_t/n)
+
+    over the doc's distinct whitespace tokens — the classic
+    repetitiveness/gibberish diagnostic next to the Gopher repetition
+    fractions (a spam page looping three phrases scores near 0; varied
+    prose scores near ln of its distinct-token count). NULL for empty
+    docs.
+
+    Deterministic and ANSI-SQL-replayable: the entropy terms fold in
+    VALUE order (sort_array + aggregate ↔ DuckDB ``list_sum(list_sort(
+    ...))``), each term is one written arithmetic order over identical
+    IEEE doubles. Scan-stage Column algebra, zero shuffle; the token
+    array is let-bound and each term's probability binds once, so the
+    cost is O(n·distinct) per document, not O(n²·distinct)
+    (kinesiscat_spark/let.py).
+    """
+
+    def body(ws: Column) -> Column:
+        n = F.size(ws).cast("double")
+        terms = F.transform(
+            F.array_distinct(ws),
+            lambda t: let_(
+                _count_in(ws, t).cast("double") / n,
+                lambda p: p * F.log(p),
+            ),
+        )
+        return F.when(
+            F.size(ws) > 0,
+            -F.aggregate(
+                F.sort_array(terms), F.lit(0.0), lambda a, x: a + x
+            ),
+        )
+
+    return let_(words(text), body)
+
+
 # --- blocklist word filtering (C4 §2.2 "List of ... Bad Words") ------------
 
 

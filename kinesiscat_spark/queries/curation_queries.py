@@ -756,6 +756,19 @@ c4 AS (
     )
   )
 )"""
+    # token-entropy replay (round-7 continuation): value-sorted term fold
+    # (list_sum(list_sort(...)) ↔ Spark sort_array+aggregate), each term's
+    # probability the same BIGINT/DOUBLE division both engines.
+    tent_term = "(len(list_filter(w, x -> x = t)) / len(w)::DOUBLE)"
+    tent_cte = f"""
+tent AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0 THEN
+           ROUND(-list_sum(list_sort(list_transform(list_distinct(w),
+             t -> {tent_term} * ln({tent_term})))), 6)
+         END AS tok_entropy
+  FROM (SELECT doc_id, {_WORDS.format(t="text")} AS w FROM documents)
+)"""
     return f"""
 WITH g AS (
   SELECT doc_id, text, {g2} AS grams2, {g3} AS grams3,
@@ -764,7 +777,8 @@ WITH g AS (
 ),
 {c4_fix},
 {gw_cte},
-{gx_cte}
+{gx_cte},
+{tent_cte.strip()}
 SELECT doc_id,
   CASE WHEN len(list_distinct(grams2)) > 0 THEN round(
     (SELECT cnt * len(g) FROM (
@@ -814,9 +828,10 @@ SELECT doc_id,
    AND COALESCE(gx_bul <= 0.1, FALSE)
    AND COALESCE(gx_ell <= 0.1, FALSE)
    AND COALESCE(gx_alpha >= 0.5, FALSE)
-   AND (gx_stops >= 0)) AS gx_keep
+   AND (gx_stops >= 0)) AS gx_keep,
+  tok_entropy
 FROM g JOIN c4 USING (doc_id)
-JOIN gw USING (doc_id) JOIN gx USING (doc_id)
+JOIN gw USING (doc_id) JOIN gx USING (doc_id) JOIN tent USING (doc_id)
 """
 
 
@@ -854,6 +869,7 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_signals,
         pii_signals,
         repetition_signals,
+        token_entropy,
         top_ngram_char_frac,
     )
 
@@ -922,6 +938,11 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_alpha_frac=0.5,
             min_stop_hits=0,
         ).alias("gx_keep"),
+        # round-7 continuation: Shannon entropy of the doc's own token
+        # distribution (operators/curation.py token_entropy) — the
+        # repetitiveness/gibberish diagnostic; value-sorted term fold
+        # replayed in the twin's tent CTE.
+        F.round(token_entropy(F.col("text")), 6).alias("tok_entropy"),
     )
 
 

@@ -607,3 +607,38 @@ def test_semantic_contamination_arrow_equals_column(spark):
         ).collect()
     )
     assert a == c and len(a) > 0
+
+
+def test_token_entropy_hand_computed(spark):
+    """Token entropy replays -sum(p ln p) with the value-sorted fold:
+    a one-token loop scores 0, a uniform doc scores ln(k), and
+    empty/NULL docs are NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.curation import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d"),
+            (3, "x x y"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", F.round(token_entropy(F.col("text")), 6).alias("h")
+        ).collect()
+    }
+    # value-sorted fold: the x-term (2/3·ln 2/3) > y-term (1/3·ln 1/3)
+    terms = sorted([(2 / 3) * math.log(2 / 3), (1 / 3) * math.log(1 / 3)])
+    h3 = -(terms[0] + terms[1])
+    assert got[1] == 0.0                      # pure repetition
+    assert got[2] == round(math.log(4), 6)    # uniform over 4 tokens
+    assert got[3] == round(h3, 6)
+    assert got[4] is None and got[5] is None  # no tokens -> unscored
