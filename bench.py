@@ -234,7 +234,7 @@ def main() -> None:
         },
         "text_fingerprint": _kind_subs("text_fingerprint", ("fp", "novelty")),
         "text_bpe_train": _kind_subs(
-            "text_bpe_train", ("doc", "doc_persisted")
+            "text_bpe_train", ("doc", "doc_persisted", "fertility")
         ),
         "text_quality_score": {
             "langid_heuristic": lambda: text_language_id(spark, sf_dir),

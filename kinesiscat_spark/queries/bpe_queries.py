@@ -116,6 +116,17 @@ UNION ALL
 SELECT 'doc_persisted', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), doc_id, n_bpe_tokens
 FROM doc_counts
+UNION ALL
+SELECT 'fertility', CAST(NULL AS INTEGER), t.lbl, CAST(NULL AS VARCHAR),
+       t.val, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT 'total_tokens' AS lbl,
+         (SELECT sum(freq * n) FROM wf JOIN enc USING (word))::BIGINT AS val
+  UNION ALL
+  SELECT 'total_words', (SELECT sum(freq) FROM wf)::BIGINT
+  UNION ALL
+  SELECT 'total_chars', (SELECT sum(freq * len(word)) FROM wf)::BIGINT
+) t
 """
 
 
@@ -172,4 +183,46 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="kc_bpe_store_")
     save_bpe(spark, [(a, b) for a, b, _ in merges], store)
     persisted = _doc_counts("doc_persisted", load_bpe(spark, store))
-    return mrows.unionByName(counts).unionByName(persisted)
+    # round-7 continuation (kind='fertility'): corpus tokenizer-quality
+    # totals — BPE tokens, whitespace words, word characters — as EXACT
+    # integer aggregates (readers derive fertility = tokens/words and
+    # compression = chars/token; the all-integer rows make the hash
+    # check engine-exact with no float-fold concerns). Token total rides
+    # the already-computed 'doc' branch; words/chars are one scan-stage
+    # aggregate.
+    from kinesiscat_spark.operators.curation import words
+
+    wtot = docs.select(
+        F.explode(words(F.col("text"))).alias("w")
+    ).agg(
+        F.count("*").alias("_nw"),
+        F.sum(F.length("w")).alias("_nc"),
+    )
+    fert = (
+        counts.agg(F.sum("n_bpe_tokens").alias("_nt"))
+        .crossJoin(wtot)
+        .select(
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("total_tokens"),
+                        F.lit("total_words"),
+                        F.lit("total_chars"),
+                    ),
+                    F.array(F.col("_nt"), F.col("_nw"), F.col("_nc")),
+                )
+            ).alias("lhs", "cnt")
+        )
+        .select(
+            F.lit("fertility").alias("kind"),
+            F.lit(None).cast("int").alias("merge_rank"),
+            "lhs",
+            F.lit(None).cast("string").alias("rhs"),
+            F.col("cnt").cast("long"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        mrows.unionByName(counts).unionByName(persisted).unionByName(fert)
+    )

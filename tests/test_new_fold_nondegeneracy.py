@@ -97,3 +97,17 @@ def test_jaccard_lane_pagerank(spark, qs):
     # the similarity weighting breaks the clique symmetry: the multi-node
     # component's members separate from the uniform 1/N of isolated pairs
     assert len(set(ests)) > 2
+
+
+def test_bpe_lane_fertility(spark, qs):
+    rows = qs["text_bpe_train"](spark, SF_ORACLE).collect()
+    fert = {r.lhs: r.cnt for r in rows if r.kind == "fertility"}
+    assert set(fert) == {"total_tokens", "total_words", "total_chars"}
+    # totals cross-check the doc branch exactly
+    assert fert["total_tokens"] == sum(
+        r.n_bpe_tokens for r in rows if r.kind == "doc"
+    )
+    # sane tokenizer shape: >=1 BPE token per word (merges only fuse
+    # within words), and chars-per-token >= 1 after the 6 lane merges
+    assert fert["total_tokens"] >= fert["total_words"] > 0
+    assert fert["total_chars"] >= fert["total_words"]
