@@ -743,3 +743,56 @@ def mix_corpora_unimax(
         text_col=text_col,
         n_buckets=n_buckets,
     )
+
+
+def weighted_reservoir_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """A-ES weighted reservoir sampling (Efraimidis & Spirakis 2006):
+    keep the ``k`` rows with the largest key u_i^(1/w_i) — ranked here
+    by the monotone-equivalent ln(u_i)/w_i — a weight-proportional
+    WITHOUT-replacement sample (P(row i drawn first) = w_i/Σw). The
+    "take a 10B-token sample weighted by document quality/length" step
+    of a mixture pipeline, in one pass, no global sort.
+
+    The noise u is DETERMINISTIC — a unit hash of the row id + salt,
+    never ``rand()`` — so the same corpus selects the same reservoir on
+    any cluster, any partitioning, any rerun; ``method='md5'`` derives u
+    from the md5 hex prefix (an exact 48-bit dyadic rational — the
+    engine-portable variant the ``sampling_mix`` lane's
+    ``kind='reservoir'`` rows hash-check in DuckDB, the DSIR recipe).
+    Rows with NULL or non-positive weight are excluded (the algorithm
+    requires w > 0). Keys round to 9 dp with an id tie-break, so the
+    selected set is stable and replayable. Returns (id, weight, key).
+
+    Scale shape: the key is scan-stage Column algebra over the row
+    itself; selection is a TakeOrderedAndProject global top-k
+    (per-partition heaps — no shuffle of the corpus, no full sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if method == "md5":
+        u = F.conv(_md5_prefix([F.col(id_col)], salt), 16, 10).cast(
+            "double"
+        ) / F.lit(float(16**_MD5_PREFIX))
+    elif method == "xxhash64":
+        u = _unit_hash([F.col(id_col)], salt)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+    w = F.col(weight_col).cast("double")
+    return (
+        docs.filter(w > 0.0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).alias("weight"),
+            F.round(F.log(u) / w, 9).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("id"))
+        .limit(k)
+    )

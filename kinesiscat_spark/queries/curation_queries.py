@@ -118,6 +118,30 @@ _DSIR_KEEP = 64
 _DSIR_SALTS = (17, 18)
 _STRAT_SALT = 23
 _STRAT_N = 8
+_RESV_K = 64
+_RESV_SALT = 31
+
+# A-ES weighted-reservoir twin (round-7 continuation): the same 48-bit
+# dyadic-rational u as DSIR's Gumbel, key = ln(u)/n_tokens rounded to
+# 9 dp, exact top-k with id tie-break — token-count-proportional
+# without-replacement sampling, engine-replayable end to end.
+_RESV_NTOK = (
+    "len(list_filter(string_split_regex(trim(coalesce(text, '')), "
+    "'\\s+'), x -> len(x) > 0))::BIGINT"
+)
+
+
+def _resv_cte() -> str:
+    u = _DSIR_U.replace("d.doc_id", "doc_id").format(salt=_RESV_SALT)
+    return f"""
+resv AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           round(ln({u}) / n_tokens, 9) AS key
+    FROM (SELECT doc_id, {_RESV_NTOK} AS n_tokens FROM documents)
+    WHERE n_tokens > 0
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) <= {_RESV_K}
+)"""
 
 # DSIR twin (round 6, VERDICT r5 task 4): two add-0.5 unigram models
 # (target = English docs, raw = all docs), per-doc log importance weight
@@ -289,7 +313,8 @@ WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_temp_ctes()},
 {_dsir_ctes()},
 {_unimax_ctes().lstrip()},
-{_cluster_prune_ctes().lstrip()}
+{_cluster_prune_ctes().lstrip()},
+{_resv_cte().lstrip()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM documents
@@ -348,6 +373,11 @@ UNION ALL
 SELECT 'unimax' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
        1 AS source_id, n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM um_rest
+UNION ALL
+SELECT 'reservoir' AS kind, CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS source_id,
+       n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM resv
 UNION ALL
 SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS lang, cell AS source_id,
@@ -515,7 +545,35 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dist2") * 1e9).cast("long").alias("n_tokens"),
         null_split.alias("split"),
     )
-    return out.unionByName(clus)
+    out = out.unionByName(clus)
+
+    # kind='reservoir' (round-7 continuation): A-ES weighted reservoir
+    # sampling (Efraimidis & Spirakis 2006) — top-64 by ln(u)/w with
+    # w = whitespace-token count and the DSIR 48-bit dyadic u, the
+    # token-proportional without-replacement sample; scan-stage key +
+    # TakeOrderedAndProject, replayed row-for-row in the twin.
+    from kinesiscat_spark.operators.sampling import weighted_reservoir_sample
+
+    wdocs = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    resv = weighted_reservoir_sample(
+        wdocs, _RESV_K, "n_tokens", salt=_RESV_SALT, method="md5"
+    ).select(
+        F.lit("reservoir").alias("kind"),
+        F.col("id").alias("doc_id"),
+        null_lang.alias("lang"),
+        null_src.alias("source_id"),
+        F.col("weight").alias("n_tokens"),
+        null_split.alias("split"),
+    )
+    return out.unionByName(resv)
 
 
 _KEEP_CANONICAL_ORACLE = f"""

@@ -111,3 +111,12 @@ def test_bpe_lane_fertility(spark, qs):
     # within words), and chars-per-token >= 1 after the 6 lane merges
     assert fert["total_tokens"] >= fert["total_words"] > 0
     assert fert["total_chars"] >= fert["total_words"]
+
+
+def test_sampling_lane_reservoir(spark, qs):
+    rows = qs["sampling_mix"](spark, SF_ORACLE).collect()
+    resv = [r for r in rows if r.kind == "reservoir"]
+    assert len(resv) == 64                    # full reservoir drawn
+    toks = [int(r.n_tokens) for r in resv]
+    assert all(t > 0 for t in toks)           # w > 0 enforced
+    assert len(set(toks)) > 5                 # weights actually vary

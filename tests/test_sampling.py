@@ -347,3 +347,37 @@ def test_unimax_water_fill_properties(spark):
     assert per_src[0] == 50
     for s in (1, 2):
         assert 475 <= per_src[s] < 475 + 20
+
+
+def test_weighted_reservoir_sample_proportional_and_deterministic(spark):
+    """A-ES: heavier rows are sampled more often across salts, zero/NULL
+    weights are never drawn, reruns reproduce the set exactly, and k
+    caps the reservoir."""
+    import pytest
+
+    from kinesiscat_spark.operators.sampling import weighted_reservoir_sample
+
+    rows = [(i, 100 if i < 5 else 1) for i in range(50)]
+    rows += [(90, 0), (91, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+
+    hits = {i: 0 for i, _ in rows}
+    for salt in range(12):
+        got = weighted_reservoir_sample(docs, 5, "w", salt=salt).collect()
+        assert len(got) == 5
+        for r in got:
+            hits[r.id] += 1
+    assert hits[90] == 0 and hits[91] == 0     # w <= 0 excluded
+    heavy = sum(hits[i] for i in range(5))
+    light = sum(hits[i] for i in range(5, 50))
+    assert heavy > light                       # 500:45 total mass
+    a = {r.id for r in weighted_reservoir_sample(docs, 5, "w", salt=3).collect()}
+    b = {r.id for r in weighted_reservoir_sample(docs, 5, "w", salt=3).collect()}
+    assert a == b                              # rerun-stable
+    md = {r.id for r in
+          weighted_reservoir_sample(docs, 5, "w", salt=3, method="md5").collect()}
+    assert len(md) == 5
+    with pytest.raises(ValueError):
+        weighted_reservoir_sample(docs, 0, "w")
+    with pytest.raises(ValueError):
+        weighted_reservoir_sample(docs, 5, "w", method="bogus")
