@@ -1263,3 +1263,45 @@ def corpus_minhash_signatures(
     return hp.groupBy("grp").agg(*mins).select(
         "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
     )
+
+
+def duplication_overlap_report(
+    pairs: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source duplication report at DOCUMENT granularity: how many
+    verified near-dup pairs land between each (group_a, group_b) source
+    combination — the "which datasets actually duplicate each other"
+    card that decides what to drop from a mixture (the doc-level
+    complement of ``corpus_minhash_similarity``'s signature-level
+    estimate; diagonal rows are within-source duplication). Groups are
+    canonicalized with least/greatest so each combination appears once.
+    Returns (group_a, group_b, n_pairs).
+
+    Scale shape: two narrow (id, group) joins against the pair list —
+    the same lookup pattern as split_leakage_report, AQE-broadcast when
+    the doc-side projection is small, key-partitioned otherwise — then
+    one map-side-combinable count over source-pair keys (bounded by
+    |groups|²). Text never moves.
+    """
+    lookup = docs.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_g")
+    )
+    ga = lookup.select(
+        F.col("_id").alias("id_a"), F.col("_g").alias("_g_a")
+    )
+    gb = lookup.select(
+        F.col("_id").alias("id_b"), F.col("_g").alias("_g_b")
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_g_a", "_g_b").alias("group_a"),
+            F.greatest("_g_a", "_g_b").alias("group_b"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -304,6 +304,18 @@ JOIN (SELECT doc_id, {split_case} AS split FROM documents) sa
 JOIN (SELECT doc_id, {split_case} AS split FROM documents) sb
   ON sb.doc_id = p.id_b
 WHERE sa.split <> sb.split
+UNION ALL
+SELECT 'src_overlap' AS kind, CAST(NULL AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, CAST(n AS DOUBLE) AS est_jaccard,
+       ga AS split_a, gb AS split_b
+FROM (
+  SELECT least(sa.source, sb.source) AS ga,
+         greatest(sa.source, sb.source) AS gb, COUNT(*)::BIGINT AS n
+  FROM ({body}) p
+  JOIN documents sa ON sa.doc_id = p.id_a
+  JOIN documents sb ON sb.doc_id = p.id_b
+  GROUP BY 1, 2
+)
 """
 
 
@@ -361,7 +373,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_a",
         "split_b",
     )
-    return pairs.unionByName(leak)
+    # round-7 continuation (kind='src_overlap'): cross-source duplication
+    # report at DOC granularity (operators/dedup.py
+    # duplication_overlap_report) — which datasets actually duplicate
+    # each other, off the SAME shared candidate subtree; source pair
+    # rides split_a/split_b, the pair count rides est_jaccard.
+    from kinesiscat_spark.operators.dedup import duplication_overlap_report
+
+    overlap = duplication_overlap_report(out, docs).select(
+        F.lit("src_overlap").alias("kind"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("n_pairs").cast("double").alias("est_jaccard"),
+        F.col("group_a").alias("split_a"),
+        F.col("group_b").alias("split_b"),
+    )
+    return pairs.unionByName(leak).unionByName(overlap)
 
 
 SIMHASH_D = 3

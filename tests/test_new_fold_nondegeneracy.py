@@ -120,3 +120,12 @@ def test_sampling_lane_reservoir(spark, qs):
     toks = [int(r.n_tokens) for r in resv]
     assert all(t > 0 for t in toks)           # w > 0 enforced
     assert len(set(toks)) > 5                 # weights actually vary
+
+
+def test_minhash_lane_src_overlap(spark, qs):
+    rows = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    pairs = [r for r in rows if r.kind == "pairs"]
+    ov = [r for r in rows if r.kind == "src_overlap"]
+    assert ov and sum(int(r.est_jaccard) for r in ov) == len(pairs)
+    assert all(r.split_a <= r.split_b for r in ov)   # canonicalized
+    assert len({(r.split_a, r.split_b) for r in ov}) == len(ov)
