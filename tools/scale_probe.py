@@ -467,6 +467,55 @@ def probes():
             [en, rest], 240_000, max_epochs=1.0, salt=29
         ).count()
 
+    def p_pmi(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return text.pmi_collocations(docs, min_count=5, top_k=10).count()
+
+    def p_pagerank(spark, d):
+        from kinesiscat_spark.operators.clusters import pagerank
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        edges = dedup.ngram_jaccard_pairs(docs, 0.4)
+        return pagerank(edges, n_iters=4, weight_col="jaccard").count()
+
+    def p_token_entropy(spark, d):
+        from kinesiscat_spark.operators.curation import token_entropy
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return (
+            docs.select(token_entropy(F.col("text")).alias("h"))
+            .agg(F.sum("h"))
+            .count()
+        )
+
+    def p_reservoir(spark, d):
+        from kinesiscat_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        w = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        return weighted_reservoir_sample(w, 64, "n_tokens", salt=31).count()
+
+    def p_src_overlap(spark, d):
+        from kinesiscat_spark.operators.dedup import (
+            duplication_overlap_report,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, 0.5, 32, 8)
+        return duplication_overlap_report(pairs, docs).count()
+
     return {
         "dedup_exact": (p_exact, "linear"),
         "pca_train_project": (p_pca, "linear (1-pass Gram partials + scan projection)"),
@@ -506,6 +555,11 @@ def probes():
         "kn_lm": (p_kn_lm, "linear (pair counts + size-switched model joins + per-doc fold)"),
         "funnel": (p_funnel, "linear (per-step user-keyed min-agg + join)"),
         "retention": (p_retention, "linear (user min-agg + distinct days + keyed joins)"),
+        "pmi_collocations": (p_pmi, "linear (word/bigram counts + vocab joins + TakeOrdered)"),
+        "pagerank": (p_pagerank, "linear+dup-density (edge-bounded contrib exchanges x iters)"),
+        "token_entropy": (p_token_entropy, "linear (scan-stage)"),
+        "weighted_reservoir": (p_reservoir, "linear (scan-stage key + TakeOrdered)"),
+        "src_overlap": (p_src_overlap, "linear+dup-density (pair joins + bounded count)"),
     }
 
 
