@@ -776,6 +776,28 @@ def weighted_reservoir_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    return (
+        docs.filter(F.col(weight_col).cast("double") > 0.0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).alias("weight"),
+            reservoir_key(id_col, weight_col, salt, method).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def reservoir_key(
+    id_col: str,
+    weight_col: str,
+    salt: int = 0,
+    method: str = "xxhash64",
+) -> Column:
+    """The A-ES exponential key ln(u)/w, rounded to 9 dp — the shared
+    scan-stage column of the batch ``weighted_reservoir_sample`` and the
+    streaming reservoir (streaming/stateful.py), so both select the
+    identical rows for the same (corpus, salt)."""
     if method == "md5":
         u = F.conv(_md5_prefix([F.col(id_col)], salt), 16, 10).cast(
             "double"
@@ -785,14 +807,4 @@ def weighted_reservoir_sample(
     else:
         raise ValueError(f"unknown hash method {method!r}")
     u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
-    w = F.col(weight_col).cast("double")
-    return (
-        docs.filter(w > 0.0)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(weight_col).alias("weight"),
-            F.round(F.log(u) / w, 9).alias("key"),
-        )
-        .orderBy(F.desc("key"), F.asc("id"))
-        .limit(k)
-    )
+    return F.round(F.log(u) / F.col(weight_col).cast("double"), 9)

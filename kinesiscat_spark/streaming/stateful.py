@@ -390,3 +390,101 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_reservoir(
+    rows: DataFrame,
+    k: int,
+    weight_col: str,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    method: str = "md5",
+) -> DataFrame:
+    """Streaming A-ES weighted reservoir (Efraimidis & Spirakis 2006 —
+    the algorithm's ORIGINAL one-pass streaming setting): maintain the
+    top-``k`` rows by the exponential key ln(u)/w across micro-batches,
+    with deterministic u so the stream selects exactly what the batch
+    operator selects.
+
+    Contract: rows are emitted (append mode) the moment they are
+    ADMITTED to their shard's k-row reservoir. Admission is monotone —
+    a shard's k-th key only improves — so every row of the final global
+    reservoir was necessarily admitted on arrival, and the emitted
+    stream is a small superset of it: the exact reservoir is the top-k
+    (key DESC, id ASC) over the emitted rows, pinned equal to the batch
+    ``weighted_reservoir_sample`` in tests/test_streaming_reservoir.py.
+    Rows with non-positive weight never enter (the paper requires
+    w > 0).
+
+    Scale design: the key is the same scan-stage column as the batch
+    path (``operators.sampling.reservoir_key`` — bit-identical
+    selection); state is ≤ k (id, weight, key) triples PER SHARD with
+    rows sharded by id hash, so admission pressure spreads over
+    ``n_shards`` state partitions instead of one hot key; per batch the
+    work is one shuffle on the shard id plus an Arrow call per touched
+    shard. Emission volume is bounded by total admissions — O(k·log n)
+    expected per shard over the stream's life, not O(n).
+    """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.sampling import reservoir_key
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    keyed = rows.filter(F.col(weight_col).cast("double") > 0.0).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        reservoir_key(id_col, weight_col, salt, method).alias("key"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, weights, keys = state.get
+            res = [
+                (float(kk), int(i), int(w))
+                for kk, i, w in zip(keys, ids, weights)
+            ]
+        else:
+            res = []
+        # ordering: key DESC, id ASC == sort key (-key, id) ASC
+        res.sort(key=lambda t: (-t[0], t[1]))
+        out_id, out_w, out_k = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                cand = (float(row["key"]), int(row["id"]), int(row["weight"]))
+                if len(res) < k or (-cand[0], cand[1]) < (
+                    -res[-1][0],
+                    res[-1][1],
+                ):
+                    res.append(cand)
+                    res.sort(key=lambda t: (-t[0], t[1]))
+                    del res[k:]
+                    out_k.append(cand[0])
+                    out_id.append(cand[1])
+                    out_w.append(cand[2])
+        state.update(
+            (
+                [i for _, i, _ in res],
+                [w for _, _, w in res],
+                [kk for kk, _, _ in res],
+            )
+        )
+        if out_id:
+            yield pd.DataFrame(
+                {"id": out_id, "weight": out_w, "key": out_k}
+            )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType="id long, weight long, key double",
+        stateStructType="ids array<long>, weights array<long>,"
+        " keys array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
