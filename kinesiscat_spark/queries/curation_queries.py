@@ -379,6 +379,11 @@ SELECT 'reservoir' AS kind, CAST(doc_id AS VARCHAR) AS doc_id,
        n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM resv
 UNION ALL
+SELECT 'reservoir_stream' AS kind, CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS source_id,
+       n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM resv
+UNION ALL
 SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS lang, cell AS source_id,
        CAST(round(d2 * 1e9) AS BIGINT) AS n_tokens,
@@ -573,7 +578,71 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("n_tokens"),
         null_split.alias("split"),
     )
-    return out.unionByName(resv)
+    out = out.unionByName(resv)
+
+    # kind='reservoir_stream' (round-7 continuation): the SAME selection
+    # drained through the STREAMING reservoir
+    # (streaming/stateful.py streaming_reservoir) across 3 single-file
+    # micro-batches. Shard admission thresholds are monotone, so the
+    # top-k over the admitted stream equals the batch reservoir exactly
+    # — the oracle rows are identical to kind='reservoir', making the
+    # hash check a batch≡stream equality proof under the driver gate.
+    # The slice fixture is content-keyed and cached like the
+    # sessionization lane's (atomic rename; repeat calls measure the
+    # drain, not fixture prep).
+    import hashlib
+    import os
+    import tempfile
+
+    from kinesiscat_spark.streaming.source import run_to_memory
+    from kinesiscat_spark.streaming.stateful import streaming_reservoir
+
+    key = f"{os.path.abspath(sf_dir)}|{docs.count()}"
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "kc_resv_stream_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(src):
+        stage = tempfile.mkdtemp(prefix="kc_resv_stream_stage_")
+        for i in range(3):
+            sub = os.path.join(stage, f"slice_{i:03d}")
+            wdocs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                sub
+            )
+            for root, _, files in os.walk(sub):
+                for fname in files:
+                    os.utime(
+                        os.path.join(root, fname),
+                        (1_700_000_000 + i, 1_700_000_000 + i),
+                    )
+        try:
+            os.rename(stage, src)  # atomic: concurrent callers race safely
+        except OSError:
+            src = stage
+    rstream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/slice_*")
+    )
+    emitted = run_to_memory(
+        streaming_reservoir(
+            rstream, _RESV_K, "n_tokens", salt=_RESV_SALT, n_shards=4
+        ),
+        output_mode="append",
+    )
+    resv_stream = (
+        emitted.orderBy(F.desc("key"), F.asc("id"))
+        .limit(_RESV_K)
+        .select(
+            F.lit("reservoir_stream").alias("kind"),
+            F.col("id").alias("doc_id"),
+            null_lang.alias("lang"),
+            null_src.alias("source_id"),
+            F.col("weight").alias("n_tokens"),
+            null_split.alias("split"),
+        )
+    )
+    return out.unionByName(resv_stream)
 
 
 _KEEP_CANONICAL_ORACLE = f"""
