@@ -225,7 +225,7 @@ def main() -> None:
                 "kinesiscat_spark.queries.similarity_queries",
                 fromlist=["ivf_family_method"],
             ).ivf_family_method(spark, sf_dir, m))
-            for m in ("ivf", "ivf_index", "exact", "ivf_refined")
+            for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr")
         },
         "curation_span_dup": {
             "detect": lambda: _span_sub("detect"),

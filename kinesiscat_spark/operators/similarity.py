@@ -713,3 +713,110 @@ def rrf_fuse(
     ).orderBy(F.desc("rrf_score"), F.asc(key_cols[-1]))
     out = fused.withColumn("rnk", F.row_number().over(w).cast("long"))
     return out.filter(F.col("rnk") <= top_k) if top_k else out
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 16,
+    lam: float = 0.7,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick, per query, the candidate maximizing
+
+        λ · sim(q, d)  −  (1−λ) · max_{s ∈ selected} sim(d, s)
+
+    over an exact top-``n_candidates`` cosine candidate pool — the
+    relevance-vs-redundancy re-rank a retrieval pipeline runs so the k
+    results aren't k near-duplicates of each other. The empty-selection
+    penalty is 0.0, so pick 1 is the plain cosine argmax. Ties break
+    (score DESC, cid ASC). Returns (qid, cid, score, rnk) with rnk the
+    pick order 1..k, score rounded to 6 dp.
+
+    Deterministic and ANSI-SQL-replayable: candidate qsims come from the
+    hash-proven pair-cosine kernel; candidate-pair sims accumulate
+    dimension-by-dimension in the kernel (exactly the oracle's
+    ``list_sum`` fold order — the semdedup precedent), the score is one
+    written arithmetic order with the (1.0 − λ) coefficient computed
+    identically, and the k greedy steps unroll into oracle CTE layers
+    (the Lloyd recipe).
+
+    Scale shape: candidate generation is the distributed ``cosine_topk``
+    (corpus never shuffles); the greedy runs per-query over
+    ``n_candidates`` rows via applyInPandas — O(k·n + n·n·dim) on a
+    bounded pool, never the corpus.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if n_candidates < k:
+        raise ValueError(
+            f"n_candidates must be >= k (got {n_candidates} < {k})"
+        )
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    cands = cosine_topk(corpus, queries, n_candidates, corpus_id, query_id, vec)
+    withvec = cands.join(
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")),
+        "cid",
+    )
+    pen = 1.0 - lam
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        V = np.stack(pdf["_cvec"].to_numpy()).astype(np.float64)
+        n = len(pdf)
+        dots = np.zeros((n, n))
+        nrm = np.zeros(n)
+        # dimension-by-dimension accumulation == the oracle's list_sum
+        # left-to-right fold (np.dot's pairwise summation would differ
+        # in the last ulp)
+        for d in range(V.shape[1]):
+            dots += np.outer(V[:, d], V[:, d])
+            nrm += V[:, d] * V[:, d]
+        rn = np.sqrt(nrm)
+        qsim = pdf["sim"].to_numpy()
+        cids = pdf["cid"].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(n))
+        out_cid, out_score, out_rnk = [], [], []
+        for step in range(1, min(k, n) + 1):
+            best = None
+            for i in remaining:
+                # true max over the selected set (can be negative —
+                # only the EMPTY set coalesces to 0.0, matching the
+                # oracle's COALESCE(MAX(psim), 0.0))
+                p = None
+                for j in selected:
+                    s = dots[i, j] / (rn[i] * rn[j])
+                    if p is None or s > p:
+                        p = s
+                if p is None:
+                    p = 0.0
+                score = lam * qsim[i] - pen * p
+                key = (-score, int(cids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bscore = best
+            selected.append(bi)
+            remaining.remove(bi)
+            out_cid.append(int(cids[bi]))
+            out_score.append(round(bscore, 6))
+            out_rnk.append(step)
+        return pd.DataFrame(
+            {
+                "qid": [int(pdf[query_id][0])] * len(out_cid),
+                "cid": out_cid,
+                "score": out_score,
+                "rnk": out_rnk,
+            }
+        )
+
+    return withvec.groupBy(query_id).applyInPandas(
+        greedy, schema="qid long, cid long, score double, rnk long"
+    )

@@ -331,6 +331,88 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+MMR_K = 5
+MMR_CAND = 16
+MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """MMR replay (Carbonell & Goldstein 1998): exact top-MMR_CAND
+    candidate pool per query, pairwise candidate cosines with the SAME
+    left-to-right dimension fold as the Arrow kernel, then MMR_K greedy
+    steps unrolled as CTE layers — each picks the (score DESC, cid)
+    argmax among unselected candidates, with COALESCE(MAX(psim), 0.0)
+    as the empty-selection penalty (matching the kernel's 0.0 default
+    while keeping genuinely negative maxima)."""
+    lam = MMR_LAM
+    dotf = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    layers = []
+    for s in range(1, MMR_K + 1):
+        layers.append(f""",
+msel{s} AS (
+  SELECT qid, cid, score FROM (
+    SELECT c.qid, c.cid,
+           {lam!r} * c.sim - (1.0 - {lam!r}) * COALESCE((
+             SELECT MAX(p.psim) FROM mpair p
+             JOIN mprev{s} sel ON sel.qid = p.qid AND sel.cid = p.cb
+             WHERE p.qid = c.qid AND p.ca = c.cid
+           ), 0.0) AS score
+    FROM mcand c
+    LEFT JOIN mprev{s} d ON d.qid = c.qid AND d.cid = c.cid
+    WHERE d.cid IS NULL
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score DESC, cid) = 1
+),
+mprev{s + 1} AS (
+  SELECT qid, cid FROM mprev{s} UNION ALL SELECT qid, cid FROM msel{s}
+)""")
+    sel_rows = "\nUNION ALL\n".join(
+        f"SELECT qid, cid, ROUND(score, 6) AS sim,"
+        f" CAST({s} AS BIGINT) AS rnk FROM msel{s}"
+        for s in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH mq AS (
+  SELECT vec_id AS qid, embedding AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+mc AS (
+  SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+mqs AS (
+  SELECT qid, cid, ce,
+         {dotf.format(a="qe", b="ce")}
+           / ({nrm.format(v="qe")} * {nrm.format(v="ce")}) AS sim
+  FROM mc CROSS JOIN mq
+),
+mcand AS (
+  SELECT qid, cid, ce, sim FROM mqs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY sim DESC, cid) <= {MMR_CAND}
+),
+mpair AS (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         {dotf.format(a="a.ce", b="b.ce")}
+           / ({nrm.format(v="a.ce")} * {nrm.format(v="b.ce")}) AS psim
+  FROM mcand a JOIN mcand b ON a.qid = b.qid AND a.cid <> b.cid
+),
+mprev1 AS (
+  SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS cid
+  WHERE FALSE
+)
+{"".join(layers)}
+{sel_rows}
+"""
+
+
 def _ivf_family_oracle() -> str:
     return f"""
 SELECT 'ivf' AS method, qid, cid, sim, rnk FROM ({_IVF_ORACLE})
@@ -341,6 +423,8 @@ SELECT 'exact' AS method, qid, cid, sim, rnk FROM ({_TOPK_ORACLE})
 UNION ALL
 SELECT 'ivf_refined' AS method, qid, cid, sim, rnk
 FROM ({_ivf_refined_oracle()})
+UNION ALL
+SELECT 'mmr' AS method, qid, cid, sim, rnk FROM ({_mmr_oracle()})
 """
 
 
@@ -380,7 +464,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = [
         ivf_family_method(spark, sf_dir, m)
-        for m in ("ivf", "ivf_index", "exact", "ivf_refined")
+        for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr")
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -419,6 +503,22 @@ def ivf_family_method(
         out = ivf_topk(
             corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE,
             n_iters=N_ITERS,
+        )
+    elif method == "mmr":
+        # round-7 continuation: MMR diversified re-rank (Carbonell &
+        # Goldstein 1998) — the relevance-vs-redundancy greedy over the
+        # exact candidate pool; score rides sim, pick order rides rnk.
+        from kinesiscat_spark.operators.similarity import mmr_rerank
+
+        out = mmr_rerank(
+            corpus, queries, k=MMR_K, n_candidates=MMR_CAND, lam=MMR_LAM
+        )
+        return out.select(
+            F.lit("mmr").alias("method"),
+            "qid",
+            "cid",
+            F.col("score").alias("sim"),
+            "rnk",
         )
     else:
         raise ValueError(f"unknown method {method!r}")

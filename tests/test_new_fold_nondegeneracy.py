@@ -129,3 +129,24 @@ def test_minhash_lane_src_overlap(spark, qs):
     assert ov and sum(int(r.est_jaccard) for r in ov) == len(pairs)
     assert all(r.split_a <= r.split_b for r in ov)   # canonicalized
     assert len({(r.split_a, r.split_b) for r in ov}) == len(ov)
+
+
+def test_similarity_lane_mmr(spark, qs):
+    rows = qs["similarity_topk_ivf"](spark, SF_ORACLE).collect()
+    mmr = [r for r in rows if r.method == "mmr"]
+    exact = {
+        (r.qid, r.rnk): r.cid for r in rows if r.method == "exact"
+    }
+    qids = {r.qid for r in mmr}
+    assert len(qids) == 5 and len(mmr) == 25      # 5 picks x 5 queries
+    # diversification is load-bearing: some query's pick sequence must
+    # deviate from the plain cosine rank order
+    deviates = any(
+        exact.get((r.qid, r.rnk)) is not None
+        and exact[(r.qid, r.rnk)] != r.cid
+        for r in mmr
+    )
+    assert deviates
+    for q in qids:                                 # scores decay per query
+        seq = sorted((r for r in mmr if r.qid == q), key=lambda r: r.rnk)
+        assert all(a.sim >= b.sim for a, b in zip(seq, seq[1:]))

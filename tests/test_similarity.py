@@ -186,3 +186,42 @@ def test_ivf_assign_arrow_null_and_ragged_vectors(spark):
     assert len(out) == 11
     assert out[100] is None and out[101] is None and out[102] is None
     assert all(out[i] is not None for i, _ in good)
+
+
+def test_mmr_rerank_diversifies_and_validates(spark):
+    """MMR: pick 1 is the cosine argmax; with lam favoring diversity, a
+    redundant near-copy of pick 1 is passed over for a distinct
+    direction; validation rejects bad params."""
+    import pytest
+
+    from kinesiscat_spark.operators.similarity import mmr_rerank
+
+    # query along e1; candidates: 10=near-dup of 11 (both ~e1),
+    # 12=orthogonal-ish mix, 13=far
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.99, 0.1, 0.0, 0.0]),
+        (11, [0.98, 0.12, 0.0, 0.0]),
+        (12, [0.6, 0.8, 0.0, 0.0]),
+        (13, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as qid", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 10")
+    out = mmr_rerank(
+        corpus, queries, k=3, n_candidates=4, lam=0.5
+    ).collect()
+    picks = [r.cid for r in sorted(out, key=lambda r: r.rnk)]
+    assert picks[0] == 10                 # highest cosine wins pick 1
+    assert picks[1] != 11                 # near-dup of pick 1 deferred
+    assert 11 == picks[2] or 11 not in picks
+    scores = [r.score for r in sorted(out, key=lambda r: r.rnk)]
+    assert scores[0] > scores[1]          # marginal relevance decays
+    with pytest.raises(ValueError):
+        mmr_rerank(corpus, queries, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(corpus, queries, k=5, n_candidates=3)
+    with pytest.raises(ValueError):
+        mmr_rerank(corpus, queries, k=2, n_candidates=3, lam=1.5)

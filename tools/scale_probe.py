@@ -506,6 +506,16 @@ def probes():
         )
         return weighted_reservoir_sample(w, 64, "n_tokens", salt=31).count()
 
+    def p_mmr(spark, d):
+        from kinesiscat_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return mmr_rerank(corpus, queries, k=5, n_candidates=16).count()
+
     def p_src_overlap(spark, d):
         from kinesiscat_spark.operators.dedup import (
             duplication_overlap_report,
@@ -560,6 +570,7 @@ def probes():
         "token_entropy": (p_token_entropy, "linear (scan-stage)"),
         "weighted_reservoir": (p_reservoir, "linear (scan-stage key + TakeOrdered)"),
         "src_overlap": (p_src_overlap, "linear+dup-density (pair joins + bounded count)"),
+        "mmr_rerank": (p_mmr, "linear (corpus scan for candidates; greedy on bounded pool)"),
     }
 
 
