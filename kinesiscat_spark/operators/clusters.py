@@ -166,6 +166,7 @@ def pagerank(
     id_a: str = "id_a",
     id_b: str = "id_b",
     weight_col: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank over the undirected near-dup pair graph (Page et
     al. 1999; edge-weighted generalization à la Xing & Ghorbani 2004):
@@ -193,11 +194,15 @@ def pagerank(
     (the Lloyd-IVF recipe).
 
     Scale shape: the doubled edge list and strength table materialize
-    once (localCheckpoint — O(n_iters) edge passes, not O(n_iters²)
-    lineage replays); each iteration is one key-partitioned join + one
-    groupBy whose exchange carries (node, contrib) rows bounded by the
-    EDGE count, never documents. N rides a 1-row crossJoin. Rank rounds
-    to 6 dp at the edge.
+    once (localCheckpoint), so every iteration joins CACHED frames; the
+    rank frame itself is consumed exactly once per iteration, so the
+    lazy chain stays a LINEAR plan (one job, n_iters stacked
+    join+agg stages) — it re-materializes only every
+    ``checkpoint_every`` iterations to bound plan depth on long runs
+    instead of paying a job per iteration. Each iteration's exchange
+    carries (node, contrib) rows bounded by the EDGE count, never
+    documents. N rides a 1-row crossJoin. Rank rounds to 6 dp at the
+    edge.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1) (got {damping})")
@@ -226,7 +231,7 @@ def pagerank(
     ranks = strength.select(F.col("src").alias("v")).crossJoin(n1).select(
         "v", (F.lit(1.0) / F.col("_n")).alias("r")
     )
-    for _ in range(n_iters):
+    for it in range(1, n_iters + 1):
         contribs = edges.join(
             ranks.withColumnRenamed("v", "src"), "src"
         ).join(strength, "src").select(
@@ -246,5 +251,7 @@ def pagerank(
                 (F.lit(1.0) - F.lit(damping)) / F.col("_n")
                 + F.lit(damping) * F.col("_s")
             ).alias("r"),
-        ).localCheckpoint(eager=False)
+        )
+        if it % checkpoint_every == 0 and it < n_iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("v", F.round("r", 6).alias("rank"))
