@@ -181,7 +181,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
     )
     ordered = _ordered_shingles(sh)
-    jp = ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=3, _ordered=ordered)
+    # Both pair frames materialize ONCE (lazy localCheckpoint): three
+    # consumers (the jaccard rows, the containment rows, and the rank
+    # branch's edge union, which pagerank re-reads across iterations)
+    # would otherwise re-run the candidate join per consumer — the
+    # PPJoin-in-codegen shape of the join itself is pinned at the
+    # OPERATOR level in test_plan_shape.py.
+    jp = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, n=3, _ordered=ordered
+    ).localCheckpoint(eager=False)
     jac = jp.select(
         F.lit("jaccard").alias("kind"),
         "id_a",
@@ -191,7 +199,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cp = ngram_containment_pairs(
         docs, threshold=CONTAINMENT_T, n=3, _ordered=ordered
-    )
+    ).localCheckpoint(eager=False)
     cont = cp.select(
         F.lit("containment").alias("kind"),
         "id_a",

@@ -317,11 +317,22 @@ def test_packing_single_exchange_no_python(plans):
     assert read and all("lang" not in l and "source" not in l for l in read)
 
 
-def test_ppjoin_suffix_filter_in_join_codegen(plans):
+def test_ppjoin_suffix_filter_in_join_codegen(spark):
     """Round 5: all three PPJoin filters (length, positional, suffix) run
     INSIDE the candidate join's condition — before the dedupe exchange —
-    not as a post-join Filter node over materialized candidates."""
-    s = plans("dedup_ngram_jaccard")
+    not as a post-join Filter node over materialized candidates.
+    Pinned at the OPERATOR plan (round-7: the lane now materializes the
+    pair frames once behind localCheckpoint for its three consumers, so
+    the join no longer appears in the lane's own plan)."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import ngram_jaccard_pairs
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    df = ngram_jaccard_pairs(load_table(spark, SF_DIR, "documents"), 0.4)
+    s = df._jdf.queryExecution().explainString(mode)
     conds = [l for l in s.splitlines() if "Join condition:" in l]
     # the suffix bound compares the pivot structs (w) and partition sizes
     # inside a join condition (broadcast at tiny SF, shuffled at scale)
