@@ -233,6 +233,9 @@ def main() -> None:
             "line_dedup": lambda: _line_dedup_sub(),
         },
         "text_fingerprint": _kind_subs("text_fingerprint", ("fp", "novelty")),
+        "text_bm25_topk": _kind_subs(
+            "text_bm25_topk", ("bm25", "rm3", "rm3_terms")
+        ),
         "text_bpe_train": _kind_subs(
             "text_bpe_train", ("doc", "doc_persisted", "fertility")
         ),

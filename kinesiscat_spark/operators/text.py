@@ -1148,3 +1148,209 @@ def pmi_collocations(
     return scored.orderBy(F.desc("_pmi"), F.asc("gram")).limit(top_k).select(
         "gram", "cnt", F.round("_pmi", 6).alias("pmi")
     )
+
+
+def rm3_terms(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback term model (Lavrenko & Croft 2001;
+    the RM3 interpolation Anserini/Indri ship): from the BM25 top-
+    ``fb_docs`` first pass, estimate the relevance model
+
+        P(w|R) = Σ_d  (score_d / Σ score) · tf_{w,d} / dl_d
+
+    take the ``fb_terms`` highest-probability NON-query terms as the
+    expansion set, and interpolate with the uniform query model:
+    original terms weigh α/|Q| + (1−α)·P(w|R), expansion terms
+    (1−α)·P(w|R). Returns (term, weight, is_original), weight rounded
+    to 9 dp — the query model a second weighted-BM25 pass consumes
+    (``rm3_topk``).
+
+    Deterministic: first-pass scores come from the hash-proven
+    ``bm25_topk``; every cross-document sum folds in VALUE order
+    (sort_array + aggregate ↔ DuckDB ``list_sum(list(x ORDER BY x))``);
+    expansion picks break ties (P DESC, term ASC).
+
+    Scale shape: the feedback set is ``fb_docs`` rows — its token
+    explode, the per-term contributions, and the rank are all bounded
+    by the feedback set, never the corpus.
+    """
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1 (got {fb_docs})")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1 (got {fb_terms})")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    qset = list(dict.fromkeys(terms))
+    fb = bm25_topk(docs, qset, fb_docs, k1=k1, b=b, id_col=id_col,
+                   text_col=text_col).select(
+        F.col(id_col).alias("_fid"), F.col("score").alias("_fscore")
+    )
+    ordered_sum = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    total = fb.agg(ordered_sum("_fscore").alias("_tot"))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    fbtok = (
+        docs.select(F.col(id_col).alias("_fid"), toks.alias("_toks"))
+        .join(fb, "_fid")
+        .select(
+            "_fid",
+            "_fscore",
+            F.size("_toks").cast("double").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+    )
+    # contrib(w, d) = (score_d / Σscore) · tf_{w,d} / dl_d, assembled as
+    # one written order: tf counted by the (doc, term) group size
+    contrib = (
+        fbtok.groupBy("_fid", "term")
+        .agg(
+            F.count("*").cast("double").alias("_tf"),
+            F.first("_fscore").alias("_fscore"),
+            F.first("_dl").alias("_dl"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            (
+                F.col("_fscore") / F.col("_tot") * F.col("_tf") / F.col("_dl")
+            ).alias("_c"),
+        )
+    )
+    prm = contrib.groupBy("term").agg(ordered_sum("_c").alias("_prm"))
+    w_exp = Window.orderBy(F.desc("_prm"), F.asc("term"))
+    expansion = (
+        prm.filter(~F.col("term").isin(qset))
+        .withColumn("_rk", F.row_number().over(w_exp))
+        .filter(F.col("_rk") <= fb_terms)
+        .select(
+            "term",
+            F.round((1.0 - alpha) * F.col("_prm"), 9).alias("weight"),
+            F.lit(False).alias("is_original"),
+        )
+    )
+    originals = (
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in qset], "term string"
+        )
+        .join(prm, "term", "left")
+        .select(
+            "term",
+            F.round(
+                F.lit(alpha / len(qset))
+                + (1.0 - alpha) * F.coalesce("_prm", F.lit(0.0)),
+                9,
+            ).alias("weight"),
+            F.lit(True).alias("is_original"),
+        )
+    )
+    return originals.unionByName(expansion)
+
+
+def rm3_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    k: int,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 second pass: weighted-BM25 ranking under the interpolated
+    query model from ``rm3_terms`` — each matched term contributes
+    weight_w · idf_w · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), per-doc
+    parts folded in VALUE order. Returns (doc_id, score, rnk), the
+    pseudo-relevance-feedback upgrade of plain ``bm25_topk`` (recall
+    from feedback vocabulary the original query missed).
+
+    Scale shape: the term model is a ≤(|Q|+fb_terms)-row broadcast; one
+    corpus token explode joins it (everything else is dropped at the
+    join), per-term dfs aggregate from that same joined stream, and the
+    global top-k is TakeOrderedAndProject. The corpus scans twice total
+    (first pass + second pass), never more.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    model = rm3_terms(
+        docs, terms, fb_docs, fb_terms, alpha, k1, b, id_col, text_col
+    ).select("term", "weight")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size("_toks").cast("double")).alias("_avgdl"),
+    )
+    matched = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").cast("double").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .join(F.broadcast(model), "term")
+        .groupBy(id_col, "term")
+        .agg(
+            F.count("*").cast("double").alias("_tf"),
+            F.first("_dl").alias("_dl"),
+            F.first("weight").alias("_w"),
+        )
+    )
+    dfs = matched.groupBy("term").agg(
+        F.count("*").cast("double").alias("_df")
+    )
+    ordered_sum = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    part = (
+        F.col("_w")
+        * F.log(
+            (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+        )
+        * (
+            F.col("_tf") * (k1 + 1.0)
+            / (
+                F.col("_tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * F.coalesce(
+                        F.try_divide(F.col("_dl"), F.col("_avgdl")),
+                        F.lit(1.0),
+                    )
+                )
+            )
+        )
+    )
+    scored = (
+        matched.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), part.alias("_part"))
+        .groupBy(id_col)
+        .agg(ordered_sum("_part").alias("score"))
+    )
+    out = (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return out.withColumn("rnk", F.row_number().over(w).cast("long"))

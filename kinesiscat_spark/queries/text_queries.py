@@ -463,6 +463,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("vector", "merge", "window")
 _BM25_K = 25
 _BM25_K1, _BM25_B = 1.2, 0.75
+# RM3 pseudo-relevance feedback (round-7 continuation)
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 5
+_RM3_ALPHA = 0.5
 
 
 def _bm25_oracle(terms: tuple[str, ...] = _BM25_TERMS) -> str:
@@ -487,6 +491,15 @@ def _bm25_oracle(terms: tuple[str, ...] = _BM25_TERMS) -> str:
         f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
         for i in range(len(terms))
     )
+    # RM3 replay (Lavrenko & Croft 2001): feedback set = first-pass
+    # top-FB_DOCS off the SAME scored CTE; relevance-model sums fold in
+    # VALUE order (list_sum(list(x ORDER BY x)) ↔ sort_array+aggregate);
+    # the second pass joins the ≤|Q|+FB_TERMS term model against one
+    # token explode and folds per-doc parts the same way.
+    a, nq = _RM3_ALPHA, len(terms)
+    qlist = ", ".join(f"'{w}'" for w in terms)
+    qvals = ", ".join(f"('{w}')" for w in terms)
+    k1, b = _BM25_K1, _BM25_B
     return f"""
 WITH base AS (
   SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols}
@@ -501,10 +514,83 @@ scored AS (
 topk AS (
   SELECT doc_id, score FROM scored WHERE score > 0
   ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+),
+rmfb AS (
+  SELECT doc_id, score FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {_RM3_FB_DOCS}
+),
+rmtot AS (SELECT list_sum(list(score ORDER BY score)) AS tot FROM rmfb),
+rmtok AS (
+  SELECT d.doc_id, f.score, CAST(len(d.toks) AS DOUBLE) AS dl,
+         unnest(d.toks) AS term
+  FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+  JOIN rmfb f USING (doc_id)
+),
+rmcontrib AS (
+  SELECT term, score / (SELECT tot FROM rmtot) * tf / dl AS c FROM (
+    SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, MIN(score) AS score,
+           MIN(dl) AS dl
+    FROM rmtok GROUP BY doc_id, term
+  )
+),
+rmprm AS (
+  SELECT term, list_sum(list(c ORDER BY c)) AS prm
+  FROM rmcontrib GROUP BY term
+),
+rmexp AS (
+  SELECT term, ROUND((1.0 - {a!r}) * prm, 9) AS weight
+  FROM (
+    SELECT term, prm, ROW_NUMBER() OVER (ORDER BY prm DESC, term) AS rk
+    FROM rmprm WHERE term NOT IN ({qlist})
+  ) WHERE rk <= {_RM3_FB_TERMS}
+),
+rmorig AS (
+  SELECT q.term,
+         ROUND({a!r} / {nq} + (1.0 - {a!r}) * COALESCE(p.prm, 0.0), 9)
+           AS weight
+  FROM (VALUES {qvals}) q(term) LEFT JOIN rmprm p USING (term)
+),
+rmmodel AS (
+  SELECT term, weight, TRUE AS is_original FROM rmorig
+  UNION ALL
+  SELECT term, weight, FALSE AS is_original FROM rmexp
+),
+rmmatch AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, MIN(dl) AS dl,
+         MIN(weight) AS w
+  FROM (
+    SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+    FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  ) JOIN (SELECT term, weight FROM rmmodel) USING (term)
+  GROUP BY doc_id, term
+),
+rmdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM rmmatch GROUP BY term),
+rmscored AS (
+  SELECT doc_id, list_sum(list(part ORDER BY part)) AS score FROM (
+    SELECT m.doc_id,
+           m.w * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (m.tf * ({k1} + 1.0) / (m.tf + {k1} * (1.0 - {b} + {b}
+                * COALESCE(m.dl / nullif(s.avgdl, 0.0), 1.0)))) AS part
+    FROM rmmatch m JOIN rmdf d USING (term) CROSS JOIN stats s
+  ) GROUP BY doc_id
+),
+rmtopk AS (
+  SELECT doc_id, score FROM rmscored WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 )
-SELECT doc_id, ROUND(score, 6) AS score,
+SELECT 'bm25' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       ROUND(score, 6) AS score,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
 FROM topk
+UNION ALL
+SELECT 'rm3' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       ROUND(score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM rmtopk
+UNION ALL
+SELECT 'rm3_terms' AS kind, CAST(NULL AS BIGINT) AS doc_id, term,
+       weight AS score, CAST(is_original AS BIGINT) AS rnk
+FROM rmmodel
 """
 
 
@@ -521,11 +607,43 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort. Deterministic ties on doc_id — the full ranking
     hash-checks against the SQL twin.
     """
-    from kinesiscat_spark.operators.text import bm25_topk
+    from kinesiscat_spark.operators.text import bm25_topk, rm3_terms, rm3_topk
 
     docs = load_table(spark, sf_dir, "documents")
+    null_term = F.lit(None).cast("string")
     out = bm25_topk(docs, _BM25_TERMS, _BM25_K, k1=_BM25_K1, b=_BM25_B)
-    return out.select("doc_id", F.round("score", 6).alias("score"), "rnk")
+    bm25 = out.select(
+        F.lit("bm25").alias("kind"),
+        "doc_id",
+        null_term.alias("term"),
+        F.round("score", 6).alias("score"),
+        "rnk",
+    )
+    # round-7 continuation: RM3 pseudo-relevance feedback (Lavrenko &
+    # Croft 2001) — kind='rm3_terms' is the interpolated query model
+    # (weight rides score, is_original rides rnk), kind='rm3' the
+    # weighted-BM25 second pass under it.
+    model = rm3_terms(
+        docs, _BM25_TERMS, _RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA,
+        k1=_BM25_K1, b=_BM25_B,
+    ).select(
+        F.lit("rm3_terms").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("weight").alias("score"),
+        F.col("is_original").cast("long").alias("rnk"),
+    )
+    rm3 = rm3_topk(
+        docs, _BM25_TERMS, _BM25_K, _RM3_FB_DOCS, _RM3_FB_TERMS,
+        _RM3_ALPHA, k1=_BM25_K1, b=_BM25_B,
+    ).select(
+        F.lit("rm3").alias("kind"),
+        "doc_id",
+        null_term.alias("term"),
+        F.round("score", 6).alias("score"),
+        "rnk",
+    )
+    return bm25.unionByName(rm3).unionByName(model)
 
 
 _FINGERPRINT_ORACLE = r"""

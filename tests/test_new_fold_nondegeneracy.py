@@ -150,3 +150,16 @@ def test_similarity_lane_mmr(spark, qs):
     for q in qids:                                 # scores decay per query
         seq = sorted((r for r in mmr if r.qid == q), key=lambda r: r.rnk)
         assert all(a.sim >= b.sim for a, b in zip(seq, seq[1:]))
+
+
+def test_bm25_lane_rm3(spark, qs):
+    rows = qs["text_bm25_topk"](spark, SF_ORACLE).collect()
+    model = [r for r in rows if r.kind == "rm3_terms"]
+    assert sum(1 for r in model if r.rnk == 0) == 5   # 5 expansion terms
+    assert sum(1 for r in model if r.rnk == 1) == 3   # 3 originals
+    assert len({r.score for r in model}) == len(model)  # weights vary
+    bm = {r.rnk: r.doc_id for r in rows if r.kind == "bm25"}
+    rm = {r.rnk: r.doc_id for r in rows if r.kind == "rm3"}
+    assert len(bm) == len(rm) == 25
+    # feedback expansion actually moves the ranking
+    assert any(bm[i] != rm[i] for i in bm)

@@ -703,3 +703,44 @@ def test_pmi_collocations_hand_computed(spark):
         pmi_collocations(docs, min_count=0)
     with pytest.raises(ValueError):
         pmi_collocations(docs, top_k=0)
+
+
+def test_rm3_expansion_recalls_feedback_vocabulary(spark):
+    """RM3's selling point: a document that never mentions the query term
+    but is rich in the feedback docs' vocabulary enters the second-pass
+    ranking; originals keep the alpha floor; validation rejects bad
+    params."""
+    import pytest
+
+    from kinesiscat_spark.operators.text import rm3_terms, rm3_topk
+
+    rows = [
+        (1, "kernel kernel gpu cuda"),
+        (2, "kernel gpu cuda memory"),
+        (3, "gpu cuda memory bandwidth"),   # no 'kernel' — expansion bait
+        (4, "recipe flour sugar butter"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {
+        r.term: (r.weight, r.is_original)
+        for r in rm3_terms(
+            docs, ("kernel",), fb_docs=2, fb_terms=2, alpha=0.5
+        ).collect()
+    }
+    assert model["kernel"][1] is True
+    exp = {t for t, (_, orig) in model.items() if not orig}
+    assert exp <= {"gpu", "cuda", "memory"} and len(exp) == 2
+    assert all(w > 0 for w, _ in model.values())
+    out = rm3_topk(docs, ("kernel",), 4, fb_docs=2, fb_terms=2, alpha=0.5)
+    ranked = [r.doc_id for r in out.collect()]
+    assert 3 in ranked          # recalled purely via expansion terms
+    assert 4 not in ranked      # unrelated doc stays out
+    with pytest.raises(ValueError):
+        rm3_terms(docs, ("kernel",), fb_docs=0)
+    with pytest.raises(ValueError):
+        rm3_terms(docs, ("kernel",), fb_terms=0)
+    with pytest.raises(ValueError):
+        rm3_terms(docs, ("kernel",), alpha=1.5)
+    with pytest.raises(ValueError):
+        rm3_topk(docs, ("kernel",), 0)

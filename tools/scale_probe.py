@@ -506,6 +506,25 @@ def probes():
         )
         return weighted_reservoir_sample(w, 64, "n_tokens", salt=31).count()
 
+    def p_rm3(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # corpus-derived terms: the synth copies salt every token (see
+        # p_bm25), so fixed literals would match nothing at N×
+        terms = tuple(
+            r.t
+            for r in docs.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("t")
+            )
+            .groupBy("t")
+            .count()
+            .orderBy(F.desc("count"), "t")
+            .limit(3)
+            .collect()
+        )
+        return text.rm3_topk(
+            docs, terms, 25, fb_docs=10, fb_terms=5
+        ).count()
+
     def p_mmr(spark, d):
         from kinesiscat_spark.operators.similarity import mmr_rerank
 
@@ -571,6 +590,7 @@ def probes():
         "weighted_reservoir": (p_reservoir, "linear (scan-stage key + TakeOrdered)"),
         "src_overlap": (p_src_overlap, "linear+dup-density (pair joins + bounded count)"),
         "mmr_rerank": (p_mmr, "linear (corpus scan for candidates; greedy on bounded pool)"),
+        "rm3_topk": (p_rm3, "linear (two corpus passes + fb-bounded model)"),
     }
 
 
