@@ -308,14 +308,20 @@ def span_removal(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
     )
 
 
-def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig | None = None,
+    _frames: list[tuple[str, DataFrame]] | None = None,
+) -> DataFrame:
     """Run the full curation pipeline.
 
     By default the stages compose lazily into ONE plan — no job runs until
     the caller acts on the result. Auditing is opt-in: pass a cfg with
     ``stage_counts={}`` and per-stage surviving-row counts are recorded in
     it (each count materializes its stage — audit runs re-execute the full
-    upstream pipeline once per stage, so never audit in production plans).
+    upstream pipeline once per stage, so never audit in production plans;
+    the one-job alternative is ``attrition_report``). ``_frames`` is the
+    internal lazy-stage tap that report uses.
     """
     cfg = cfg or CurationConfig()
     audit = cfg.stage_counts is not None
@@ -323,6 +329,8 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     def step(name: str, df: DataFrame) -> DataFrame:
         if audit:
             cfg.stage_counts[name] = df.count()
+        if _frames is not None:
+            _frames.append((name, df))
         return df
 
     out = step("input", docs)
@@ -440,6 +448,37 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
                 method=cfg.sample_method,
             ),
         )
+    return out
+
+
+def attrition_report(
+    docs: DataFrame, cfg: CurationConfig | None = None
+) -> DataFrame:
+    """Per-stage attrition of the curation pipeline — (stage, stage_idx,
+    n_docs) for every stage ``curate`` composes under this config, in
+    pipeline order: the observability card that says where documents die
+    (a quality gate eating 60% of a new crawl is a bug you want to see
+    before training, not after).
+
+    One LAZY plan: each stage's surviving-row count is a 1-row aggregate
+    over that stage's frame, unioned — a single Spark action computes the
+    whole funnel, with shared stage prefixes deduplicated by exchange
+    reuse (unlike ``cfg.stage_counts`` auditing, which runs one job per
+    stage). Counts are exact integers, so the report is engine-exact.
+    """
+    frames: list[tuple[str, DataFrame]] = []
+    curate(docs, cfg, _frames=frames)
+    parts = [
+        df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"),
+            F.lit(i).cast("long").alias("stage_idx"),
+            "n_docs",
+        )
+        for i, (name, df) in enumerate(frames)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

@@ -1488,6 +1488,39 @@ UNION ALL
 SELECT 'batch_best' AS kind, doc_id FROM g_near_best
 WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
       < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
+-- kind='attr_<stage>' (round 7): the pipeline ATTRITION funnel — one
+-- surviving-row count per curate() stage, replayed off the SAME stage
+-- CTEs the doc rows flow through. Gopher and language gates are
+-- disabled under the lane config (pass-throughs), so their counts ride
+-- their predecessors' layers.
+UNION ALL
+SELECT 'attr_input' AS kind, (SELECT COUNT(*) FROM documents) AS doc_id
+UNION ALL
+SELECT 'attr_quality', (SELECT COUNT(*) FROM g_quality)
+UNION ALL
+SELECT 'attr_repetition', (SELECT COUNT(*) FROM g_rep)
+UNION ALL
+SELECT 'attr_gopher', (SELECT COUNT(*) FROM g_rep)
+UNION ALL
+SELECT 'attr_blocklist', (SELECT COUNT(*) FROM g_block)
+UNION ALL
+SELECT 'attr_language', (SELECT COUNT(*) FROM g_block)
+UNION ALL
+SELECT 'attr_pii', (SELECT COUNT(*) FROM g_pii)
+UNION ALL
+SELECT 'attr_decontaminate', (SELECT COUNT(*) FROM g_decon)
+UNION ALL
+SELECT 'attr_semantic_decontaminate', (SELECT COUNT(*) FROM g_sem)
+UNION ALL
+SELECT 'attr_exact_dedup', (SELECT COUNT(*) FROM g_exact)
+UNION ALL
+SELECT 'attr_near_dedup', (SELECT COUNT(*) FROM g_near)
+UNION ALL
+SELECT 'attr_sample', (
+  SELECT COUNT(*) FROM g_near
+  WHERE substr(md5(doc_id || chr(31) || '{_PIPE_SAMPLE_SALT}'), 1, 12)
+        < '{md5_threshold(_PIPE_SAMPLE_FRAC)}'
+)
 """
 
 
@@ -1576,4 +1609,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = curate(docs, best_cfg).select(
         F.lit("batch_best").alias("kind"), "doc_id"
     )
-    return batch.unionByName(stream).unionByName(best)
+    # kind='attr_<stage>' (round-7 continuation): the attrition funnel —
+    # one surviving-row count per stage in ONE lazy plan
+    # (pipelines.attrition_report); the count rides doc_id, the oracle
+    # replays each count off its stage CTE.
+    from kinesiscat_spark.pipelines import attrition_report
+
+    attr = attrition_report(docs, cfg).select(
+        F.concat(F.lit("attr_"), F.col("stage")).alias("kind"),
+        F.col("n_docs").alias("doc_id"),
+    )
+    return (
+        batch.unionByName(stream).unionByName(best).unionByName(attr)
+    )

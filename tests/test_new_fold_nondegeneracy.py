@@ -163,3 +163,26 @@ def test_bm25_lane_rm3(spark, qs):
     assert len(bm) == len(rm) == 25
     # feedback expansion actually moves the ranking
     assert any(bm[i] != rm[i] for i in bm)
+
+
+def test_pipeline_lane_attrition(spark, qs):
+    rows = qs["curation_pipeline"](spark, SF_ORACLE).collect()
+    attr = {r.kind: r.doc_id for r in rows if r.kind.startswith("attr_")}
+    assert len(attr) == 12                    # full stage funnel present
+    batch = [r for r in rows if r.kind == "batch"]
+    assert attr["attr_sample"] == len(batch)  # funnel ends at the output
+    assert attr["attr_input"] > attr["attr_sample"]
+    # at least two distinct stages actually drop documents
+    drops = sum(
+        1
+        for a, b in [
+            ("attr_input", "attr_quality"),
+            ("attr_pii", "attr_decontaminate"),
+            ("attr_decontaminate", "attr_semantic_decontaminate"),
+            ("attr_semantic_decontaminate", "attr_exact_dedup"),
+            ("attr_exact_dedup", "attr_near_dedup"),
+            ("attr_near_dedup", "attr_sample"),
+        ]
+        if attr[a] > attr[b]
+    )
+    assert drops >= 2

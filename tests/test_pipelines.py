@@ -196,3 +196,37 @@ def test_curate_line_dedup_stage(spark):
     assert got[1] == "alpha beta gamma delta"
     assert got[2] == "epsilon zeta eta theta"
     assert got[3] == "iota kappa lambda mu"
+
+
+def test_attrition_report_funnel(spark):
+    """attrition_report: one row per composed stage in pipeline order,
+    monotone non-increasing counts through the gate stages, and counts
+    that agree with the (multi-job) stage_counts audit."""
+    from kinesiscat_spark.pipelines import (
+        CurationConfig,
+        attrition_report,
+        curate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", 10),
+            (2, "alpha beta gamma delta epsilon zeta", 10),  # exact dup
+            (3, "x", 1),                                     # too short
+            (4, None, 0),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    cfg = CurationConfig(min_tokens=3)
+    rep = attrition_report(docs, cfg).collect()
+    ordered = sorted(rep, key=lambda r: r.stage_idx)
+    assert ordered[0].stage == "input" and ordered[0].n_docs == 4
+    names = [r.stage for r in ordered]
+    assert names.index("quality") < names.index("exact_dedup")
+    counts = [r.n_docs for r in ordered]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert dict((r.stage, r.n_docs) for r in rep)["exact_dedup"] == 1
+
+    audit_cfg = CurationConfig(min_tokens=3, stage_counts={})
+    curate(docs, audit_cfg)
+    assert {r.stage: r.n_docs for r in rep} == audit_cfg.stage_counts
