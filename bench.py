@@ -211,7 +211,8 @@ def main() -> None:
             "dedup_ngram_jaccard", ("jaccard", "containment", "rank")
         ),
         "events_sessionization": _kind_subs(
-            "events_sessionization", ("batch", "stream_closed", "stream_multi")
+            "events_sessionization",
+            ("batch", "stream_closed", "stream_multi", "gap_pctl"),
         ),
         "similarity_topk_quantized": {
             "sq8": _quant_sub("sq8"),

@@ -161,7 +161,49 @@ FROM (
   SELECT s.*, MAX(session_id) OVER (PARTITION BY user_id) AS _mx
   FROM ({_SESSION_BODY}) s
 ) WHERE session_id < _mx
+{{gap_selects}}
 """
+
+# kind='gap_pctl' (round-7 continuation): exact type-1 percentiles of
+# the per-user inter-event gap distribution — the diagnostic the 30-min
+# gap parameter is read off. The value is the ceil(p·n)-th smallest gap
+# (a REAL gap, no interpolation), off the SAME (user, ts, event_id)
+# window order the session body uses. p·100 rides session_id, n rides
+# n_events, the gap rides session_start_us.
+_GAP_PCTLS = (0.5, 0.9, 0.99)
+_GAP_CTE = """WITH gpg AS (
+  SELECT gap FROM (
+    SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+  ) WHERE gap IS NOT NULL
+),
+gprk AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rk FROM gpg),
+gpn AS (SELECT COUNT(*)::BIGINT AS n FROM gpg)
+"""
+
+
+def _gap_selects() -> str:
+    rows = []
+    for p in _GAP_PCTLS:
+        rows.append(f"""
+UNION ALL
+SELECT 'gap_pctl' AS kind, CAST(NULL AS BIGINT) AS user_id,
+       CAST({int(p * 100)} AS BIGINT) AS session_id,
+       (SELECT n FROM gpn) AS n_events,
+       (SELECT gap FROM gprk
+        WHERE rk = CAST(ceil({float(p)!r} * (SELECT n FROM gpn)) AS BIGINT))
+         AS session_start_us,
+       CAST(NULL AS BIGINT) AS session_end_us
+WHERE (SELECT n FROM gpn) > 0""")
+    return "".join(rows)
+
+
+# the gap CTEs prepend as the oracle's only top-level WITH (each nested
+# session body keeps its own parenthesized WITH)
+_SESSION_ORACLE = _GAP_CTE + _SESSION_ORACLE.format(
+    gap_selects=_gap_selects()
+)
 
 
 @query("events_sessionization", oracle=_SESSION_ORACLE)
@@ -289,10 +331,26 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sessionize(multi_stream, _SESSION_GAP_US),
         output_mode="append",
     )
+    # kind='gap_pctl' (round-7 continuation): the inter-event gap
+    # percentiles the 30-min gap parameter is read off
+    # (operators/funnel.py inter_event_gap_percentiles) — p·100 rides
+    # session_id, n_gaps rides n_events, the exact gap rides
+    # session_start_us.
+    from kinesiscat_spark.operators.funnel import inter_event_gap_percentiles
+
+    gaps = inter_event_gap_percentiles(ev, _GAP_PCTLS).select(
+        F.lit("gap_pctl").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        (F.col("p") * 100).cast("long").alias("session_id"),
+        F.col("n_gaps").alias("n_events"),
+        F.col("gap_us").alias("session_start_us"),
+        F.lit(None).cast("long").alias("session_end_us"),
+    )
     return (
         batch.select(F.lit("batch").alias("kind"), "*")
         .unionByName(closed.select(F.lit("stream_closed").alias("kind"), "*"))
         .unionByName(multi.select(F.lit("stream_multi").alias("kind"), "*"))
+        .unionByName(gaps)
     )
 
 

@@ -193,3 +193,32 @@ def test_retention_cohort_math(spark):
         retention_report(ev, ())
     with pytest.raises(ValueError):
         retention_report(ev, (0,))
+
+
+def test_inter_event_gap_percentiles_hand_computed(spark):
+    """Type-1 percentile selection: gap values come from the data (no
+    interpolation), k = ceil(p*n), per-user ordering matches the
+    sessionizer's; validation rejects out-of-range percentiles."""
+    import pytest
+
+    from kinesiscat_spark.operators.funnel import inter_event_gap_percentiles
+
+    # user 1 gaps: 10, 20, 30, 40; user 2 gaps: 5 -> n=5
+    rows = [(1, t, i) for i, t in enumerate([100, 110, 130, 160, 200])]
+    rows += [(2, 1000, 10), (2, 1005, 11)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long")
+    got = {
+        r.p: (r.n_gaps, r.gap_us)
+        for r in inter_event_gap_percentiles(
+            ev, (0.2, 0.5, 0.9, 1.0)
+        ).collect()
+    }
+    # sorted gaps: 5, 10, 20, 30, 40
+    assert got[0.2] == (5, 5)     # ceil(1.0) = 1st
+    assert got[0.5] == (5, 20)    # ceil(2.5) = 3rd
+    assert got[0.9] == (5, 40)    # ceil(4.5) = 5th
+    assert got[1.0] == (5, 40)
+    with pytest.raises(ValueError):
+        inter_event_gap_percentiles(ev, (0.0,))
+    with pytest.raises(ValueError):
+        inter_event_gap_percentiles(ev, (1.2,))

@@ -186,3 +186,16 @@ def test_pipeline_lane_attrition(spark, qs):
         if attr[a] > attr[b]
     )
     assert drops >= 2
+
+
+def test_sessionization_lane_gap_pctls(spark, qs):
+    rows = qs["events_sessionization"](spark, SF_ORACLE).collect()
+    gaps = {r.session_id: r for r in rows if r.kind == "gap_pctl"}
+    assert set(gaps) == {50, 90, 99}
+    vals = [gaps[p].session_start_us for p in (50, 90, 99)]
+    assert vals[0] <= vals[1] <= vals[2]       # a real CDF
+    assert len(set(vals)) > 1                  # distribution has spread
+    assert all(gaps[p].n_events > 1000 for p in gaps)
+    # heavy upper tail (the synthetic users' cadence spans days): exactly
+    # the shape the diagnostic exists to surface before picking a gap
+    assert vals[2] > 2 * vals[0] > 0
