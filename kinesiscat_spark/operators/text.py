@@ -1354,3 +1354,70 @@ def rm3_topk(
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return out.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate: float = 0.5,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_tok: str = "<PRE>",
+    mid_tok: str = "<MID>",
+    suf_tok: str = "<SUF>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    for a ``rate`` fraction of documents, split the text at two
+    positions and emit the PSM reordering
+
+        <PRE> prefix <SUF> suffix <MID> middle
+
+    so an autoregressive model learns infilling from plain left-to-right
+    training — the data-side half of the paper (its "free-lunch"
+    augmentation). The split points are DETERMINISTIC: three md5-derived
+    48-bit dyadic rationals per document (the DSIR/reservoir recipe) —
+    u0 gates application, a = floor(u1·L) and b = floor(u2·L) (ordered)
+    are the character offsets — so the same corpus transforms the same
+    way on any cluster, any partitioning, any rerun, and the transform
+    replays in ANSI SQL. Untouched documents pass through verbatim
+    (including NULL). Returns (id, applied, n_prefix, n_middle,
+    n_suffix, fim_text).
+
+    Scale shape: pure scan-stage Column algebra — three hash prefixes,
+    two substrings, one concat per row; zero shuffle, zero Python.
+    """
+    from kinesiscat_spark.operators.sampling import _MD5_PREFIX, _md5_prefix
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1] (got {rate})")
+
+    def unit(s: int) -> Column:
+        return F.conv(_md5_prefix([F.col(id_col)], s), 16, 10).cast(
+            "double"
+        ) / F.lit(float(16**_MD5_PREFIX))
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(txt)
+    a1 = F.floor(unit(salt + 1) * ln).cast("long")
+    a2 = F.floor(unit(salt + 2) * ln).cast("long")
+    a = F.least(a1, a2)
+    b = F.greatest(a1, a2)
+    applied = (unit(salt) < F.lit(rate)) & (ln >= 2)
+    fim_text = F.concat(
+        F.lit(pre_tok),
+        F.substring(txt, F.lit(1), a),
+        F.lit(suf_tok),
+        F.substring(txt, b + 1, ln - b),
+        F.lit(mid_tok),
+        F.substring(txt, a + 1, b - a),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        applied.alias("applied"),
+        F.when(applied, a).alias("n_prefix"),
+        F.when(applied, b - a).alias("n_middle"),
+        F.when(applied, ln - b).cast("long").alias("n_suffix"),
+        F.when(applied, fim_text).otherwise(F.col(text_col)).alias(
+            "fim_text"
+        ),
+    )

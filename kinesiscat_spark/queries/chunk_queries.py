@@ -25,6 +25,47 @@ _CHUNK = 32
 _OVERLAP = 8
 _STEP = _CHUNK - _OVERLAP
 _SHUF_SALT = 3
+_FIM_RATE = 0.5
+_FIM_SALT = 41
+
+# FIM replay (Bavarian et al. 2022): three 48-bit dyadic u's per doc
+# (the DSIR recipe), char offsets a = floor(u1·L) / b = floor(u2·L)
+# ordered, PSM concat — pure string arithmetic, identical in any engine.
+_FIM_U = (
+    "(concat('0x', substr(md5(doc_id || chr(31) || '{s}'), 1, 12)))::BIGINT"
+    " / 281474976710656.0"
+)
+
+_FIM_CTE = f"""
+fimu AS (
+  SELECT doc_id, text, coalesce(text, '') AS txt,
+         length(coalesce(text, ''))::BIGINT AS L,
+         {_FIM_U.format(s=_FIM_SALT)} AS u0,
+         {_FIM_U.format(s=_FIM_SALT + 1)} AS u1,
+         {_FIM_U.format(s=_FIM_SALT + 2)} AS u2
+  FROM documents
+),
+fimc AS (
+  SELECT doc_id, text, txt, L,
+         (u0 < {_FIM_RATE!r} AND L >= 2) AS applied,
+         least(CAST(floor(u1 * L) AS BIGINT),
+               CAST(floor(u2 * L) AS BIGINT)) AS a,
+         greatest(CAST(floor(u1 * L) AS BIGINT),
+                  CAST(floor(u2 * L) AS BIGINT)) AS b
+  FROM fimu
+)"""
+
+_FIM_SELECT = f"""
+UNION ALL
+SELECT 'fim' AS kind, doc_id AS id, CAST(NULL AS BIGINT) AS chunk_idx,
+       CASE WHEN applied
+            THEN '<PRE>' || substr(txt, 1, a) || '<SUF>'
+                 || substr(txt, b + 1, L - b) || '<MID>'
+                 || substr(txt, a + 1, b - a)
+            ELSE text END AS chunk_text,
+       CASE WHEN applied THEN b - a END AS n_chunk_tokens,
+       CAST(applied AS BIGINT) AS shuffle_rank
+FROM fimc"""
 
 _CHUNK_ORACLE = f"""
 WITH toks AS (
@@ -47,8 +88,9 @@ ch AS (
   SELECT id, u.i AS chunk_idx,
          t[u.i * {_STEP} + 1 : u.i * {_STEP} + {_CHUNK}] AS c
   FROM sized, unnest(range(0, least(n_chunks, n_full))) AS u(i)
-)
-SELECT id, chunk_idx::BIGINT AS chunk_idx,
+),
+{_FIM_CTE.lstrip()}
+SELECT 'chunk' AS kind, id, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(c, ' ') AS chunk_text,
        len(c)::BIGINT AS n_chunk_tokens,
        CAST(ROW_NUMBER() OVER (
@@ -56,6 +98,7 @@ SELECT id, chunk_idx::BIGINT AS chunk_idx,
                           || '{_SHUF_SALT}'), 1, 12),
                   id, chunk_idx) AS BIGINT) AS shuffle_rank
 FROM ch
+{_FIM_SELECT}
 """
 
 
@@ -76,6 +119,22 @@ def text_chunks_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(docs, _CHUNK, _OVERLAP)
     hk = _md5_prefix(["id", "chunk_idx"], _SHUF_SALT)
     w = Window.orderBy(hk, "id", "chunk_idx")
-    return chunks.withColumn(
+    ranked = chunks.withColumn(
         "shuffle_rank", F.row_number().over(w).cast("long")
+    ).select(F.lit("chunk").alias("kind"), "*")
+    # kind='fim' (round-7 continuation): the PSM fill-in-the-middle
+    # transform (operators/text.py fim_transform, Bavarian et al. 2022)
+    # — scan-stage, md5-derived split points, the transformed text rides
+    # chunk_text, the middle length rides n_chunk_tokens, the applied
+    # flag rides shuffle_rank.
+    from kinesiscat_spark.operators.text import fim_transform
+
+    fim = fim_transform(docs, rate=_FIM_RATE, salt=_FIM_SALT).select(
+        F.lit("fim").alias("kind"),
+        "id",
+        F.lit(None).cast("long").alias("chunk_idx"),
+        F.col("fim_text").alias("chunk_text"),
+        F.col("n_middle").alias("n_chunk_tokens"),
+        F.col("applied").cast("long").alias("shuffle_rank"),
     )
+    return ranked.unionByName(fim)

@@ -199,3 +199,16 @@ def test_sessionization_lane_gap_pctls(spark, qs):
     # heavy upper tail (the synthetic users' cadence spans days): exactly
     # the shape the diagnostic exists to surface before picking a gap
     assert vals[2] > 2 * vals[0] > 0
+
+
+def test_chunks_lane_fim(spark, qs):
+    rows = qs["text_chunks_shuffled"](spark, SF_ORACLE).collect()
+    fim = [r for r in rows if r.kind == "fim"]
+    assert len(fim) == 500                       # one row per document
+    applied = [r for r in fim if r.shuffle_rank == 1]
+    # the rate gate splits the corpus nontrivially both ways
+    assert 100 < len(applied) < 400
+    assert all("<MID>" in r.chunk_text for r in applied)
+    assert len({r.n_chunk_tokens for r in applied}) > 10  # offsets vary
+    passthrough = [r for r in fim if r.shuffle_rank == 0]
+    assert all("<PRE>" not in (r.chunk_text or "") for r in passthrough)

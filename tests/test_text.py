@@ -744,3 +744,41 @@ def test_rm3_expansion_recalls_feedback_vocabulary(spark):
         rm3_terms(docs, ("kernel",), alpha=1.5)
     with pytest.raises(ValueError):
         rm3_topk(docs, ("kernel",), 0)
+
+
+def test_fim_transform_psm_reassembly(spark):
+    """FIM: applied docs carry all three pieces in PSM order and the
+    pieces reassemble the original text exactly; untouched docs (rate 0
+    or too short) pass through verbatim including NULL."""
+    import pytest
+
+    from kinesiscat_spark.operators.text import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefghij") for i in range(40)] + [(100, "x"), (101, None)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in fim_transform(docs, rate=0.6, salt=7).collect()}
+    assert out[100].applied is False and out[100].fim_text == "x"
+    assert out[101].applied is False and out[101].fim_text is None
+    applied = [r for r in out.values() if r.applied]
+    assert applied and len(applied) < 42          # the gate actually splits
+    for r in applied:
+        assert r.n_prefix + r.n_middle + r.n_suffix == 10
+        assert r.fim_text.startswith("<PRE>")
+        body = r.fim_text[len("<PRE>"):]
+        pre, rest = body.split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == "abcdefghij"    # pieces reassemble
+        assert len(pre) == r.n_prefix and len(mid) == r.n_middle
+    # deterministic across reruns
+    again = {r.id: r.fim_text
+             for r in fim_transform(docs, rate=0.6, salt=7).collect()}
+    assert again == {i: r.fim_text for i, r in out.items()}
+    # rate 0 / rate 1 bounds + validation
+    none = fim_transform(docs, rate=0.0).filter("applied").count()
+    assert none == 0
+    allr = fim_transform(docs, rate=1.0).filter("applied").count()
+    assert allr == 40                             # every len>=2 doc
+    with pytest.raises(ValueError):
+        fim_transform(docs, rate=1.5)
