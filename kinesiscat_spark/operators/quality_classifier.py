@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesiscat_spark.operators.curation import words
 
@@ -284,3 +285,72 @@ def sigmoid(x: float) -> float:
         return 1.0 / (1.0 + math.exp(-x))
     z = math.exp(x)
     return z / (1.0 + z)
+
+
+def calibration_report(
+    scored: DataFrame,
+    n_bins: int = 10,
+    label_col: str = "y",
+    score_col: str = "margin",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binned calibration (reliability-diagram) report for a classifier's
+    scores (Zadrozny & Elkan 2002's binning estimator; the table behind
+    every reliability plot): rank documents by score, cut into
+    ``n_bins`` equal-count bins, and report each bin's empirical
+    positive rate next to its mean score — "does a higher quality
+    margin actually mean a higher P(en)?" A monotone pos_rate column is
+    a calibratable score; flat or non-monotone bins flag a filter whose
+    threshold does not mean what its user thinks.
+
+    Exact and engine-replayable WITHOUT transcendentals (the reason this
+    is the hash-checked calibration surface while Platt scaling — libm
+    ``exp`` — stays pytest-only): the bin of rank r is
+    floor((r−1)·B/n)+1 in integer arithmetic, pos_rate is an exact
+    0/1-sum ratio, and mean_score folds in VALUE order. Returns
+    (bin, n_docs, n_pos, pos_rate, mean_score).
+
+    Scale shape: ONE global rank over (score, id) scalars — the same
+    documented exactness cost as the percentile surfaces (at 100 TB,
+    approx quantile cuts give the same report shape) — then a
+    map-side-combinable per-bin aggregate.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2 (got {n_bins})")
+    w = Window.orderBy(score_col, id_col)
+    ranked = scored.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(score_col).alias("_s"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    n1 = ranked.agg(F.count("*").alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(n1)).select(
+        (
+            F.floor((F.col("_rk") - 1) * n_bins / F.col("_n")) + 1
+        ).cast("long").alias("bin"),
+        "_y",
+        "_s",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            (F.sum("_y") / F.count("*")).alias("pos_rate"),
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("_s")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*")
+            ).alias("mean_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round("pos_rate", 6).alias("pos_rate"),
+            F.round("mean_score", 6).alias("mean_score"),
+        )
+    )

@@ -27,6 +27,7 @@ from kinesiscat_spark.registry import query
 _QC_N_FEATURES = 64
 _QC_LR = 0.5
 _QC_SALT = 7
+_QC_BINS = 10
 
 _QC_ORACLE = f"""
 WITH
@@ -58,12 +59,40 @@ b1 AS MATERIALIZED (
            list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(0.5::DOUBLE - y))),
                        (a, b) -> a + b) / (SELECT n FROM n), 9) AS b
   FROM base
+),
+mg AS MATERIALIZED (
+  SELECT doc_id, y,
+         round(list_reduce(
+                 list_prepend(0.0::DOUBLE, [arr[j + 1] for j in ids]),
+                 (a, b) -> a + b) + b1.b, 6) AS margin
+  FROM base, warr, b1
+),
+-- kind='calib' (round 7): binned calibration / reliability table over
+-- the SAME rounded margins — bin of rank r is floor((r-1)·B/n)+1 in
+-- identical integer-then-double arithmetic, pos_rate an exact 0/1-sum
+-- ratio, mean margin a value-ordered fold. No transcendentals (the
+-- reason this — not Platt's exp — is the hash-checked calibration).
+cbr AS (
+  SELECT y, margin, ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rk
+  FROM mg
+),
+cbn AS (SELECT COUNT(*)::BIGINT AS n FROM mg),
+cb AS (
+  SELECT CAST(floor((rk - 1) * {_QC_BINS} / (SELECT n FROM cbn))
+              AS BIGINT) + 1 AS bin,
+         COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(y) / COUNT(*) AS pos_rate,
+         list_sum(list(margin ORDER BY margin)) / COUNT(*) AS mean_score
+  FROM cbr GROUP BY 1
 )
-SELECT doc_id, y,
-       round(list_reduce(
-               list_prepend(0.0::DOUBLE, [arr[j + 1] for j in ids]),
-               (a, b) -> a + b) + b1.b, 6) AS margin
-FROM base, warr, b1
+SELECT 'margin' AS kind, doc_id, y, margin,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_pos
+FROM mg
+UNION ALL
+SELECT 'calib' AS kind, bin AS doc_id, ROUND(pos_rate, 6) AS y,
+       ROUND(mean_score, 6) AS margin, n_docs, n_pos
+FROM cb
 """
 
 
@@ -101,8 +130,33 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_documents_quality(
         docs, model, out_col="margin", output="margin"
     )
-    return scored.select(
+    mg = scored.select(
         "doc_id",
         (F.col("lang") == "en").cast("double").alias("y"),
         F.round("margin", 6).alias("margin"),
     )
+    margin_rows = mg.select(
+        F.lit("margin").alias("kind"),
+        "doc_id",
+        "y",
+        "margin",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_pos"),
+    )
+    # kind='calib' (round-7 continuation): the reliability table over the
+    # same rounded margins (operators/quality_classifier.py
+    # calibration_report) — bin rides doc_id, pos_rate rides y, mean
+    # margin rides margin.
+    from kinesiscat_spark.operators.quality_classifier import (
+        calibration_report,
+    )
+
+    calib = calibration_report(mg, n_bins=_QC_BINS).select(
+        F.lit("calib").alias("kind"),
+        F.col("bin").alias("doc_id"),
+        F.col("pos_rate").alias("y"),
+        F.col("mean_score").alias("margin"),
+        "n_docs",
+        "n_pos",
+    )
+    return margin_rows.unionByName(calib)

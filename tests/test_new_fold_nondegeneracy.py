@@ -212,3 +212,21 @@ def test_chunks_lane_fim(spark, qs):
     assert len({r.n_chunk_tokens for r in applied}) > 10  # offsets vary
     passthrough = [r for r in fim if r.shuffle_rank == 0]
     assert all("<PRE>" not in (r.chunk_text or "") for r in passthrough)
+
+
+def test_classifier_lane_calibration(spark, qs):
+    rows = qs["text_quality_classifier"](spark, SF_ORACLE).collect()
+    calib = sorted(
+        (r for r in rows if r.kind == "calib"), key=lambda r: r.doc_id
+    )
+    assert len(calib) == 10
+    assert sum(r.n_docs for r in calib) == sum(
+        1 for r in rows if r.kind == "margin"
+    )
+    rates = [r.pos_rate if hasattr(r, "pos_rate") else r.y for r in calib]
+    assert len(set(rates)) > 2                    # bins actually differ
+    # one-step margins already separate en from rest: the top bin must be
+    # richer in positives than the bottom bin
+    assert rates[-1] > rates[0]
+    means = [r.margin for r in calib]
+    assert means == sorted(means)                 # bins are score-ordered

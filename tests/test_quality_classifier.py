@@ -180,3 +180,25 @@ def test_curate_classifier_stage(spark, labeled):
     )
     assert counts["classifier"] <= counts["pii"]
     assert "quality_score" not in out.columns and "_q" not in out.columns
+
+
+def test_calibration_report_hand_computed(spark):
+    """The reliability table: equal-count bins in rank order, exact
+    positive rates, value-ordered mean scores; a perfectly separable
+    score yields a monotone 0-to-1 pos_rate staircase."""
+    import pytest
+
+    from kinesiscat_spark.operators.quality_classifier import (
+        calibration_report,
+    )
+
+    rows = [(i, float(i >= 6), float(i)) for i in range(12)]
+    scored = spark.createDataFrame(rows, "doc_id long, y double, margin double")
+    rep = {r.bin: r for r in calibration_report(scored, n_bins=3).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert all(rep[b].n_docs == 4 for b in rep)
+    assert [rep[b].n_pos for b in (1, 2, 3)] == [0, 2, 4]
+    assert [rep[b].pos_rate for b in (1, 2, 3)] == [0.0, 0.5, 1.0]
+    assert rep[1].mean_score == 1.5 and rep[3].mean_score == 9.5
+    with pytest.raises(ValueError):
+        calibration_report(scored, n_bins=1)
