@@ -469,17 +469,20 @@ def test_no_forced_broadcast_of_per_document_frames():
         # rows — all bounded by the reference benchmark (test sets), not
         # the corpus (documented opt-in for grams).
         "operators/curation.py": {"bench_grams", "bloom", "bench_rows"},
-        # 1-row frames: chunk bounds, weight rows, sketch rows, stats.
+        # 1-row frames: chunk bounds, weight rows, sketch rows, stats;
+        # "n1" = calibration_report's 1-row corpus count.
         "operators/dedup.py": {"bounds"},
-        "operators/quality_classifier.py": {"wrow"},
+        "operators/quality_classifier.py": {"wrow", "n1"},
         "operators/sketches.py": {"cms"},
         # LM/model tables: bounded by the reference-corpus vocab (see the
         # bigram size guard in operators/text.py).
         "operators/sampling.py": {"m_r", "m_t"},
         # "back" = the Kneser-Ney continuation fan-in table — vocab-sized,
         # same boundedness (and the same size switch) as "ctx"/"bi".
+        # "total" = rm3_terms' 1-row feedback score sum; "model" also
+        # covers rm3_topk's ≤(|Q|+fb_terms)-row term frame.
         "operators/text.py": {"stats", "model", "un", "cuts", "ctx", "bi",
-                              "back"},
+                              "back", "total"},
         "queries/text_queries.py": {"model"},
         # pipelines: bloom bits row + collected benchmark gram set.
         "pipelines.py": {"frozenset", "bits"},
