@@ -1421,3 +1421,69 @@ def fim_transform(
             "fim_text"
         ),
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus card (the quantitative core of a dataset
+    datasheet, Gebru et al. 2021): for every ``group_col`` value —
+    document count, whitespace-token total, distinct-language count,
+    and the dominant language with its share. The at-a-glance table a
+    mixture decision starts from, next to `class_tfidf`'s distinctive
+    terms and `corpus_minhash_similarity`'s overlap estimates.
+
+    Returns (group, n_docs, n_tokens, n_langs, top_lang,
+    top_lang_share), share rounded to 6 dp.
+
+    Deterministic and engine-exact: every count is an integer
+    aggregate, the dominant language is an argmax with (count DESC,
+    lang ASC) tie-break, and the share is one integer ratio. Scale
+    shape: one scan computes per-doc token counts; everything
+    aggregates by (group, lang) then group — map-side combinable,
+    bounded by |groups|·|langs|; text never shuffles.
+    """
+    from kinesiscat_spark.operators.curation import words
+
+    per_doc = docs.select(
+        F.col(group_col).alias("group"),
+        F.coalesce(F.col(lang_col), F.lit("")).alias("_lang"),
+        # NULL text counts as an EMPTY doc (0 tokens), not a NULL that
+        # aggregate skipping would silently drop from the totals
+        F.size(
+            words(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("long").alias("_ntok"),
+    )
+    by_lang = per_doc.groupBy("group", "_lang").agg(
+        F.count("*").alias("_nl"),
+        F.sum("_ntok").alias("_tl"),
+    )
+    return (
+        by_lang.groupBy("group")
+        .agg(
+            F.sum("_nl").cast("long").alias("n_docs"),
+            F.sum("_tl").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_langs"),
+            # argmax with (count DESC, lang ASC): minimize the struct
+            # (−count, lang) — struct MIN orders by −count ascending
+            # (= count descending) and breaks ties on the smaller lang
+            F.min(
+                F.struct(
+                    (-F.col("_nl")).alias("_neg"), F.col("_lang")
+                )
+            ).alias("_top"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            F.col("_top._lang").alias("top_lang"),
+            F.round(
+                (-F.col("_top._neg")).cast("double") / F.col("n_docs"), 6
+            ).alias("top_lang_share"),
+        )
+    )

@@ -319,6 +319,40 @@ UNION ALL
 SELECT 'pmi' AS kind, gram, cnt, ROUND(pmi, 6) AS est
 FROM pmi_top WHERE rk <= {_PMI_TOPK}"""
 
+# Corpus-card replay (round-7 continuation): per-source datasheet
+# aggregates — all integer counts, argmax via struct MIN over
+# (−count, lang), one exact ratio for the dominant-language share.
+_CARD_CTE = """,
+cc0 AS (
+  SELECT source AS g, coalesce(lang, '') AS l,
+         len({words})::BIGINT AS ntok
+  FROM documents
+),
+ccl AS (
+  SELECT g, l, COUNT(*)::BIGINT AS nl, SUM(ntok)::BIGINT AS tl
+  FROM cc0 GROUP BY g, l
+),
+ccg AS (
+  SELECT g, SUM(nl)::BIGINT AS n_docs, SUM(tl)::BIGINT AS n_tokens,
+         COUNT(*)::BIGINT AS n_langs,
+         MIN(struct_pack(neg := -nl, l := l)) AS top
+  FROM ccl GROUP BY g
+)"""
+
+_CARD_SELECT = """
+UNION ALL
+SELECT 'card' AS kind, g || '|docs' AS gram, n_docs AS cnt,
+       CAST(NULL AS DOUBLE) AS est
+FROM ccg
+UNION ALL
+SELECT 'card', g || '|tokens', n_tokens, CAST(NULL AS DOUBLE) FROM ccg
+UNION ALL
+SELECT 'card', g || '|langs', n_langs, CAST(NULL AS DOUBLE) FROM ccg
+UNION ALL
+SELECT 'card', g || '|top|' || top.l, CAST(NULL AS BIGINT),
+       ROUND((-top.neg)::DOUBLE / n_docs, 6)
+FROM ccg"""
+
 _VOCAB_CTE = """,
 vw AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
@@ -336,10 +370,11 @@ _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
     ")" + _VOCAB_CTE.rstrip() + _ZIPF_CSIM_CTE + _HLL_SETOPS_CTE
     + _CMS_DOT_CTE + _CTFIDF_CTE
     + _PMI_CTE.format(words=_WORDS.format(t="text"))
+    + _CARD_CTE.format(words=_WORDS.format(t="coalesce(text, '')"))
     + "\nSELECT 'heavy'",
 ) + (
     _ZIPF_CSIM_SELECTS + _HLL_SETOPS_SELECTS + _CMS_DOT_SELECT
-    + _CTFIDF_SELECT + _PMI_SELECT
+    + _CTFIDF_SELECT + _PMI_SELECT + _CARD_SELECT
 )
 
 
@@ -550,6 +585,45 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt"),
         F.col("pmi").alias("est"),
     )
+    # round-7 continuation: per-source corpus card (datasheet aggregates,
+    # Gebru et al. 2021) — four rows per source under kind='card'
+    # (operators/text.py corpus_card).
+    from kinesiscat_spark.operators.text import corpus_card
+
+    null_cnt = F.lit(None).cast("long")
+    card = corpus_card(docs).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("group"), F.lit("|docs")).alias("gram"),
+                    F.col("n_docs").alias("cnt"),
+                    null_est.alias("est"),
+                ),
+                F.struct(
+                    F.concat(F.col("group"), F.lit("|tokens")).alias("gram"),
+                    F.col("n_tokens").alias("cnt"),
+                    null_est.alias("est"),
+                ),
+                F.struct(
+                    F.concat(F.col("group"), F.lit("|langs")).alias("gram"),
+                    F.col("n_langs").alias("cnt"),
+                    null_est.alias("est"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.col("group"), F.lit("|top|"), F.col("top_lang")
+                    ).alias("gram"),
+                    null_cnt.alias("cnt"),
+                    F.col("top_lang_share").alias("est"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.lit("card").alias("kind"),
+        F.col("s.gram"),
+        F.col("s.cnt"),
+        F.col("s.est"),
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
@@ -560,4 +634,5 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms_dot)
         .unionByName(ctfidf)
         .unionByName(pmi)
+        .unionByName(card)
     )

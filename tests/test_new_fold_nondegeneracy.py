@@ -230,3 +230,16 @@ def test_classifier_lane_calibration(spark, qs):
     assert rates[-1] > rates[0]
     means = [r.margin for r in calib]
     assert means == sorted(means)                 # bins are score-ordered
+
+
+def test_sketch_lane_corpus_card(spark, qs):
+    rows = qs["text_heavy_ngrams"](spark, SF_ORACLE).collect()
+    card = [r for r in rows if r.kind == "card"]
+    assert len(card) == 80                    # 20 sources x 4 metrics
+    docs = [r.cnt for r in card if r.gram.endswith("|docs")]
+    assert sum(docs) == 500                   # every doc accounted for
+    toks = [r.cnt for r in card if r.gram.endswith("|tokens")]
+    assert len(set(toks)) > 10                # source sizes genuinely vary
+    shares = [r.est for r in card if "|top|" in r.gram]
+    assert len(shares) == 20 and all(0.0 < s <= 1.0 for s in shares)
+    assert len(set(shares)) > 3               # sources actually differ

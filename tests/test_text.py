@@ -786,3 +786,26 @@ def test_fim_transform_psm_reassembly(spark):
     assert allr == 40                             # every len>=2 doc
     with pytest.raises(ValueError):
         fim_transform(docs, rate=1.5)
+
+
+def test_corpus_card_aggregates(spark):
+    """Corpus card: exact per-source totals, dominant language by
+    (count desc, lang asc) tie-break, NULL text counted as empty."""
+    from kinesiscat_spark.operators.text import corpus_card
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "en", "one two three"),
+            ("a", "de", "eins zwei"),
+            ("a", "en", None),
+            ("b", "fr", "un"),
+            ("b", "de", "drei vier"),
+        ],
+        "source string, lang string, text string",
+    )
+    got = {r.group: r for r in corpus_card(docs).collect()}
+    assert got["a"].n_docs == 3 and got["a"].n_tokens == 5
+    assert got["a"].n_langs == 2
+    assert got["a"].top_lang == "en" and got["a"].top_lang_share == round(2 / 3, 6)
+    # b: fr and de tie at 1 doc each -> lexicographically smaller 'de'
+    assert got["b"].top_lang == "de" and got["b"].top_lang_share == 0.5
