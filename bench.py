@@ -205,7 +205,8 @@ def main() -> None:
              "q19_disjunctive"),
         ),
         "dedup_minhash_lsh": _kind_subs(
-            "dedup_minhash_lsh", ("pairs", "leak", "src_overlap")
+            "dedup_minhash_lsh",
+            ("pairs", "leak", "src_overlap", "comp_hist"),
         ),
         "dedup_ngram_jaccard": _kind_subs(
             "dedup_ngram_jaccard", ("jaccard", "containment", "rank")

@@ -299,14 +299,36 @@ def _leak_oracle() -> str:
              < '{md5_threshold(0.9)}' THEN 'val'
         ELSE 'test' END"""
     body = minhash_oracle(distinct_pairs=True)
+    # ONE materialized pair CTE serves all four kinds (the Spark side's
+    # shared candidate subtree, mirrored); the recursive reach walk
+    # (the keep_canonical oracle's recipe) derives the component-size
+    # histogram for kind='comp_hist'.
     return f"""
+WITH RECURSIVE
+mp AS MATERIALIZED ({body}),
+chedges AS (
+  SELECT id_a AS u, id_b AS v FROM mp
+  UNION SELECT id_b, id_a FROM mp
+),
+chreach(u, v) AS (
+  SELECT u, v FROM chedges
+  UNION
+  SELECT r.u, e.v FROM chreach r JOIN chedges e ON r.v = e.u
+),
+chlabels AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id FROM chreach GROUP BY u
+),
+chsizes AS (
+  SELECT cluster_id, COUNT(*)::BIGINT AS sz FROM chlabels GROUP BY cluster_id
+),
+chhist AS (SELECT sz, COUNT(*)::BIGINT AS n FROM chsizes GROUP BY sz)
 SELECT 'pairs' AS kind, id_a, id_b, est_jaccard,
        CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
-FROM ({body})
+FROM mp
 UNION ALL
 SELECT 'leak' AS kind, p.id_a, p.id_b, p.est_jaccard, sa.split AS split_a,
        sb.split AS split_b
-FROM ({body}) p
+FROM mp p
 JOIN (SELECT doc_id, {split_case} AS split FROM documents) sa
   ON sa.doc_id = p.id_a
 JOIN (SELECT doc_id, {split_case} AS split FROM documents) sb
@@ -319,11 +341,16 @@ SELECT 'src_overlap' AS kind, CAST(NULL AS BIGINT) AS id_a,
 FROM (
   SELECT least(sa.source, sb.source) AS ga,
          greatest(sa.source, sb.source) AS gb, COUNT(*)::BIGINT AS n
-  FROM ({body}) p
+  FROM mp p
   JOIN documents sa ON sa.doc_id = p.id_a
   JOIN documents sb ON sb.doc_id = p.id_b
   GROUP BY 1, 2
 )
+UNION ALL
+SELECT 'comp_hist' AS kind, sz AS id_a, n AS id_b,
+       CAST(NULL AS DOUBLE) AS est_jaccard,
+       CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
+FROM chhist
 """
 
 
@@ -396,7 +423,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_a").alias("split_a"),
         F.col("group_b").alias("split_b"),
     )
-    return pairs.unionByName(leak).unionByName(overlap)
+    # round-7 continuation (kind='comp_hist'): duplicate-CLUSTER size
+    # histogram — connected components over the same candidate pairs,
+    # then (size, n_clusters): the "are dups twins or giant blobs"
+    # diagnostic behind a dedup policy choice (keep-canonical is cheap
+    # for twins, star-guarded banding matters for blobs). Size rides
+    # id_a, the cluster count rides id_b.
+    from kinesiscat_spark.operators.clusters import connected_components
+
+    hist = (
+        connected_components(out)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("_sz"))
+        .groupBy("_sz")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.lit("comp_hist").alias("kind"),
+            F.col("_sz").cast("long").alias("id_a"),
+            F.col("_n").cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("string").alias("split_a"),
+            F.lit(None).cast("string").alias("split_b"),
+        )
+    )
+    return (
+        pairs.unionByName(leak).unionByName(overlap).unionByName(hist)
+    )
 
 
 SIMHASH_D = 3

@@ -243,3 +243,13 @@ def test_sketch_lane_corpus_card(spark, qs):
     shares = [r.est for r in card if "|top|" in r.gram]
     assert len(shares) == 20 and all(0.0 < s <= 1.0 for s in shares)
     assert len(set(shares)) > 3               # sources actually differ
+
+
+def test_minhash_lane_comp_hist(spark, qs):
+    rows = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    hist = {r.id_a: r.id_b for r in rows if r.kind == "comp_hist"}
+    pairs = [r for r in rows if r.kind == "pairs"]
+    nodes = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert len(hist) >= 2                     # twins AND a bigger cluster
+    assert all(sz >= 2 for sz in hist)        # every component is a dup
+    assert sum(sz * n for sz, n in hist.items()) == len(nodes)
