@@ -253,3 +253,21 @@ def test_minhash_lane_comp_hist(spark, qs):
     assert len(hist) >= 2                     # twins AND a bigger cluster
     assert all(sz >= 2 for sz in hist)        # every component is a dup
     assert sum(sz * n for sz, n in hist.items()) == len(nodes)
+
+
+def test_pca_lane_whitening(spark, qs):
+    import math
+
+    rows = qs["embeddings_pca"](spark, SF_ORACLE).collect()
+    proj = {(r.vec_id, r.k): r.coord for r in rows if r.kind == "proj"}
+    white = {(r.vec_id, r.k): r.coord for r in rows if r.kind == "white"}
+    assert set(proj) == set(white) and len(proj) > 1000
+    # whitening rescales by 1/sqrt(ev) — per-component variances equalize
+    from kinesiscat_spark.queries.pca_queries import _PCA_EIGENVALUES
+
+    for (v, k) in list(proj)[:50]:
+        scaled = proj[(v, k)] / math.sqrt(_PCA_EIGENVALUES[k])
+        assert abs(white[(v, k)] - scaled) < 1e-4
+    ratios = {round(abs(white[p]) / max(abs(proj[p]), 1e-9), 1)
+              for p in list(proj)[:200] if abs(proj[p]) > 0.01}
+    assert ratios                          # genuine rescale (~6x here)
