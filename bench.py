@@ -227,7 +227,8 @@ def main() -> None:
                 "kinesiscat_spark.queries.similarity_queries",
                 fromlist=["ivf_family_method"],
             ).ivf_family_method(spark, sf_dir, m))
-            for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr")
+            for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr",
+                      "triplet")
         },
         "curation_span_dup": {
             "detect": lambda: _span_sub("detect"),

@@ -820,3 +820,63 @@ def mmr_rerank(
     return withvec.groupBy(query_id).applyInPandas(
         greedy, schema="qid long, cid long, score double, rnk long"
     )
+
+
+def semi_hard_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 10,
+    margin: float = 0.05,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Semi-hard triplet mining (Schroff et al. 2015, FaceNet §3.2 —
+    the anchor/positive/negative selection rule contrastive embedding
+    finetuning trains on): per query (anchor), the POSITIVE is the
+    nearest neighbor, and the semi-hard NEGATIVE is the highest-ranked
+    candidate at least ``margin`` below the positive's similarity —
+    close enough to be informative, far enough to be a true negative
+    (the hardest-negative rule without the label-noise failure mode).
+    Queries with no candidate below the margin emit no negative row
+    (the caller widens ``n_candidates``).
+
+    Returns (qid, cid, sim, role, rnk): role ∈ {'pos','neg'}, rnk 1/2.
+    Deterministic: candidates come from the hash-proven ``cosine_topk``
+    ordering; the negative pick is a rank-min over an exact sim
+    comparison, ties already broken (sim DESC, cid ASC) upstream.
+
+    Scale shape: everything after the distributed candidate top-k is
+    per-query window logic over ≤ ``n_candidates`` rows.
+    """
+    if margin < 0.0:
+        raise ValueError(f"margin must be >= 0 (got {margin})")
+    cands = cosine_topk(
+        corpus, queries, n_candidates, corpus_id, query_id, vec
+    )
+    pos = cands.filter(F.col("rnk") == 1).select(
+        F.col(query_id), F.col("cid").alias("_pos_cid"),
+        F.col("sim").alias("_pos_sim"),
+    )
+    neg_w = Window.partitionBy(query_id).orderBy("rnk")
+    neg = (
+        cands.join(pos, query_id)
+        .filter(F.col("sim") < F.col("_pos_sim") - F.lit(margin))
+        .withColumn("_nr", F.row_number().over(neg_w))
+        .filter(F.col("_nr") == 1)
+        .select(
+            F.col(query_id),
+            "cid",
+            "sim",
+            F.lit("neg").alias("role"),
+            F.lit(2).cast("long").alias("rnk"),
+        )
+    )
+    pos_rows = pos.select(
+        F.col(query_id),
+        F.col("_pos_cid").alias("cid"),
+        F.col("_pos_sim").alias("sim"),
+        F.lit("pos").alias("role"),
+        F.lit(1).cast("long").alias("rnk"),
+    )
+    return pos_rows.unionByName(neg)

@@ -334,6 +334,52 @@ FROM ranked WHERE rnk <= {TOP_K}
 MMR_K = 5
 MMR_CAND = 16
 MMR_LAM = 0.7
+TRIPLET_MARGIN = 0.05
+
+
+def _triplet_oracle() -> str:
+    """Semi-hard triplet replay (Schroff et al. 2015 §3.2): positive =
+    rank-1 neighbor; negative = highest-ranked candidate with
+    sim < pos_sim − margin (same written subtraction order); role rides
+    rnk (1=pos, 2=neg)."""
+    return f"""
+WITH tq AS (
+  SELECT vec_id AS qid, embedding AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+tc AS (
+  SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+tps AS (
+  SELECT qid, cid,
+         list_sum(list_transform(list_zip(qe, ce),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ce,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM tc CROSS JOIN tq
+),
+trk AS (
+  SELECT qid, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, cid) AS rnk
+  FROM tps QUALIFY rnk <= {TOP_K}
+),
+tpos AS (SELECT qid, cid, sim FROM trk WHERE rnk = 1),
+tneg AS (
+  SELECT qid, cid, sim FROM (
+    SELECT t.qid, t.cid, t.sim,
+           ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY t.rnk) AS nr
+    FROM trk t JOIN tpos p ON p.qid = t.qid
+    WHERE t.sim < p.sim - {TRIPLET_MARGIN!r}
+  ) WHERE nr = 1
+)
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(1 AS BIGINT) AS rnk FROM tpos
+UNION ALL
+SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(2 AS BIGINT) AS rnk FROM tneg
+"""
 
 
 def _mmr_oracle() -> str:
@@ -425,6 +471,8 @@ SELECT 'ivf_refined' AS method, qid, cid, sim, rnk
 FROM ({_ivf_refined_oracle()})
 UNION ALL
 SELECT 'mmr' AS method, qid, cid, sim, rnk FROM ({_mmr_oracle()})
+UNION ALL
+SELECT 'triplet' AS method, qid, cid, sim, rnk FROM ({_triplet_oracle()})
 """
 
 
@@ -464,7 +512,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = [
         ivf_family_method(spark, sf_dir, m)
-        for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr")
+        for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr",
+                  "triplet")
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -518,6 +567,22 @@ def ivf_family_method(
             "qid",
             "cid",
             F.col("score").alias("sim"),
+            "rnk",
+        )
+    elif method == "triplet":
+        # round-7 continuation: semi-hard triplet mining (Schroff et al.
+        # 2015) — anchor/positive/negative prep for contrastive
+        # finetuning; role rides rnk (1=pos, 2=neg).
+        from kinesiscat_spark.operators.similarity import semi_hard_triplets
+
+        out = semi_hard_triplets(
+            corpus, queries, n_candidates=TOP_K, margin=TRIPLET_MARGIN
+        )
+        return out.select(
+            F.lit("triplet").alias("method"),
+            "qid",
+            "cid",
+            F.round("sim", 6).alias("sim"),
             "rnk",
         )
     else:

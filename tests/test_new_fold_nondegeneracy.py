@@ -271,3 +271,15 @@ def test_pca_lane_whitening(spark, qs):
     ratios = {round(abs(white[p]) / max(abs(proj[p]), 1e-9), 1)
               for p in list(proj)[:200] if abs(proj[p]) > 0.01}
     assert ratios                          # genuine rescale (~6x here)
+
+
+def test_similarity_lane_triplets(spark, qs):
+    rows = qs["similarity_topk_ivf"](spark, SF_ORACLE).collect()
+    tri = [r for r in rows if r.method == "triplet"]
+    pos = {r.qid: r for r in tri if r.rnk == 1}
+    neg = {r.qid: r for r in tri if r.rnk == 2}
+    assert len(pos) == 5                       # every anchor has a positive
+    assert len(neg) >= 3                       # semi-hard negatives exist
+    for q in neg:
+        assert neg[q].sim < pos[q].sim - 0.05  # margin respected
+        assert neg[q].cid != pos[q].cid

@@ -225,3 +225,40 @@ def test_mmr_rerank_diversifies_and_validates(spark):
         mmr_rerank(corpus, queries, k=5, n_candidates=3)
     with pytest.raises(ValueError):
         mmr_rerank(corpus, queries, k=2, n_candidates=3, lam=1.5)
+
+
+def test_semi_hard_triplets_selection_rule(spark):
+    """Triplets: positive = rank-1 neighbor; the semi-hard negative
+    skips candidates inside the margin band and picks the highest-ranked
+    one below it; queries with nothing below the margin emit no
+    negative."""
+    import pytest
+
+    from kinesiscat_spark.operators.similarity import semi_hard_triplets
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        # candidates: 10 ~anchor, 11 inside margin band, 12 below band
+        (10, [0.99, 0.14, 0.0]),
+        (11, [0.97, 0.24, 0.0]),
+        (12, [0.2, 0.98, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id as qid", "embedding")
+    corpus = emb.filter("vec_id >= 10")
+    got = {
+        r.role: r
+        for r in semi_hard_triplets(
+            corpus, queries, n_candidates=3, margin=0.05
+        ).collect()
+    }
+    assert got["pos"].cid == 10 and got["pos"].rnk == 1
+    assert got["neg"].cid == 12 and got["neg"].rnk == 2   # 11 is in-band
+    assert got["neg"].sim < got["pos"].sim - 0.05
+    # a tight corpus (everything within margin) yields no negative
+    none = semi_hard_triplets(
+        corpus.filter("vec_id < 12"), queries, n_candidates=2, margin=0.05
+    ).collect()
+    assert {r.role for r in none} == {"pos"}
+    with pytest.raises(ValueError):
+        semi_hard_triplets(corpus, queries, margin=-0.1)
