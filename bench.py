@@ -236,6 +236,9 @@ def main() -> None:
             "line_dedup": lambda: _line_dedup_sub(),
         },
         "text_fingerprint": _kind_subs("text_fingerprint", ("fp", "novelty")),
+        "packing_layout": _kind_subs(
+            "packing_layout", ("layout", "efficiency")
+        ),
         "text_bm25_topk": _kind_subs(
             "text_bm25_topk", ("bm25", "rm3", "rm3_terms")
         ),

@@ -207,3 +207,91 @@ def materialize_sequences(
         )
     )
     return assembled
+
+
+def packing_efficiency_report(
+    docs: DataFrame,
+    contexts: tuple[int, ...] = (128, 512, 2048),
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Padding-waste report across candidate context lengths — the number
+    every packing decision is justified by: for each context ``c``,
+
+    - ``total_tokens``: real token mass;
+    - ``padded_naive``: Σ ceil(n_doc/c)·c — one document per row, padded
+      (the no-packing baseline every fine-tuning collator defaults to);
+    - ``padded_packed``: Σ_shard ceil(shard_tokens/c)·c — this module's
+      concat-and-chunk layout at the same sharding (only per-shard tails
+      waste).
+
+    ``total/padded`` is the token efficiency of each strategy; the gap
+    between the two columns is what packing buys at that context length.
+    All-integer arithmetic — exact in any engine. Returns (context,
+    total_tokens, padded_naive, padded_packed).
+
+    Scale shape: one scan computes per-doc token counts; everything
+    aggregates to n_shards rows then 1 row per context — two bounded
+    map-side-combinable aggregations, no window, text never shuffles.
+    """
+    if not contexts:
+        raise ValueError("contexts must be non-empty")
+    for c in contexts:
+        if c <= 0:
+            raise ValueError(f"context lengths must be positive (got {c})")
+    n_tok = (
+        F.greatest(
+            F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+        if n_tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
+    base = docs.select(
+        _shard_of(F.col(id_col).cast("string"), n_shards).alias("shard"),
+        n_tok.alias("_n"),
+    )
+    per_doc = base.agg(
+        F.sum("_n").alias("_total"),
+        *[
+            F.sum(F.ceil(F.col("_n") / F.lit(c)).cast("long") * c).alias(
+                f"_naive{c}"
+            )
+            for c in contexts
+        ],
+    )
+    per_shard = (
+        base.groupBy("shard")
+        .agg(F.sum("_n").alias("_st"))
+        .agg(
+            *[
+                F.sum(
+                    F.ceil(F.col("_st") / F.lit(c)).cast("long") * c
+                ).alias(f"_packed{c}")
+                for c in contexts
+            ]
+        )
+    )
+    joined = per_doc.crossJoin(per_shard)
+    rows = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("context"),
+                        F.col("_total").cast("long").alias("total_tokens"),
+                        F.col(f"_naive{c}").cast("long").alias(
+                            "padded_naive"
+                        ),
+                        F.col(f"_packed{c}").cast("long").alias(
+                            "padded_packed"
+                        ),
+                    )
+                    for c in contexts
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.context", "s.total_tokens", "s.padded_naive",
+                       "s.padded_packed")

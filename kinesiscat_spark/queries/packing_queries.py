@@ -17,6 +17,28 @@ from kinesiscat_spark.registry import query
 
 BUDGET = 512
 N_SHARDS = 8
+CONTEXTS = (128, 512, 2048)
+
+
+def _efficiency_selects() -> str:
+    """kind='efficiency' (round 7): the padding-waste report
+    (operators/packing.py packing_efficiency_report) — per context
+    length, total tokens / naive per-doc padding / packed per-shard
+    padding, all exact integer arithmetic. Context rides seq, the naive
+    total rides seq_off, the packed total rides n_in_seq."""
+    rows = []
+    for c in CONTEXTS:
+        rows.append(f"""
+UNION ALL
+SELECT 'efficiency' AS kind, CAST(NULL AS INT) AS shard,
+       CAST({c} AS BIGINT) AS seq, CAST(NULL AS BIGINT) AS id,
+       (SELECT SUM(n_tokens) FROM base)::BIGINT AS n_tokens,
+       (SELECT SUM(CAST(ceil(n_tokens / {c}.0) AS BIGINT) * {c})
+        FROM base)::BIGINT AS seq_off,
+       (SELECT SUM(CAST(ceil(st / {c}.0) AS BIGINT) * {c}) FROM
+          (SELECT SUM(n_tokens)::BIGINT AS st FROM base GROUP BY shard)
+       )::BIGINT AS n_in_seq""")
+    return "".join(rows)
 
 # DuckDB twin of pack_sequences: identical shard math ((md5_48 * n) >> 48),
 # identical whitespace token counts (NULL text -> 0 tokens), identical
@@ -44,11 +66,12 @@ incidence AS (
            AS seq
   FROM spans WHERE t_end > t_start
 )
-SELECT shard, CAST(seq AS BIGINT) AS seq, id, n_tokens,
+SELECT 'layout' AS kind, shard, CAST(seq AS BIGINT) AS seq, id, n_tokens,
        CAST(greatest(t_start - seq * {BUDGET}, 0) AS BIGINT) AS seq_off,
        CAST(least(t_start + n_tokens, (seq + 1) * {BUDGET})
             - greatest(t_start, seq * {BUDGET}) AS BIGINT) AS n_in_seq
 FROM incidence
+{_efficiency_selects()}
 """
 
 
@@ -66,7 +89,26 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real cluster). Deterministic and partition-invariant by
     construction, which is exactly what the oracle hash-verifies.
     """
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.packing import packing_efficiency_report
+
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(
+    layout = pack_sequences(
         docs, budget=BUDGET, n_shards=N_SHARDS, id_col="doc_id", text_col="text"
+    ).select(F.lit("layout").alias("kind"), "*")
+    # kind='efficiency' (round-7 continuation): the padding-waste report
+    # that justifies packing — context rides seq, naive/packed padded
+    # totals ride seq_off/n_in_seq, all exact integers.
+    eff = packing_efficiency_report(
+        docs, CONTEXTS, n_shards=N_SHARDS
+    ).select(
+        F.lit("efficiency").alias("kind"),
+        F.lit(None).cast("int").alias("shard"),
+        F.col("context").alias("seq"),
+        F.lit(None).cast("long").alias("id"),
+        F.col("total_tokens").alias("n_tokens"),
+        F.col("padded_naive").alias("seq_off"),
+        F.col("padded_packed").alias("n_in_seq"),
     )
+    return layout.unionByName(eff)

@@ -283,3 +283,17 @@ def test_similarity_lane_triplets(spark, qs):
     for q in neg:
         assert neg[q].sim < pos[q].sim - 0.05  # margin respected
         assert neg[q].cid != pos[q].cid
+
+
+def test_packing_lane_efficiency(spark, qs):
+    rows = qs["packing_layout"](spark, SF_ORACLE).collect()
+    eff = {r.seq: r for r in rows if r.kind == "efficiency"}
+    assert set(eff) == {128, 512, 2048}
+    for c, r in eff.items():
+        assert r.n_tokens <= r.n_in_seq <= r.seq_off  # packed <= naive
+        assert r.n_in_seq % c == 0 and r.seq_off % c == 0
+    # the gap packing buys must be real at the large context
+    assert eff[2048].seq_off > eff[2048].n_in_seq
+    # layout rows agree with the report's total at the lane budget
+    layout_total = sum(r.n_in_seq for r in rows if r.kind == "layout")
+    assert layout_total == eff[512].n_tokens

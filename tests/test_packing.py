@@ -235,3 +235,34 @@ def test_packing_hypothesis_fuzz_vs_python_replay(spark):
         assert got == _python_pack(rows, budget=budget, n_shards=n_shards)
 
     run()
+
+
+def test_packing_efficiency_report_hand_computed(spark):
+    """Exact padding math on a tiny corpus: naive pads every doc to a
+    context multiple, packed pads only per-shard tails; identical totals
+    when the context is 1 (no padding possible)."""
+    import pytest
+
+    from kinesiscat_spark.operators.packing import packing_efficiency_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.context: r
+        for r in packing_efficiency_report(
+            docs, (4, 1), n_shards=1
+        ).collect()
+    }
+    # tokens: 3 + 2 + 0 = 5
+    assert got[4].total_tokens == 5
+    assert got[4].padded_naive == 4 + 4          # ceil(3/4)*4 + ceil(2/4)*4
+    assert got[4].padded_packed == 8             # one shard: ceil(5/4)*4
+    assert got[1].padded_naive == 5 == got[1].padded_packed
+    # packing never pads more than the naive collator
+    assert got[4].padded_packed <= got[4].padded_naive
+    with pytest.raises(ValueError):
+        packing_efficiency_report(docs, ())
+    with pytest.raises(ValueError):
+        packing_efficiency_report(docs, (0,))
