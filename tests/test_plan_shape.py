@@ -301,13 +301,26 @@ def test_curation_signals_scan_stage(plans):
     assert "EvalPython" not in s
 
 
-def test_packing_single_exchange_no_python(plans):
-    """pack_sequences: the ONLY exchange in the plan is the per-shard
-    window's hash partitioning on (shard) — the span/offset arithmetic
-    after it is scan-stage — and the whole plan is Python-free."""
+def test_packing_single_exchange_no_python(spark, plans):
+    """pack_sequences: the ONLY exchange in the operator's plan is the
+    per-shard window's hash partitioning on (shard) — the span/offset
+    arithmetic after it is scan-stage — and the whole plan is
+    Python-free. Pinned at the OPERATOR (round 7: the lane unions the
+    efficiency report, whose bounded shard aggregate adds its own
+    exchange); the lane plan stays Python-free and column-pruned."""
     import re
 
-    s = plans("packing_layout")
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.packing import pack_sequences
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    df = pack_sequences(
+        load_table(spark, SF_DIR, "documents"), budget=512, n_shards=8
+    )
+    s = df._jdf.queryExecution().explainString(mode)
     exchanges = re.findall(r"^\(\d+\) Exchange", s, re.M)
     assert len(exchanges) == 1, s
     assert "hashpartitioning(shard" in s
@@ -315,6 +328,13 @@ def test_packing_single_exchange_no_python(plans):
     # the scan reads only what packing needs (id + text), not the whole row
     read = [l for l in s.splitlines() if "ReadSchema" in l]
     assert read and all("lang" not in l and "source" not in l for l in read)
+
+    lane = plans("packing_layout")
+    assert "ArrowEvalPython" not in lane and "BatchEvalPython" not in lane
+    lane_read = [l for l in lane.splitlines() if "ReadSchema" in l]
+    assert lane_read and all(
+        "lang" not in l and "source" not in l for l in lane_read
+    )
 
 
 def test_ppjoin_suffix_filter_in_join_codegen(spark):
