@@ -525,6 +525,63 @@ def probes():
             docs, terms, 25, fb_docs=10, fb_terms=5
         ).count()
 
+    def p_fim(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return text.fim_transform(docs, rate=0.5, salt=41).filter(
+            "applied"
+        ).count()
+
+    def p_corpus_card(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return text.corpus_card(docs).count()
+
+    def p_calibration(spark, d):
+        from kinesiscat_spark.operators.quality_classifier import (
+            calibration_report,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        scored = docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("double").alias("y"),
+            F.length("text").cast("double").alias("margin"),
+        )
+        return calibration_report(scored, n_bins=10).count()
+
+    def p_triplets(spark, d):
+        from kinesiscat_spark.operators.similarity import semi_hard_triplets
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return semi_hard_triplets(corpus, queries, n_candidates=10).count()
+
+    def p_pack_eff(spark, d):
+        from kinesiscat_spark.operators.packing import (
+            packing_efficiency_report,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return packing_efficiency_report(docs, (128, 512, 2048)).count()
+
+    def p_gap_pctl(spark, d):
+        from kinesiscat_spark.operators.funnel import (
+            inter_event_gap_percentiles,
+        )
+
+        ev = spark.read.parquet(f"{d}/events.parquet").select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        return inter_event_gap_percentiles(ev).count()
+
+    def p_attrition(spark, d):
+        from kinesiscat_spark.pipelines import CurationConfig, attrition_report
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return attrition_report(docs, CurationConfig(min_tokens=3)).count()
+
     def p_mmr(spark, d):
         from kinesiscat_spark.operators.similarity import mmr_rerank
 
@@ -591,6 +648,13 @@ def probes():
         "src_overlap": (p_src_overlap, "linear+dup-density (pair joins + bounded count)"),
         "mmr_rerank": (p_mmr, "linear (corpus scan for candidates; greedy on bounded pool)"),
         "rm3_topk": (p_rm3, "linear (two corpus passes + fb-bounded model)"),
+        "fim_transform": (p_fim, "linear (scan-stage string algebra)"),
+        "corpus_card": (p_corpus_card, "linear ((group,lang)-bounded aggregates)"),
+        "calibration_report": (p_calibration, "linear (global scalar rank + bin aggregate)"),
+        "semi_hard_triplets": (p_triplets, "linear (candidate top-k + per-query windows)"),
+        "packing_efficiency": (p_pack_eff, "linear (two bounded aggregates)"),
+        "gap_percentiles": (p_gap_pctl, "linear (user-keyed lag + global scalar rank)"),
+        "attrition_report": (p_attrition, "linear (one plan of staged counts)"),
     }
 
 
