@@ -55,7 +55,9 @@ def test_streaming_sessions_equal_batch_minus_open(spark, tmp_path):
         for r in out.collect()
     }
 
-    batch = events_sessionization(spark, SF_ORACLE)
+    batch = events_sessionization(spark, SF_ORACLE).filter(
+        "kind = 'batch'"
+    )
     w = Window.partitionBy("user_id")
     closed_batch = batch.withColumn(
         "_max_sid", F.max("session_id").over(w)
