@@ -1270,6 +1270,7 @@ def rm3_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _model: DataFrame | None = None,
 ) -> DataFrame:
     """RM3 second pass: weighted-BM25 ranking under the interpolated
     query model from ``rm3_terms`` — each matched term contributes
@@ -1286,8 +1287,15 @@ def rm3_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
-    model = rm3_terms(
-        docs, terms, fb_docs, fb_terms, alpha, k1, b, id_col, text_col
+    # ``_model``: a precomputed (ideally materialized) rm3_terms frame —
+    # callers emitting BOTH the term table and the ranking share one
+    # first pass instead of re-deriving the model here
+    model = (
+        _model
+        if _model is not None
+        else rm3_terms(
+            docs, terms, fb_docs, fb_terms, alpha, k1, b, id_col, text_col
+        )
     ).select("term", "weight")
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),

@@ -378,9 +378,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # the pair frame materializes ONCE (lazy localCheckpoint) for its
+    # FOUR consumers — pairs, leak, src_overlap, and comp_hist (whose
+    # iterative CC would otherwise re-run the banded pipeline per
+    # checkpoint); the one-Arrow-kernel/ReusedExchange shape of the
+    # pipeline itself is pinned at the OPERATOR in test_plan_shape.py
     out = minhash_lsh_pairs(
         docs, threshold=MINHASH_T, n_hashes=N_HASHES, n_bands=N_BANDS, n=3
-    )
+    ).localCheckpoint(eager=False)
     pairs = out.select(
         F.lit("pairs").alias("kind"),
         "id_a",

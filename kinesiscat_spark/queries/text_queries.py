@@ -623,10 +623,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Croft 2001) — kind='rm3_terms' is the interpolated query model
     # (weight rides score, is_original rides rnk), kind='rm3' the
     # weighted-BM25 second pass under it.
-    model = rm3_terms(
+    # the tiny term model materializes once (lazy localCheckpoint) and
+    # serves BOTH the rm3_terms rows and the second pass — the BM25
+    # first pass runs once for the model instead of once per consumer
+    model_df = rm3_terms(
         docs, _BM25_TERMS, _RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA,
         k1=_BM25_K1, b=_BM25_B,
-    ).select(
+    ).localCheckpoint(eager=False)
+    model = model_df.select(
         F.lit("rm3_terms").alias("kind"),
         F.lit(None).cast("long").alias("doc_id"),
         "term",
@@ -635,7 +639,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rm3 = rm3_topk(
         docs, _BM25_TERMS, _BM25_K, _RM3_FB_DOCS, _RM3_FB_TERMS,
-        _RM3_ALPHA, k1=_BM25_K1, b=_BM25_B,
+        _RM3_ALPHA, k1=_BM25_K1, b=_BM25_B, _model=model_df,
     ).select(
         F.lit("rm3").alias("kind"),
         "doc_id",

@@ -112,12 +112,26 @@ def test_minhash_single_kernel_join_est_codegen(spark):
     """Minhash runs exactly ONE Arrow signature kernel at runtime — both
     self-join sides share the band-key exchange (ReusedExchange); the
     candidate join and the agreement estimate stay JVM-side (scalar column
-    comparisons, no interpreted HOFs over signature arrays)."""
-    df = entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    comparisons, no interpreted HOFs over signature arrays). Pinned at
+    the OPERATOR (round 7: the lane materializes the pair frame once
+    behind localCheckpoint for its four kinds, so the pipeline no longer
+    appears in the lane plan); the lane must read the checkpointed frame,
+    not replan the pipeline per branch."""
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        load_table(spark, SF_DIR, "documents"), 0.5, 32, 8
+    )
     s = _final_plan(spark, df)
     assert s.count("ArrowEvalPython") == 1
     assert "ReusedExchange" in s
     assert "zip_with" not in s and "ZipWith" not in s
+    lane = _final_plan(
+        spark, entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    )
+    assert "ExistingRDD" in lane
+    assert "ArrowEvalPython" not in lane
 
 
 def test_fingerprint_single_kernel_pass(plans):
