@@ -724,6 +724,7 @@ def mmr_rerank(
     corpus_id: str = "vec_id",
     query_id: str = "qid",
     vec: str = "embedding",
+    _candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-k (Carbonell &
     Goldstein 1998): greedily pick, per query, the candidate maximizing
@@ -760,7 +761,16 @@ def mmr_rerank(
         )
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1] (got {lam})")
-    cands = cosine_topk(corpus, queries, n_candidates, corpus_id, query_id, vec)
+    # ``_candidates``: a precomputed (ideally materialized) cosine_topk
+    # frame covering >= n_candidates ranks — family lanes share ONE
+    # candidate pass across their exact/mmr/triplet methods
+    cands = (
+        _candidates.filter(F.col("rnk") <= n_candidates)
+        if _candidates is not None
+        else cosine_topk(
+            corpus, queries, n_candidates, corpus_id, query_id, vec
+        )
+    )
     withvec = cands.join(
         corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")),
         "cid",
@@ -830,6 +840,7 @@ def semi_hard_triplets(
     corpus_id: str = "vec_id",
     query_id: str = "qid",
     vec: str = "embedding",
+    _candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Semi-hard triplet mining (Schroff et al. 2015, FaceNet §3.2 —
     the anchor/positive/negative selection rule contrastive embedding
@@ -851,8 +862,12 @@ def semi_hard_triplets(
     """
     if margin < 0.0:
         raise ValueError(f"margin must be >= 0 (got {margin})")
-    cands = cosine_topk(
-        corpus, queries, n_candidates, corpus_id, query_id, vec
+    cands = (
+        _candidates.filter(F.col("rnk") <= n_candidates)
+        if _candidates is not None
+        else cosine_topk(
+            corpus, queries, n_candidates, corpus_id, query_id, vec
+        )
     )
     pos = cands.filter(F.col("rnk") == 1).select(
         F.col(query_id), F.col("cid").alias("_pos_cid"),

@@ -510,11 +510,56 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_ivf_refined_oracle``). tests/test_similarity.py additionally
     asserts recall vs exact.
     """
+    from kinesiscat_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+        semi_hard_triplets,
+    )
+
     parts = [
         ivf_family_method(spark, sf_dir, m)
-        for m in ("ivf", "ivf_index", "exact", "ivf_refined", "mmr",
-                  "triplet")
+        for m in ("ivf", "ivf_index")
     ]
+    # exact / mmr / triplet all derive from ONE exact candidate pass:
+    # the top-MMR_CAND pool materializes lazily and each method reads it
+    # (three separate corpus scans + Arrow cosine kernels before round 7)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    pool = cosine_topk(corpus, queries, MMR_CAND).localCheckpoint(
+        eager=False
+    )
+    exact = pool.filter(F.col("rnk") <= TOP_K).select(
+        F.lit("exact").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    mmr = mmr_rerank(
+        corpus, queries, k=MMR_K, n_candidates=MMR_CAND, lam=MMR_LAM,
+        _candidates=pool,
+    ).select(
+        F.lit("mmr").alias("method"),
+        "qid",
+        "cid",
+        F.col("score").alias("sim"),
+        "rnk",
+    )
+    triplet = semi_hard_triplets(
+        corpus, queries, n_candidates=TOP_K, margin=TRIPLET_MARGIN,
+        _candidates=pool,
+    ).select(
+        F.lit("triplet").alias("method"),
+        "qid",
+        "cid",
+        F.round("sim", 6).alias("sim"),
+        "rnk",
+    )
+    parts += [exact, ivf_family_method(spark, sf_dir, "ivf_refined"),
+              mmr, triplet]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
