@@ -215,7 +215,14 @@ def pagerank(
     rev = pairs.select(
         F.col(id_b).alias("src"), F.col(id_a).alias("dst"), w.alias("w")
     )
-    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
+    # non-positive/NULL weights would zero (or NULL) a node's out-strength
+    # and poison the division — drop those edges instead of documenting a
+    # hazard (a node whose every edge is dropped leaves the graph)
+    edges = (
+        fwd.unionByName(rev)
+        .filter(F.col("w") > 0.0)
+        .localCheckpoint(eager=False)
+    )
     strength = (
         edges.groupBy("src")
         .agg(

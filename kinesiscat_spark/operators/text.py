@@ -1222,6 +1222,10 @@ def rm3_terms(
             F.first("_dl").alias("_dl"),
         )
         .crossJoin(F.broadcast(total))
+        # an EMPTY feedback set (no document matched any query term) has
+        # tot = 0.0 — guard the division so the model degrades to the
+        # plain α/|Q| query weights instead of NaN everywhere
+        .filter(F.col("_tot") > 0.0)
         .select(
             "term",
             (

@@ -531,7 +531,7 @@ rmcontrib AS (
     SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, MIN(score) AS score,
            MIN(dl) AS dl
     FROM rmtok GROUP BY doc_id, term
-  )
+  ) WHERE (SELECT tot FROM rmtot) > 0.0
 ),
 rmprm AS (
   SELECT term, list_sum(list(c ORDER BY c)) AS prm

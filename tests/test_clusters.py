@@ -209,3 +209,18 @@ def test_pagerank_weighted_triangle_hand_computed(spark):
     # unweighted on the same (regular) triangle: uniform forever
     flat = {x.rank for x in pagerank(pairs, n_iters=3).collect()}
     assert flat == {round(1.0 / 3, 6)}
+
+
+def test_pagerank_drops_nonpositive_weight_edges(spark):
+    """Zero/NULL-weight edges are dropped instead of poisoning strengths;
+    a node with only dropped edges leaves the graph entirely."""
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.0), (4, 5, None)],
+        "id_a long, id_b long, w double",
+    )
+    got = {r.v: r.rank for r in
+           pagerank(pairs, n_iters=2, weight_col="w").collect()}
+    assert set(got) == {1, 2}                 # 3, 4, 5 fully dropped
+    assert all(r == r for r in got.values())  # no NaN

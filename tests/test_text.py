@@ -809,3 +809,18 @@ def test_corpus_card_aggregates(spark):
     assert got["a"].top_lang == "en" and got["a"].top_lang_share == round(2 / 3, 6)
     # b: fr and de tie at 1 doc each -> lexicographically smaller 'de'
     assert got["b"].top_lang == "de" and got["b"].top_lang_share == 0.5
+
+
+def test_rm3_degrades_to_query_model_without_feedback(spark):
+    """No document matches the query: the relevance model is empty and
+    the interpolation degrades to the alpha/|Q| query weights (no NaN)."""
+    from kinesiscat_spark.operators.text import rm3_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    model = rm3_terms(docs, ("zzz",), fb_docs=3, fb_terms=2, alpha=0.5)
+    rows = model.collect()
+    assert [(r.term, r.weight, r.is_original) for r in rows] == [
+        ("zzz", 0.5, True)
+    ]
