@@ -260,7 +260,7 @@ def main() -> None:
             ))
             for m in ("heavy", "hll_distinct", "exact_distinct", "vocab",
                       "zipf", "corpus_sim", "hll_union", "hll_intersect",
-                      "cms_dot", "ctfidf", "pmi", "card")
+                      "cms_dot", "ctfidf", "pmi", "card", "distinct_n")
         },
         "events_tumbling_window": _kind_subs(
             "events_tumbling_window", ("window", "retention")

@@ -351,7 +351,12 @@ SELECT 'card', g || '|langs', n_langs, CAST(NULL AS DOUBLE) FROM ccg
 UNION ALL
 SELECT 'card', g || '|top|' || top.l, CAST(NULL AS BIGINT),
        ROUND((-top.neg)::DOUBLE / n_docs, 6)
-FROM ccg"""
+FROM ccg
+UNION ALL
+SELECT 'distinct_n' AS kind, CAST(NULL AS VARCHAR) AS gram,
+       COUNT(*)::BIGINT AS cnt,
+       ROUND(COUNT(DISTINCT gram)::DOUBLE / COUNT(*), 6) AS est
+FROM g"""
 
 _VOCAB_CTE = """,
 vw AS (
@@ -624,9 +629,22 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cnt"),
         F.col("s.est"),
     )
+    # round-7 continuation: corpus distinct-n diversity ratio (Li et al.
+    # 2016's distinct-2 — low values flag template/boilerplate-dominated
+    # corpora); one exact integer ratio off the same gram stream.
+    distinct_n = grams.agg(
+        F.count("*").alias("_tot"),
+        F.countDistinct("gram").alias("_d"),
+    ).select(
+        F.lit("distinct_n").alias("kind"),
+        F.lit(None).cast("string").alias("gram"),
+        F.col("_tot").alias("cnt"),
+        F.round(F.col("_d").cast("double") / F.col("_tot"), 6).alias("est"),
+    )
     return (
         heavy.unionByName(exact_d)
         .unionByName(hll)
+        .unionByName(distinct_n)
         .unionByName(vocab)
         .unionByName(zipf)
         .unionByName(csim)

@@ -297,3 +297,13 @@ def test_packing_lane_efficiency(spark, qs):
     # layout rows agree with the report's total at the lane budget
     layout_total = sum(r.n_in_seq for r in rows if r.kind == "layout")
     assert layout_total == eff[512].n_tokens
+
+
+def test_sketch_lane_distinct_n(spark, qs):
+    rows = qs["text_heavy_ngrams"](spark, SF_ORACLE).collect()
+    dn = [r for r in rows if r.kind == "distinct_n"]
+    exact = [r for r in rows if r.kind == "exact_distinct"]
+    assert len(dn) == 1 and len(exact) == 1
+    assert 0.0 < dn[0].est < 1.0              # a real repetition signal
+    # the ratio's numerator IS the exact distinct count the lane pins
+    assert round(exact[0].cnt / dn[0].cnt, 6) == dn[0].est
