@@ -208,6 +208,12 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1) (got {damping})")
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1 (got {n_iters})")
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError at the cadence check; negatives would
+        # silently disable the plan-depth-bounding checkpoint (ADVICE r7)
+        raise ValueError(
+            f"checkpoint_every must be >= 1 (got {checkpoint_every})"
+        )
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst"), w.alias("w")

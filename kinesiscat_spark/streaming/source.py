@@ -278,16 +278,38 @@ def read_events_stream(
     return events_as_records(ev, cfg.n_shards) if as_records else ev
 
 
+class IncompleteDrainError(RuntimeError):
+    """An availableNow drain stopped without consuming the expected input.
+
+    Raised by :func:`run_to_memory` when the caller pinned the drain's
+    input contract (``expect_input_rows`` / ``expect_min_batches``) and the
+    query terminated short of it. The point is to FAIL LOUD: a truncated
+    drain of a stateful operator (reservoir, sessionizer) would otherwise
+    return plausible-but-different rows and surface only as a downstream
+    hash mismatch instead of an error (VERDICT r7 task 1)."""
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
     cfg: StreamConfig | None = None,
     available_now: bool = True,
     timeout_s: int = 300,
+    expect_input_rows: int | None = None,
+    expect_min_batches: int | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming query into a memory sink and return the
     result table. availableNow drains everything then stops — the batch
-    twin of the same plan, with checkpointing on (S9 upgrade)."""
+    twin of the same plan, with checkpointing on (S9 upgrade).
+
+    Drain contract (optional, recommended for any hash-checked lane):
+    ``expect_input_rows`` pins the TOTAL source rows the drain must have
+    consumed (summed over the query's progress events);
+    ``expect_min_batches`` pins the minimum number of non-empty
+    micro-batches (e.g. 3 when a fixture is sliced into 3 files at
+    ``maxFilesPerTrigger=1``). Violations raise
+    :class:`IncompleteDrainError` instead of letting a partial drain leak
+    silently-wrong rows into the result."""
     cfg = cfg or StreamConfig()
     name = f"kc_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="kc_ckpt_")
@@ -305,4 +327,50 @@ def run_to_memory(
     finally:
         if q.isActive:
             q.stop()  # S8 graceful stop
+    if expect_input_rows is not None or expect_min_batches is not None:
+        progress = q.recentProgress  # list of per-batch progress dicts
+        seen_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
+        non_empty = sum(1 for p in progress if int(p.get("numInputRows", 0)) > 0)
+        if expect_input_rows is not None and seen_rows != expect_input_rows:
+            raise IncompleteDrainError(
+                f"stream {name}: drained {seen_rows} input rows across "
+                f"{len(progress)} batches, expected exactly "
+                f"{expect_input_rows} — partial/duplicated drain"
+            )
+        if expect_min_batches is not None and non_empty < expect_min_batches:
+            raise IncompleteDrainError(
+                f"stream {name}: only {non_empty} non-empty micro-batches, "
+                f"expected >= {expect_min_batches} — the source collapsed "
+                f"the intended batching"
+            )
     return df.sparkSession.table(name)
+
+
+_SESSION_MEMO: dict[int, dict[str, str]] = {}
+
+
+def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
+    """Session-scoped memo for eager results that live in the session
+    catalog (memory-sink tables from :func:`run_to_memory`, or any
+    DataFrame worth materializing once per session).
+
+    ``key`` MUST be content-derived (digest of the input rows + operator
+    parameters) — never a bare path or row count, which is exactly the
+    staleness class behind VERDICT r7's red ``sampling_mix`` row. On a
+    hit, returns the previously registered table; on a miss, calls
+    ``build()``, registers the result as a temp view, and returns it.
+    Repeat calls in one session (bench passes, parity re-runs) then pay
+    the drain/materialization ONCE (VERDICT r7 task 3)."""
+    sid = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    names = _SESSION_MEMO.setdefault(sid, {})
+    view = names.get(key)
+    if view is not None:
+        try:
+            return spark.table(view)
+        except Exception:
+            names.pop(key, None)
+    df = build()
+    view = f"kc_memo_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    names[key] = view
+    return spark.table(view)
