@@ -215,17 +215,30 @@ def pagerank(
             f"checkpoint_every must be >= 1 (got {checkpoint_every})"
         )
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    fwd = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst"), w.alias("w")
-    )
-    rev = pairs.select(
-        F.col(id_b).alias("src"), F.col(id_a).alias("dst"), w.alias("w")
-    )
-    # non-positive/NULL weights would zero (or NULL) a node's out-strength
-    # and poison the division — drop those edges instead of documenting a
-    # hazard (a node whose every edge is dropped leaves the graph)
+    # both directions from ONE pass over `pairs` (a union of two selects
+    # would evaluate the — typically expensive — pair subtree twice
+    # before the checkpoint materializes it); non-positive/NULL weights
+    # would zero (or NULL) a node's out-strength and poison the division,
+    # so those edges are dropped (a node whose every edge is dropped
+    # leaves the graph)
     edges = (
-        fwd.unionByName(rev)
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"),
+                        F.col(id_b).alias("dst"),
+                        w.alias("w"),
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"),
+                        F.col(id_a).alias("dst"),
+                        w.alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.w")
         .filter(F.col("w") > 0.0)
         .localCheckpoint(eager=False)
     )
@@ -240,14 +253,19 @@ def pagerank(
         )
         .localCheckpoint(eager=False)
     )
+    # strength is joined into the cached edge frame ONCE, so each
+    # iteration pays a single join with the rank frame instead of two;
+    # w and s_out stay separate columns — the contribution is still
+    # r·w/s_out in the same written order, bit-identical to the oracle
+    edges_s = edges.join(strength, "src").localCheckpoint(eager=False)
     n1 = strength.agg(F.count("*").alias("_n"))
     ranks = strength.select(F.col("src").alias("v")).crossJoin(n1).select(
         "v", (F.lit(1.0) / F.col("_n")).alias("r")
     )
     for it in range(1, n_iters + 1):
-        contribs = edges.join(
+        contribs = edges_s.join(
             ranks.withColumnRenamed("v", "src"), "src"
-        ).join(strength, "src").select(
+        ).select(
             F.col("dst").alias("v"),
             (F.col("r") * F.col("w") / F.col("s_out")).alias("c"),
         )

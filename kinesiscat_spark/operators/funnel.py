@@ -149,25 +149,42 @@ def inter_event_gap_percentiles(
     user_col: str = "user_id",
     ts_col: str = "ts_us",
     id_col: str = "event_id",
+    method: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact type-1 percentiles of per-user inter-event gaps — the
-    distribution a sessionization gap threshold is read off (the
-    30-minute industry default is exactly 'a gap far beyond the p99
-    within-session inter-arrival'; this report justifies the parameter
-    from the corpus's own cadence instead of folklore). Returns one row
-    per requested percentile: (p, n_gaps, gap_us), where gap_us is the
-    ceil(p·n)-th smallest gap — no interpolation, so the value is a
-    REAL gap from the data and replays exactly in any engine.
+    """Percentiles of per-user inter-event gaps — the distribution a
+    sessionization gap threshold is read off (the 30-minute industry
+    default is exactly 'a gap far beyond the p99 within-session
+    inter-arrival'; this report justifies the parameter from the corpus's
+    own cadence instead of folklore). Returns one row per requested
+    percentile: (p, n_gaps, gap_us).
+
+    Two methods (the ``perplexity_buckets`` dual-method pattern —
+    VERDICT r7 task 2):
+
+    - ``method='approx'`` (the 100 TB production path): ONE
+      ``percentile_approx`` aggregate — Greenwald-Khanna sketches merge
+      map-side, so there is a single constant-size exchange and NO global
+      sort anywhere. ``accuracy`` bounds the rank error at
+      n/accuracy (default 10⁴ → ±0.01% of rank).
+    - ``method='exact'`` (the deterministic / oracle twin): type-1
+      percentiles — gap_us is the ceil(p·n)-th smallest gap, a REAL gap
+      from the data, bit-replayable in any engine. The selection runs on
+      DISTINCT gap values: groupBy(gap).count() combines map-side, then
+      one cumulative-count window over the distinct values picks the gap
+      whose cumulative count first reaches ceil(p·n). The single-task
+      window sees |distinct gaps| rows — bounded by the gap VALUE range
+      (microsecond resolution of the cadence), not by corpus row count —
+      unlike the previous global row_number over every gap row.
 
     Scale shape: the per-user lag rides the SAME user-keyed exchange as
-    sessionization; gaps reduce to scalars before ranking. The exact
-    selection is one global rank over the scalar gap column — the
-    documented cost of exactness (the lane-checkable variant); at 100 TB
-    swap in ``approx_percentile`` for the same report shape.
+    sessionization; gaps reduce to scalars before either selection.
     """
     for p in percentiles:
         if not 0.0 < p <= 1.0:
             raise ValueError(f"percentiles must be in (0, 1] (got {p})")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be 'exact' or 'approx' (got {method!r})")
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gaps = (
         events.select(
@@ -175,25 +192,49 @@ def inter_event_gap_percentiles(
         )
         .filter(F.col("gap").isNotNull())
     )
-    n1 = gaps.agg(F.count("*").alias("_n"))
-    ranked = gaps.withColumn(
-        "rk", F.row_number().over(Window.orderBy("gap"))
-    )
-    parts = []
-    for p in percentiles:
-        parts.append(
-            ranked.crossJoin(n1)
-            .filter(
-                F.col("rk")
-                == F.ceil(F.lit(float(p)) * F.col("_n")).cast("long")
-            )
-            .select(
-                F.lit(float(p)).alias("p"),
-                F.col("_n").cast("long").alias("n_gaps"),
-                F.col("gap").cast("long").alias("gap_us"),
-            )
+    ps = [float(p) for p in percentiles]
+
+    if method == "approx":
+        agg = gaps.agg(
+            F.percentile_approx("gap", ps, accuracy).alias("vs"),
+            F.count("*").alias("_n"),
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+        return agg.select(
+            F.posexplode("vs").alias("_i", "gap_us"), "_n"
+        ).select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in ps]), F.col("_i") + 1
+            ).alias("p"),
+            F.col("_n").cast("long").alias("n_gaps"),
+            F.col("gap_us").cast("long").alias("gap_us"),
+        )
+
+    counts = gaps.groupBy("gap").agg(F.count("*").alias("c"))
+    cum = counts.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("gap").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    n1 = gaps.agg(F.count("*").alias("_n"))
+    # one output row per p: the first distinct gap whose cumulative count
+    # reaches the target rank ceil(p·n) — cum >= t on this value and
+    # cum - c < t means rank t lands inside this value's run
+    return (
+        cum.crossJoin(F.broadcast(n1))
+        .select(
+            "*", F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+        )
+        .withColumn("_t", F.ceil(F.col("p") * F.col("_n")).cast("long"))
+        .filter(
+            (F.col("cum") >= F.col("_t"))
+            & (F.col("cum") - F.col("c") < F.col("_t"))
+        )
+        .select(
+            "p",
+            F.col("_n").cast("long").alias("n_gaps"),
+            F.col("gap").cast("long").alias("gap_us"),
+        )
+    )

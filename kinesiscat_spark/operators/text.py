@@ -1101,10 +1101,14 @@ def pmi_collocations(
     executes as TakeOrderedAndProject — a distributed top-k, no single
     reducer sees the full collocation table.
 
-    Scale shape: one word explode feeding a map-side-combined bigram
-    count and a unigram count (both vocabulary-bounded); the two scalar
-    totals ride a 1-row crossJoin; the unigram joins are vocab-sized
-    (AQE broadcasts when small). Text itself never shuffles.
+    Scale shape: the corpus is exploded exactly TWICE (once to words,
+    once to bigrams); both count frames are vocab-bounded and lazily
+    checkpointed so the scalar totals N and M are derived from them by a
+    cheap vocab-sized sum instead of two additional full corpus explodes
+    (r7's 8x probe charged PMI 2.15 — half of it was the four-scan
+    plan). The two scalar totals ride a 1-row crossJoin; the unigram
+    joins are vocab-sized (AQE broadcasts when small). Text itself never
+    shuffles.
     """
     from kinesiscat_spark.operators.curation import word_ngrams, words
 
@@ -1113,17 +1117,20 @@ def pmi_collocations(
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1 (got {top_k})")
     w = docs.select(F.explode(words(F.col(text_col))).alias("w"))
-    uni = w.groupBy("w").agg(F.count("*").alias("c"))
+    uni = (
+        w.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    )
     g = docs.select(
         F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
     )
-    pairs = (
+    pairs_all = (
         g.groupBy("gram")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
+        .localCheckpoint(eager=False)
     )
-    totals = w.agg(F.count("*").alias("_n")).crossJoin(
-        g.agg(F.count("*").alias("_m"))
+    pairs = pairs_all.filter(F.col("cnt") >= min_count)
+    totals = uni.agg(F.sum("c").alias("_n")).crossJoin(
+        pairs_all.agg(F.sum("cnt").alias("_m"))
     )
     ua = uni.select(F.col("w").alias("_wa"), F.col("c").alias("_ca"))
     ub = uni.select(F.col("w").alias("_wb"), F.col("c").alias("_cb"))

@@ -326,9 +326,25 @@ def curate(
     cfg = cfg or CurationConfig()
     audit = cfg.stage_counts is not None
 
+    # Stages whose subtree contains an exchange (aggregate/join). In the
+    # attrition tap (_frames) every LATER stage's count would re-execute
+    # those subtrees; a lazy localCheckpoint pins each one to a single
+    # materialization. Only in audit/report mode — the production path
+    # stays one pure-lazy plan.
+    _barrier = {
+        "decontaminate",
+        "semantic_decontaminate",
+        "exact_dedup",
+        "near_dedup",
+        "semantic_dedup",
+        "line_dedup",
+    }
+
     def step(name: str, df: DataFrame) -> DataFrame:
         if audit:
             cfg.stage_counts[name] = df.count()
+        if _frames is not None and name in _barrier:
+            df = df.localCheckpoint(eager=False)
         if _frames is not None:
             _frames.append((name, df))
         return df

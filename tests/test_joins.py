@@ -222,3 +222,53 @@ def test_inter_event_gap_percentiles_hand_computed(spark):
         inter_event_gap_percentiles(ev, (0.0,))
     with pytest.raises(ValueError):
         inter_event_gap_percentiles(ev, (1.2,))
+
+
+def test_inter_event_gap_percentiles_approx_bounds_exact(spark):
+    """method='approx' (the 100 TB path: one percentile_approx aggregate,
+    no global sort) must land within the documented rank error
+    n/accuracy of the exact type-1 selection, and reject bad methods."""
+    import math
+
+    import pytest
+
+    from kinesiscat_spark.operators.funnel import inter_event_gap_percentiles
+
+    # 12 users x 40 events with a deterministic spread of gaps
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0
+        for i in range(40):
+            t += ((u * 7 + i * 13) % 97) + 1
+            rows.append((u, t, eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long")
+    ps = (0.5, 0.9, 0.99)
+    exact = {
+        r.p: r.gap_us
+        for r in inter_event_gap_percentiles(ev, ps, method="exact").collect()
+    }
+    approx_rows = inter_event_gap_percentiles(
+        ev, ps, method="approx", accuracy=10_000
+    ).collect()
+    approx = {r.p: r.gap_us for r in approx_rows}
+    n = approx_rows[0].n_gaps
+    assert n == 12 * 39
+    # rank-error bound: the approx value's exact rank must be within
+    # n/accuracy of ceil(p*n)
+    all_gaps = sorted(
+        g
+        for u in range(12)
+        for g in [((u * 7 + i * 13) % 97) + 1 for i in range(1, 40)]
+    )
+    tol = max(1, n // 10_000)
+    for p in ps:
+        target = math.ceil(p * n)
+        got_rank_lo = all_gaps.index(approx[p]) + 1
+        got_rank_hi = len(all_gaps) - all_gaps[::-1].index(approx[p])
+        assert got_rank_lo - tol <= target <= got_rank_hi + tol, (
+            p, approx[p], exact[p], target, got_rank_lo, got_rank_hi
+        )
+    with pytest.raises(ValueError):
+        inter_event_gap_percentiles(ev, ps, method="bogus")

@@ -574,7 +574,17 @@ def probes():
         ev = spark.read.parquet(f"{d}/events.parquet").select(
             "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
         )
-        return inter_event_gap_percentiles(ev).count()
+        return inter_event_gap_percentiles(ev, method="exact").count()
+
+    def p_gap_pctl_approx(spark, d):
+        from kinesiscat_spark.operators.funnel import (
+            inter_event_gap_percentiles,
+        )
+
+        ev = spark.read.parquet(f"{d}/events.parquet").select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        return inter_event_gap_percentiles(ev, method="approx").count()
 
     def p_attrition(spark, d):
         from kinesiscat_spark.pipelines import CurationConfig, attrition_report
@@ -653,7 +663,8 @@ def probes():
         "calibration_report": (p_calibration, "linear (global scalar rank + bin aggregate)"),
         "semi_hard_triplets": (p_triplets, "linear (candidate top-k + per-query windows)"),
         "packing_efficiency": (p_pack_eff, "linear (two bounded aggregates)"),
-        "gap_percentiles": (p_gap_pctl, "linear (user-keyed lag + global scalar rank)"),
+        "gap_percentiles": (p_gap_pctl, "linear (user-keyed lag + distinct-gap cumsum)"),
+        "gap_percentiles_approx": (p_gap_pctl_approx, "linear (one mergeable GK-sketch aggregate)"),
         "attrition_report": (p_attrition, "linear (one plan of staged counts)"),
     }
 
