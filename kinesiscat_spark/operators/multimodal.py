@@ -2,11 +2,16 @@
 typed metadata, processed by Arrow-batched Python UDFs.
 
 Model (SURVEY §1.1): like the Kinesis record envelope, media rows are an
-opaque ``binary`` payload plus a typed metadata struct. Real decoders
-(PIL/ffmpeg/librosa) are NOT in this container, so the decode kernels are
-deterministic fakes over the raw bytes — clearly marked — while everything
-Spark-side is real and tested: the schema, the ``mapInPandas`` plumbing,
-Arrow batch iteration, and the 1→N row fan-out for frame sampling.
+opaque ``binary`` payload plus a typed metadata struct. Two REAL
+pure-Python codecs ship here (round 8): binary PPM (P6) and RIFF/WAVE
+16-bit PCM — full header grammar, spec-conformant for arbitrary files,
+exposed as ``decode_image`` / ``decode_audio``. Heavier formats
+(JPEG/MP4/...) need PIL/ffmpeg, which are NOT in this container, so the
+remaining byte-level kernels (``decode_media_stats``, ``sample_frames``,
+``resize_media``, ``audio_frame_energy``) treat the payload as raw bytes —
+clearly marked — while everything Spark-side is real and tested: the
+schema, the ``mapInPandas`` plumbing, Arrow batch iteration, and the 1→N
+row fan-out for frame sampling.
 
 Scale notes:
 - ``mapInPandas`` keeps the input partitioning — no shuffle; at 100 TB the
@@ -153,21 +158,250 @@ def sample_frames(media: DataFrame, frame_size: int = 64, every: int = 4) -> Dat
     return media.select("media_id", "payload").mapInPandas(kernel, _FRAMES_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """REAL image decode — requires PIL, which is not in this container.
+# --- Real codecs (round 8, VERDICT r7 task 5) -------------------------
+#
+# Two honest-to-spec pure-Python codecs close the X6 stub: binary PPM
+# (P6, the netpbm spec: magic / whitespace+comment-tolerant header /
+# 1-or-2-byte big-endian samples) and RIFF/WAVE PCM (chunk walker, fmt
+# parse, 16-bit little-endian samples). They decode ANY conforming file,
+# not just this repo's fixtures — round-tripped and malformed-input
+# tested in tests/test_multimodal.py. The former ``decode_image`` stub
+# (NotImplementedError behind a PIL import check) is gone.
 
-    Stub per the build contract: the Spark plumbing above
-    (``decode_media_stats``/``sample_frames``) is the tested path; this
-    entry point raises until a real codec is installed.
-    """
+_PPM_WS = frozenset(b" \t\r\n\x0b\x0c")
+
+
+def write_ppm(width: int, height: int, pixels, maxval: int = 255) -> bytes:
+    """Encode a flat RGB sample array (length width*height*3, values in
+    [0, maxval]) as a binary P6 PPM. 2-byte big-endian samples above
+    maxval 255, per the spec."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.size != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} samples, got {px.size}"
+        )
+    header = f"P6\n{width} {height}\n{maxval}\n".encode("ascii")
+    dt = np.uint8 if maxval < 256 else ">u2"
+    return header + px.astype(dt).tobytes()
+
+
+def parse_ppm(data: bytes) -> tuple[int, int, int, "object"]:
+    """Decode a binary P6 PPM: (width, height, maxval, int64 sample
+    array of length width*height*3). Implements the real netpbm header
+    grammar — any run of whitespace between tokens, ``#``-to-EOL
+    comments anywhere in the header, exactly ONE whitespace byte
+    between maxval and the raster — and both sample widths (1 byte for
+    maxval < 256, 2-byte big-endian above). Raises ValueError on
+    malformed input (wrong magic, bad dims, truncated raster)."""
+    import numpy as np
+
+    toks: list[bytes] = []
+    i, n = 0, len(data)
+    while len(toks) < 4:
+        if i >= n:
+            raise ValueError("truncated PPM header")
+        c = data[i]
+        if c in _PPM_WS:
+            i += 1
+        elif c == 0x23:  # '#' comment runs to end of line
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            j = i
+            while j < n and data[j] not in _PPM_WS and data[j] != 0x23:
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {toks[0]!r})")
     try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires pillow; container ships no codecs — "
-            "use decode_media_stats/sample_frames for the tested plumbing"
-        ) from e
-    raise NotImplementedError("real decoder wiring lands with the codec")
+        width, height, maxval = (int(t) for t in toks[1:])
+    except ValueError as e:
+        raise ValueError(f"non-numeric PPM header field: {e}") from e
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError(
+            f"bad PPM geometry {width}x{height} maxval={maxval}"
+        )
+    if i >= n or data[i] not in _PPM_WS:
+        raise ValueError("missing single-whitespace raster separator")
+    i += 1
+    bpp = 1 if maxval < 256 else 2
+    need = width * height * 3 * bpp
+    raster = data[i : i + need]
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated PPM raster ({len(raster)} of {need} bytes)"
+        )
+    dt = np.uint8 if bpp == 1 else ">u2"
+    px = np.frombuffer(raster, dtype=dt).astype(np.int64)
+    return width, height, maxval, px
+
+
+def write_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a mono 16-bit PCM RIFF/WAVE
+    file (canonical 44-byte header + data chunk)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples).astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def parse_wav(data: bytes) -> tuple[int, int, int, "object"]:
+    """Decode a RIFF/WAVE PCM file: (sample_rate, bits_per_sample,
+    n_channels, int64 sample array). A real chunk walker — unknown
+    chunks (LIST, cue, ...) are skipped with word alignment per the RIFF
+    spec, so files from arbitrary encoders parse. Supports the PCM
+    format tag with 16-bit samples (the overwhelmingly common on-disk
+    layout); anything else raises ValueError, never a wrong decode."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = raw = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or len(fmt) < 16 or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1:
+        raise ValueError(f"unsupported WAVE format tag {tag} (PCM only)")
+    if bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported PCM layout ({bits}-bit, {n_ch}ch)")
+    samples = np.frombuffer(
+        raw[: (len(raw) // 2) * 2], dtype="<i2"
+    ).astype(np.int64)
+    return rate, bits, n_ch, samples
+
+
+_PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("maxval", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_sq_sum", T.LongType()),
+    ]
+)
+
+
+def decode_image(media: DataFrame, on_error: str = "skip") -> DataFrame:
+    """REAL image decode: parse each binary payload as a P6 PPM and emit
+    header fields + exact int64 pixel statistics — (media_id, width,
+    height, maxval, n_px, px_sum, px_sq_sum). Arrow-batched
+    ``mapInPandas``; the input partitioning is preserved (no shuffle).
+
+    ``on_error='skip'`` drops undecodable payloads (the reference's
+    error-skip policy, S9); ``'raise'`` propagates the ValueError."""
+    import numpy as np
+
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise' (got {on_error!r})")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "maxval",
+                "n_px", "px_sum", "px_sq_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, mx, px = parse_ppm(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(mx)
+                rows["n_px"].append(int(px.size))
+                rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+                rows["px_sq_sum"].append(int((px * px).sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, _PPM_STATS_SCHEMA
+    )
+
+
+_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_sq_sum", T.LongType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, on_error: str = "skip") -> DataFrame:
+    """REAL audio decode: parse each binary payload as a RIFF/WAVE PCM
+    file and emit (media_id, sample_rate, n_samples, sample_sum,
+    sample_sq_sum) — exact int64 sums over the decoded 16-bit samples.
+    Same kernel/error contract as :func:`decode_image`."""
+    import numpy as np
+
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise' (got {on_error!r})")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples",
+                "sample_sum", "sample_sq_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, _bits, _ch, s = parse_wav(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(int(s.size))
+                rows["sample_sum"].append(int(s.sum(dtype=np.int64)))
+                rows["sample_sq_sum"].append(int((s * s).sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, _WAV_STATS_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -266,3 +500,70 @@ def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, _AUDIO_SCHEMA)
+
+
+_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_ppm_media(media: DataFrame) -> DataFrame:
+    """Deterministic REAL-file fixture: encode each media_id as an actual
+    binary P6 PPM via :func:`write_ppm` — geometry from the envelope's
+    meta formula (h = (id%9+1)·8, w = (id%16+1)·8), pixel k =
+    (id·7 + 13k) mod 256. A pure integer function of the id, so an
+    oracle can recompute the decoded statistics without a decoder."""
+    import numpy as np
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                h = (mid % 9 + 1) * 8
+                w = (mid % 16 + 1) * 8
+                n = 3 * h * w
+                px = (mid * 7 + 13 * np.arange(n, dtype=np.int64)) % 256
+                ids.append(mid)
+                payloads.append(write_ppm(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id").mapInPandas(kernel, _SYNTH_SCHEMA)
+
+
+def synth_wav_media(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic REAL-file fixture: encode each media_id as an actual
+    mono 16-bit PCM RIFF/WAVE file via :func:`write_wav` — n =
+    2048 + (id%7)·512 samples, sample k = ((id·31 + 17k) mod 4096) −
+    2048."""
+    import numpy as np
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 2048 + (mid % 7) * 512
+                s = ((mid * 31 + 17 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+                ids.append(mid)
+                payloads.append(write_wav(s, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id").mapInPandas(kernel, _SYNTH_SCHEMA)
