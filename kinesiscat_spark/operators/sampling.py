@@ -808,3 +808,96 @@ def reservoir_key(
         raise ValueError(f"unknown hash method {method!r}")
     u = F.greatest(F.least(u, F.lit(1.0 - 1e-15)), F.lit(1e-15))
     return F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 1.0,
+    k: float = 0.5,
+) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi domain reweighting (Xie
+    et al. 2023, Algorithm 1, collapsed to a single proxy-loss step):
+    domains whose text the corpus-level model finds HARD (above-average
+    per-token loss) get upweighted relative to their token share,
+
+        w(d) ∝ share(d) · exp(η · (loss(d) − loss(corpus))),
+
+    normalized over domains. The proxy loss is the add-``k`` unigram LM
+    trained on the whole corpus (the DSIR machinery's model family), so
+    the whole step is deterministic and ANSI-SQL-replayable: every
+    floating-point reduction is a VALUE-ORDERED fold (sort_array +
+    aggregate ↔ DuckDB ``list_sum(list(x ORDER BY x))`` — the
+    hash-proven pairing), folded per document, then per domain, then
+    globally, and the exp/ln calls are the same libm doubles on both
+    engines (the Zipf-fit precedent).
+
+    Returns (group, n_tokens, loss, excess, weight), weights rounded to
+    9 dp and summing to ~1.
+
+    Scale shape: one token explode feeding a vocab-bounded count
+    (map-side combine); the model join is vocab-sized (AQE broadcasts
+    when small); per-doc folds see one doc's tokens, per-domain folds see
+    one domain's DOC SUMS (documents-per-domain-bounded, never tokens),
+    and the domain table itself is tiny. Text never shuffles.
+    """
+    from kinesiscat_spark.operators.dedup import tokens
+
+    if eta <= 0.0:
+        raise ValueError(f"eta must be > 0 (got {eta})")
+    if k <= 0.0:
+        raise ValueError(f"k must be > 0 (got {k})")
+    tok = docs.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    [tot] = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).collect()
+    if tot.n is None:  # empty corpus: no domains, empty report
+        return docs.sparkSession.createDataFrame(
+            [],
+            "group string, n_tokens long, loss double, excess double, "
+            "weight double",
+        )
+    n, v = float(tot.n), float(tot.v)
+    model = counts.select(
+        "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("lp")
+    )
+    _vsum = lambda c: F.aggregate(  # noqa: E731 — the repo's value-ordered fold
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    per_doc = (
+        tok.join(model, "w")
+        .groupBy("group", "id")
+        .agg(_vsum("lp").alias("s"), F.count("*").alias("nt"))
+    )
+    dom = per_doc.groupBy("group").agg(
+        _vsum("s").alias("slp"), F.sum("nt").alias("nt")
+    )
+    g = dom.agg(_vsum("slp").alias("gs"), F.sum("nt").alias("gn"))
+    loss = -(F.col("slp") / F.col("nt"))
+    gloss = -(F.col("gs") / F.col("gn"))
+    excess = loss - gloss
+    pre = dom.crossJoin(F.broadcast(g)).select(
+        "group",
+        "nt",
+        loss.alias("loss"),
+        excess.alias("excess"),
+        (
+            (F.col("nt").cast("double") / F.col("gn"))
+            * F.exp(F.lit(float(eta)) * excess)
+        ).alias("raw"),
+    )
+    z = pre.agg(_vsum("raw").alias("z"))
+    return pre.crossJoin(F.broadcast(z)).select(
+        "group",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.round("loss", 9).alias("loss"),
+        F.round("excess", 9).alias("excess"),
+        F.round(F.col("raw") / F.col("z"), 9).alias("weight"),
+    )

@@ -307,6 +307,40 @@ pp_keep AS (
 )"""
 
 
+# DoReMi twin (round 8): one exponentiated-gradient step of domain
+# reweighting (Xie et al. 2023) under the add-0.5 unigram proxy loss —
+# the model IS the DSIR CTEs' raw model (dm_r), so the twin adds only
+# the per-doc / per-domain / global value-ordered folds and the
+# share·exp(η·excess) arithmetic in the operator's written order.
+def _doremi_ctes() -> str:
+    return r"""
+dw_tok AS (
+  SELECT source AS grp, doc_id AS id,
+         unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+dw_doc AS (
+  SELECT grp, id, list_sum(list(lp ORDER BY lp)) AS s, count(*) AS nt
+  FROM dw_tok JOIN dm_r USING (w) GROUP BY grp, id
+),
+dw_dom AS (
+  SELECT grp, list_sum(list(s ORDER BY s)) AS slp, sum(nt)::BIGINT AS nt
+  FROM dw_doc GROUP BY grp
+),
+dw_g AS (
+  SELECT list_sum(list(slp ORDER BY slp)) AS gs, sum(nt)::BIGINT AS gn
+  FROM dw_dom
+),
+dw_pre AS (
+  SELECT grp, nt,
+         (CAST(nt AS DOUBLE) / gn)
+           * exp(1.0 * ((-(slp / nt)) - (-(gs / gn)))) AS raw
+  FROM dw_dom, dw_g
+),
+dw_z AS (SELECT list_sum(list(raw ORDER BY raw)) AS z FROM dw_pre),
+dw AS (SELECT grp, round(raw / z, 9) AS weight FROM dw_pre, dw_z)"""
+
+
 _SAMPLING_ORACLE = f"""
 WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_tok_cte("tb_rest", "lang <> 'en'", _TOK_SALT + 1, _TOK_REST)},
@@ -314,6 +348,7 @@ WITH {_tok_cte("tb_en", "lang = 'en'", _TOK_SALT, _TOK_EN)},
 {_dsir_ctes()},
 {_unimax_ctes().lstrip()},
 {_cluster_prune_ctes().lstrip()},
+{_doremi_ctes().lstrip()},
 {_resv_cte().lstrip()}
 SELECT 'frac' AS kind, doc_id, lang, 0 AS source_id,
        CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS split
@@ -389,6 +424,12 @@ SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
        CAST(round(d2 * 1e9) AS BIGINT) AS n_tokens,
        CAST(NULL AS VARCHAR) AS split
 FROM pp_keep
+UNION ALL
+SELECT 'doremi' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS source_id,
+       CAST(round(weight * 1e9) AS BIGINT) AS n_tokens,
+       grp AS split
+FROM dw
 """
 
 
@@ -579,6 +620,26 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_split.alias("split"),
     )
     out = out.unionByName(resv)
+
+    # kind='doremi' (round 8): one exponentiated-gradient step of DoReMi
+    # domain reweighting (operators/sampling.py doremi_domain_weights;
+    # Xie et al. 2023) — per-source mixture weights share·exp(η·excess
+    # unigram loss), each weight hash-pinned as a nano-quantized integer
+    # riding n_tokens (the 'cluster' fold's trick), doc_id = the source.
+    from kinesiscat_spark.operators.sampling import doremi_domain_weights
+
+    # the source NAME rides `split` (the lane's string column — the
+    # 'strat' fold's precedent); Spark's ANSI union resolves a
+    # string/bigint doc_id to BIGINT, which would reject 'src7'
+    dw = doremi_domain_weights(docs).select(
+        F.lit("doremi").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        null_lang.alias("lang"),
+        null_src.alias("source_id"),
+        F.round(F.col("weight") * 1e9).cast("long").alias("n_tokens"),
+        F.col("group").alias("split"),
+    )
+    out = out.unionByName(dw)
 
     # kind='reservoir_stream' (round-7 continuation): the SAME selection
     # drained through the STREAMING reservoir

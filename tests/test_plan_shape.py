@@ -509,8 +509,12 @@ def test_no_forced_broadcast_of_per_document_frames():
         "operators/quality_classifier.py": {"wrow", "n1"},
         "operators/sketches.py": {"cms"},
         # LM/model tables: bounded by the reference-corpus vocab (see the
-        # bigram size guard in operators/text.py).
-        "operators/sampling.py": {"m_r", "m_t"},
+        # bigram size guard in operators/text.py). "g"/"z" = DoReMi's
+        # 1-row global-loss and normalizer aggregates (domain-count-
+        # bounded inputs, single-row outputs).
+        "operators/sampling.py": {"m_r", "m_t", "g", "z"},
+        # "n1" = inter_event_gap_percentiles' 1-row total-gap count.
+        "operators/funnel.py": {"n1"},
         # "back" = the Kneser-Ney continuation fan-in table — vocab-sized,
         # same boundedness (and the same size switch) as "ctx"/"bi".
         # "total" = rm3_terms' 1-row feedback score sum; "model" also

@@ -381,3 +381,79 @@ def test_weighted_reservoir_sample_proportional_and_deterministic(spark):
         weighted_reservoir_sample(docs, 0, "w")
     with pytest.raises(ValueError):
         weighted_reservoir_sample(docs, 5, "w", method="bogus")
+
+
+def test_doremi_domain_weights_hand_computed(spark):
+    """DoReMi one-step reweighting: weights sum to 1, the domain the
+    corpus-level unigram LM finds HARD is upweighted past its token
+    share, and the exact values match a pure-Python replay of the
+    formula (same value-ordered summation)."""
+    import math
+
+    from kinesiscat_spark.operators.sampling import doremi_domain_weights
+
+    rows = [
+        (1, "easy", "the the the cat"),
+        (2, "easy", "the the dog"),
+        (3, "hard", "zyx qwv jkl"),
+        (4, "hard", "pqr zyx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.group: r
+        for r in doremi_domain_weights(docs, eta=1.0, k=0.5).collect()
+    }
+
+    # pure-Python replay
+    toks = [(s, d, w) for d, s, t in rows for w in t.split(" ")]
+    from collections import Counter
+
+    c = Counter(w for _, _, w in toks)
+    n, v = float(sum(c.values())), float(len(c))
+    lp = {w: math.log((cnt + 0.5) / (n + 0.5 * v)) for w, cnt in c.items()}
+    per_doc = {}
+    for s, d, w in toks:
+        per_doc.setdefault((s, d), []).append(lp[w])
+    dom = {}
+    for (s, _d), lps in per_doc.items():
+        acc = 0.0
+        for x in sorted(lps):
+            acc += x
+        dom.setdefault(s, []).append((acc, len(lps)))
+    stats = {}
+    for s, pairs in dom.items():
+        acc = 0.0
+        for x in sorted(p[0] for p in pairs):
+            acc += x
+        stats[s] = (acc, sum(p[1] for p in pairs))
+    gs = 0.0
+    for x in sorted(slp for slp, _ in stats.values()):
+        gs += x
+    gn = sum(nt for _, nt in stats.values())
+    raws = {
+        s: (nt / gn) * math.exp(1.0 * ((-(slp / nt)) - (-(gs / gn))))
+        for s, (slp, nt) in stats.items()
+    }
+    z = 0.0
+    for x in sorted(raws.values()):
+        z += x
+    for s in raws:
+        assert got[s].weight == round(raws[s] / z, 9), (s, got[s].weight)
+        assert got[s].n_tokens == stats[s][1]
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-8
+    # the rare-word domain is harder than its token share
+    hard_share = stats["hard"][1] / gn
+    assert got["hard"].weight > hard_share
+    assert got["easy"].weight < stats["easy"][1] / gn
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        doremi_domain_weights(docs, eta=0.0)
+    with pytest.raises(ValueError):
+        doremi_domain_weights(docs, k=-1.0)
+    # empty corpus: empty report, not a crash
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    assert doremi_domain_weights(empty).count() == 0

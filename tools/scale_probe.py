@@ -586,6 +586,12 @@ def probes():
         )
         return inter_event_gap_percentiles(ev, method="approx").count()
 
+    def p_doremi(spark, d):
+        from kinesiscat_spark.operators.sampling import doremi_domain_weights
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return doremi_domain_weights(docs).count()
+
     def p_attrition(spark, d):
         from kinesiscat_spark.pipelines import CurationConfig, attrition_report
 
@@ -666,6 +672,7 @@ def probes():
         "gap_percentiles": (p_gap_pctl, "linear (user-keyed lag + distinct-gap cumsum)"),
         "gap_percentiles_approx": (p_gap_pctl_approx, "linear (one mergeable GK-sketch aggregate)"),
         "attrition_report": (p_attrition, "linear (one plan of staged counts)"),
+        "doremi_weights": (p_doremi, "linear (token explode + vocab join + domain-bounded folds)"),
     }
 
 
