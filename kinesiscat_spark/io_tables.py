@@ -106,3 +106,40 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
         return df
     cols = [F.col(c) for c in key_cols]
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def cached_fixture_dir(key: str, prefix: str, build) -> str:
+    """Content-keyed on-disk fixture cache shared by every lane that
+    stages parquet slices or model artifacts into tmp (the
+    sampling_mix / sessionization / persisted-LM pattern, deduplicated
+    after three hand-rolled copies diverged on their rename-race
+    fallbacks).
+
+    ``key`` MUST be content-derived (digest of the exact rows + operator
+    parameters + a format-version tag) — never a bare path or row count,
+    the staleness class behind VERDICT r7's red driver row. On a miss,
+    ``build(stage_dir)`` populates a fresh staging dir which is then
+    atomically renamed into place; concurrent builders race safely (the
+    loser's copy is discarded, or used as-is if the rename failed for
+    any other reason)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        prefix + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if os.path.isdir(path):
+        return path
+    stage = tempfile.mkdtemp(prefix=prefix + "stage_")
+    build(stage)
+    try:
+        os.rename(stage, path)  # atomic publish
+    except OSError:
+        if os.path.isdir(path):  # someone else won — either copy works
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            return stage  # rename failed outright; stage is complete
+    return path

@@ -279,6 +279,13 @@ def parse_wav(data: bytes) -> tuple[int, int, int, "object"]:
         cid = data[i : i + 4]
         (size,) = struct.unpack("<I", data[i + 4 : i + 8])
         body = data[i + 8 : i + 8 + size]
+        if len(body) < size and cid in (b"fmt ", b"data"):
+            # a declared size past EOF must raise, not silently decode a
+            # prefix — the codec contract is "refuse, never misdecode"
+            raise ValueError(
+                f"truncated WAVE {cid.decode('ascii', 'replace').strip()} "
+                f"chunk ({len(body)} of {size} bytes)"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -291,9 +298,9 @@ def parse_wav(data: bytes) -> tuple[int, int, int, "object"]:
         raise ValueError(f"unsupported WAVE format tag {tag} (PCM only)")
     if bits != 16 or n_ch < 1:
         raise ValueError(f"unsupported PCM layout ({bits}-bit, {n_ch}ch)")
-    samples = np.frombuffer(
-        raw[: (len(raw) // 2) * 2], dtype="<i2"
-    ).astype(np.int64)
+    if len(raw) % 2:
+        raise ValueError("odd PCM data length for 16-bit samples")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     return rate, bits, n_ch, samples
 
 

@@ -318,33 +318,28 @@ def curate(
     By default the stages compose lazily into ONE plan — no job runs until
     the caller acts on the result. Auditing is opt-in: pass a cfg with
     ``stage_counts={}`` and per-stage surviving-row counts are recorded in
-    it (each count materializes its stage — audit runs re-execute the full
-    upstream pipeline once per stage, so never audit in production plans;
+    it (each count materializes its stage; exchange-bearing stages are
+    lazily checkpointed first so their subtrees run once, but scan-stage
+    prefixes still re-execute per count — never audit in production plans;
     the one-job alternative is ``attrition_report``). ``_frames`` is the
     internal lazy-stage tap that report uses.
     """
     cfg = cfg or CurationConfig()
     audit = cfg.stage_counts is not None
 
-    # Stages whose subtree contains an exchange (aggregate/join). In the
-    # attrition tap (_frames) every LATER stage's count would re-execute
-    # those subtrees; a lazy localCheckpoint pins each one to a single
-    # materialization. Only in audit/report mode — the production path
-    # stays one pure-lazy plan.
-    _barrier = {
-        "decontaminate",
-        "semantic_decontaminate",
-        "exact_dedup",
-        "near_dedup",
-        "semantic_dedup",
-        "line_dedup",
-    }
-
-    def step(name: str, df: DataFrame) -> DataFrame:
+    def step(name: str, df: DataFrame, barrier: bool = False) -> DataFrame:
+        # `barrier` marks a stage whose subtree contains an exchange
+        # (aggregate/join) — declared AT the stage call site so a renamed
+        # or new shuffle-bearing stage can't silently lose its
+        # checkpoint. In report/audit mode every LATER stage's count
+        # would re-execute those subtrees, so attach the lazy
+        # localCheckpoint FIRST (the audit count then reads through it —
+        # one materialization, not two). The production path (no audit,
+        # no frames tap) stays one pure-lazy plan.
+        if barrier and (_frames is not None or audit):
+            df = df.localCheckpoint(eager=False)
         if audit:
             cfg.stage_counts[name] = df.count()
-        if _frames is not None and name in _barrier:
-            df = df.localCheckpoint(eager=False)
         if _frames is not None:
             _frames.append((name, df))
         return df
@@ -360,7 +355,7 @@ def curate(
     out = step("blocklist", blocklist_gate(out, cfg))
     out = step("language", language_gate(out, cfg))
     out = step("pii", pii_gate(out, cfg))
-    out = step("decontaminate", decontaminate(out, cfg))
+    out = step("decontaminate", decontaminate(out, cfg), barrier=True)
     if cfg.benchmark_embeddings is not None:
         from kinesiscat_spark.operators.curation import (
             semantic_contamination_report,
@@ -384,9 +379,10 @@ def curate(
         out = step(
             "semantic_decontaminate",
             out.join(flagged, cfg.id_col, "left_anti"),
+            barrier=True,
         )
-    out = step("exact_dedup", exact_dedup(out, cfg))
-    out = step("near_dedup", near_dedup(out, cfg))
+    out = step("exact_dedup", exact_dedup(out, cfg), barrier=True)
+    out = step("near_dedup", near_dedup(out, cfg), barrier=True)
     if cfg.semdedup_embeddings is not None:
         from kinesiscat_spark.operators.semdedup import semdedup_keep
 
@@ -402,6 +398,7 @@ def curate(
                 vec=cfg.semdedup_vec_col,
                 n_iters=cfg.semdedup_iters,
             ),
+            barrier=True,
         )
     if cfg.line_dedup_min_docs is not None:
         from kinesiscat_spark.operators.curation import (
@@ -419,6 +416,7 @@ def curate(
             out.join(rewritten, cfg.id_col).withColumn(
                 cfg.text_col, F.col("clean_text")
             ).drop("clean_text"),
+            barrier=True,
         )
     if cfg.span_removal_w:
         out = step("span_removal", span_removal(out, cfg))

@@ -659,9 +659,10 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-7 continuation: corpus distinct-n diversity ratio (Li et al.
     # 2016's distinct-2 — low values flag template/boilerplate-dominated
     # corpora); one exact integer ratio off the same gram stream.
-    distinct_n = grams.agg(
-        F.count("*").alias("_tot"),
-        F.countDistinct("gram").alias("_d"),
+    distinct_n = gcounts.agg(
+        # coalesce: empty corpus sums to NULL where count(*) gave 0
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("_tot"),
+        F.count("*").alias("_d"),
     ).select(
         F.lit("distinct_n").alias("kind"),
         F.lit(None).cast("string").alias("gram"),

@@ -298,11 +298,7 @@ def text_bigram_lm_persisted(
     load→score over the on-disk artifact; repeat calls in a session
     (bench passes) skip the redundant re-train+re-save (VERDICT r7
     task 3b — this round trip was 3.1 s of the lane's 5.7 s)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    from kinesiscat_spark.io_tables import cached_fixture_dir
     from kinesiscat_spark.operators.model_store import (
         load_bigram,
         save_bigram,
@@ -321,21 +317,13 @@ def text_bigram_lm_persisted(
         F.count("*").alias("n_rows"),
     ).collect()
     key = f"v1|{dig.digest}|{dig.n_rows}|k=0.5|lam=0.7"
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "kc_bigram_store_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    path = cached_fixture_dir(
+        key,
+        "kc_bigram_store_",
+        lambda stage: save_bigram(
+            spark, _model or bigram_model(train, k=0.5, lam=0.7), stage
+        ),
     )
-    if not os.path.isdir(path):
-        model = _model or bigram_model(train, k=0.5, lam=0.7)
-        stage = tempfile.mkdtemp(prefix="kc_bigram_store_stage_")
-        save_bigram(spark, model, stage)
-        try:
-            os.rename(stage, path)  # atomic: concurrent callers race safely
-        except OSError:
-            if os.path.isdir(path):  # someone else won — either copy works
-                shutil.rmtree(stage, ignore_errors=True)
-            else:
-                path = stage
     loaded = load_bigram(spark, path)
     return score_documents_bigram(docs, loaded).select(
         "doc_id", F.round("avg_logp2", 6).alias("avg_logp2_persisted")

@@ -329,6 +329,21 @@ def run_to_memory(
             q.stop()  # S8 graceful stop
     if expect_input_rows is not None or expect_min_batches is not None:
         progress = q.recentProgress  # list of per-batch progress dicts
+        cap = int(
+            df.sparkSession.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+        if len(progress) >= cap:
+            # retention-capped progress would UNDERCOUNT a long drain and
+            # report a spurious partial-drain error — refuse to verify
+            # instead of mis-verifying
+            raise IncompleteDrainError(
+                f"stream {name}: {len(progress)} progress entries hit the "
+                f"retention cap ({cap}); raise "
+                "spark.sql.streaming.numRecentProgressUpdates to use the "
+                "drain contract on drains this long"
+            )
         seen_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
         non_empty = sum(1 for p in progress if int(p.get("numInputRows", 0)) > 0)
         if expect_input_rows is not None and seen_rows != expect_input_rows:
@@ -374,3 +389,60 @@ def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
     df.createOrReplaceTempView(view)
     names[key] = view
     return spark.table(view)
+
+
+def kinesis_source_options(
+    cfg: StreamConfig,
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint_url: str | None = None,
+) -> dict[str, str]:
+    """Translate ``StreamConfig`` into a ``format("kinesis")`` option map
+    for the open-source spark-sql-kinesis connector family, so the same
+    logical pipeline binds to a REAL stream on a cluster with a connector
+    on the classpath:
+
+        spark.readStream.format("kinesis")
+             .options(**kinesis_source_options(cfg, "my-stream"))
+
+    Pure config mapping — no AWS calls — which is exactly the testable
+    boundary in this environment (no Kinesis service exists here; the
+    file-backed envelope emulation above remains the executable twin,
+    reference worker/worker.go:89-126). Scope, honestly stated:
+
+    - LATEST / TRIM_HORIZON map to the connectors' ``startingPosition``
+      vocabulary (these two values are universal across the family).
+    - AT/AFTER_SEQUENCE_NUMBER (worker/worker.go:148-169) are NOT a
+      scalar connector option — connectors express per-shard resume
+      positions via checkpoints, not a single sequence number — so this
+      function refuses them; compose TRIM_HORIZON here with
+      :func:`start_position_filter` on the decoded records, which
+      compiles the exact reference semantics (including AFTER's
+      drop-the-anchor) as a pushed predicate.
+    - Batch-size / pacing knob NAMES vary per connector build; they are
+      returned under the widely used executor-fetch keys and should be
+      checked against the deployed connector's documentation.
+    """
+    if cfg.iterator_type not in ITERATOR_TYPES:
+        raise ValueError(f"unknown iterator type {cfg.iterator_type!r}")
+    if cfg.iterator_type in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+        raise ValueError(
+            f"{cfg.iterator_type} is not a scalar connector option — read "
+            "from TRIM_HORIZON and apply start_position_filter(records, "
+            "cfg) for exact sequence-anchored semantics"
+        )
+    opts = {
+        "streamName": stream_name,
+        "region": region,
+        "startingPosition": {
+            "LATEST": "latest",
+            "TRIM_HORIZON": "trim_horizon",
+        }[cfg.iterator_type],
+        # S3/S6: GetRecords batch bound (worker/worker.go:210-243)
+        "kinesis.executor.maxFetchRecordsPerShard": str(cfg.batch_size),
+        # S4: poll pacing (worker/worker.go:180-207)
+        "kinesis.executor.maxFetchTimeInMs": str(cfg.sleep_time_ms),
+    }
+    if endpoint_url is not None:
+        opts["endpointUrl"] = endpoint_url
+    return opts

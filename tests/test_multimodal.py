@@ -153,6 +153,9 @@ def test_wav_roundtrip_and_chunk_walker():
 
     with pytest.raises(ValueError, match="RIFF"):
         parse_wav(b"OggS" + bytes(40))
+    # a truncated data chunk must refuse, never silently decode a prefix
+    with pytest.raises(ValueError, match="truncated WAVE data"):
+        parse_wav(write_wav(s, 8000)[:-2])
     # format tag 3 = IEEE float: unsupported, must refuse not misdecode
     bad = bytearray(write_wav(s, 8000))
     bad[20:22] = struct.pack("<H", 3)

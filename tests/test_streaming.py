@@ -407,3 +407,47 @@ def test_streaming_curation_gates(spark, tmp_path):
     assert set(rows) == {1, 3}  # repetitive doc 2 gated out
     assert rows[3].n_emails == 1
     assert "leak@example.net" not in rows[3].text and "<PII>" in rows[3].text
+
+
+def test_kinesis_source_options_mapping():
+    """The real-connector option map is a pure function of StreamConfig:
+    LATEST/TRIM_HORIZON map to the connectors' startingPosition
+    vocabulary, the fetch knobs pass through under the executor-fetch
+    keys, and sequence-anchored starts are refused with guidance to
+    compose start_position_filter (connectors have no scalar
+    sequence-number option — inventing one would fail at query start)."""
+    import pytest
+
+    from kinesiscat_spark.streaming.source import (
+        StreamConfig,
+        kinesis_source_options,
+    )
+
+    opts = kinesis_source_options(
+        StreamConfig(iterator_type="TRIM_HORIZON", batch_size=500,
+                     sleep_time_ms=250),
+        "events",
+        region="eu-west-1",
+    )
+    assert opts["streamName"] == "events"
+    assert opts["region"] == "eu-west-1"
+    assert opts["startingPosition"] == "trim_horizon"
+    assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "500"
+    assert opts["kinesis.executor.maxFetchTimeInMs"] == "250"
+
+    latest = kinesis_source_options(
+        StreamConfig(iterator_type="LATEST"),
+        "events",
+        endpoint_url="http://localhost:4566",
+    )
+    assert latest["startingPosition"] == "latest"
+    assert latest["endpointUrl"] == "http://localhost:4566"
+
+    with pytest.raises(ValueError, match="start_position_filter"):
+        kinesis_source_options(
+            StreamConfig(iterator_type="AT_SEQUENCE_NUMBER",
+                         starting_sequence_number="42"),
+            "events",
+        )
+    with pytest.raises(ValueError, match="unknown iterator"):
+        kinesis_source_options(StreamConfig(iterator_type="BOGUS"), "events")
