@@ -551,6 +551,7 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     query_id: str = "qid",
     vec: str = "embedding",
+    _cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: search only the ``n_probe`` cells
     nearest to each query, exact cosine re-rank inside them.
@@ -559,8 +560,18 @@ def ivf_topk(
     build, reusable across query batches); a query touches
     n_probe/n_cells of the data. Recall vs exact top-k is asserted in
     tests; with n_iters=0 the result is deterministic and SQL-checkable.
+
+    ``_cents`` injects a precomputed centroid frame (the rm3 `_model`
+    passthrough precedent) so a caller that already materialized the
+    Lloyd-refined build — or memoized it per corpus content — skips the
+    training loop; it must have the (cell, cvec) shape ``ivf_centroids``
+    produces.
     """
-    cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    cents = (
+        _cents
+        if _cents is not None
+        else ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    )
     # corpus-side assign via the Arrow kernel (round 6): bit-identical to
     # the Column fold (see ivf_assign_arrow) but at numpy constants
     # instead of n_cells interpreted folds per vector — the n·k term is
