@@ -220,17 +220,34 @@ _STREAM_DIR_CACHE: dict[str, str] = {}
 
 
 def _as_stream_dir(sf_dir: str, table: str = "events") -> str:
-    """The file stream source needs a *directory*; symlink the single
-    <table>.parquet into a scratch dir (no copy)."""
+    """The file stream source needs a *directory*; symlink the
+    <table>.parquet into a scratch dir (no copy).
+
+    When the table is itself a DIRECTORY (Spark-written output, e.g.
+    test fixtures) its DATA FILES are linked individually: the file
+    stream's listing does not descend through a symlinked directory, so
+    a directory-level link made the source silently drain ZERO rows —
+    caught by the round-8 drain contract the moment it existed
+    (IncompleteDrainError in the pathological-rows sweep), where it had
+    previously returned plausible empty results."""
     import os
 
     cache_key = f"{sf_dir}/{table}"
     d = _STREAM_DIR_CACHE.get(cache_key)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix=f"kc_{table}_src_")
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{d}/{table}.parquet"
-        )
+        src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+        if os.path.isdir(src):
+            n = 0
+            for fname in sorted(os.listdir(src)):
+                if fname.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden checksum files
+                os.symlink(
+                    os.path.join(src, fname), f"{d}/{table}_{n:04d}.parquet"
+                )
+                n += 1
+        else:
+            os.symlink(src, f"{d}/{table}.parquet")
         _STREAM_DIR_CACHE[cache_key] = d
     return d
 
