@@ -414,29 +414,33 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("top_score"),
     ).join(lm_doc, "doc_id")
     # ONE bigram training serves both the scored fold and the persisted
-    # fold (the save→load path is what the persisted fold proves, not a
-    # second training run); the standalone helpers still self-train. The
-    # model tables are lazily checkpointed so the eager artifact save and
-    # the lazy scoring branch execute the training pipeline ONCE — a lazy
-    # model object alone would re-run it per consumer.
-    from kinesiscat_spark.operators.text import UnigramModel, bigram_model
+    # fold — and since round 8 that training lives behind the SAME
+    # content-keyed on-disk artifact the persisted fold proves (train
+    # once per corpus content EVER, score from the loaded kilobyte
+    # tables; the standalone helpers still self-train). The digest/key
+    # computation matches text_bigram_lm_persisted's exactly so one
+    # artifact serves both folds.
+    from kinesiscat_spark.io_tables import cached_fixture_dir
+    from kinesiscat_spark.operators.model_store import load_bigram, save_bigram
+    from kinesiscat_spark.operators.text import bigram_model
 
-    bi_model = bigram_model(
+    _bi_train = (
         load_table(spark, sf_dir, "documents")
         .withColumn("text", F.lower("text"))
-        .filter(F.col("lang") == "en"),
-        k=0.5,
-        lam=0.7,
+        .filter(F.col("lang") == "en")
     )
-    bi_model = bi_model._replace(
-        df=bi_model.df.localCheckpoint(eager=False),
-        ctx=bi_model.ctx.localCheckpoint(eager=False),
-        unigram=UnigramModel(
-            bi_model.unigram.df.localCheckpoint(eager=False),
-            bi_model.unigram.oov_logp,
-            bi_model.unigram.n_tokens,
+    [_bi_dig] = _bi_train.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("digest"),
+        F.count("*").alias("n_rows"),
+    ).collect()
+    _bi_path = cached_fixture_dir(
+        f"v1|{_bi_dig.digest}|{_bi_dig.n_rows}|k=0.5|lam=0.7",
+        "kc_bigram_store_",
+        lambda stage: save_bigram(
+            spark, bigram_model(_bi_train, k=0.5, lam=0.7), stage
         ),
     )
+    bi_model = load_bigram(spark, _bi_path)
     out = out.join(
         text_bigram_lm(spark, sf_dir, _model=bi_model), "doc_id", "left"
     )
