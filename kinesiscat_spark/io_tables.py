@@ -108,6 +108,56 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+def content_key(df: DataFrame, cols: list[str], tag: str, **params) -> str:
+    """The ONE audited code path for content-derived cache keys (five
+    hand-rolled copies had already drifted on which hyperparameters they
+    encoded): ``bit_xor(xxhash64(cols))`` + row count + every parameter,
+    sorted by name. Runs one aggregate over ``df``. Callers MUST pass
+    every parameter that changes the derived artifact — an omitted one
+    serves a stale artifact for the new parameterization."""
+    [r] = df.agg(
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("d"),
+        F.count("*").alias("n"),
+    ).collect()
+    suffix = "|".join(f"{k}={params[k]}" for k in sorted(params))
+    return f"{tag}|{r.d}|{r.n}" + (f"|{suffix}" if suffix else "")
+
+
+_MEMO_VIEWS: dict[int, dict[str, str]] = {}
+
+
+def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
+    """Session-scoped memo for eager results that live in the session
+    catalog (memory-sink tables from streaming drains, materialized
+    model/centroid frames). The on-session sibling of
+    :func:`cached_fixture_dir` — same rule: ``key`` MUST be
+    content-derived (:func:`content_key`), never a bare path or row
+    count (the staleness class behind VERDICT r7's red ``sampling_mix``
+    row). On a hit, returns the previously registered table; on a miss,
+    calls ``build()``, registers the result as a temp view, and returns
+    it. Repeat calls in one session (bench passes, parity re-runs) then
+    pay the drain/materialization ONCE."""
+    import uuid
+
+    sid = (
+        id(spark._jsparkSession)
+        if hasattr(spark, "_jsparkSession")
+        else id(spark)
+    )
+    names = _MEMO_VIEWS.setdefault(sid, {})
+    view = names.get(key)
+    if view is not None:
+        try:
+            return spark.table(view)
+        except Exception:
+            names.pop(key, None)
+    df = build()
+    view = f"kc_memo_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    names[key] = view
+    return spark.table(view)
+
+
 def cached_fixture_dir(key: str, prefix: str, build) -> str:
     """Content-keyed on-disk fixture cache shared by every lane that
     stages parquet slices or model artifacts into tmp (the

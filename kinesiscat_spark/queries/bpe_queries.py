@@ -158,12 +158,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calls in one session (bench passes) skip the driver-looped
     # training and measure the encode paths — the content key makes
     # staleness impossible (the r7 sampling_mix lesson)
-    [dig] = docs.agg(
-        F.expr("bit_xor(xxhash64(doc_id, text))").alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
-    mkey = (
-        f"v1|{dig.digest}|{dig.n_rows}|m={_BPE_N_MERGES}|c={_BPE_MIN_COUNT}"
+    from kinesiscat_spark.io_tables import content_key
+
+    mkey = content_key(
+        docs, ["doc_id", "text"], "bpe_v1",
+        m=_BPE_N_MERGES, c=_BPE_MIN_COUNT,
     )
     merges = _MERGES_MEMO.get(mkey)
     if merges is None:

@@ -126,13 +126,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content digest so repeat calls in a session (bench passes) measure
     # the scan-stage scoring, not a re-train — content-keyed, so
     # staleness is impossible (the r7 sampling_mix lesson)
-    [dig] = docs.agg(
-        F.expr("bit_xor(xxhash64(doc_id, text, lang))").alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
-    mkey = (
-        f"v1|{dig.digest}|{dig.n_rows}|f={_QC_N_FEATURES}"
-        f"|lr={_QC_LR}|s={_QC_SALT}"
+    from kinesiscat_spark.io_tables import content_key
+
+    mkey = content_key(
+        docs, ["doc_id", "text", "lang"], "qc_v1",
+        f=_QC_N_FEATURES, it=1, lr=_QC_LR, l2=0.0, h="md5", s=_QC_SALT,
     )
     model = _QC_MODEL_MEMO.get(mkey)
     if model is None:

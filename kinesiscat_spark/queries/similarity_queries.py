@@ -599,17 +599,15 @@ def ivf_family_method(
         # per content digest so repeat calls in a session (bench passes)
         # measure the probe-limited SEARCH, not a re-train — the content
         # key makes staleness impossible (the r7 sampling_mix lesson)
+        from kinesiscat_spark.io_tables import content_key, memo_table
         from kinesiscat_spark.operators.similarity import ivf_centroids
-        from kinesiscat_spark.streaming.source import memo_table
 
-        [dig] = corpus.agg(
-            F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("digest"),
-            F.count("*").alias("n_rows"),
-        ).collect()
         cents = memo_table(
             spark,
-            f"ivf_cents|v1|{dig.digest}|{dig.n_rows}"
-            f"|k={N_CELLS}|it={N_ITERS}",
+            content_key(
+                corpus, ["vec_id", "embedding"], "ivf_cents_v1",
+                k=N_CELLS, it=N_ITERS, rd=12,
+            ),
             lambda: ivf_centroids(corpus, N_CELLS, N_ITERS),
         )
         out = ivf_topk(

@@ -280,8 +280,27 @@ def text_bigram_lm(
     )
 
 
+def _bigram_artifact_dir(spark, train, _model=None) -> str:
+    """The ONE content-keyed on-disk home of the interpolated bigram LM
+    (k=0.5, lam=0.7) trained on ``train`` — shared by the scored fold,
+    the persisted fold, and the composed quality lane, so the digest
+    aggregation and the training each run once per distinct content."""
+    from kinesiscat_spark.io_tables import cached_fixture_dir, content_key
+    from kinesiscat_spark.operators.model_store import save_bigram
+    from kinesiscat_spark.operators.text import bigram_model
+
+    key = content_key(train, ["doc_id", "text"], "bigram_v1", k=0.5, lam=0.7)
+    return cached_fixture_dir(
+        key,
+        "kc_bigram_store_",
+        lambda stage: save_bigram(
+            spark, _model or bigram_model(train, k=0.5, lam=0.7), stage
+        ),
+    )
+
+
 def text_bigram_lm_persisted(
-    spark: SparkSession, sf_dir: str, _model=None
+    spark: SparkSession, sf_dir: str, _model=None, _store_path=None
 ) -> DataFrame:
     """Model-persistence fold (round 7, VERDICT r6 task 4): train the SAME
     interpolated bigram LM as ``text_bigram_lm``, persist it through
@@ -292,39 +311,25 @@ def text_bigram_lm_persisted(
     the hash check proves the save→load→score path end-to-end — the one
     component family that previously had only pytest roundtrips.
 
-    The artifact is persisted ONCE per training-corpus content (digest-
-    keyed tmp dir, stage + atomic rename — the sampling_mix fixture
-    pattern): the hash-checked path every call exercises is
-    load→score over the on-disk artifact; repeat calls in a session
-    (bench passes) skip the redundant re-train+re-save (VERDICT r7
-    task 3b — this round trip was 3.1 s of the lane's 5.7 s)."""
-    from kinesiscat_spark.io_tables import cached_fixture_dir
-    from kinesiscat_spark.operators.model_store import (
-        load_bigram,
-        save_bigram,
-    )
-    from kinesiscat_spark.operators.text import (
-        bigram_model,
-        score_documents_bigram,
-    )
+    The artifact is persisted ONCE per training-corpus content
+    (``_bigram_artifact_dir`` — content_key + cached_fixture_dir): the
+    hash-checked path every call exercises is load→score over the
+    on-disk artifact; repeat calls in a session (bench passes) skip the
+    redundant re-train+re-save (VERDICT r7 task 3b — this round trip was
+    3.1 s of the lane's 5.7 s). ``_store_path`` lets the composed
+    quality lane hand over the path it already resolved, so the digest
+    aggregation runs once per lane call, not twice."""
+    from kinesiscat_spark.operators.model_store import load_bigram
+    from kinesiscat_spark.operators.text import score_documents_bigram
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "text", F.lower("text")
     )
-    train = docs.filter(F.col("lang") == "en")
-    [dig] = train.agg(
-        F.expr("bit_xor(xxhash64(doc_id, text))").alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
-    key = f"v1|{dig.digest}|{dig.n_rows}|k=0.5|lam=0.7"
-    path = cached_fixture_dir(
-        key,
-        "kc_bigram_store_",
-        lambda stage: save_bigram(
-            spark, _model or bigram_model(train, k=0.5, lam=0.7), stage
-        ),
-    )
-    loaded = load_bigram(spark, path)
+    if _store_path is None:
+        _store_path = _bigram_artifact_dir(
+            spark, docs.filter(F.col("lang") == "en"), _model
+        )
+    loaded = load_bigram(spark, _store_path)
     return score_documents_bigram(docs, loaded).select(
         "doc_id", F.round("avg_logp2", 6).alias("avg_logp2_persisted")
     )
@@ -420,25 +425,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables; the standalone helpers still self-train). The digest/key
     # computation matches text_bigram_lm_persisted's exactly so one
     # artifact serves both folds.
-    from kinesiscat_spark.io_tables import cached_fixture_dir
-    from kinesiscat_spark.operators.model_store import load_bigram, save_bigram
-    from kinesiscat_spark.operators.text import bigram_model
+    from kinesiscat_spark.operators.model_store import load_bigram
 
-    _bi_train = (
+    _bi_path = _bigram_artifact_dir(
+        spark,
         load_table(spark, sf_dir, "documents")
         .withColumn("text", F.lower("text"))
-        .filter(F.col("lang") == "en")
-    )
-    [_bi_dig] = _bi_train.agg(
-        F.expr("bit_xor(xxhash64(doc_id, text))").alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
-    _bi_path = cached_fixture_dir(
-        f"v1|{_bi_dig.digest}|{_bi_dig.n_rows}|k=0.5|lam=0.7",
-        "kc_bigram_store_",
-        lambda stage: save_bigram(
-            spark, bigram_model(_bi_train, k=0.5, lam=0.7), stage
-        ),
+        .filter(F.col("lang") == "en"),
     )
     bi_model = load_bigram(spark, _bi_path)
     out = out.join(
@@ -448,7 +441,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle replays the identical math, so a hash match proves the
     # model_store save→load→score path (see text_bigram_lm_persisted)
     out = out.join(
-        text_bigram_lm_persisted(spark, sf_dir, _model=bi_model),
+        text_bigram_lm_persisted(
+            spark, sf_dir, _model=bi_model, _store_path=_bi_path
+        ),
         "doc_id",
         "left",
     )
@@ -648,16 +643,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the interpolated query model is a trained artifact (a pure
     # function of corpus + query + feedback params), so repeat calls in
     # a session measure the second-pass ranking, not a re-derivation.
-    from kinesiscat_spark.streaming.source import memo_table
+    from kinesiscat_spark.io_tables import content_key, memo_table
 
-    [dig] = docs.agg(
-        F.expr("bit_xor(xxhash64(doc_id, text))").alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
     model_df = memo_table(
         spark,
-        f"rm3_model|v1|{dig.digest}|{dig.n_rows}|t={'|'.join(_BM25_TERMS)}"
-        f"|fd={_RM3_FB_DOCS}|ft={_RM3_FB_TERMS}|a={_RM3_ALPHA}",
+        content_key(
+            docs, ["doc_id", "text"], "rm3_model_v1",
+            t=",".join(_BM25_TERMS), fd=_RM3_FB_DOCS, ft=_RM3_FB_TERMS,
+            a=_RM3_ALPHA, k1=_BM25_K1, b=_BM25_B,
+        ),
         lambda: rm3_terms(
             docs, _BM25_TERMS, _RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA,
             k1=_BM25_K1, b=_BM25_B,

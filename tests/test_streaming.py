@@ -451,3 +451,44 @@ def test_kinesis_source_options_mapping():
         )
     with pytest.raises(ValueError, match="unknown iterator"):
         kinesis_source_options(StreamConfig(iterator_type="BOGUS"), "events")
+
+
+def test_stream_scratch_dir_handles_rewrites_and_refuses_partitions(
+    spark, tmp_path
+):
+    """The scratch dir bakes in part-file names, so a rewritten directory
+    table must REBUILD the links (stale ones would dangle or silently
+    drain zero rows), and a partitioned layout must be refused loudly
+    (its column values live in directory names)."""
+    import os
+
+    import pytest
+
+    from kinesiscat_spark.streaming.source import _as_stream_dir
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.range(3).toDF("doc_id").write.parquet(f"{sf}/documents.parquet")
+    d1 = _as_stream_dir(sf, "documents")
+    links1 = sorted(os.listdir(d1))
+    assert links1 and all(
+        os.path.exists(os.path.join(d1, f)) for f in links1
+    )
+    # same content, same listing → cached dir reused
+    assert _as_stream_dir(sf, "documents") == d1
+
+    # rewrite at the same path: new uuid part names → links rebuilt
+    spark.range(5).toDF("doc_id").write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    d2 = _as_stream_dir(sf, "documents")
+    assert all(os.path.exists(os.path.join(d2, f)) for f in os.listdir(d2))
+    total = spark.read.parquet(f"{d2}/*.parquet").count()
+    assert total == 5  # reads the REWRITTEN data, not stale links
+
+    # partitioned layout: refuse, never silently drop partition rows
+    spark.createDataFrame(
+        [(1, "en"), (2, "fr")], "doc_id long, lang string"
+    ).write.partitionBy("lang").parquet(f"{sf}/part.parquet")
+    with pytest.raises(ValueError, match="partitioned"):
+        _as_stream_dir(sf, "part")
