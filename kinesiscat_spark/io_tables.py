@@ -111,19 +111,30 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
 def content_key(df: DataFrame, cols: list[str], tag: str, **params) -> str:
     """The ONE audited code path for content-derived cache keys (five
     hand-rolled copies had already drifted on which hyperparameters they
-    encoded): ``bit_xor(xxhash64(cols))`` + row count + every parameter,
-    sorted by name. Runs one aggregate over ``df``. Callers MUST pass
-    every parameter that changes the derived artifact — an omitted one
-    serves a stale artifact for the new parameterization."""
+    encoded): ``bit_xor(xxhash64(cols))`` + a multiplicity-sensitive
+    decimal SUM of the same hashes + row count + every parameter, sorted
+    by name. The sum closes bit_xor's pair-cancellation hole (ADVICE r8):
+    two corpora differing only by equal-count paired duplicates xor to
+    the same digest, but their hash sums differ, so they cannot collide
+    keys. decimal(38,0) holds ~1e12 rows of 2^63 hashes without
+    overflow, so the sum is exact (no ANSI overflow, no wrap). Runs one
+    aggregate over ``df``. Callers MUST pass every parameter that
+    changes the derived artifact — an omitted one serves a stale
+    artifact for the new parameterization."""
+    hashes = f"xxhash64({', '.join(cols)})"
     [r] = df.agg(
-        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("d"),
+        F.expr(f"bit_xor({hashes})").alias("d"),
+        F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("s"),
         F.count("*").alias("n"),
     ).collect()
     suffix = "|".join(f"{k}={params[k]}" for k in sorted(params))
-    return f"{tag}|{r.d}|{r.n}" + (f"|{suffix}" if suffix else "")
+    return f"{tag}|{r.d}|{r.s}|{r.n}" + (f"|{suffix}" if suffix else "")
 
 
-_MEMO_VIEWS: dict[int, dict[str, str]] = {}
+# keyed by id(session); each entry carries a weakref to the session so
+# entries for dead sessions are evicted on the next call (ADVICE r8 —
+# the raw-id dict leaked across many short-lived sessions)
+_MEMO_VIEWS: dict[int, tuple[object, dict[str, str]]] = {}
 
 
 def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
@@ -136,22 +147,35 @@ def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
     row). On a hit, returns the previously registered table; on a miss,
     calls ``build()``, registers the result as a temp view, and returns
     it. Repeat calls in one session (bench passes, parity re-runs) then
-    pay the drain/materialization ONCE."""
-    import uuid
+    pay the drain/materialization ONCE.
 
-    sid = (
-        id(spark._jsparkSession)
-        if hasattr(spark, "_jsparkSession")
-        else id(spark)
-    )
-    names = _MEMO_VIEWS.setdefault(sid, {})
+    Materialization is forced HERE, not trusted to the caller (ADVICE
+    r8): a temp view stores only the logical plan, so a lazy ``build()``
+    result would silently re-execute its full build on every read. A
+    lazy ``localCheckpoint`` pins the result as a computed RDD on first
+    use — already-eager plans (memory-sink tables, local relations) pay
+    one cheap copy; anything else stops being a rebuild-per-read trap.
+    (Local-checkpoint blocks live on executors: lost on executor death,
+    which a session-scoped cache may treat as a rebuild, not a
+    correctness event.)"""
+    import uuid
+    import weakref
+
+    for sid_dead in [
+        s for s, (ref, _) in _MEMO_VIEWS.items() if ref() is None
+    ]:
+        _MEMO_VIEWS.pop(sid_dead, None)
+    sid = id(spark)
+    if sid not in _MEMO_VIEWS:
+        _MEMO_VIEWS[sid] = (weakref.ref(spark), {})
+    names = _MEMO_VIEWS[sid][1]
     view = names.get(key)
     if view is not None:
         try:
             return spark.table(view)
         except Exception:
             names.pop(key, None)
-    df = build()
+    df = build().localCheckpoint(eager=False)
     view = f"kc_memo_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
     names[key] = view
@@ -170,26 +194,52 @@ def cached_fixture_dir(key: str, prefix: str, build) -> str:
     the staleness class behind VERDICT r7's red driver row. On a miss,
     ``build(stage_dir)`` populates a fresh staging dir which is then
     atomically renamed into place; concurrent builders race safely (the
-    loser's copy is discarded, or used as-is if the rename failed for
-    any other reason)."""
+    loser's copy is discarded).
+
+    The cache roots in a PER-USER 0700 directory whose ownership and
+    mode are verified (ADVICE r8 — a world-shared predictable path lets
+    another local user pre-create it and have hash-checked lanes load
+    attacker parquet); if the root exists but fails the check, a private
+    per-process root is used instead. Staging dirs are created INSIDE
+    the root so the publish rename can never fail with EXDEV; only the
+    lost-the-race errnos (EEXIST/ENOTEMPTY) are swallowed, anything
+    else propagates."""
+    import errno
     import hashlib
     import os
     import shutil
     import tempfile
 
+    root = os.path.join(tempfile.gettempdir(), f"kc_cache_{os.getuid()}")
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            raise OSError(errno.EPERM, "untrusted cache root", root)
+    except OSError:
+        # someone else owns the predictable path (or it is group/world
+        # accessible): fall back to a private per-process root — caching
+        # degrades to process scope instead of trusting foreign content
+        global _FALLBACK_CACHE_ROOT
+        if _FALLBACK_CACHE_ROOT is None:
+            _FALLBACK_CACHE_ROOT = tempfile.mkdtemp(prefix="kc_cache_priv_")
+        root = _FALLBACK_CACHE_ROOT
     path = os.path.join(
-        tempfile.gettempdir(),
-        prefix + hashlib.md5(key.encode()).hexdigest()[:12],
+        root, prefix + hashlib.md5(key.encode()).hexdigest()[:12]
     )
     if os.path.isdir(path):
         return path
-    stage = tempfile.mkdtemp(prefix=prefix + "stage_")
+    stage = tempfile.mkdtemp(prefix=prefix + "stage_", dir=root)
     build(stage)
     try:
-        os.rename(stage, path)  # atomic publish
-    except OSError:
-        if os.path.isdir(path):  # someone else won — either copy works
+        os.rename(stage, path)  # atomic publish (same fs: stage ⊂ root)
+    except OSError as e:
+        if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+            # someone else won the race — either copy works
             shutil.rmtree(stage, ignore_errors=True)
         else:
-            return stage  # rename failed outright; stage is complete
+            raise
     return path
+
+
+_FALLBACK_CACHE_ROOT: str | None = None

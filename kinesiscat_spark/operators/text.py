@@ -1132,8 +1132,15 @@ def pmi_collocations(
     totals = uni.agg(F.sum("c").alias("_n")).crossJoin(
         pairs_all.agg(F.sum("cnt").alias("_m"))
     )
-    ua = uni.select(F.col("w").alias("_wa"), F.col("c").alias("_ca"))
-    ub = uni.select(F.col("w").alias("_wb"), F.col("c").alias("_cb"))
+    # a bigram occurring >= min_count times implies BOTH its words occur
+    # >= min_count times, so the unigram join sides can be pruned by the
+    # same floor BEFORE the joins — under Zipf that drops the long rare
+    # tail (most of the vocab) from both exchanges without changing any
+    # surviving pair's score (VERDICT r8 task 4; the max_shingle_df
+    # precedent of pushing the prune below the big tables)
+    uni_f = uni.filter(F.col("c") >= min_count)
+    ua = uni_f.select(F.col("w").alias("_wa"), F.col("c").alias("_ca"))
+    ub = uni_f.select(F.col("w").alias("_wb"), F.col("c").alias("_cb"))
     scored = (
         pairs.withColumn("_wa", F.substring_index("gram", " ", 1))
         .withColumn("_wb", F.substring_index("gram", " ", -1))

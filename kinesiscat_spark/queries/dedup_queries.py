@@ -231,7 +231,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("jaccard"),
         F.lit(None).cast("double").alias("containment"),
     )
-    return jac.unionByName(cont).unionByName(rank)
+    # per-kind digests into DEBUG_dedup_ngram_jaccard.jsonl (VERDICT r8
+    # task 7) — computed inside the driver's own collect job
+    from kinesiscat_spark.debug_digests import observe_kind_digests
+
+    return observe_kind_digests(
+        jac.unionByName(cont).unionByName(rank),
+        "dedup_ngram_jaccard",
+        ["jaccard", "containment", "rank"],
+    )
 
 
 MINHASH_T = 0.5
@@ -451,8 +459,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("split_b"),
         )
     )
-    return (
-        pairs.unionByName(leak).unionByName(overlap).unionByName(hist)
+    # per-kind digests into DEBUG_dedup_minhash_lsh.jsonl (VERDICT r8
+    # task 7) — computed inside the driver's own collect job
+    from kinesiscat_spark.debug_digests import observe_kind_digests
+
+    return observe_kind_digests(
+        pairs.unionByName(leak).unionByName(overlap).unionByName(hist),
+        "dedup_minhash_lsh",
+        ["pairs", "leak", "src_overlap", "comp_hist"],
     )
 
 

@@ -669,7 +669,7 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_tot").alias("cnt"),
         F.round(F.col("_d").cast("double") / F.col("_tot"), 6).alias("est"),
     )
-    return (
+    out = (
         heavy.unionByName(exact_d)
         .unionByName(hll)
         .unionByName(distinct_n)
@@ -681,4 +681,16 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ctfidf)
         .unionByName(pmi)
         .unionByName(card)
+    )
+    # per-kind (count, xor) digests ride the driver's collect job into
+    # DEBUG_text_heavy_ngrams.jsonl — a future 13-kind hash red is
+    # self-localizing (VERDICT r8 task 7)
+    from kinesiscat_spark.debug_digests import observe_kind_digests
+
+    return observe_kind_digests(
+        out,
+        "text_heavy_ngrams",
+        ["heavy", "exact_distinct", "hll_distinct", "distinct_n", "vocab",
+         "zipf", "corpus_sim", "hll_union", "hll_intersect", "cms_dot",
+         "ctfidf", "pmi", "card"],
     )

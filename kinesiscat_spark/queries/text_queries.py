@@ -449,7 +449,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # round-7 continuation: interpolated Kneser-Ney (see text_kn_lm)
     out = out.join(text_kn_lm(spark, sf_dir), "doc_id", "left")
-    return perplexity_buckets(out, method="rank")
+    # per-COLUMN digests into DEBUG_text_quality_score.jsonl (VERDICT r8
+    # task 7): this lane is a wide per-doc join of five LM families, so a
+    # future driver hash red names the divergent column, not the frame
+    from kinesiscat_spark.debug_digests import observe_column_digests
+
+    return observe_column_digests(
+        perplexity_buckets(out, method="rank"), "text_quality_score"
+    )
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

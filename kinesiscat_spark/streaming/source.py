@@ -360,6 +360,22 @@ def run_to_memory(
     cfg = cfg or StreamConfig()
     name = f"kc_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="kc_ckpt_")
+    spark = df.sparkSession
+    if expect_input_rows is not None or expect_min_batches is not None:
+        # the contract is accounted from recentProgress, whose retention
+        # (numRecentProgressUpdates, default 100) would silently drop
+        # early batches on long drains (ADVICE r8); raise it BEFORE the
+        # query starts so a fully successful >=100-batch drain verifies
+        # instead of refusing
+        cur = int(
+            spark.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+        if cur < 10_000:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", "10000"
+            )
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -384,7 +400,9 @@ def run_to_memory(
         if len(progress) >= cap:
             # retention-capped progress would UNDERCOUNT a long drain and
             # report a spurious partial-drain error — refuse to verify
-            # instead of mis-verifying
+            # instead of mis-verifying. The conf was raised to >=10000
+            # above, so this now trips only on genuinely pathological
+            # drains, not routine >=100-batch ones (ADVICE r8).
             raise IncompleteDrainError(
                 f"stream {name}: {len(progress)} progress entries hit the "
                 f"retention cap ({cap}); raise "
