@@ -286,3 +286,48 @@ def pagerank(
         if it % checkpoint_every == 0 and it < n_iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("v", F.round("r", 6).alias("rank"))
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    method: str = "md5",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: route every document by the md5
+    hash of its near-dup CLUSTER representative (the component's min id),
+    not its own id — so two near-duplicate documents can NEVER land in
+    different splits. Splitting by doc id silently leaks eval content
+    into training whenever the dedup pass missed (or was run after) the
+    split; cluster-keyed routing makes the guarantee structural
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" §6 measure exactly this train-test leakage).
+
+    Returns ``docs`` + ``cluster_id`` (own id for pair-free documents) +
+    ``split``. Deterministic and engine-portable for ``method="md5"``
+    (the ``hash_split`` contract), so an external auditor can recompute
+    the assignment from the pair list alone.
+
+    Scale shape: connected components exchange (id, label) pairs over
+    the PAIR-dense ids only; the corpus joins the labels in once
+    (left join — pair-free docs stay scan-stage) and the split itself is
+    a scan-stage CASE over the hash. Text never shuffles.
+    """
+    from kinesiscat_spark.operators.sampling import hash_split
+
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", "_cc_id"
+    )
+    labeled = docs.join(
+        cc, docs[id_col] == cc["_cc_id"], "left"
+    ).select(
+        *[docs[c] for c in docs.columns],
+        F.coalesce(F.col("cluster_id"), docs[id_col]).alias("cluster_id"),
+    )
+    return hash_split(
+        labeled, weights, ["cluster_id"], salt=salt, method=method
+    )

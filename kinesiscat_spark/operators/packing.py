@@ -295,3 +295,66 @@ def packing_efficiency_report(
     )
     return rows.select("s.context", "s.total_tokens", "s.padded_naive",
                        "s.padded_packed")
+
+
+def export_manifest(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-shard export manifest — the audit record a training job checks
+    BEFORE consuming a 100 TB export: for each packing shard,
+
+    - ``n_docs`` / ``n_tokens``: exact row and token mass;
+    - ``digest``: order-insensitive content digest of the shard's
+      (id, n_tokens) membership — ``bit_xor`` over the 48-bit md5 prefix
+      of each pair, so a dropped, duplicated, or re-routed document flips
+      the digest, and the consumer can recompute it IN ANY ENGINE with
+      md5 (the DuckDB oracle does exactly that);
+    - ``max_doc_tokens``: the largest single document (skew audit — one
+      giant document dominates its shard's packing tail);
+    - ``n_sequences``: how many ``budget``-token training sequences the
+      shard materializes (= ceil(n_tokens / budget), the concat-and-chunk
+      invariant of :func:`pack_sequences`).
+
+    Same md5 shard routing and token counts as :func:`pack_sequences`, so
+    the manifest describes exactly the layout that ships.
+
+    Scale shape: one scan computes (shard, id, n_tokens); one
+    map-side-combinable groupBy(shard) reduces to ``n_shards`` rows —
+    text never shuffles, no window, no collect.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = (
+        F.greatest(
+            F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+        if n_tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
+    base = docs.select(
+        _shard_of(F.col(id_col).cast("string"), n_shards).alias("shard"),
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+    )
+    # 48-bit md5 prefix of "id\x1fn_tokens" — positive, so the xor stays
+    # in 48 bits and compares exactly across engines
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("id"), F.col("n_tokens"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = F.lit(int(budget)).cast("long")
+    return base.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.bit_xor(pair_hash).alias("digest"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+        F.ceil(F.sum("n_tokens") / b).cast("long").alias("n_sequences"),
+    )

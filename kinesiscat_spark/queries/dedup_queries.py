@@ -71,6 +71,66 @@ CONTAINMENT_T = 0.6
 PR_DAMPING = 0.85
 PR_ITERS = 4
 
+# leakage-safe split (round 9): cluster-keyed 80/10/10 routing
+_LS_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LS_SALT = 17
+
+
+def _leak_split_ctes() -> str:
+    """DuckDB twin of cluster_safe_split over the jaccard ∪ containment
+    pair graph: transitive closure (min-id labels — tiny at oracle SF),
+    pair-free docs label themselves, then the exact md5-threshold routing
+    ``hash_split`` ships (same chr(31) key join, same hex thresholds).
+    The audit CTE counts near-dup pairs whose endpoints straddle splits
+    under naive doc-id routing vs cluster routing."""
+    from kinesiscat_spark.operators.sampling import md5_threshold
+
+    t_train = md5_threshold(_LS_W["train"])
+    t_val = md5_threshold(_LS_W["train"] + _LS_W["val"])
+
+    def route(key: str) -> str:
+        h = f"substr(md5(CAST({key} AS VARCHAR) || chr(31) || '{_LS_SALT}'), 1, 12)"
+        return (f"CASE WHEN {h} < '{t_train}' THEN 'train' "
+                f"WHEN {h} < '{t_val}' THEN 'val' ELSE 'test' END")
+
+    return f""",
+lsedge AS (
+  SELECT id_a, id_b FROM sim
+  WHERE jaccard >= {JACCARD_T} OR containment >= {CONTAINMENT_T}
+),
+lsdir AS (
+  SELECT id_a AS u, id_b AS v FROM lsedge
+  UNION
+  SELECT id_b, id_a FROM lsedge
+),
+lsreach(u, v) AS (
+  SELECT u, v FROM lsdir
+  UNION
+  SELECT r.u, e.v FROM lsreach r JOIN lsdir e ON r.v = e.u
+),
+lslab AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id FROM lsreach GROUP BY u
+),
+lsall AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lslab l ON d.doc_id = l.id
+),
+lssplit AS (
+  SELECT doc_id, cluster_id, {route("cluster_id")} AS split FROM lsall
+),
+lsnaive AS (
+  SELECT doc_id, {route("doc_id")} AS split FROM lsall
+),
+lsaudit AS (
+  SELECT
+    (SELECT COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+     FROM lsedge e JOIN lsnaive a ON e.id_a = a.doc_id
+                   JOIN lsnaive b ON e.id_b = b.doc_id) AS n_naive,
+    (SELECT COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+     FROM lsedge e JOIN lssplit a ON e.id_a = a.doc_id
+                   JOIN lssplit b ON e.id_b = b.doc_id) AS n_cluster
+)"""
+
 
 def _pagerank_layers() -> str:
     """WEIGHTED PageRank replay (Page et al. 1999; w = raw jaccard) over
@@ -121,7 +181,7 @@ pr0 AS (SELECT v, 1.0 / (SELECT n FROM prn) AS r FROM prs)
 # more projected column (|A∩B| / min sizes) over the same pair counts the
 # Jaccard rows use — the round-7 `kind='containment'` widening.
 _JACCARD_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+WITH RECURSIVE {_SHINGLES_CTE},
 dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
 inv AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
 sizes AS (SELECT doc_id, len(s) AS n FROM dsh),
@@ -137,7 +197,7 @@ sim AS (
   FROM common
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-){_pagerank_layers().format(jt=JACCARD_T, ct=CONTAINMENT_T)}
+){_pagerank_layers().format(jt=JACCARD_T, ct=CONTAINMENT_T)}{_leak_split_ctes()}
 SELECT 'jaccard' AS kind, id_a, id_b, ROUND(jaccard, 6) AS jaccard,
        CAST(NULL AS DOUBLE) AS containment
 FROM sim WHERE jaccard >= {JACCARD_T}
@@ -149,6 +209,15 @@ UNION ALL
 SELECT 'rank' AS kind, v AS id_a, CAST(NULL AS BIGINT) AS id_b,
        ROUND(r, 6) AS jaccard, CAST(NULL AS DOUBLE) AS containment
 FROM pr{PR_ITERS}
+UNION ALL
+SELECT 'split_' || split AS kind, doc_id AS id_a, cluster_id AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS containment
+FROM lssplit
+UNION ALL
+SELECT 'leak_audit' AS kind, CAST(n_naive AS BIGINT) AS id_a,
+       CAST(n_cluster AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS containment
+FROM lsaudit
 """
 
 
@@ -231,14 +300,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("jaccard"),
         F.lit(None).cast("double").alias("containment"),
     )
+    # round-9 widening (kinds 'split_*' + 'leak_audit'): LEAKAGE-SAFE
+    # train/val/test split (operators/clusters.py cluster_safe_split; Lee
+    # et al. 2022 §6) — every document routed by the md5 hash of its
+    # near-dup CLUSTER representative over the same jaccard ∪ containment
+    # pair graph, so near-duplicates structurally cannot straddle splits.
+    # The split name rides `kind` ('split_train'/'split_val'/'split_test'),
+    # the cluster representative rides id_b — the hash check pins the full
+    # transitive closure AND the routing for every document. The audit row
+    # quantifies what the guarantee buys: near-dup pairs straddling splits
+    # under the NAIVE doc-id routing (id_a, non-zero at this corpus) vs
+    # under the cluster routing (id_b, structurally zero).
+    from kinesiscat_spark.operators.clusters import cluster_safe_split
+
+    pairs_audit = edges.select("id_a", "id_b").distinct()
+    lsplit = cluster_safe_split(
+        docs.select("doc_id"), pairs_audit, _LS_W, salt=_LS_SALT
+    )
+    split_rows = lsplit.select(
+        F.concat(F.lit("split_"), F.col("split")).alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("double").alias("containment"),
+    )
+    from kinesiscat_spark.operators.sampling import hash_split
+
+    def _straddle(assign: DataFrame) -> DataFrame:
+        a = assign.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+        )
+        b = assign.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+        )
+        return pairs_audit.join(a, "id_a").join(b, "id_b").agg(
+            F.coalesce(
+                F.sum((F.col("_sa") != F.col("_sb")).cast("long")), F.lit(0)
+            ).alias("n")
+        )
+    naive = _straddle(
+        hash_split(docs.select("doc_id"), _LS_W, ["doc_id"], salt=_LS_SALT)
+    )
+    clustered = _straddle(lsplit)
+    audit = naive.crossJoin(
+        clustered.withColumnRenamed("n", "n_cluster")
+    ).select(
+        F.lit("leak_audit").alias("kind"),
+        F.col("n").alias("id_a"),
+        F.col("n_cluster").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("double").alias("containment"),
+    )
     # per-kind digests into DEBUG_dedup_ngram_jaccard.jsonl (VERDICT r8
     # task 7) — computed inside the driver's own collect job
     from kinesiscat_spark.debug_digests import observe_kind_digests
 
     return observe_kind_digests(
-        jac.unionByName(cont).unionByName(rank),
+        jac.unionByName(cont)
+        .unionByName(rank)
+        .unionByName(split_rows)
+        .unionByName(audit),
         "dedup_ngram_jaccard",
-        ["jaccard", "containment", "rank"],
+        [
+            "jaccard",
+            "containment",
+            "rank",
+            "split_train",
+            "split_val",
+            "split_test",
+            "leak_audit",
+        ],
     )
 
 

@@ -71,6 +71,19 @@ SELECT 'layout' AS kind, shard, CAST(seq AS BIGINT) AS seq, id, n_tokens,
        CAST(least(t_start + n_tokens, (seq + 1) * {BUDGET})
             - greatest(t_start, seq * {BUDGET}) AS BIGINT) AS n_in_seq
 FROM incidence
+UNION ALL
+-- manifest twin (round 9, operators/packing.py export_manifest): per
+-- shard, the auditable export record — digest = bit_xor of the 48-bit
+-- md5 prefix of each (id, n_tokens) pair (rides seq), n_docs rides id,
+-- max doc rides seq_off, sequence count rides n_in_seq
+SELECT 'manifest' AS kind, shard, CAST(bit_xor(
+         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || chr(31)
+                  || CAST(n_tokens AS VARCHAR)), 1, 12))::BIGINT AS BIGINT)
+       ) AS BIGINT) AS seq,
+       COUNT(*)::BIGINT AS id, SUM(n_tokens)::BIGINT AS n_tokens,
+       MAX(n_tokens)::BIGINT AS seq_off,
+       CAST(ceil(SUM(n_tokens) / {BUDGET}.0) AS BIGINT) AS n_in_seq
+FROM base GROUP BY shard
 {_efficiency_selects()}
 """
 
@@ -111,4 +124,27 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("padded_naive").alias("seq_off"),
         F.col("padded_packed").alias("n_in_seq"),
     )
-    return layout.unionByName(eff)
+    # kind='manifest' (round 9, operators/packing.py export_manifest):
+    # the per-shard export audit record — exact doc/token mass, the
+    # engine-portable order-insensitive md5 membership digest, the skew
+    # and sequence-count columns. What a consumer verifies before
+    # training on a 100 TB export; one groupBy(shard) over the same
+    # routing the layout ships with.
+    from kinesiscat_spark.operators.packing import export_manifest
+
+    man = export_manifest(docs, BUDGET, n_shards=N_SHARDS).select(
+        F.lit("manifest").alias("kind"),
+        "shard",
+        F.col("digest").alias("seq"),
+        F.col("n_docs").alias("id"),
+        "n_tokens",
+        F.col("max_doc_tokens").alias("seq_off"),
+        F.col("n_sequences").alias("n_in_seq"),
+    )
+    from kinesiscat_spark.debug_digests import observe_kind_digests
+
+    return observe_kind_digests(
+        layout.unionByName(eff).unionByName(man),
+        "packing_layout",
+        ["layout", "efficiency", "manifest"],
+    )

@@ -266,3 +266,80 @@ def test_packing_efficiency_report_hand_computed(spark):
         packing_efficiency_report(docs, ())
     with pytest.raises(ValueError):
         packing_efficiency_report(docs, (0,))
+
+
+class TestExportManifest:
+    """export_manifest: the per-shard audit record must agree exactly with
+    a driver-side replay, and its digest must catch membership edits."""
+
+    def _manifest(self, spark, rows, budget=16, n_shards=4):
+        from kinesiscat_spark.operators.packing import export_manifest
+
+        return {
+            r.shard: (r.n_docs, r.n_tokens, r.digest, r.max_doc_tokens,
+                      r.n_sequences)
+            for r in export_manifest(
+                _docs(spark, rows), budget=budget, n_shards=n_shards
+            ).collect()
+        }
+
+    def _python_manifest(self, rows, budget, n_shards):
+        import hashlib
+
+        shards: dict[int, list] = {}
+        for doc_id, text in rows:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+            shard = (h * n_shards) >> 48
+            n_tok = 0 if text is None else len(text.lower().split(" "))
+            shards.setdefault(shard, []).append((doc_id, n_tok))
+        out = {}
+        for shard, docs in shards.items():
+            dig = 0
+            for doc_id, n_tok in docs:
+                pair = f"{doc_id}\x1f{n_tok}".encode()
+                dig ^= int(hashlib.md5(pair).hexdigest()[:12], 16)
+            total = sum(n for _, n in docs)
+            out[shard] = (
+                len(docs),
+                total,
+                dig,
+                max(n for _, n in docs),
+                -(-total // budget),
+            )
+        return out
+
+    def test_matches_python_replay(self, spark):
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(1 + (i * 5) % 30)))
+            for i in range(50)
+        ]
+        assert self._manifest(spark, rows) == self._python_manifest(
+            rows, 16, 4
+        )
+
+    def test_digest_flips_on_membership_edits(self, spark):
+        rows = [(i, f"a b c d{i}") for i in range(20)]
+        base = self._manifest(spark, rows)
+        # dropping one doc flips exactly its shard's digest and counts
+        dropped = self._manifest(spark, rows[1:])
+        changed = {s for s in base if base[s] != dropped.get(s)}
+        assert len(changed) == 1
+        # editing one doc's token count flips its shard's digest too
+        edited = self._manifest(spark, [(0, "a b c d0 extra")] + rows[1:])
+        assert sum(base[s] != edited.get(s) for s in base) == 1
+
+    def test_digest_is_order_insensitive(self, spark):
+        rows = [(i, f"t{i} u v") for i in range(30)]
+        assert self._manifest(spark, rows) == self._manifest(
+            spark, list(reversed(rows))
+        )
+
+    def test_null_text_counts_zero_and_validation(self, spark):
+        rows = [(1, None), (2, "a b")]
+        man = self._manifest(spark, rows, budget=2, n_shards=1)
+        assert man[0][:2] == (2, 2)  # 2 docs, 2 tokens (NULL -> 0)
+        assert man[0][4] == 1  # one sequence
+        with pytest.raises(ValueError, match="budget"):
+            from kinesiscat_spark.operators.packing import export_manifest
+
+            export_manifest(_docs(spark, rows), budget=0)
