@@ -224,3 +224,75 @@ def test_pagerank_drops_nonpositive_weight_edges(spark):
            pagerank(pairs, n_iters=2, weight_col="w").collect()}
     assert set(got) == {1, 2}                 # 3, 4, 5 fully dropped
     assert all(r == r for r in got.values())  # no NaN
+
+
+class TestClusterSafeSplit:
+    """cluster_safe_split (round 9): the leakage guarantee and the
+    routing determinism at the operator level."""
+
+    def _docs(self, spark, n=40):
+        return spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def _pairs(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_near_dups_never_straddle(self, spark):
+        from kinesiscat_spark.operators.clusters import cluster_safe_split
+
+        # a chain 0-1-2, a pair (5,6), and singletons
+        pairs = self._pairs(spark, [(0, 1), (1, 2), (5, 6)])
+        w = {"train": 0.5, "val": 0.25, "test": 0.25}
+        got = {
+            r.doc_id: (r.cluster_id, r.split)
+            for r in cluster_safe_split(
+                self._docs(spark), pairs, w, salt=3
+            ).collect()
+        }
+        assert got[0][0] == got[1][0] == got[2][0] == 0
+        assert got[0][1] == got[1][1] == got[2][1]
+        assert got[5][0] == got[6][0] == 5
+        assert got[5][1] == got[6][1]
+        # singletons label themselves
+        assert got[9] == (9, got[9][1])
+        # every split populated at n=40 under 50/25/25
+        assert {s for _, s in got.values()} == {"train", "val", "test"}
+
+    def test_routing_is_md5_of_cluster_id(self, spark):
+        import hashlib
+
+        from kinesiscat_spark.operators.clusters import cluster_safe_split
+        from kinesiscat_spark.operators.sampling import md5_threshold
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        t80, t90 = md5_threshold(0.8), md5_threshold(0.9)
+        got = {
+            r.doc_id: (r.cluster_id, r.split)
+            for r in cluster_safe_split(
+                self._docs(spark), self._pairs(spark, [(7, 8)]), w, salt=17
+            ).collect()
+        }
+        for doc_id, (cid, split) in got.items():
+            h = hashlib.md5(f"{cid}\x1f17".encode()).hexdigest()[:12]
+            want = "train" if h < t80 else ("val" if h < t90 else "test")
+            assert split == want, (doc_id, cid, h)
+
+    def test_empty_pairs_degenerates_to_hash_split(self, spark):
+        from kinesiscat_spark.operators.clusters import cluster_safe_split
+        from kinesiscat_spark.operators.sampling import hash_split
+
+        docs = self._docs(spark)
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        empty = self._pairs(spark, [])
+        a = {
+            (r.doc_id, r.split)
+            for r in cluster_safe_split(docs, empty, w, salt=5).collect()
+        }
+        b = {
+            (r.doc_id, r.split)
+            for r in hash_split(docs, w, ["doc_id"], salt=5)
+            .select("doc_id", "split")
+            .collect()
+        }
+        assert a == b

@@ -642,3 +642,29 @@ def test_corpus_minhash_single_corpus_pass(spark):
     # once the checkpoint has materialized), never once per side
     assert p.count("Scan parquet") + p.count("FileScan") <= 1
     assert p.count("Exchange hashpartitioning(grp") <= 1
+
+
+def test_export_manifest_one_aggregate_no_python(spark):
+    """export_manifest (round 9): one partial+final hash aggregate over
+    (shard) — text never shuffles (the exchange carries the n_shards
+    grouped rows, not documents), no Python, and the scan reads only the
+    two columns the manifest needs."""
+    import re
+
+    from kinesiscat_spark.io_tables import load_table
+    from kinesiscat_spark.operators.packing import export_manifest
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    df = export_manifest(
+        load_table(spark, SF_DIR, "documents"), budget=512, n_shards=8
+    )
+    s = df._jdf.queryExecution().explainString(mode)
+    exchanges = re.findall(r"^\(\d+\) Exchange", s, re.M)
+    assert len(exchanges) == 1, s
+    assert "hashpartitioning(shard" in s
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("lang" not in l and "source" not in l for l in read)
