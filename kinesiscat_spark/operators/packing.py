@@ -358,3 +358,119 @@ def export_manifest(
         F.max("n_tokens").alias("max_doc_tokens"),
         F.ceil(F.sum("n_tokens") / b).cast("long").alias("n_sequences"),
     )
+
+
+def token_length_histogram(
+    docs: DataFrame,
+    n_bins: int = 32,
+    bin_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Fixed-grid token-length histogram — the MERGEABLE distribution
+    sketch behind every packing/budget decision: bin ``i`` covers token
+    counts ``[i*bin_width, (i+1)*bin_width)`` (the last bin absorbs the
+    tail), and per-bin counts merge by plain addition, so shards /
+    partitions / days combine associatively with no rank, no sort, no
+    global pass — the property ``percentile_approx``'s GK sketch buys
+    with approximation, bought here with a fixed grid whose resolution
+    (``bin_width``) is explicit and whose counts are EXACT.
+
+    Returns (bin, bin_lo, bin_hi, n_docs) for non-empty bins only.
+
+    Scale shape: one scan computes each doc's bin; one
+    map-side-combinable groupBy reduces to ≤ n_bins rows. Deterministic
+    integer arithmetic — replayable in any SQL engine.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    n_tok = (
+        F.greatest(
+            F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+        if n_tokens_col
+        else whitespace_token_count(F.col(text_col))
+    )
+    b = F.least(
+        F.floor(n_tok / F.lit(int(bin_width))), F.lit(int(n_bins - 1))
+    ).cast("long")
+    return (
+        docs.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_lo"),
+            # the open upper edge; the last bin's is unbounded by
+            # construction but reported at grid resolution for display
+            ((F.col("bin") + 1) * bin_width).alias("bin_hi"),
+            "n_docs",
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles=(0.5, 0.9, 0.99),
+    bin_width: int = 64,
+) -> DataFrame:
+    """Interpolated quantile estimates off a :func:`token_length_histogram`
+    frame: for each ``q``, the smallest bin whose cumulative count reaches
+    ``q·N``, linearly interpolated inside the bin —
+
+        est(q) = bin_lo + bin_width · (q·N − cum_before) / bin_count
+
+    with worst-case error one ``bin_width`` (the grid resolution, reported
+    as ``err_bound``). Returns (q_permille, est, err_bound).
+
+    Scale shape: the histogram is ≤ n_bins rows, so the cumulative window
+    and per-q selection cost nothing; the expensive part (the corpus scan)
+    happened in the mergeable histogram. Exact-integer inputs and a fixed
+    evaluation order make the interpolated double bit-identical across
+    engines — the oracle hash checks it nano-quantized.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantiles must be in (0, 1), got {q}")
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        "bin_lo",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("cum"),
+        (F.sum("n_docs").over(w) - F.col("n_docs")).alias("cum_before"),
+    )
+    total = cum.agg(F.sum("n_docs").alias("n")).select(
+        F.col("n").cast("long").alias("n")
+    )
+    rows = []
+    for q in quantiles:
+        qn = F.col("n") * F.lit(float(q))
+        hit = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= qn)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(int(round(q * 1000))).alias("q_permille"),
+                (
+                    F.col("bin_lo")
+                    + F.lit(float(bin_width))
+                    * (qn - F.col("cum_before"))
+                    / F.col("n_docs")
+                ).alias("est"),
+                F.lit(float(bin_width)).alias("err_bound"),
+            )
+        )
+        rows.append(hit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

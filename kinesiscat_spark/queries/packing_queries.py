@@ -18,6 +18,11 @@ from kinesiscat_spark.registry import query
 BUDGET = 512
 N_SHARDS = 8
 CONTEXTS = (128, 512, 2048)
+# token-length histogram grid (round 9): corpus doc lengths are 10-99
+# whitespace tokens, so a width-8 16-bin grid populates ~12 bins
+HIST_BINS = 16
+HIST_WIDTH = 8
+HIST_QS = (0.5, 0.9, 0.99)
 
 
 def _efficiency_selects() -> str:
@@ -65,6 +70,33 @@ incidence AS (
          unnest(generate_series(t_start // {BUDGET}, (t_end - 1) // {BUDGET}))
            AS seq
   FROM spans WHERE t_end > t_start
+),
+lh AS (
+  SELECT LEAST(CAST(floor(n_tokens / {HIST_WIDTH}.0) AS BIGINT),
+               {HIST_BINS - 1}) AS bin,
+         COUNT(*)::BIGINT AS n_docs
+  FROM base GROUP BY 1
+),
+lhc AS (
+  SELECT bin, bin * {HIST_WIDTH} AS bin_lo, n_docs,
+         SUM(n_docs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n_docs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n_docs
+           AS cum_before
+  FROM lh
+),
+lhn AS (SELECT SUM(n_docs)::BIGINT AS n FROM lh),
+lq AS (
+  (SELECT 500 AS qp,
+          bin_lo + {HIST_WIDTH}.0 * ((n * 0.5) - cum_before) / n_docs AS est
+   FROM lhc, lhn WHERE cum >= n * 0.5 ORDER BY bin LIMIT 1)
+  UNION ALL
+  (SELECT 900 AS qp,
+          bin_lo + {HIST_WIDTH}.0 * ((n * 0.9) - cum_before) / n_docs AS est
+   FROM lhc, lhn WHERE cum >= n * 0.9 ORDER BY bin LIMIT 1)
+  UNION ALL
+  (SELECT 990 AS qp,
+          bin_lo + {HIST_WIDTH}.0 * ((n * 0.99) - cum_before) / n_docs AS est
+   FROM lhc, lhn WHERE cum >= n * 0.99 ORDER BY bin LIMIT 1)
 )
 SELECT 'layout' AS kind, shard, CAST(seq AS BIGINT) AS seq, id, n_tokens,
        CAST(greatest(t_start - seq * {BUDGET}, 0) AS BIGINT) AS seq_off,
@@ -84,6 +116,23 @@ SELECT 'manifest' AS kind, shard, CAST(bit_xor(
        MAX(n_tokens)::BIGINT AS seq_off,
        CAST(ceil(SUM(n_tokens) / {BUDGET}.0) AS BIGINT) AS n_in_seq
 FROM base GROUP BY shard
+UNION ALL
+-- token-length histogram (round 9, operators/packing.py
+-- token_length_histogram): fixed-grid mergeable distribution sketch —
+-- bin rides seq, count rides id, [bin_lo, bin_hi) ride n_tokens/seq_off
+SELECT 'len_hist' AS kind, CAST(NULL AS INT) AS shard,
+       bin AS seq, n_docs AS id, bin * {HIST_WIDTH} AS n_tokens,
+       (bin + 1) * {HIST_WIDTH} AS seq_off, CAST(NULL AS BIGINT) AS n_in_seq
+FROM lh
+UNION ALL
+-- interpolated quantiles off the histogram (histogram_quantiles):
+-- q permille rides seq, the micro-quantized estimate rides n_tokens,
+-- the grid-resolution error bound rides seq_off
+SELECT 'len_q' AS kind, CAST(NULL AS INT) AS shard, qp AS seq,
+       CAST(NULL AS BIGINT) AS id,
+       CAST(round(est * 1e6) AS BIGINT) AS n_tokens,
+       CAST({HIST_WIDTH} AS BIGINT) AS seq_off, CAST(NULL AS BIGINT) AS n_in_seq
+FROM lq
 {_efficiency_selects()}
 """
 
@@ -141,10 +190,46 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_doc_tokens").alias("seq_off"),
         F.col("n_sequences").alias("n_in_seq"),
     )
+    # kinds 'len_hist' + 'len_q' (round 9): the fixed-grid MERGEABLE
+    # token-length histogram and its interpolated quantiles — the
+    # distribution that justifies the budget choice; counts merge by
+    # addition across shards/partitions/days (the 100 TB path), the
+    # quantile estimates carry an explicit grid-resolution error bound.
+    from kinesiscat_spark.operators.packing import (
+        histogram_quantiles,
+        token_length_histogram,
+    )
+
+    null_i = F.lit(None).cast("int")
+    null_l = F.lit(None).cast("long")
+    hist = token_length_histogram(
+        docs, n_bins=HIST_BINS, bin_width=HIST_WIDTH
+    )
+    lh = hist.select(
+        F.lit("len_hist").alias("kind"),
+        null_i.alias("shard"),
+        F.col("bin").alias("seq"),
+        F.col("n_docs").alias("id"),
+        F.col("bin_lo").alias("n_tokens"),
+        F.col("bin_hi").alias("seq_off"),
+        null_l.alias("n_in_seq"),
+    )
+    lq = histogram_quantiles(hist, HIST_QS, bin_width=HIST_WIDTH).select(
+        F.lit("len_q").alias("kind"),
+        null_i.alias("shard"),
+        F.col("q_permille").cast("long").alias("seq"),
+        null_l.alias("id"),
+        F.round(F.col("est") * 1e6).cast("long").alias("n_tokens"),
+        F.col("err_bound").cast("long").alias("seq_off"),
+        null_l.alias("n_in_seq"),
+    )
     from kinesiscat_spark.debug_digests import observe_kind_digests
 
     return observe_kind_digests(
-        layout.unionByName(eff).unionByName(man),
+        layout.unionByName(eff)
+        .unionByName(man)
+        .unionByName(lh)
+        .unionByName(lq),
         "packing_layout",
-        ["layout", "efficiency", "manifest"],
+        ["layout", "efficiency", "manifest", "len_hist", "len_q"],
     )

@@ -374,3 +374,13 @@ def test_packing_lane_manifest_nondegenerate(spark, qs):
         assert m.n_tokens == toks_per_shard[m.shard]
         assert m.n_in_seq == seqs_per_shard[m.shard]
         assert 0 < m.seq_off <= m.n_tokens     # max doc within bounds
+    # round-9 continuation: the length histogram populates a real grid
+    # and the interpolated quantiles are ordered and in-range
+    lh = [r for r in rows if r.kind == "len_hist"]
+    assert len(lh) >= 6                        # multiple bins in play
+    assert sum(r.id for r in lh) == 500        # every document counted
+    assert len({r.id for r in lh}) > 2         # counts vary across bins
+    lq = {r.seq: r.n_tokens for r in rows if r.kind == "len_q"}
+    assert set(lq) == {500, 900, 990}
+    assert lq[500] < lq[900] < lq[990]         # micro-quantized estimates
+    assert 0 < lq[500] < 200 * 10**6           # sane magnitude (< 200 tok)

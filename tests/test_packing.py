@@ -343,3 +343,88 @@ class TestExportManifest:
             from kinesiscat_spark.operators.packing import export_manifest
 
             export_manifest(_docs(spark, rows), budget=0)
+
+
+class TestTokenLengthHistogram:
+    """token_length_histogram + histogram_quantiles: exact counts, the
+    mergeability contract, and interpolation correctness."""
+
+    def _hist(self, spark, rows, n_bins=8, bin_width=4):
+        from kinesiscat_spark.operators.packing import token_length_histogram
+
+        return {
+            r.bin: (r.bin_lo, r.bin_hi, r.n_docs)
+            for r in token_length_histogram(
+                _docs(spark, rows), n_bins=n_bins, bin_width=bin_width
+            ).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        rows = [(i, " ".join("w" for _ in range(1 + (i * 3) % 37)))
+                for i in range(60)]
+        got = self._hist(spark, rows)
+        want: dict[int, int] = {}
+        for _, text in rows:
+            n = len(text.lower().split(" "))
+            b = min(n // 4, 7)
+            want[b] = want.get(b, 0) + 1
+        assert {b: c for b, (_, _, c) in got.items()} == want
+        assert all(lo == b * 4 and hi == (b + 1) * 4
+                   for b, (lo, hi, _) in got.items())
+
+    def test_counts_merge_associatively(self, spark):
+        rows = [(i, " ".join("x" for _ in range(2 + i % 20)))
+                for i in range(40)]
+        a, b = rows[:17], rows[17:]
+        ha = self._hist(spark, a)
+        hb = self._hist(spark, b)
+        merged = {
+            k: (ha.get(k, (0, 0, 0))[2] + hb.get(k, (0, 0, 0))[2])
+            for k in set(ha) | set(hb)
+        }
+        assert {k: c for k, (_, _, c) in self._hist(spark, rows).items()} \
+            == merged
+
+    def test_quantiles_interpolate_and_bound(self, spark):
+        from kinesiscat_spark.operators.packing import (
+            histogram_quantiles,
+            token_length_histogram,
+        )
+
+        # 100 docs with lengths 1..100: true P50 ~ 50, P90 ~ 90
+        rows = [(i, " ".join("t" for _ in range(i + 1))) for i in range(100)]
+        hist = token_length_histogram(
+            _docs(spark, rows), n_bins=32, bin_width=8
+        )
+        got = {
+            r.q_permille: (r.est, r.err_bound)
+            for r in histogram_quantiles(
+                hist, (0.5, 0.9, 0.99), bin_width=8
+            ).collect()
+        }
+        import numpy as np
+
+        lengths = sorted(len(t.split(" ")) for _, t in rows)
+        for qp, q in ((500, 0.5), (900, 0.9), (990, 0.99)):
+            est, err = got[qp]
+            true = float(np.quantile(lengths, q))
+            assert err == 8.0
+            assert abs(est - true) <= err + 1, (qp, est, true)
+        assert got[500][0] < got[900][0] < got[990][0]
+
+    def test_validation(self, spark):
+        from kinesiscat_spark.operators.packing import (
+            histogram_quantiles,
+            token_length_histogram,
+        )
+
+        d = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError, match="n_bins"):
+            token_length_histogram(d, n_bins=1)
+        with pytest.raises(ValueError, match="bin_width"):
+            token_length_histogram(d, bin_width=0)
+        h = token_length_histogram(d)
+        with pytest.raises(ValueError, match="quantiles"):
+            histogram_quantiles(h, ())
+        with pytest.raises(ValueError, match="quantiles"):
+            histogram_quantiles(h, (1.5,))
