@@ -68,6 +68,19 @@ def _load_snapshot() -> dict:
     return {"load_1m": round(la[0], 2), "load_5m": round(la[1], 2), "ts": round(time.time(), 1)}
 
 
+def _spin_fingerprint() -> float:
+    """Single-thread host-speed fingerprint (sum of 10^6 squares, sec) —
+    the round-5 adjudication's microbenchmark at 1/10 scale, recorded per
+    run so cross-round bench comparisons can normalize for a slow/throttled
+    host (round 9 observed the same code 2.5x slower at spin 1.6 vs the
+    round-5 fingerprint 0.65 = 10x this number)."""
+    t = time.time()
+    s = 0
+    for i in range(10**6):
+        s += i * i
+    return round(time.time() - t, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -289,6 +302,7 @@ def main() -> None:
             "end": env_end,
             "waited_for_quiet_sec": waited,
             "cpus": os.cpu_count(),
+            "spin_1m_sec": _spin_fingerprint(),
         },
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
         "sub_timings": sub_timings,

@@ -33,6 +33,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
     the smallest id reachable through the pair graph.
@@ -50,35 +51,50 @@ def connected_components(
         .repartition("v")
         .localCheckpoint(eager=True)
     )
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("l"))
 
     changed = -1
-    for _ in range(max_iters):
+    it = 0
+    while it < max_iters:
         # One round = one join (u hears l(v) from every neighbor v) + one
         # union-aggregate that fuses the merge AND the convergence test:
         # the self rows carry the old label, so min-over-group is the new
         # label and (new < old) is the changed flag — no separate
-        # labels ⋈ heard join, and the eager localCheckpoint is the
-        # round's only execution (convergence reads the checkpointed
-        # blocks). Every u has a self row, so _old is never NULL.
-        heard = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .select("u", "l", F.lit(False).alias("_self"))
-        )
-        stepped = (
-            heard.unionByName(labels.select("u", "l", F.lit(True).alias("_self")))
-            .groupBy("u")
-            .agg(
-                F.min("l").alias("nl"),
-                F.min(F.when(F.col("_self"), F.col("l"))).alias("_old"),
+        # labels ⋈ heard join. Every u has a self row, so _old is never
+        # NULL. Rounds chain LAZILY in batches of ``check_every`` and one
+        # localCheckpoint + one convergence action closes each batch —
+        # min-label propagation is monotone, so overshooting a round
+        # inside a batch changes nothing, and halving the driver-side
+        # action count halves the fixed per-job cost that dominates on
+        # small graphs.
+        batch = min(check_every, max_iters - it)
+        for _ in range(batch):
+            heard = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .select("u", "l", F.lit(False).alias("_self"))
             )
-            .select(
-                "u",
-                F.col("nl").alias("l"),
-                (F.col("nl") < F.col("_old")).cast("int").alias("chg"),
+            stepped = (
+                heard.unionByName(
+                    labels.select("u", "l", F.lit(True).alias("_self"))
+                )
+                .groupBy("u")
+                .agg(
+                    F.min("l").alias("nl"),
+                    F.min(F.when(F.col("_self"), F.col("l"))).alias("_old"),
+                )
+                .select(
+                    "u",
+                    F.col("nl").alias("l"),
+                    (F.col("nl") < F.col("_old")).cast("int").alias("chg"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+            labels = stepped.select("u", "l")
+            it += 1
+        stepped = stepped.localCheckpoint(eager=False)
+        # chg covers only the LAST round of the batch — exactly the
+        # convergence question (did the final propagation still move?)
         changed = (stepped.agg(F.sum("chg")).first()[0] or 0)
         labels = stepped.select("u", "l")
         if changed == 0:
@@ -297,6 +313,7 @@ def cluster_safe_split(
     id_a: str = "id_a",
     id_b: str = "id_b",
     method: str = "md5",
+    _labels: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: route every document by the md5
     hash of its near-dup CLUSTER representative (the component's min id),
@@ -319,9 +336,14 @@ def cluster_safe_split(
     """
     from kinesiscat_spark.operators.sampling import hash_split
 
-    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
-        "id", "_cc_id"
-    )
+    # `_labels`: precomputed connected_components output (the `_ordered`
+    # sharing precedent) — callers that already ran components over the
+    # same pair graph pass it to avoid a second iterative labeling
+    cc = (
+        _labels
+        if _labels is not None
+        else connected_components(pairs, id_a, id_b)
+    ).withColumnRenamed("id", "_cc_id")
     labeled = docs.join(
         cc, docs[id_col] == cc["_cc_id"], "left"
     ).select(

@@ -437,6 +437,13 @@ def histogram_quantiles(
     for q in quantiles:
         if not 0.0 < q < 1.0:
             raise ValueError(f"quantiles must be in (0, 1), got {q}")
+    # NB: the histogram subtree appears twice below (cumulative rows +
+    # the total), so an unmaterialized ``hist`` re-runs its corpus scan
+    # once more INSIDE the same fused job — measured cheaper at bench
+    # scale than splitting the plan with a checkpoint (fixed per-job cost
+    # dominates tiny aggregates). A caller whose scan is genuinely
+    # expensive passes a materialized frame (.localCheckpoint()) and pays
+    # it once.
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -447,30 +454,40 @@ def histogram_quantiles(
         F.sum("n_docs").over(w).alias("cum"),
         (F.sum("n_docs").over(w) - F.col("n_docs")).alias("cum_before"),
     )
-    total = cum.agg(F.sum("n_docs").alias("n")).select(
-        F.col("n").cast("long").alias("n")
-    )
-    rows = []
+    total = cum.agg(F.max("cum").cast("long").alias("n"))
+    # ONE aggregate selects every quantile's bin at once: min over the
+    # qualifying rows of a (bin, ...) struct == the smallest bin whose
+    # cumulative count reaches q·N — no per-q sort/limit subplans
+    joined = cum.crossJoin(F.broadcast(total))
+    sels = []
     for q in quantiles:
         qn = F.col("n") * F.lit(float(q))
-        hit = (
-            cum.crossJoin(F.broadcast(total))
-            .filter(F.col("cum") >= qn)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(int(round(q * 1000))).alias("q_permille"),
+        sels.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= qn,
+                    F.struct("bin", "bin_lo", "cum_before", "n_docs", "n"),
+                )
+            ).alias(f"_h{int(round(q * 1000))}")
+        )
+    picked = joined.agg(*sels)
+    rows = []
+    for q in quantiles:
+        qp = int(round(q * 1000))
+        h = F.col(f"_h{qp}")
+        qn = h["n"] * F.lit(float(q))
+        rows.append(
+            F.struct(
+                F.lit(qp).alias("q_permille"),
                 (
-                    F.col("bin_lo")
+                    h["bin_lo"]
                     + F.lit(float(bin_width))
-                    * (qn - F.col("cum_before"))
-                    / F.col("n_docs")
+                    * (qn - h["cum_before"])
+                    / h["n_docs"]
                 ).alias("est"),
                 F.lit(float(bin_width)).alias("err_bound"),
             )
         )
-        rows.append(hit)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return picked.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.q_permille", "s.est", "s.err_bound"
+    )

@@ -311,12 +311,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantifies what the guarantee buys: near-dup pairs straddling splits
     # under the NAIVE doc-id routing (id_a, non-zero at this corpus) vs
     # under the cluster routing (id_b, structurally zero).
-    from kinesiscat_spark.operators.clusters import cluster_safe_split
-
-    pairs_audit = edges.select("id_a", "id_b").distinct()
-    lsplit = cluster_safe_split(
-        docs.select("doc_id"), pairs_audit, _LS_W, salt=_LS_SALT
+    from kinesiscat_spark.operators.clusters import (
+        cluster_safe_split,
+        connected_components,
     )
+
+    # one materialization serves the components run and both straddle
+    # joins (the jp/cp checkpoint precedent); ~pair-count rows only
+    pairs_audit = (
+        edges.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    )
+    labels = connected_components(pairs_audit)
+    lsplit = cluster_safe_split(
+        docs.select("doc_id"), pairs_audit, _LS_W, salt=_LS_SALT,
+        _labels=labels,
+    ).localCheckpoint(eager=False)  # two consumers: rows + audit join
     split_rows = lsplit.select(
         F.concat(F.lit("split_"), F.col("split")).alias("kind"),
         F.col("doc_id").alias("id_a"),

@@ -153,17 +153,36 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from kinesiscat_spark.operators.packing import packing_efficiency_report
+    from kinesiscat_spark.operators.packing import (
+        packing_efficiency_report,
+        whitespace_token_count,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenize scan serves all five kinds (layout, efficiency,
+    # manifest, len_hist→len_q each need only (doc_id, n_tokens)):
+    # materialize the 2-column count frame once and feed it through the
+    # operators' n_tokens_col path. At 100 TB the same sharing holds via
+    # a persisted columnar intermediate (or simply re-scanning — the
+    # text column never moves either way); identical arithmetic to the
+    # operators' internal tokenizer, which the oracle hash re-proves.
+    # NOT checkpointed: every consumer is a cheap aggregate over this
+    # 2-column frame, and fusing all branches into the one collect job
+    # measured ~2x faster than splitting the plan with a materialization
+    # (fixed per-job cost dominates at bench scale; at 100 TB the
+    # duplicate scans stay map-side and the text column never moves)
+    ntok = docs.select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
     layout = pack_sequences(
-        docs, budget=BUDGET, n_shards=N_SHARDS, id_col="doc_id", text_col="text"
+        ntok, budget=BUDGET, n_shards=N_SHARDS, id_col="doc_id",
+        n_tokens_col="n_tokens",
     ).select(F.lit("layout").alias("kind"), "*")
     # kind='efficiency' (round-7 continuation): the padding-waste report
     # that justifies packing — context rides seq, naive/packed padded
     # totals ride seq_off/n_in_seq, all exact integers.
     eff = packing_efficiency_report(
-        docs, CONTEXTS, n_shards=N_SHARDS
+        ntok, CONTEXTS, n_shards=N_SHARDS, n_tokens_col="n_tokens"
     ).select(
         F.lit("efficiency").alias("kind"),
         F.lit(None).cast("int").alias("shard"),
@@ -181,7 +200,9 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routing the layout ships with.
     from kinesiscat_spark.operators.packing import export_manifest
 
-    man = export_manifest(docs, BUDGET, n_shards=N_SHARDS).select(
+    man = export_manifest(
+        ntok, BUDGET, n_shards=N_SHARDS, n_tokens_col="n_tokens"
+    ).select(
         F.lit("manifest").alias("kind"),
         "shard",
         F.col("digest").alias("seq"),
@@ -203,7 +224,8 @@ def packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
     hist = token_length_histogram(
-        docs, n_bins=HIST_BINS, bin_width=HIST_WIDTH
+        ntok, n_bins=HIST_BINS, bin_width=HIST_WIDTH,
+        n_tokens_col="n_tokens",
     )
     lh = hist.select(
         F.lit("len_hist").alias("kind"),
