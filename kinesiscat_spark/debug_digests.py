@@ -27,6 +27,7 @@ import json
 import os
 import threading
 import time
+from collections import deque
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -45,6 +46,15 @@ _CONF_KEYS = (
     "spark.sql.execution.arrow.maxRecordsPerBatch",
     "spark.master",
 )
+
+# Accumulator registration is WEAKREF-based on the driver: once the
+# Python-side Observation (and with it the observed plan) is GC'd, any
+# straggling task completion from the same job logs a non-fatal but noisy
+# "attempted to access non-existent accumulator" DAGScheduler ERROR (113
+# of them in one bench run). Pin the last few observations + frames in a
+# bounded ring so their accumulators outlive late task completions; only
+# plan objects are held, never data.
+_RECENT: deque = deque(maxlen=64)
 
 
 def _session_info(df: DataFrame) -> dict:
@@ -123,6 +133,7 @@ def observe_kind_digests(
     exprs.append(F.count(F.lit(1)).alias("n_total"))
     obs = Observation(f"kc_digests_{lane}")
     out = df.observe(obs, exprs[0], *exprs[1:])
+    _RECENT.append((obs, out))
     info = _session_info(df)
     threading.Thread(
         target=_dump_when_resolved,
@@ -153,6 +164,7 @@ def observe_column_digests(df: DataFrame, lane: str) -> DataFrame:
     exprs.append(F.count(F.lit(1)).alias("n_total"))
     obs = Observation(f"kc_coldigests_{lane}")
     out = df.observe(obs, exprs[0], *exprs[1:])
+    _RECENT.append((obs, out))
     info = _session_info(df)
     threading.Thread(
         target=_dump_when_resolved,
