@@ -336,6 +336,12 @@ def cluster_safe_split(
     """
     from kinesiscat_spark.operators.sampling import hash_split
 
+    for reserved in ("cluster_id", "split"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"docs already has a {reserved!r} column — rename it; "
+                "cluster_safe_split adds cluster_id and split"
+            )
     # `_labels`: precomputed connected_components output (the `_ordered`
     # sharing precedent) — callers that already ran components over the
     # same pair graph pass it to avoid a second iterative labeling

@@ -278,6 +278,19 @@ class TestClusterSafeSplit:
             want = "train" if h < t80 else ("val" if h < t90 else "test")
             assert split == want, (doc_id, cid, h)
 
+    def test_reserved_column_collision_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        from kinesiscat_spark.operators.clusters import cluster_safe_split
+
+        import pytest
+
+        docs = self._docs(spark).withColumn("cluster_id", F.lit(1))
+        with pytest.raises(ValueError, match="cluster_id"):
+            cluster_safe_split(
+                docs, self._pairs(spark, []), {"train": 1.0}
+            )
+
     def test_empty_pairs_degenerates_to_hash_split(self, spark):
         from kinesiscat_spark.operators.clusters import cluster_safe_split
         from kinesiscat_spark.operators.sampling import hash_split
