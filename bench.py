@@ -33,6 +33,7 @@ HEADLINE = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "lineitem_scalar_aggregates",
+    "events_tumbling_window",
     "events_sessionization",
     "events_topk_users_per_type",
     "jp_filter_compare",
@@ -274,9 +275,12 @@ def main() -> None:
                       "zipf", "corpus_sim", "hll_union", "hll_intersect",
                       "cms_dot", "ctfidf", "pmi", "card", "distinct_n")
         },
+        "events_tumbling_window": _kind_subs(
+            "events_tumbling_window", ("window", "retention")
+        ),
         "events_topk_users_per_type": _kind_subs(
             "events_topk_users_per_type",
-            ("topk", "funnel", "funnel_stream", "window", "retention"),
+            ("topk", "funnel", "funnel_stream"),
         ),
     }
     sub_timings: dict[str, dict[str, float]] = {}

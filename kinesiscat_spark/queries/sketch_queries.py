@@ -667,7 +667,11 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("distinct_n").alias("kind"),
         F.lit(None).cast("string").alias("gram"),
         F.col("_tot").alias("cnt"),
-        F.round(F.col("_d").cast("double") / F.col("_tot"), 6).alias("est"),
+        # try_divide: identical to / for _tot > 0; NULL (not an ANSI
+        # DIVIDE_BY_ZERO) on an empty corpus — the digest observation
+        # keeps `est` un-prunable, so the division now always evaluates
+        F.round(F.try_divide(F.col("_d").cast("double"), F.col("_tot")), 6)
+        .alias("est"),
     )
     out = (
         heavy.unionByName(exact_d)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesiscat_spark.io_tables import load_table
+from kinesiscat_spark.io_tables import load_table, utc_wall
 from kinesiscat_spark.registry import query
 
 _RETENTION_OFFSETS = (1, 7, 14)
@@ -31,14 +31,83 @@ FROM events
 GROUP BY 1, 2
 """
 
-# Round 9: the former events_tumbling_window LANE is folded into
-# events_topk_users_per_type (kinds 'window' and 'retention' below) to
-# free a registry slot for sampling_reservoir_stream — the batch F.window
-# kind was the registry's lowest-information standalone row, since
-# stream_tumbling_window already hash-checks the identical tumbling
-# aggregation (streamed) against the same _TUMBLING_BASE. Both kinds keep
-# their full hash checks inside the merged lane's UNION ALL oracle
-# (VERDICT r8 task 2; the round-6 fold precedent).
+_TUMBLING_ORACLE = f"""
+WITH pe AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+  WHERE event_type = '{_RETENTION_TYPE}'
+),
+rc AS (SELECT user_id, MIN(day) AS cohort_day FROM pe GROUP BY user_id),
+rsz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM rc GROUP BY cohort_day),
+ract AS (SELECT DISTINCT user_id, day FROM pe),
+rhit AS (
+  SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
+  FROM ract JOIN rc USING (user_id)
+  WHERE day - cohort_day IN {_RETENTION_OFFSETS}
+  GROUP BY 1, 2
+)
+SELECT 'window' AS kind, window_start, event_type, n_events, total_value,
+  CAST(NULL AS BIGINT) AS day_offset, CAST(NULL AS DOUBLE) AS retention
+FROM ({_TUMBLING_BASE})
+UNION ALL
+-- retention twin (round-7 continuation, operators/funnel.py
+-- retention_report over '{_RETENTION_TYPE}' events): cohort by first
+-- purchase day, share active again exactly k days later
+SELECT 'retention' AS kind,
+  CAST(cohort_day AS VARCHAR) AS window_start,
+  CAST(NULL AS VARCHAR) AS event_type,
+  CAST(n_active AS BIGINT) AS n_events,
+  CAST(cohort_size AS DOUBLE) AS total_value,
+  CAST(day_offset AS BIGINT) AS day_offset,
+  ROUND(n_active / cohort_size::DOUBLE, 6) AS retention
+FROM rhit JOIN rsz USING (cohort_day)
+"""
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: 1-hour tumbling event-time window aggregation.
+
+    F.window is epoch-aligned, matching DuckDB time_bucket. In streaming
+    form this is readStream + withWatermark("ts", ...) + the same groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    null_l = F.lit(None).cast("long")
+    win = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lit("window").alias("kind"),
+            # utc_wall: render UTC digits regardless of session timezone
+            F.date_format(utc_wall(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+            null_l.alias("day_offset"),
+            F.lit(None).cast("double").alias("retention"),
+        )
+    )
+    # kind='retention' (round-7 continuation, operators/funnel.py):
+    # purchase-cohort retention at day offsets 1/7/14; cohort_size rides
+    # total_value, n_active rides n_events.
+    from kinesiscat_spark.operators.funnel import retention_report
+
+    ret = retention_report(
+        ev, _RETENTION_OFFSETS, activity_type=_RETENTION_TYPE
+    ).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort_day").cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_active").cast("long").alias("n_events"),
+        F.col("cohort_size").cast("double").alias("total_value"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "retention",
+    )
+    return win.unionByName(ret)
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -324,20 +393,7 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_HORIZON_US = 200_000 * 1_000_000  # ~2.3 days at the corpus cadence
 
 _TOPK_ORACLE = f"""
-WITH pe AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
-  WHERE event_type = '{_RETENTION_TYPE}'
-),
-rc AS (SELECT user_id, MIN(day) AS cohort_day FROM pe GROUP BY user_id),
-rsz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM rc GROUP BY cohort_day),
-ract AS (SELECT DISTINCT user_id, day FROM pe),
-rhit AS (
-  SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_active
-  FROM ract JOIN rc USING (user_id)
-  WHERE day - cohort_day IN {_RETENTION_OFFSETS}
-  GROUP BY 1, 2
-),
-totals AS (
+WITH totals AS (
   SELECT event_type, user_id, ROUND(SUM(value), 2) AS total_value
   FROM events
   GROUP BY event_type, user_id
@@ -393,33 +449,6 @@ SELECT 'funnel_stream' AS kind, CAST(NULL AS VARCHAR) AS event_type,
        CAST({len(_FUNNEL_STEPS)} AS BIGINT) AS rank,
        t0 AS t0_us, t2 AS t_end_us, completed
 FROM funnel WHERE reached = {len(_FUNNEL_STEPS)}
-UNION ALL
--- round-9 fold (ex events_tumbling_window): 1-hour tumbling window,
--- bucket start as epoch micros riding t0_us (tz-render-free), count
--- riding rank, sum riding total_value
-SELECT 'window' AS kind, event_type, CAST(NULL AS BIGINT) AS user_id,
-       total_value, n_events AS rank,
-       epoch_us(time_bucket(INTERVAL '1 hour', ts_b)) AS t0_us,
-       CAST(NULL AS BIGINT) AS t_end_us, CAST(NULL AS BOOLEAN) AS completed
-FROM (
-  SELECT time_bucket(INTERVAL '1 hour', ts) AS ts_b, event_type,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         ROUND(SUM(value), 2) AS total_value
-  FROM events GROUP BY 1, 2
-)
-UNION ALL
--- round-9 fold (ex events_tumbling_window): purchase-cohort retention at
--- day offsets {_RETENTION_OFFSETS} (operators/funnel.py retention_report);
--- cohort_day rides user_id, day_offset rides rank, n_active rides t0_us,
--- cohort_size rides t_end_us, the rounded share rides total_value
-SELECT 'retention' AS kind, CAST(NULL AS VARCHAR) AS event_type,
-       cohort_day AS user_id,
-       ROUND(n_active / cohort_size::DOUBLE, 6) AS total_value,
-       CAST(day_offset AS BIGINT) AS rank,
-       CAST(n_active AS BIGINT) AS t0_us,
-       CAST(cohort_size AS BIGINT) AS t_end_us,
-       CAST(NULL AS BOOLEAN) AS completed
-FROM rhit JOIN rsz USING (cohort_day)
 """
 
 
@@ -503,60 +532,12 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_end_us",
         "completed",
     )
-    # kind='window' (round-9 fold, ex events_tumbling_window): 1-hour
-    # tumbling event-time window — F.window is epoch-aligned, matching
-    # DuckDB time_bucket; the bucket start rides t0_us as epoch micros
-    # (exact integer, session-timezone independent). In streaming form
-    # this is readStream + withWatermark + the same groupBy — hash-checked
-    # streamed in stream_tumbling_window.
-    win = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.lit("window").alias("kind"),
-            "event_type",
-            null_l.alias("user_id"),
-            "total_value",
-            F.col("n_events").cast("long").alias("rank"),
-            F.unix_micros(F.col("w.start")).alias("t0_us"),
-            null_l.alias("t_end_us"),
-            F.lit(None).cast("boolean").alias("completed"),
-        )
-    )
-    # kind='retention' (round-9 fold, ex events_tumbling_window;
-    # operators/funnel.py retention_report): purchase-cohort retention
-    # at day offsets 1/7/14 — cohort_day rides user_id, day_offset rides
-    # rank, n_active/cohort_size ride t0_us/t_end_us.
-    from kinesiscat_spark.operators.funnel import retention_report
-
-    ret = retention_report(
-        ev, _RETENTION_OFFSETS, activity_type=_RETENTION_TYPE
-    ).select(
-        F.lit("retention").alias("kind"),
-        F.lit(None).cast("string").alias("event_type"),
-        F.col("cohort_day").cast("long").alias("user_id"),
-        F.col("retention").alias("total_value"),
-        F.col("day_offset").cast("long").alias("rank"),
-        F.col("n_active").cast("long").alias("t0_us"),
-        F.col("cohort_size").cast("long").alias("t_end_us"),
-        F.lit(None).cast("boolean").alias("completed"),
-    )
-    out = (
-        topk.unionByName(fun)
-        .unionByName(fun_stream)
-        .unionByName(win)
-        .unionByName(ret)
-    )
+    out = topk.unionByName(fun).unionByName(fun_stream)
     # per-kind (count, xor) digests ride the driver's own collect job and
     # land in DEBUG_events_topk_users_per_type.jsonl — any future
     # driver-side hash red names its divergent kind (VERDICT r8 task 7)
     from kinesiscat_spark.debug_digests import observe_kind_digests
 
     return observe_kind_digests(
-        out,
-        "events_topk_users_per_type",
-        ["topk", "funnel", "funnel_stream", "window", "retention"],
+        out, "events_topk_users_per_type", ["topk", "funnel", "funnel_stream"]
     )
