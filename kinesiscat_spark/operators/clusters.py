@@ -33,7 +33,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
-    check_every: int = 2,
+    check_every: int = 3,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
     the smallest id reachable through the pair graph.
@@ -43,13 +43,16 @@ def connected_components(
     """
     # The edge list is reused every round: materialize it ONCE (already
     # hash-partitioned on the join side v), instead of re-running the
-    # union+distinct scan per iteration as lazy lineage would.
+    # union+distinct scan per iteration as lazy lineage would. LAZY
+    # checkpoint (round 9): the first convergence action materializes it
+    # inline — same one-time materialization, one fewer driver-blocking
+    # job up front.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
         .repartition("v")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
@@ -66,9 +69,10 @@ def connected_components(
         # NULL. Rounds chain LAZILY in batches of ``check_every`` and one
         # localCheckpoint + one convergence action closes each batch —
         # min-label propagation is monotone, so overshooting a round
-        # inside a batch changes nothing, and halving the driver-side
-        # action count halves the fixed per-job cost that dominates on
-        # small graphs.
+        # inside a batch changes nothing, and batching rounds (3 per
+        # action: near-clique dup graphs converge by round 2-3, so one
+        # batch usually both converges AND proves it) cuts the
+        # driver-side action count that dominates on small graphs.
         batch = min(check_every, max_iters - it)
         for _ in range(batch):
             heard = (

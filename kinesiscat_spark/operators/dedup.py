@@ -168,6 +168,25 @@ def ngram_jaccard_pairs(
         )
 
     ordered = _ordered if _ordered is not None else _ordered_shingles(sh)
+    cand = _jaccard_prefix_candidates(
+        ordered, threshold, max_shingle_df
+    ).dropDuplicates(["id_a", "id_b"])
+    verified = _verify_candidates(ordered, cand)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _jaccard_prefix_candidates(
+    ordered: DataFrame, threshold: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """PPJoin candidate generation for Jaccard >= threshold over the
+    ordered-shingle table: rare-first prefix self-join with the length /
+    positional / suffix filters inside the join's codegen (see
+    ``ngram_jaccard_pairs``). Returns raw (id_a, id_b) MATCH ROWS — one
+    per shared prefix shingle, NOT deduplicated — so callers can union
+    several candidate generators and pay ONE dedupe exchange.
+    """
     n_sh = F.size("ord_h")
     # clamp: at threshold 0, n - ceil(t*n) + 1 = n + 1 (the whole array is
     # the prefix; there is no (n+1)-th element to index)
@@ -292,26 +311,95 @@ def ngram_jaccard_pairs(
             & suffix_ok,
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on candidates: set intersection of the full hash sets.
-    # ord_h carries the SAME distinct hash set as sh (just rare-first
-    # ordered — array_intersect is order-blind), so reusing it avoids a
-    # third shingle scan.
+    return cand
+
+
+def _verify_candidates(ordered: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact verify: set intersection of the full hash sets for candidate
+    pairs only. Computes BOTH similarity measures off the one
+    ``array_intersect`` (containment is one extra ``least`` + division, and
+    unused measure columns prune away), so any mix of candidate
+    generators shares a single verify pass. ``ord_h`` carries the SAME
+    distinct hash set as the raw shingles (just rare-first ordered —
+    array_intersect is order-blind), so verifying against it avoids
+    another shingle scan."""
     full = ordered.select("id", F.col("ord_h").alias("_hs"))
-    verified = (
-        cand.join(full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")), "id_a")
-        .join(full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")), "id_b")
+    return (
+        cand.join(
+            full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")),
+            "id_b",
+        )
         .withColumn("n_common", F.size(F.array_intersect("_ha", "_hb")))
         .withColumn(
             "jaccard",
             F.col("n_common")
-            / (F.size("_ha") + F.size("_hb") - F.col("n_common")).cast("double"),
+            / (F.size("_ha") + F.size("_hb") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common")
+            / F.least(F.size("_ha"), F.size("_hb")).cast("double"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+
+
+def ngram_similarity_pairs(
+    docs: DataFrame,
+    jaccard_t: float,
+    containment_t: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+    _ordered: DataFrame | None = None,
+) -> DataFrame:
+    """BOTH exact near-dup measures from ONE candidate-union + ONE verify
+    pass: (id_a, id_b, jaccard, containment) for every pair with
+    Jaccard >= jaccard_t OR containment >= containment_t.
+
+    Equivalent to ``ngram_jaccard_pairs(jaccard_t)`` full-outer-merged
+    with ``ngram_containment_pairs(containment_t)`` — each generator's
+    candidate set is exact for its own measure, so filtering the union by
+    either threshold reproduces that measure's pair set exactly — but the
+    dedupe exchange and the two verify joins run ONCE instead of twice
+    (the round-9 sharing for the dedup_ngram_jaccard lane, which needs
+    jaccard rows, containment rows, and the J-or-C edge graph).
+    """
+    if not 0.0 < containment_t <= 1.0:
+        raise ValueError(
+            f"containment_t must be in (0, 1], got {containment_t}"
+        )
+    from kinesiscat_spark.io_tables import spread
+
+    if _ordered is not None:
+        ordered = _ordered
+    else:
+        sh = spread(docs, id_col).select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), n).alias("sh"),
+        )
+        ordered = _ordered_shingles(sh)
+    cand = (
+        _jaccard_prefix_candidates(ordered, jaccard_t, max_shingle_df)
+        .unionByName(
+            _containment_prefix_candidates(
+                ordered, containment_t, max_shingle_df
+            )
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    verified = _verify_candidates(ordered, cand)
+    return verified.filter(
+        (F.col("jaccard") >= jaccard_t)
+        | (F.col("containment") >= containment_t)
+    ).select("id_a", "id_b", "jaccard", "containment")
 
 
 def ngram_containment_pairs(
@@ -439,6 +527,23 @@ def _containment_prefix_plan(
     tests/test_dedup.py."""
     if ordered is None:
         ordered = _ordered_shingles(sh)
+    cand = _containment_prefix_candidates(
+        ordered, threshold, max_shingle_df
+    ).dropDuplicates(["id_a", "id_b"])
+    verified = _verify_candidates(ordered, cand)
+    return verified.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment", "jaccard"
+    )
+
+
+def _containment_prefix_candidates(
+    ordered: DataFrame, threshold: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """One-sided prefix candidate generation for containment >= threshold
+    (see ``ngram_containment_pairs``): the smaller side's rare-first
+    prefix ⋈ the full inverted index. Returns raw (id_a, id_b) match
+    rows — one per index hit, NOT deduplicated — so callers can union
+    several candidate generators and pay ONE dedupe exchange."""
     n_sh = F.size("ord_h")
     # prefix bound with the doc's OWN size (it only matters when the doc
     # is the smaller side): |d| − ⌈t·|d|⌉ + 1, clamped at t = 0
@@ -465,45 +570,14 @@ def _containment_prefix_plan(
         n_sh.alias("_fn"),
         F.explode("ord_h").alias("h"),
     )
-    cand = (
-        prefix.join(
-            fi,
-            (prefix["h"] == fi["h"])
-            & (prefix["id"] != fi["_fid"])
-            & (prefix["n_sh"] <= fi["_fn"]),
-        )
-        .select(
-            F.least(prefix["id"], fi["_fid"]).alias("id_a"),
-            F.greatest(prefix["id"], fi["_fid"]).alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    full = ordered.select("id", F.col("ord_h").alias("_hs"))
-    verified = (
-        cand.join(
-            full.select(F.col("id").alias("id_a"), F.col("_hs").alias("_ha")),
-            "id_a",
-        )
-        .join(
-            full.select(F.col("id").alias("id_b"), F.col("_hs").alias("_hb")),
-            "id_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("_ha", "_hb")))
-        .withColumn(
-            "containment",
-            F.col("n_common")
-            / F.least(F.size("_ha"), F.size("_hb")).cast("double"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.size("_ha") + F.size("_hb") - F.col("n_common")).cast(
-                "double"
-            ),
-        )
-    )
-    return verified.filter(F.col("containment") >= threshold).select(
-        "id_a", "id_b", "containment", "jaccard"
+    return prefix.join(
+        fi,
+        (prefix["h"] == fi["h"])
+        & (prefix["id"] != fi["_fid"])
+        & (prefix["n_sh"] <= fi["_fn"]),
+    ).select(
+        F.least(prefix["id"], fi["_fid"]).alias("id_a"),
+        F.greatest(prefix["id"], fi["_fid"]).alias("id_b"),
     )
 
 

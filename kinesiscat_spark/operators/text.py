@@ -965,8 +965,13 @@ def score_documents_kn(
     small = model.n_types <= broadcast_rows
     if small:
         bi, ctx, back = F.broadcast(bi), F.broadcast(ctx), F.broadcast(back)
-    pc = (F.coalesce("n1b", F.lit(0.0)) + F.lit(model.k)) / F.lit(
-        model.n_types + model.k * model.v
+    # try_divide: identical for any non-empty model; an EMPTY training
+    # corpus (n_types = v = 0) yields NULL scores instead of an ANSI
+    # DIVIDE_BY_ZERO (the per-column digest observation keeps this
+    # column un-prunable even under count())
+    pc = F.try_divide(
+        F.coalesce("n1b", F.lit(0.0)) + F.lit(model.k),
+        F.lit(model.n_types + model.k * model.v),
     )
     seen = (
         F.greatest(F.coalesce("c", F.lit(0.0)) - F.lit(model.d), F.lit(0.0))

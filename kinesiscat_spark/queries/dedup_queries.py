@@ -19,8 +19,6 @@ from kinesiscat_spark.operators.dedup import (
     MOD48,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
-    ngram_containment_pairs,
-    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from kinesiscat_spark.registry import query
@@ -250,15 +248,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
     )
     ordered = _ordered_shingles(sh)
-    # Both pair frames materialize ONCE (lazy localCheckpoint): three
-    # consumers (the jaccard rows, the containment rows, and the rank
-    # branch's edge union, which pagerank re-reads across iterations)
-    # would otherwise re-run the candidate join per consumer — the
+    # ONE candidate-union + ONE verify pass computes BOTH measures
+    # (operators/dedup.py ngram_similarity_pairs — round 9: the two
+    # per-measure verifies and dedupe exchanges are merged; each
+    # generator's candidate set is exact for its own measure, so
+    # filtering the union by either threshold reproduces that measure's
+    # pair set exactly). The merged frame materializes ONCE (lazy
+    # localCheckpoint) for its many consumers — jaccard rows,
+    # containment rows, the rank branch's edge graph (which pagerank
+    # re-reads across iterations), and the split/audit branches — the
     # PPJoin-in-codegen shape of the join itself is pinned at the
     # OPERATOR level in test_plan_shape.py.
-    jp = ngram_jaccard_pairs(
-        docs, threshold=JACCARD_T, n=3, _ordered=ordered
+    from kinesiscat_spark.operators.dedup import ngram_similarity_pairs
+
+    merged = ngram_similarity_pairs(
+        docs, JACCARD_T, CONTAINMENT_T, n=3, _ordered=ordered
     ).localCheckpoint(eager=False)
+    jp = merged.filter(F.col("jaccard") >= JACCARD_T)
     jac = jp.select(
         F.lit("jaccard").alias("kind"),
         "id_a",
@@ -266,9 +272,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"),
         F.lit(None).cast("double").alias("containment"),
     )
-    cp = ngram_containment_pairs(
-        docs, threshold=CONTAINMENT_T, n=3, _ordered=ordered
-    ).localCheckpoint(eager=False)
+    cp = merged.filter(F.col("containment") >= CONTAINMENT_T)
     cont = cp.select(
         F.lit("containment").alias("kind"),
         "id_a",
@@ -286,11 +290,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four unrolled iterations.
     from kinesiscat_spark.operators.clusters import pagerank
 
-    edges = (
-        jp.select("id_a", "id_b", "jaccard")
-        .unionByName(cp.select("id_a", "id_b", "jaccard"))
-        .distinct()
-    )
+    # merged holds each qualifying pair exactly once (J >= t OR C >= t'),
+    # so the edge graph is a plain projection — no union, no distinct
+    # exchange (round 9; was jp ∪ cp + distinct)
+    edges = merged.select("id_a", "id_b", "jaccard")
     rank = pagerank(
         edges, damping=PR_DAMPING, n_iters=PR_ITERS, weight_col="jaccard"
     ).select(
@@ -316,11 +319,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    # one materialization serves the components run and both straddle
-    # joins (the jp/cp checkpoint precedent); ~pair-count rows only
-    pairs_audit = (
-        edges.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
-    )
+    # merged is already checkpointed and unique per pair: the components
+    # run and both straddle joins read the same materialization — the
+    # former distinct + second checkpoint are gone (round 9)
+    pairs_audit = merged.select("id_a", "id_b")
     labels = connected_components(pairs_audit)
     lsplit = cluster_safe_split(
         docs.select("doc_id"), pairs_audit, _LS_W, salt=_LS_SALT,

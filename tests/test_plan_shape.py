@@ -515,6 +515,8 @@ def test_no_forced_broadcast_of_per_document_frames():
         "operators/sampling.py": {"m_r", "m_t", "g", "z"},
         # "n1" = inter_event_gap_percentiles' 1-row total-gap count.
         "operators/funnel.py": {"n1"},
+        # "total" = token_length_quantiles' 1-row histogram-mass count.
+        "operators/packing.py": {"total"},
         # "back" = the Kneser-Ney continuation fan-in table — vocab-sized,
         # same boundedness (and the same size switch) as "ctx"/"bi".
         # "total" = rm3_terms' 1-row feedback score sum; "model" also
