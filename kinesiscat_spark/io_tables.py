@@ -121,14 +121,27 @@ def content_key(df: DataFrame, cols: list[str], tag: str, **params) -> str:
     aggregate over ``df``. Callers MUST pass every parameter that
     changes the derived artifact — an omitted one serves a stale
     artifact for the new parameterization."""
+    digest = params.pop("_digest", None)
+    if digest is None:
+        digest = content_digest(df, cols)
+    suffix = "|".join(f"{k}={params[k]}" for k in sorted(params))
+    return f"{tag}|{digest}" + (f"|{suffix}" if suffix else "")
+
+
+def content_digest(df: DataFrame, cols: list[str]) -> str:
+    """The raw ``d|s|n`` content triple behind :func:`content_key` — ONE
+    aggregate over ``df``. Callers deriving SEVERAL artifact keys from
+    the SAME rows+columns (e.g. the bigram and Kneser-Ney LM artifacts of
+    the quality lane, round 9) compute this once and pass it to each
+    ``content_key(..., _digest=...)`` call, so the per-key aggregate job
+    is not repeated per artifact."""
     hashes = f"xxhash64({', '.join(cols)})"
     [r] = df.agg(
         F.expr(f"bit_xor({hashes})").alias("d"),
         F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("s"),
         F.count("*").alias("n"),
     ).collect()
-    suffix = "|".join(f"{k}={params[k]}" for k in sorted(params))
-    return f"{tag}|{r.d}|{r.s}|{r.n}" + (f"|{suffix}" if suffix else "")
+    return f"{r.d}|{r.s}|{r.n}"
 
 
 # keyed by id(session); each entry carries a weakref to the session so

@@ -99,6 +99,35 @@ def save_bigram(spark: SparkSession, model, path: str) -> None:
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def save_kn(spark: SparkSession, model, path: str) -> None:
+    """Write a KNModel: the (w1, w2, c) pair counts, the (w1, c1, n1f)
+    context table, the (w2, n1b) continuation fan-ins, and a one-row meta
+    table (n_types, v, d, k) — the scalars the closed-form probability
+    needs, so loading never re-runs the training counts."""
+    model.pairs.repartition(1).write.mode("overwrite").parquet(f"{path}/pairs")
+    model.ctx.repartition(1).write.mode("overwrite").parquet(f"{path}/ctx")
+    model.back.repartition(1).write.mode("overwrite").parquet(f"{path}/back")
+    spark.createDataFrame(
+        [(float(model.n_types), float(model.v), float(model.d), float(model.k))],
+        "n_types double, v double, d double, k double",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_kn(spark: SparkSession, path: str):
+    from kinesiscat_spark.operators.text import KNModel
+
+    [meta] = spark.read.parquet(f"{path}/meta").collect()
+    return KNModel(
+        spark.read.parquet(f"{path}/pairs"),
+        spark.read.parquet(f"{path}/ctx"),
+        spark.read.parquet(f"{path}/back"),
+        meta.n_types,
+        meta.v,
+        meta.d,
+        meta.k,
+    )
+
+
 def load_bigram(spark: SparkSession, path: str):
     from kinesiscat_spark.operators.text import BigramModel
 

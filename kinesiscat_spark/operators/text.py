@@ -1005,6 +1005,129 @@ def score_documents_kn(
     )
 
 
+def score_documents_bigram_kn(
+    docs,
+    bmodel: BigramModel,
+    kmodel: KNModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_rows: int = 10_000_000,
+):
+    """(id, n_tokens, avg_logp2, avg_logp_kn): BOTH the interpolated
+    add-k bigram fold and the interpolated Kneser-Ney fold from ONE
+    positions explode and ONE per-doc aggregate (round 9 — guide §2.4
+    "two operations keyed the same way share one exchange"). The two
+    scorers read the identical (id, i, w1, w2) positions frame, so
+    running them separately pays the tokenize+explode scan and the
+    groupBy(id) exchange twice for byte-identical inputs.
+
+    Per-row log-probabilities are the exact expressions of
+    ``score_documents_bigram`` and ``score_documents_kn`` (their model
+    joins are all 1:1 left joins on distinct keys, so the join order
+    cannot change multiplicities), and each fold sorts its OWN value
+    list before summing — bit-identical to the separate scorers
+    (differential-pinned in tests/test_text_ops.py)."""
+    from pyspark.sql import functions as F
+
+    from kinesiscat_spark.operators.dedup import tokens
+
+    lam = bmodel.lam
+    uni = bmodel.unigram
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    pos = (
+        toks.select(id_col, "t", F.posexplode("t").alias("i", "w2"))
+        .withColumn(
+            "w1", F.when(F.col("i") > 0, F.element_at(F.col("t"), F.col("i")))
+        )
+        .drop("t")
+    )
+    bi = bmodel.df.select(
+        F.col("w1").alias("_bw1"), F.col("w2").alias("_bw2"), "p_bi"
+    )
+    ctx = bmodel.ctx.select(F.col("w1").alias("_cw1"), "c1")
+    un = uni.df.select(F.col("w").alias("_uw"), F.exp("logp").alias("p_uni"))
+    n_bi = bmodel.n_bi if bmodel.n_bi is not None else float(bmodel.df.count())
+    if n_bi <= broadcast_rows:
+        bi, ctx, un = F.broadcast(bi), F.broadcast(ctx), F.broadcast(un)
+    kbi = kmodel.pairs.select(
+        F.col("w1").alias("_kw1"), F.col("w2").alias("_kw2"),
+        F.col("c").alias("_kc"),
+    )
+    kctx = kmodel.ctx.select(
+        F.col("w1").alias("_kcw"), F.col("c1").alias("_kc1"),
+        F.col("n1f").alias("_kn1f"),
+    )
+    kback = kmodel.back.select(
+        F.col("w2").alias("_kbw"), F.col("n1b").alias("_kn1b")
+    )
+    if kmodel.n_types <= broadcast_rows:
+        kbi, kctx, kback = (
+            F.broadcast(kbi), F.broadcast(kctx), F.broadcast(kback)
+        )
+    backoff = F.lit(bmodel.k) / (
+        F.coalesce("c1", F.lit(0)) + F.lit(bmodel.k * bmodel.v)
+    )
+    pc = F.try_divide(
+        F.coalesce("_kn1b", F.lit(0.0)) + F.lit(kmodel.k),
+        F.lit(kmodel.n_types + kmodel.k * kmodel.v),
+    )
+    seen = (
+        F.greatest(F.coalesce("_kc", F.lit(0.0)) - F.lit(kmodel.d), F.lit(0.0))
+        / F.col("_kc1")
+        + F.lit(kmodel.d) * F.col("_kn1f") / F.col("_kc1") * pc
+    )
+    pk = F.when((F.col("i") == 0) | F.col("_kc1").isNull(), pc).otherwise(seen)
+    joined = (
+        pos.join(
+            bi,
+            (pos["w1"] == bi["_bw1"]) & (pos["w2"] == bi["_bw2"]),
+            "left",
+        )
+        .join(ctx, pos["w1"] == ctx["_cw1"], "left")
+        .join(un, pos["w2"] == un["_uw"], "left")
+        .join(
+            kbi,
+            (pos["w1"] == kbi["_kw1"]) & (pos["w2"] == kbi["_kw2"]),
+            "left",
+        )
+        .join(kctx, pos["w1"] == kctx["_kcw"], "left")
+        .join(kback, pos["w2"] == kback["_kbw"], "left")
+        .select(
+            id_col,
+            "i",
+            F.coalesce("p_uni", F.lit(math.exp(uni.oov_logp))).alias("_pu"),
+            F.coalesce("p_bi", backoff).alias("_pb"),
+            F.log(pk).alias("_lpk"),
+        )
+    )
+    lpb = F.when(
+        F.col("i") == 0, F.log(F.col("_pu"))
+    ).otherwise(F.log(F.lit(lam) * F.col("_pb") + F.lit(1.0 - lam) * F.col("_pu")))
+    return (
+        joined.select(id_col, lpb.alias("_lpb"), "_lpk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("_lpb")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*")
+            ).alias("avg_logp2"),
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("_lpk")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*")
+            ).alias("avg_logp_kn"),
+        )
+    )
+
+
 def class_tfidf(
     docs: DataFrame,
     group_col: str = "source",

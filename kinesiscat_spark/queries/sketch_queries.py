@@ -426,13 +426,28 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count-derived kind (r8, VERDICT r7 task 3c): HLL registers over
     # DISTINCT grams are bit-identical to the full stream's (duplicate
     # insensitivity), and the exact-distinct / distinct-n scalars are
-    # count-table aggregates. Because all consumers now share the SAME
-    # aggregate subtree, ReuseExchange computes the groupBy once inside
-    # the lane's single action — measured faster than an explicit
-    # localCheckpoint, which blocks pipelining for a 10³-row table.
+    # count-table aggregates. Round 9 (guide §2.4): that subtree is now
+    # DERIVED from the even/odd-half aggregate ``g2`` below — per-gram
+    # count = _ce + _co exactly (every occurrence is in exactly one
+    # half, integer addition), so the former second full-corpus
+    # explode+groupBy(gram) exchange is gone and ReuseExchange serves
+    # all nine count-derived consumers from ONE exchange.
     # `heavy` keeps its own two-pass raw stream deliberately: the CMS
     # prefilter over raw occurrences IS the demonstrated scale path.
-    gcounts = grams.groupBy("gram").agg(F.count("*").alias("_c"))
+    g2 = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("even"),
+            F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(
+            F.sum(F.col("even").cast("long")).alias("_ce"),
+            F.sum((~F.col("even")).cast("long")).alias("_co"),
+        )
+    )
+    gcounts = g2.select(
+        "gram", (F.col("_ce") + F.col("_co")).alias("_c")
+    )
     null_est = F.lit(None).cast("double")
     heavy = heavy_hitters(grams, "gram", min_count=_HH_MIN).select(
         F.lit("heavy").alias("kind"), "gram", "cnt", null_est.alias("est")
@@ -502,26 +517,15 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_merge,
     )
 
-    # ONE explode + ONE shared (gram, even-count, odd-count) aggregate
-    # subtree serves the entire even/odd family (was six separately
-    # shaped corpus explodes): HLL registers from each half's DISTINCT
-    # grams are bit-identical to the raw stream's (duplicate
+    # The shared (gram, even-count, odd-count) aggregate ``g2`` (defined
+    # above, where the full-corpus count table is derived from it) also
+    # serves the entire even/odd family: HLL registers from each half's
+    # DISTINCT grams are bit-identical to the raw stream's (duplicate
     # insensitivity), the CMS sketches rebuild from per-half counts via
     # cms_build's pre-aggregated `weight` path (identical slot sums),
     # and the exact intersection / inner product are direct aggregates
-    # of the count table. All six consumers share one exchange
+    # of the count table. All consumers share one exchange
     # (ReuseExchange) inside the lane's single action.
-    g2 = (
-        docs.select(
-            (F.col("doc_id") % 2 == 0).alias("even"),
-            F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram"),
-        )
-        .groupBy("gram")
-        .agg(
-            F.sum(F.col("even").cast("long")).alias("_ce"),
-            F.sum((~F.col("even")).cast("long")).alias("_co"),
-        )
-    )
     ha = hll_build(g2.filter("_ce > 0"), "gram", p=_HLL_P, method="md5")
     hb = hll_build(g2.filter("_co > 0"), "gram", p=_HLL_P, method="md5")
     both_exact = (

@@ -280,21 +280,50 @@ def text_bigram_lm(
     )
 
 
-def _bigram_artifact_dir(spark, train, _model=None) -> str:
+def _bigram_artifact_dir(spark, train, _model=None, _digest=None) -> str:
     """The ONE content-keyed on-disk home of the interpolated bigram LM
     (k=0.5, lam=0.7) trained on ``train`` — shared by the scored fold,
     the persisted fold, and the composed quality lane, so the digest
-    aggregation and the training each run once per distinct content."""
+    aggregation and the training each run once per distinct content.
+    ``_digest`` lets a caller that derives several LM artifacts from the
+    same rows (the quality lane's bigram + KN pair) share one digest
+    aggregate."""
     from kinesiscat_spark.io_tables import cached_fixture_dir, content_key
     from kinesiscat_spark.operators.model_store import save_bigram
     from kinesiscat_spark.operators.text import bigram_model
 
-    key = content_key(train, ["doc_id", "text"], "bigram_v1", k=0.5, lam=0.7)
+    key = content_key(
+        train, ["doc_id", "text"], "bigram_v1", k=0.5, lam=0.7,
+        _digest=_digest,
+    )
     return cached_fixture_dir(
         key,
         "kc_bigram_store_",
         lambda stage: save_bigram(
             spark, _model or bigram_model(train, k=0.5, lam=0.7), stage
+        ),
+    )
+
+
+def _kn_artifact_dir(spark, train, _digest=None) -> str:
+    """Content-keyed on-disk home of the interpolated Kneser-Ney LM
+    (d=0.75, k=0.5) trained on ``train`` (round 9 — the blessed r8
+    persisted-model pattern extended to the KN family): training, its
+    two scalar count jobs, and the save run once per distinct corpus
+    content; every later call scores through the loaded kilobyte
+    tables."""
+    from kinesiscat_spark.io_tables import cached_fixture_dir, content_key
+    from kinesiscat_spark.operators.model_store import save_kn
+    from kinesiscat_spark.operators.text import kneser_ney_model
+
+    key = content_key(
+        train, ["doc_id", "text"], "kn_v1", d=0.75, k=0.5, _digest=_digest
+    )
+    return cached_fixture_dir(
+        key,
+        "kc_kn_store_",
+        lambda stage: save_kn(
+            spark, kneser_ney_model(train, d=0.75, k=0.5), stage
         ),
     )
 
@@ -427,28 +456,41 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact serves both folds.
     from kinesiscat_spark.operators.model_store import load_bigram
 
-    _bi_path = _bigram_artifact_dir(
-        spark,
-        load_table(spark, sf_dir, "documents")
-        .withColumn("text", F.lower("text"))
-        .filter(F.col("lang") == "en"),
+    docs_l = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.lower("text")
     )
+    train = docs_l.filter(F.col("lang") == "en")
+    # one digest aggregate keys BOTH LM artifacts (same rows+columns)
+    from kinesiscat_spark.io_tables import content_digest
+
+    _dg = content_digest(train, ["doc_id", "text"])
+    _bi_path = _bigram_artifact_dir(spark, train, _digest=_dg)
     bi_model = load_bigram(spark, _bi_path)
+    # Round 9 (guide §2.4): ONE positions explode + ONE per-doc aggregate
+    # serves the scored fold, the persisted fold AND the Kneser-Ney fold.
+    # Both bigram folds already scored through the SAME loaded artifact
+    # (`bi_model` twice), so the second scoring pass recomputed identical
+    # values under a different column name — now one pass feeds both
+    # columns (the standalone text_bigram_lm_persisted keeps the full
+    # save→load→score proof). The KN scorer reads the identical
+    # (id, i, w1, w2) positions frame, so it fuses into the same explode
+    # and groupBy(doc_id) exchange (operators/text.py
+    # score_documents_bigram_kn, differential-pinned).
+    from kinesiscat_spark.operators.model_store import load_kn
+    from kinesiscat_spark.operators.text import score_documents_bigram_kn
+
+    kn_model = load_kn(spark, _kn_artifact_dir(spark, train, _digest=_dg))
+    fused = score_documents_bigram_kn(docs_l, bi_model, kn_model)
     out = out.join(
-        text_bigram_lm(spark, sf_dir, _model=bi_model), "doc_id", "left"
-    )
-    # round 7: the same scores through a persisted+reloaded LM artifact —
-    # the oracle replays the identical math, so a hash match proves the
-    # model_store save→load→score path (see text_bigram_lm_persisted)
-    out = out.join(
-        text_bigram_lm_persisted(
-            spark, sf_dir, _model=bi_model, _store_path=_bi_path
+        fused.select(
+            "doc_id",
+            F.round("avg_logp2", 6).alias("avg_logp2"),
+            F.round("avg_logp2", 6).alias("avg_logp2_persisted"),
+            F.round("avg_logp_kn", 6).alias("avg_logp_kn"),
         ),
         "doc_id",
         "left",
     )
-    # round-7 continuation: interpolated Kneser-Ney (see text_kn_lm)
-    out = out.join(text_kn_lm(spark, sf_dir), "doc_id", "left")
     # per-COLUMN digests into DEBUG_text_quality_score.jsonl (VERDICT r8
     # task 7): this lane is a wide per-doc join of five LM families, so a
     # future driver hash red names the divergent column, not the frame

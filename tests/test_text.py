@@ -824,3 +824,73 @@ def test_rm3_degrades_to_query_model_without_feedback(spark):
     assert [(r.term, r.weight, r.is_original) for r in rows] == [
         ("zzz", 0.5, True)
     ]
+
+
+def test_fused_bigram_kn_scorer_matches_separate(spark):
+    """score_documents_bigram_kn (round 9 — one positions explode + one
+    per-doc aggregate for both LM folds) is bit-exact against running
+    score_documents_bigram and score_documents_kn separately, including
+    OOV tokens, unseen contexts, and single-token documents."""
+    from kinesiscat_spark.operators.text import (
+        bigram_model,
+        kneser_ney_model,
+        score_documents_bigram,
+        score_documents_bigram_kn,
+        score_documents_kn,
+    )
+
+    train_texts = ["the cat sat", "the cat ran", "dogs bark loud"]
+    train = spark.createDataFrame(
+        list(enumerate(train_texts)), ["doc_id", "text"]
+    )
+    score_texts = {
+        10: "the cat sat",
+        11: "cat bark the",
+        12: "zeb qux the cat",
+        13: "solo",
+    }
+    score = spark.createDataFrame(
+        [(d, t) for d, t in score_texts.items()], ["doc_id", "text"]
+    )
+    bm = bigram_model(train, k=0.5, lam=0.7)
+    km = kneser_ney_model(train, d=0.75, k=0.5)
+    fused = {
+        r.doc_id: r for r in score_documents_bigram_kn(score, bm, km).collect()
+    }
+    sep_b = {
+        r.doc_id: r for r in score_documents_bigram(score, bm).collect()
+    }
+    sep_k = {r.doc_id: r for r in score_documents_kn(score, km).collect()}
+    assert set(fused) == set(score_texts)
+    for d in score_texts:
+        assert fused[d].n_tokens == sep_b[d].n_tokens
+        assert fused[d].avg_logp2 == sep_b[d].avg_logp2, d
+        assert fused[d].avg_logp_kn == sep_k[d].avg_logp_kn, d
+
+
+def test_kn_model_store_roundtrip(spark, tmp_path):
+    """save_kn → load_kn reproduces identical KN scores (the round-9
+    content-keyed KN artifact behind the quality lane)."""
+    from kinesiscat_spark.operators.model_store import load_kn, save_kn
+    from kinesiscat_spark.operators.text import (
+        kneser_ney_model,
+        score_documents_kn,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "dogs bark loud")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zeb the cat")], ["doc_id", "text"]
+    )
+    km = kneser_ney_model(train, d=0.75, k=0.5)
+    save_kn(spark, km, str(tmp_path / "kn"))
+    loaded = load_kn(spark, str(tmp_path / "kn"))
+    assert loaded.n_types == km.n_types and loaded.v == km.v
+    assert loaded.d == km.d and loaded.k == km.k
+    want = {r.doc_id: r.avg_logp_kn
+            for r in score_documents_kn(docs, km).collect()}
+    got = {r.doc_id: r.avg_logp_kn
+           for r in score_documents_kn(docs, loaded).collect()}
+    assert got == want
