@@ -711,6 +711,7 @@ def vocab_coverage(
     targets: "tuple[float, ...]" = (0.5, 0.9, 0.99),
     id_col: str = "doc_id",
     text_col: str = "text",
+    _counts=None,
 ):
     """Tokenizer-prep vocabulary sizing: for each coverage target t, the
     SMALLEST vocabulary (most-frequent words first, ties broken
@@ -735,7 +736,13 @@ def vocab_coverage(
 
     if not targets or not all(0.0 < t <= 1.0 for t in targets):
         raise ValueError(f"targets must be in (0, 1], got {targets}")
-    counts = (
+    # ``_counts``: a precomputed (w, c) exact word-count table over the
+    # SAME ``tokens(text_col)`` stream (round 9, guide §2.4) — callers
+    # running several vocab-table consumers in one action (the
+    # text_heavy_ngrams lane) derive it once from a shared aggregate so
+    # the corpus explode+shuffle is paid once, not per consumer. Counts
+    # are exact integers either way, so the output is bit-identical.
+    counts = _counts if _counts is not None else (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -775,6 +782,7 @@ def zipf_fit(
     docs: DataFrame,
     top_n: int = 512,
     text_col: str = "text",
+    _counts: "DataFrame | None" = None,
 ) -> DataFrame:
     """Zipf-law fit over the corpus token-frequency curve: least-squares
     slope/intercept of ln(frequency) on ln(rank) across the ``top_n``
@@ -798,7 +806,10 @@ def zipf_fit(
 
     if top_n < 2:
         raise ValueError(f"top_n must be >= 2 (got {top_n})")
-    counts = (
+    # ``_counts``: same contract as vocab_coverage — a precomputed exact
+    # (w, c) table over ``tokens(text_col)`` shares one corpus explode
+    # across consumers (round 9, guide §2.4); bit-identical output.
+    counts = _counts if _counts is not None else (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -1133,6 +1144,7 @@ def class_tfidf(
     group_col: str = "source",
     top_k: int = 3,
     text_col: str = "text",
+    _ct: "DataFrame | None" = None,
 ) -> DataFrame:
     """Class-based TF-IDF (c-TF-IDF, Grootendorst 2022 — the BERTopic
     class-representation formula): treat each document group as ONE
@@ -1163,7 +1175,11 @@ def class_tfidf(
 
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1 (got {top_k})")
-    ct = (
+    # ``_ct``: a precomputed (grp, t, c) exact per-class term-count table
+    # over the same ``tokens(text_col)`` stream (round 9, guide §2.4) —
+    # lets a multi-consumer lane share the one corpus explode; exact
+    # integer counts, so the output is bit-identical.
+    ct = _ct if _ct is not None else (
         docs.select(
             F.col(group_col).alias("grp"),
             F.explode(tokens(F.col(text_col))).alias("t"),
@@ -1208,6 +1224,7 @@ def pmi_collocations(
     min_count: int = 5,
     top_k: int = 10,
     text_col: str = "text",
+    _pairs_all: "DataFrame | None" = None,
 ) -> DataFrame:
     """Pointwise-mutual-information collocations (Church & Hanks 1990):
     adjacent word pairs whose co-occurrence beats chance,
@@ -1248,14 +1265,24 @@ def pmi_collocations(
     uni = (
         w.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     )
-    g = docs.select(
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
-    )
-    pairs_all = (
-        g.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    # ``_pairs_all``: a precomputed exact (gram, cnt) bigram count table
+    # over the same ``word_ngrams(text_col, 2)`` stream (round 9, guide
+    # §2.4) — the text_heavy_ngrams lane derives it from its shared
+    # even/odd-half aggregate so the corpus bigram explode+shuffle is
+    # paid once for all consumers; exact integer counts either way. The
+    # caller owns materialization (no second checkpoint of a frame the
+    # lane already shares).
+    if _pairs_all is not None:
+        pairs_all = _pairs_all
+    else:
+        g = docs.select(
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
+        )
+        pairs_all = (
+            g.groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
     pairs = pairs_all.filter(F.col("cnt") >= min_count)
     totals = uni.agg(F.sum("c").alias("_n")).crossJoin(
         pairs_all.agg(F.sum("cnt").alias("_m"))

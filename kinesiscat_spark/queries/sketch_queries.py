@@ -387,12 +387,12 @@ _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
 def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family over word {n}-grams, three hash-checked kinds.
 
-    ``kind='heavy'``: frequent n-grams (boilerplate detection) via the
-    count-min scale path (operators/sketches.py; Cormode & Muthukrishnan
-    2005): one d·w-row sketch aggregation, broadcast probe in the scan
-    stage, exact count over the surviving occurrences only.  Output is
-    exactly the full GROUP BY/HAVING result (no-underestimate guarantee
-    + exact re-count).
+    ``kind='heavy'``: frequent n-grams (boilerplate detection) — exactly
+    the full GROUP BY/HAVING result, read from the lane's shared
+    per-gram count aggregate (round 9; the count-min prefilter path —
+    operators/sketches.py heavy_hitters, Cormode & Muthukrishnan 2005 —
+    remains the scale answer when no count table exists, and its sketch
+    machinery is exercised by ``kind='cms_dot'`` below).
 
     ``kind='hll_distinct'`` (round 6): HyperLogLog distinct-gram count
     (Flajolet et al. 2007; ``hll_distinct(method='md5')``) — ONE
@@ -416,12 +416,9 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is (n_sources x 64) minima.
     """
     from kinesiscat_spark.operators.curation import word_ngrams
-    from kinesiscat_spark.operators.sketches import heavy_hitters, hll_distinct
+    from kinesiscat_spark.operators.sketches import hll_distinct
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram")
-    )
     # ONE gram-count subtree feeds every duplicate-insensitive or
     # count-derived kind (r8, VERDICT r7 task 3c): HLL registers over
     # DISTINCT grams are bit-identical to the full stream's (duplicate
@@ -432,8 +429,6 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half, integer addition), so the former second full-corpus
     # explode+groupBy(gram) exchange is gone and ReuseExchange serves
     # all nine count-derived consumers from ONE exchange.
-    # `heavy` keeps its own two-pass raw stream deliberately: the CMS
-    # prefilter over raw occurrences IS the demonstrated scale path.
     g2 = (
         docs.select(
             (F.col("doc_id") % 2 == 0).alias("even"),
@@ -449,8 +444,19 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram", (F.col("_ce") + F.col("_co")).alias("_c")
     )
     null_est = F.lit(None).cast("double")
-    heavy = heavy_hitters(grams, "gram", min_count=_HH_MIN).select(
-        F.lit("heavy").alias("kind"), "gram", "cnt", null_est.alias("est")
+    # `heavy` reads the SAME gcounts table (round 9, guide §1.2/§2.4):
+    # heavy_hitters' contract is "EXACT output, identical to
+    # groupBy.count().filter" — and this lane already pays the full
+    # per-gram count aggregate for its nine other consumers, so the
+    # operator's CMS two-pass raw stream (still the right call when no
+    # count table exists — operators/sketches.py heavy_hitters, kept,
+    # tested, and demonstrated by kind='cms_dot' here) would re-explode
+    # the corpus twice for a result the shared exchange already holds.
+    heavy = gcounts.filter(F.col("_c") >= _HH_MIN).select(
+        F.lit("heavy").alias("kind"),
+        "gram",
+        F.col("_c").alias("cnt"),
+        null_est.alias("est"),
     )
     exact_d = gcounts.agg(F.count("*").alias("cnt")).select(
         F.lit("exact_distinct").alias("kind"),
@@ -469,11 +475,31 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coverage target over whitespace tokens; the rank window runs over
     # the VOCAB table, never corpus tokens. Target labels are f"{t:g}"
     # strings on both engines.
+    from kinesiscat_spark.operators.dedup import tokens
     from kinesiscat_spark.operators.text import vocab_coverage
 
+    # ONE lowercased-token explode serves the whole `tokens()` family
+    # (round 9, guide §2.4): the (source, term) count table is
+    # class_tfidf's own aggregate, and the global word-count table the
+    # vocab/zipf windows rank is its exact integer marginal
+    # (sum over sources) — so vocab, zipf and ctfidf share a single
+    # corpus scan+explode+exchange instead of paying one each.
+    ct = (
+        docs.select(
+            F.col("source").alias("grp"),
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = (
+        ct.groupBy("t")
+        .agg(F.sum("c").alias("c"))
+        .select(F.col("t").alias("w"), "c")
+    )
     lbl = F.array(*[F.lit(f"{t:g}") for t in _VOCAB_TARGETS])
     tgt = F.array(*[F.lit(float(t)) for t in _VOCAB_TARGETS])
-    vocab = vocab_coverage(docs, targets=_VOCAB_TARGETS).select(
+    vocab = vocab_coverage(docs, targets=_VOCAB_TARGETS, _counts=wc).select(
         F.lit("vocab").alias("kind"),
         F.element_at(
             lbl, (F.array_position(tgt, F.col("target"))).cast("int")
@@ -490,7 +516,7 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesiscat_spark.operators.dedup import corpus_minhash_similarity
     from kinesiscat_spark.operators.text import zipf_fit
 
-    zipf = zipf_fit(docs, top_n=_ZIPF_TOP).select(
+    zipf = zipf_fit(docs, top_n=_ZIPF_TOP, _counts=wc).select(
         F.lit("zipf").alias("kind"),
         F.col("stat").alias("gram"),
         F.col("n_points").alias("cnt"),
@@ -604,7 +630,9 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides cnt, score rides est.
     from kinesiscat_spark.operators.text import class_tfidf
 
-    ctfidf = class_tfidf(docs, group_col="source", top_k=_CTFIDF_TOPK).select(
+    ctfidf = class_tfidf(
+        docs, group_col="source", top_k=_CTFIDF_TOPK, _ct=ct
+    ).select(
         F.lit("ctfidf").alias("kind"),
         F.concat_ws("|", "group", "term").alias("gram"),
         F.col("rank").alias("cnt"),
@@ -615,7 +643,15 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream as the heavy bigrams, distributed top-k via orderBy+limit.
     from kinesiscat_spark.operators.text import pmi_collocations
 
-    pmi = pmi_collocations(docs, min_count=_PMI_MIN, top_k=_PMI_TOPK).select(
+    # PMI's bigram table IS gcounts (same word_ngrams(text, 2) stream) —
+    # derived from the shared g2 exchange instead of a third bigram
+    # explode (round 9, guide §2.4)
+    pmi = pmi_collocations(
+        docs,
+        min_count=_PMI_MIN,
+        top_k=_PMI_TOPK,
+        _pairs_all=gcounts.select("gram", F.col("_c").alias("cnt")),
+    ).select(
         F.lit("pmi").alias("kind"),
         F.col("gram"),
         F.col("cnt"),
