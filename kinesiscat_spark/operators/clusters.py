@@ -34,13 +34,63 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 20,
     check_every: int = 3,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id is
     the smallest id reachable through the pair graph.
 
     Deterministic (min-id labels), oracle-checkable for small graphs, and
     scale-shaped: per round the exchanges carry (id, label) pairs only.
+
+    Adaptive small-graph path (round 9, guide §1.2): near-dup pair graphs
+    are PAIR-bounded (edges ≪ documents — the detector's thresholds keep
+    them sparse), so when at most ``small_graph_edges`` numeric-id edges
+    exist they are collected once and labeled with a driver-side
+    union-find — one bounded action instead of a convergence loop whose
+    every batch is a driver-blocking multi-join job. The labels are
+    IDENTICAL (min reachable id is a property of the graph, not the
+    algorithm). Graphs over the threshold (or with non-numeric ids,
+    where JVM/Python orderings could differ) take the distributed loop
+    unchanged; ``small_graph_edges=0`` disables the fast path.
     """
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema[id_a].dataType
+    if small_graph_edges and isinstance(id_type, T.NumericType):
+        rows = (
+            pairs.select(id_a, id_b).limit(small_graph_edges + 1).collect()
+        )
+        if len(rows) <= small_graph_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id: the smaller root stays root, so
+                    # every component's final root IS its min id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = [(x, find(x)) for x in parent]
+            schema = T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("cluster_id", id_type),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(out, schema)
     # The edge list is reused every round: materialize it ONCE (already
     # hash-partitioned on the join side v), instead of re-running the
     # union+distinct scan per iteration as lazy lineage would. LAZY

@@ -66,17 +66,57 @@ def test_connected_components_warns_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
     )
+    # small_graph_edges=0 pins the distributed loop: the round-9 driver
+    # union-find fast path always converges, so the warning is a
+    # loop-only property
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(chain, max_iters=2).collect()
+        connected_components(chain, max_iters=2, small_graph_edges=0).collect()
     assert any("did not converge" in str(w.message) for w in caught)
     # enough iterations: no warning, one cluster
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        cc = connected_components(chain, max_iters=20)
+        cc = connected_components(chain, max_iters=20, small_graph_edges=0)
         labels = {r.cluster_id for r in cc.collect()}
     assert labels == {0}
     assert not any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The round-9 driver union-find fast path returns EXACTLY the
+    distributed loop's labels (min reachable id), including chains,
+    separate components, self-loops, and ids only ever seen on one
+    side."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 8), (5, 5), (11, 3), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    loop = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == loop
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (11, 1),
+        (8, 8), (9, 8), (5, 5), (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_threshold_falls_back(spark):
+    """A graph larger than small_graph_edges takes the distributed loop
+    (same labels)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs, small_graph_edges=3).collect()
+    }
+    assert got == {(i, 0) for i in range(11)}
 
 
 def test_keep_canonical_jaccard_matches_duckdb_closure(spark, duck):
