@@ -63,12 +63,22 @@ def build_ivf_index(
     standard index-build cost. Deterministic for a given corpus (seeded
     centroids, quantized Lloyd refinement — see ``ivf_centroids``).
     """
-    cents = ivf_centroids(corpus, n_cells, n_iters, id_col, vec)
+    from kinesiscat_spark.operators.similarity import (
+        _cents_relation,
+        _collect_cents,
+    )
+
+    # one centroid collect for the write AND the assign (round 9; see
+    # ivf_topk) — bit-identical doubles round-trip
+    cents_rows = _collect_cents(
+        ivf_centroids(corpus, n_cells, n_iters, id_col, vec)
+    )
+    cents = _cents_relation(corpus.sparkSession, cents_rows)
     cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     # Arrow corpus assign (round 6): bit-identical to the Column fold at
     # numpy constants; the READ path keeps the Column probe (queries are
     # tiny) so its plan stays EvalPython-free (test_plan_shape.py)
-    cells = ivf_assign_arrow(corpus, cents, id_col, vec)
+    cells = ivf_assign_arrow(corpus, cents, id_col, vec, _rows=cents_rows)
     codes = quantize_embeddings(corpus, id_col, vec).select(
         F.col(id_col), F.col("codes")
     )
@@ -110,8 +120,15 @@ def ivf_index_topk(
     query_id: str = "qid",
     vec: str = "embedding",
     id_col: str = "vec_id",
+    _cents: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k search against a persisted index.
+
+    ``_cents`` injects an already-materialized centroid frame (the
+    ``ivf_topk`` passthrough precedent) so a caller that probes the same
+    persisted index repeatedly — the steady state the lane measures —
+    skips the per-call centroids.parquet read; it must hold exactly the
+    rows that file holds.
 
     ``use_sq8=False``: exact cosine inside the probed cells (ivf_topk
     semantics). ``use_sq8=True``: int8 phase-1 rank on the stored codes,
@@ -124,10 +141,21 @@ def ivf_index_topk(
     longs per vector (m bytes in an int8 store), the FAISS "IVF,PQ"
     configuration that serves billion-vector deployments.
     """
-    cents = spark.read.parquet(f"{path}/centroids.parquet")
-    probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
-    # k-proportional metadata to the driver: the distinct probed cell ids
-    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    cents = (
+        _cents
+        if _cents is not None
+        else spark.read.parquet(f"{path}/centroids.parquet")
+    )
+    # k-proportional metadata to the driver: the (query, cell) probe rows.
+    # Collected ONCE (round 9) — the former plan recomputed the assign a
+    # second time inside the q-side join after the distinct-cells collect;
+    # a local relation of the same rows feeds both uses.
+    assign = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
+    probe_rows = assign.collect()
+    probes = spark.createDataFrame(probe_rows, assign.schema)
+    probe_cells = sorted(
+        {r[1] for r in probe_rows if r[1] is not None}
+    )
     indexed = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)
     )

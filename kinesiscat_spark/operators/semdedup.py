@@ -103,7 +103,17 @@ def semdedup(
     )
     emb = good
 
-    cents = ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
+    from kinesiscat_spark.operators.similarity import (
+        _cents_relation,
+        _collect_cents,
+    )
+
+    # one centroid collect for the assign kernel AND the broadcast
+    # re-join (round 9; see ivf_topk) — bit-identical
+    cents_rows = _collect_cents(
+        ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
+    )
+    cents = _cents_relation(emb.sparkSession, cents_rows)
     # Arrow assign kernel (round 6): the n·k interpreted-fold assign was
     # the 8×-probe bottleneck once n_cells grows with the corpus (the
     # paper's design point).  ivf_assign_arrow is BIT-IDENTICAL to the
@@ -116,7 +126,7 @@ def semdedup(
     # cutting the n·k fold to n·8. Differentially equal to 'exact' on
     # every test corpus; the dedup_semantic lane pins 'exact'.
     assign_fn = ivf_assign_arrow if assign == "exact" else ivf_assign_blas
-    assigned = assign_fn(emb, cents, id_col=id_col, vec=vec)
+    assigned = assign_fn(emb, cents, id_col=id_col, vec=vec, _rows=cents_rows)
     csim = cosine(F.col(vec), F.col("cvec"))
     order = F.asc("centroid_sim") if keep == "outlier" else F.desc("centroid_sim")
     ranked = (

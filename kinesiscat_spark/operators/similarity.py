@@ -354,12 +354,25 @@ def _lloyd_step(
     return new.select("cell", cvec.alias("cvec"))
 
 
+def _collect_cents(cents: DataFrame) -> list:
+    """The k (cell, cvec) rows in cell order — ONE bounded collect."""
+    return [
+        (r.cell, list(r.cvec) if r.cvec is not None else None)
+        for r in cents.orderBy("cell").collect()
+    ]
+
+
+def _cents_relation(spark, rows: list) -> DataFrame:
+    """Collected centroid rows → local relation (exact: doubles
+    round-trip bit-for-bit through collect/createDataFrame)."""
+    return spark.createDataFrame(rows, "cell long, cvec array<double>")
+
+
 def _materialize_cents(spark, cents: DataFrame) -> DataFrame:
     """k centroid rows → driver → local relation (see ivf_centroids:
     one corpus pass per Lloyd iteration instead of a re-evaluated chain).
     Exact: doubles round-trip bit-for-bit through collect/createDataFrame."""
-    rows = [(r.cell, list(r.cvec)) for r in cents.orderBy("cell").collect()]
-    return spark.createDataFrame(rows, "cell long, cvec array<double>")
+    return _cents_relation(spark, _collect_cents(cents))
 
 
 def ivf_assign(
@@ -410,6 +423,7 @@ def ivf_assign_arrow(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    _rows: list | None = None,
 ) -> DataFrame:
     """Nearest cell per vector — BIT-IDENTICAL to
     ``ivf_assign(..., n_probe=1)``, computed by a vectorized Arrow
@@ -435,13 +449,15 @@ def ivf_assign_arrow(
     the kernel closure; per batch the work is d fused multiply-adds
     over an (N × k) array instead of N·k interpreted folds.
     """
-    rows = centroids.orderBy("cell").collect()
+    # _rows: the caller already holds the collected (cell, cvec) rows
+    # (round 9 — ivf_topk collects once for assign AND probe broadcast)
+    rows = _rows if _rows is not None else centroids.orderBy("cell").collect()
     if not rows:
         return df.select(
             F.col(id_col), F.lit(None).cast("long").alias("cell")
         ).limit(0)
-    C = np.asarray([r.cvec for r in rows], dtype=np.float64)  # (k, d)
-    cell_ids = np.asarray([r.cell for r in rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)  # (k, d)
+    cell_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
 
     dim = C.shape[1]
 
@@ -479,6 +495,7 @@ def ivf_assign_blas(
     id_col: str = "vec_id",
     vec: str = "embedding",
     rerank: int = 8,
+    _rows: list | None = None,
 ) -> DataFrame:
     """Nearest cell per vector — the 100 TB assign path (round 7,
     VERDICT r6 task 5): one float64 BLAS matmul ranks all cells, then the
@@ -500,13 +517,15 @@ def ivf_assign_blas(
 
     NULL/ragged vectors get a NULL cell, exactly like ivf_assign_arrow.
     """
-    rows = centroids.orderBy("cell").collect()
+    # _rows: the caller already holds the collected (cell, cvec) rows
+    # (round 9 — ivf_topk collects once for assign AND probe broadcast)
+    rows = _rows if _rows is not None else centroids.orderBy("cell").collect()
     if not rows:
         return df.select(
             F.col(id_col), F.lit(None).cast("long").alias("cell")
         ).limit(0)
-    C = np.asarray([r.cvec for r in rows], dtype=np.float64)  # (k, d)
-    cell_ids = np.asarray([r.cell for r in rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)  # (k, d)
+    cell_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     k, dim = C.shape
     m = min(rerank, k)
 
@@ -572,11 +591,21 @@ def ivf_topk(
         if _cents is not None
         else ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
     )
+    # ONE centroid collect (round 9, guide §2.4): the k rows are needed
+    # on the driver anyway (the Arrow assign ships them in its closure),
+    # and the probe assign broadcasts the same values — without this,
+    # each consumer re-evaluated the seed/refined subtree (one collect +
+    # one broadcast build per call). Bit-identical (doubles round-trip
+    # exactly — the Lloyd contract).
+    cents_rows = _collect_cents(cents)
+    cents = _cents_relation(corpus.sparkSession, cents_rows)
     # corpus-side assign via the Arrow kernel (round 6): bit-identical to
     # the Column fold (see ivf_assign_arrow) but at numpy constants
     # instead of n_cells interpreted folds per vector — the n·k term is
     # the dominant in-plan cost once either n or n_cells grows.
-    corpus_cells = ivf_assign_arrow(corpus, cents, corpus_id, vec)
+    corpus_cells = ivf_assign_arrow(
+        corpus, cents, corpus_id, vec, _rows=cents_rows
+    )
     indexed = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
     ).join(
@@ -631,12 +660,18 @@ def ivf_sq_topk(
     )
 
     rerank_k = rerank_k or 4 * k
-    cents = ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    # one centroid collect for both assigns (see ivf_topk)
+    cents_rows = _collect_cents(
+        ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    )
+    cents = _cents_relation(corpus.sparkSession, cents_rows)
     # corpus-side assign via the Arrow kernel (round 6): bit-identical to
     # the Column fold (see ivf_assign_arrow) but at numpy constants
     # instead of n_cells interpreted folds per vector — the n·k term is
     # the dominant in-plan cost once either n or n_cells grows.
-    corpus_cells = ivf_assign_arrow(corpus, cents, corpus_id, vec)
+    corpus_cells = ivf_assign_arrow(
+        corpus, cents, corpus_id, vec, _rows=cents_rows
+    )
     # the stored index: cell + codes + code norm, no float vectors
     indexed = (
         quantize_embeddings(corpus, corpus_id, vec)

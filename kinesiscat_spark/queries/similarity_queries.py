@@ -238,6 +238,26 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_DIRS[sf_dir]
 
 
+# collected centroid rows per index dir (round 9): the dir is built by
+# THIS process from the corpus (immutable for the process lifetime), so
+# the k rows are re-read once, not once per probe call; each call still
+# rebuilds its own local relation from the cached rows.
+_INDEX_CENTS: dict[str, list] = {}
+
+
+def _ivf_index_cents(spark: SparkSession, sf_dir: str):
+    path = _ivf_index_dir(spark, sf_dir)
+    if path not in _INDEX_CENTS:
+        df = spark.read.parquet(f"{path}/centroids.parquet")
+        _INDEX_CENTS[path] = [
+            (r.cell, list(r.cvec) if r.cvec is not None else None)
+            for r in df.collect()
+        ]
+    return spark.createDataFrame(
+        _INDEX_CENTS[path], "cell long, cvec array<double>"
+    )
+
+
 N_ITERS = 2
 
 
@@ -587,7 +607,8 @@ def ivf_family_method(
         out = ivf_topk(corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE)
     elif method == "ivf_index":
         out = ivf_index_topk(
-            spark, _ivf_index_dir(spark, sf_dir), queries, TOP_K, n_probe=N_PROBE
+            spark, _ivf_index_dir(spark, sf_dir), queries, TOP_K,
+            n_probe=N_PROBE, _cents=_ivf_index_cents(spark, sf_dir),
         )
     elif method == "exact":
         return similarity_topk_exact(spark, sf_dir).select(

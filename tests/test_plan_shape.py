@@ -444,7 +444,11 @@ def test_ivf_index_read_path_no_python(spark):
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     s = df._jdf.queryExecution().explainString(mode)
-    assert "Python" not in s and "ArrowEval" not in s
+    # no Python EVALUATION nodes (the round-9 probe local relation's RDD
+    # callsite string mentions applySchemaToPythonRDD — that is driver
+    # metadata entering the plan, not per-row Python execution)
+    for node in ("EvalPython", "ArrowEval", "MapInArrow", "InPandas"):
+        assert node not in s, node
     assert "PartitionFilters: [cell" in s or "cell#" in s
 
 
@@ -518,11 +522,14 @@ def test_no_forced_broadcast_of_per_document_frames():
         # "total" = token_length_quantiles' 1-row histogram-mass count.
         "operators/packing.py": {"total"},
         # "back" = the Kneser-Ney continuation fan-in table — vocab-sized,
-        # same boundedness (and the same size switch) as "ctx"/"bi".
+        # same boundedness (and the same size switch) as "ctx"/"bi";
+        # "kbi"/"kctx"/"kback" = the fused bigram+KN scorer's KN tables
+        # (round 9) — the same bigram/vocab-bounded frames behind the
+        # same n_types <= broadcast_rows size switch.
         # "total" = rm3_terms' 1-row feedback score sum; "model" also
         # covers rm3_topk's ≤(|Q|+fb_terms)-row term frame.
         "operators/text.py": {"stats", "model", "un", "cuts", "ctx", "bi",
-                              "back", "total"},
+                              "back", "total", "kbi", "kctx", "kback"},
         "queries/text_queries.py": {"model"},
         # pipelines: bloom bits row + collected benchmark gram set.
         "pipelines.py": {"frozenset", "bits"},
