@@ -237,6 +237,7 @@ def pagerank(
     id_b: str = "id_b",
     weight_col: str | None = None,
     checkpoint_every: int = 5,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over the undirected near-dup pair graph (Page et
     al. 1999; edge-weighted generalization à la Xing & Ghorbani 2004):
@@ -284,6 +285,84 @@ def pagerank(
         raise ValueError(
             f"checkpoint_every must be >= 1 (got {checkpoint_every})"
         )
+    # Adaptive small-graph path (round 9, the connected_components
+    # precedent): near-dup pair graphs are PAIR-bounded, so when at most
+    # ``small_graph_edges`` pairs exist they are collected once and the
+    # whole iteration runs on the driver — one bounded action instead of
+    # n_iters join+aggregate stage waves. The arithmetic REPLAYS the
+    # distributed plan bit-for-bit: the strength and contribution folds
+    # sum in ascending VALUE order from 0.0 (sort_array + aggregate ≡
+    # sorted() + left fold over IEEE doubles), each rank update is the
+    # same written expression order, and the final round(·, 6) is left
+    # to SPARK on the returned frame so rounding semantics cannot drift.
+    # Graphs over the threshold — or containing non-finite weights,
+    # where Spark's NaN ordering differs from Python's — take the
+    # distributed loop unchanged; ``small_graph_edges=0`` disables the
+    # fast path (tests pin fast ≡ loop).
+    if small_graph_edges:
+        import math
+
+        from pyspark.sql import types as T
+
+        wsel = (
+            F.col(weight_col) if weight_col else F.lit(1.0)
+        ).alias("_w")
+        rows = (
+            pairs.select(F.col(id_a), F.col(id_b), wsel)
+            .limit(small_graph_edges + 1)
+            .collect()
+        )
+        finite = all(
+            r[2] is not None and math.isfinite(r[2]) for r in rows
+        )
+        if len(rows) <= small_graph_edges and finite:
+            edges: list = []
+            for a, b, wv in rows:
+                # both directions, non-positive weights dropped — the
+                # exact explode+filter of the distributed plan (self
+                # loops double like the explode does)
+                if wv > 0.0:
+                    edges.append((a, b, wv))
+                    edges.append((b, a, wv))
+            out_w: dict = {}
+            for src, _, wv in edges:
+                out_w.setdefault(src, []).append(wv)
+            strength = {}
+            for src, ws in out_w.items():
+                s = 0.0
+                for x in sorted(ws):
+                    s = s + x
+                strength[src] = s
+            n = len(strength)
+            id_type = pairs.schema[id_a].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("v", id_type),
+                    T.StructField("r", T.DoubleType()),
+                ]
+            )
+            spark = pairs.sparkSession
+            if n == 0:
+                return spark.createDataFrame([], schema).select(
+                    "v", F.round("r", 6).alias("rank")
+                )
+            ranks = {v: 1.0 / n for v in strength}
+            for _ in range(n_iters):
+                contribs: dict = {}
+                for src, dst, wv in edges:
+                    contribs.setdefault(dst, []).append(
+                        ranks[src] * wv / strength[src]
+                    )
+                new_ranks = {}
+                for v, cs in contribs.items():
+                    s = 0.0
+                    for x in sorted(cs):
+                        s = s + x
+                    new_ranks[v] = (1.0 - damping) / n + damping * s
+                ranks = new_ranks
+            return spark.createDataFrame(
+                [(v, r) for v, r in ranks.items()], schema
+            ).select("v", F.round("r", 6).alias("rank"))
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     # both directions from ONE pass over `pairs` (a union of two selects
     # would evaluate the — typically expensive — pair subtree twice

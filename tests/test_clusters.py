@@ -266,6 +266,46 @@ def test_pagerank_drops_nonpositive_weight_edges(spark):
     assert all(r == r for r in got.values())  # no NaN
 
 
+def test_pagerank_fast_path_matches_loop(spark):
+    """The round-9 driver fast path returns EXACTLY the distributed
+    loop's ranks (same value-ordered folds, same expression order, the
+    final round(·, 6) applied by Spark either way) — weighted and
+    unweighted, with self-loops, duplicate pairs, zero-weight drops and
+    multiple components."""
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.7), (2, 3, 0.4), (3, 1, 0.9), (3, 1, 0.9),
+         (4, 4, 1.0), (5, 6, 0.05), (6, 7, 0.0)],
+        "id_a long, id_b long, w double",
+    )
+    for kw in ({"weight_col": "w"}, {}):
+        fast = {(r.v, r.rank)
+                for r in pagerank(pairs, n_iters=3, **kw).collect()}
+        loop = {(r.v, r.rank)
+                for r in pagerank(
+                    pairs, n_iters=3, small_graph_edges=0, **kw
+                ).collect()}
+        assert fast == loop
+
+
+def test_pagerank_threshold_falls_back(spark):
+    """A graph larger than small_graph_edges takes the distributed loop
+    (same ranks)."""
+    from kinesiscat_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(8)], "id_a long, id_b long, w double"
+    )
+    fast = {(r.v, r.rank)
+            for r in pagerank(pairs, n_iters=2, weight_col="w").collect()}
+    loop = {(r.v, r.rank)
+            for r in pagerank(
+                pairs, n_iters=2, weight_col="w", small_graph_edges=3
+            ).collect()}
+    assert fast == loop
+
+
 class TestClusterSafeSplit:
     """cluster_safe_split (round 9): the leakage guarantee and the
     routing determinism at the operator level."""
