@@ -691,6 +691,7 @@ def contamination_report(
     broadcast_benchmark: bool = True,
     bloom_bits: int | None = None,
     bloom_k: int = 5,
+    _bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Documents sharing ≥ ``min_hits`` distinct word ``n``-grams with the
     benchmark set (train/test overlap, Brown et al. 2020 §C).
@@ -716,7 +717,13 @@ def contamination_report(
     so the output is row-for-row IDENTICAL to the default path — the
     same DuckDB oracle checks both.
     """
-    bench_grams = (
+    # ``_bench_grams``: a precomputed distinct (g, _hit) benchmark gram
+    # set — callers running several report variants over ONE benchmark
+    # (the curation_decontaminate lane's exact + bloom twins) materialize
+    # it once so the benchmark explode + distinct exchange is paid once
+    # instead of three times (exact broadcast, bloom build, bloom
+    # verify).  Same rows either way — output unchanged.
+    bench_grams = _bench_grams if _bench_grams is not None else (
         benchmark.select(
             F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
         )

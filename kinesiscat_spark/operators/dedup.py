@@ -631,13 +631,13 @@ def minhash_signatures(
         _hexint(F.md5("s"), 1, 12).alias("h1"),
         _hexint(F.md5("s"), 13, 12).alias("h2"),
     )
-    mins = [
-        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    return hp.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
-    )
+    # One SQL string = one py4j round trip for all n_hashes aggregates
+    # (round 9 — see corpus_minhash_signatures); identical expressions,
+    # identical results.
+    sig = "array(" + ",".join(
+        f"min((h1 + {i} * h2) % {MOD48}L)" for i in range(n_hashes)
+    ) + ")"
+    return hp.groupBy("id").agg(F.expr(sig).alias("sig"))
 
 
 def minhash_signature_udf(n_hashes: int = 32, n: int = 3):
@@ -713,25 +713,23 @@ def _minhash_bands(
         F.col(id_col).alias("id"),
         minhash_signature_udf(n_hashes, n)(F.col(text_col)).alias("_sig"),
     )
-    sig = raw_sig.select(
-        "id", *[F.col("_sig")[i].alias(f"_m{i}") for i in range(n_hashes)]
+    # selectExpr / expr strings: the former per-column Column listcomps
+    # cost hundreds of py4j round trips per invocation (round 9, measured
+    # with cProfile — pure driver-side construction overhead); one parsed
+    # string builds identical expressions.
+    sig = raw_sig.selectExpr(
+        "id", *[f"_sig[{i}] AS _m{i}" for i in range(n_hashes)]
+    )
+    bands_arr = ",".join(
+        "struct({b} AS band, xxhash64({cols}) AS key)".format(
+            b=b, cols=",".join(f"_m{b * r + j}" for j in range(r))
+        )
+        for b in range(n_bands)
     )
     return sig.select(
         "id",
         *[f"_m{i}" for i in range(n_hashes)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_m{b * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({bands_arr}))").alias("bk"),
     )
 
 
@@ -804,9 +802,11 @@ def minhash_lsh_pairs(
     # Agreement estimate computed IN the join projection (pure codegen);
     # functionally dependent on the pair, so dedupe after the threshold
     # filter carries just three narrow columns.
-    n_agree = sum(
-        F.when(F.col(f"a._m{i}") == F.col(f"b._m{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
+    n_agree = F.expr(
+        "+".join(
+            f"(CASE WHEN a._m{i} = b._m{i} THEN 1 ELSE 0 END)"
+            for i in range(n_hashes)
+        )
     )
     pairs = a.join(
         b,
@@ -829,9 +829,11 @@ def minhash_lsh_pairs(
         hub = hot.groupBy("bk").agg(
             F.min(F.struct("id", *[f"_m{i}" for i in range(n_hashes)])).alias("_h")
         )
-        hub_agree = sum(
-            F.when(F.col(f"_h._m{i}") == F.col(f"_m{i}"), 1).otherwise(0)
-            for i in range(n_hashes)
+        hub_agree = F.expr(
+            "+".join(
+                f"(CASE WHEN _h._m{i} = _m{i} THEN 1 ELSE 0 END)"
+                for i in range(n_hashes)
+            )
         )
         hot_pairs = (
             hot.join(hub, "bk")
@@ -1330,13 +1332,16 @@ def corpus_minhash_signatures(
         _hexint(F.md5("s"), 1, 12).alias("h1"),
         _hexint(F.md5("s"), 13, 12).alias("h2"),
     )
-    mins = [
-        F.min((F.col("h1") + i * F.col("h2")) % MOD48).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    return hp.groupBy("grp").agg(*mins).select(
-        "grp", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
-    )
+    # One SQL string builds all n_hashes aggregate expressions in a
+    # single py4j round trip (round 9, guide §1.2 step 2): the former
+    # per-hash Column listcomp cost ~8 gateway calls per term (~1 s of
+    # driver time per invocation at H=64, measured with cProfile —
+    # pure construction overhead the bench pays three times per lane).
+    # Identical expressions, identical aggregate, identical results.
+    sig = "array(" + ",".join(
+        f"min((h1 + {i} * h2) % {MOD48}L)" for i in range(n_hashes)
+    ) + ")"
+    return hp.groupBy("grp").agg(F.expr(sig).alias("sig"))
 
 
 def duplication_overlap_report(

@@ -712,6 +712,7 @@ def vocab_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     _counts=None,
+    _ranked=None,
 ):
     """Tokenizer-prep vocabulary sizing: for each coverage target t, the
     SMALLEST vocabulary (most-frequent words first, ties broken
@@ -742,40 +743,62 @@ def vocab_coverage(
     # text_heavy_ngrams lane) derive it once from a shared aggregate so
     # the corpus explode+shuffle is paid once, not per consumer. Counts
     # are exact integers either way, so the output is bit-identical.
-    counts = _counts if _counts is not None else (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    w = Window.orderBy(F.desc("c"), F.asc("w"))
-    ranked = counts.select(
-        F.row_number().over(w).alias("rk"),
-        F.sum("c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("total"),
-    )
-    out = None
-    for t in targets:
-        hit = (
-            ranked.filter(
-                F.col("cum").cast("double") / F.col("total") >= F.lit(float(t))
-            )
-            .agg(
-                F.min("rk").alias("vocab_size"),
-                F.min(F.struct("rk", "cum")).alias("_first"),
-                F.max("total").alias("_total"),
-            )
-            .select(
-                F.lit(float(t)).alias("target"),
-                F.col("vocab_size").cast("long"),
-                F.round(
-                    F.col("_first.cum").cast("double") / F.col("_total"), 6
-                ).alias("coverage"),
-            )
+    # ``_ranked``: a precomputed (rk, cum, total) table under the same
+    # (count DESC, word ASC) window — callers with several vocab-table
+    # consumers (text_heavy_ngrams shares one materialized ranking with
+    # zipf_fit) pay the global sort once.  Values are exact integers, so
+    # the output is bit-identical either way.
+    if _ranked is not None:
+        ranked = _ranked
+    else:
+        counts = _counts if _counts is not None else (
+            docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        w = Window.orderBy(F.desc("c"), F.asc("w"))
+        ranked = counts.select(
+            F.row_number().over(w).alias("rk"),
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("total"),
+        )
+    # ONE conditional aggregate answers every target (round 9, guide
+    # §2.4): min-over-filter == min of the CASE indicator over all rows,
+    # so the former per-target filtered aggregates (one full ranked pass
+    # + exchange each) collapse into a single pass; an unreachable
+    # target's conditional min/max are NULL exactly as the filtered
+    # aggregate's were.
+    aggs = []
+    for j, t in enumerate(targets):
+        cond = (
+            F.col("cum").cast("double") / F.col("total") >= F.lit(float(t))
+        )
+        aggs += [
+            F.min(F.when(cond, F.col("rk"))).alias(f"_vs{j}"),
+            F.min(F.when(cond, F.struct("rk", "cum"))).alias(f"_first{j}"),
+            F.max(F.when(cond, F.col("total"))).alias(f"_total{j}"),
+        ]
+    row = ranked.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("target"),
+                        F.col(f"_vs{j}").cast("long").alias("vocab_size"),
+                        F.round(
+                            F.col(f"_first{j}")["cum"].cast("double")
+                            / F.col(f"_total{j}"),
+                            6,
+                        ).alias("coverage"),
+                    )
+                    for j, t in enumerate(targets)
+                ]
+            )
+        ).alias("s")
+    ).select("s.target", "s.vocab_size", "s.coverage")
 
 
 def zipf_fit(
@@ -783,6 +806,7 @@ def zipf_fit(
     top_n: int = 512,
     text_col: str = "text",
     _counts: "DataFrame | None" = None,
+    _ranked: "DataFrame | None" = None,
 ) -> DataFrame:
     """Zipf-law fit over the corpus token-frequency curve: least-squares
     slope/intercept of ln(frequency) on ln(rank) across the ``top_n``
@@ -809,15 +833,21 @@ def zipf_fit(
     # ``_counts``: same contract as vocab_coverage — a precomputed exact
     # (w, c) table over ``tokens(text_col)`` shares one corpus explode
     # across consumers (round 9, guide §2.4); bit-identical output.
-    counts = _counts if _counts is not None else (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    w = Window.orderBy(F.desc("c"), F.asc("w"))
-    ranked = counts.select(
-        F.row_number().over(w).alias("rk"), F.col("c")
-    ).filter(F.col("rk") <= top_n)
+    # ``_ranked``: a precomputed (rk, c) table under the same
+    # (count DESC, word ASC) window — shares one materialized global
+    # sort with vocab_coverage (bit-identical ranks either way).
+    if _ranked is not None:
+        ranked = _ranked.select("rk", "c").filter(F.col("rk") <= top_n)
+    else:
+        counts = _counts if _counts is not None else (
+            docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.orderBy(F.desc("c"), F.asc("w"))
+        ranked = counts.select(
+            F.row_number().over(w).alias("rk"), F.col("c")
+        ).filter(F.col("rk") <= top_n)
     arr = F.sort_array(
         F.collect_list(
             F.struct(

@@ -1129,6 +1129,39 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     same derivation in both engines) and emits the full c4 struct as
     ``c4_*`` columns.  Every C4 rule flips on some subset of ids, so
     the columns are non-constant and the hash is load-bearing."""
+    docs = load_table(spark, sf_dir, "documents")
+    stage1, stage2 = _signals_select_cols()
+    return docs.select(*stage1).select(*stage2)
+
+
+_SIGNALS_COLS: "tuple | None" = None
+
+
+def _signals_select_cols() -> tuple:
+    """The curation_signals projection, built ONCE per process, in TWO
+    stages.
+
+    Every column is a pure function of the row's own ``doc_id``/``text``
+    and module constants — no session, path or data dependence — so the
+    Column expression trees are reusable verbatim across invocations.
+    Building them cost ~6,300 py4j round trips (~2.3 s of driver time,
+    measured with cProfile) against a lane whose EXECUTION is ~0.15 s;
+    the memo removes that construction cost from every call after the
+    first (round 9, guide §1.2 step 2 — per-query driver work counts).
+
+    The two-stage shape exists for the ANALYZER, not the executor: the
+    single-select form embedded each shared signal STRUCT tree (c4, gw,
+    gx, pii, blocklist) once per extracted field, so eager analysis
+    re-walked the same giant subtree ~5x per struct (~1.6 s JVM-side per
+    select, measured). Stage 1 projects each struct exactly once; stage
+    2 extracts fields from the now-atomic struct columns. Catalyst
+    collapses the two Projects, so the physical plan — and every output
+    value — is unchanged. Expression reuse is NOT result caching: the
+    plan still scans and computes from the parquet input on every
+    action."""
+    global _SIGNALS_COLS
+    if _SIGNALS_COLS is not None:
+        return _SIGNALS_COLS
     from pyspark.sql import functions as F
 
     from kinesiscat_spark.operators.curation import (
@@ -1143,7 +1176,6 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ngram_char_frac,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     c4_text = _c4_fixture_col()
     c4 = c4_signals(c4_text)
@@ -1166,42 +1198,51 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stops = ("the", "a")
     gw = gopher_signals(F.col("text"), stopwords=_stops)
     gx = gopher_signals(gx_text, stopwords=_stops)
-    return docs.select(
+    pii = pii_signals(F.col("text"))
+    bl = blocklist_signals(F.col("text"), _BLOCKLIST)
+    stage1 = [
+        "doc_id",
+        "text",
+        c4.alias("_c4"),
+        gw.alias("_gw"),
+        gx.alias("_gx"),
+        pii.alias("_pii"),
+        bl.alias("_bl"),
+        repetition_signals(F.col("text")).alias("_rep"),
+    ]
+    _c4, _gw, _gx = F.col("_c4"), F.col("_gw"), F.col("_gx")
+    stage2 = [
         "doc_id",
         F.round(top_ngram_char_frac(F.col("text"), 2), 6).alias("top2"),
         F.round(dup_ngram_char_frac(F.col("text"), 3), 6).alias("dup3"),
-        repetition_signals(F.col("text"))["dup_line_frac"].alias("dup_line_frac"),
-        pii_signals(F.col("text"))["n_emails"].alias("n_emails"),
-        pii_signals(F.col("text"))["n_ipv4"].alias("n_ipv4"),
-        pii_signals(F.col("text"))["n_phones"].alias("n_phones"),
-        blocklist_signals(F.col("text"), _BLOCKLIST)["n_list_hits"].alias(
-            "n_list_hits"
-        ),
-        blocklist_signals(F.col("text"), _BLOCKLIST)["list_word_frac"].alias(
-            "list_word_frac"
-        ),
-        c4["n_lines"].alias("c4_n_lines"),
-        c4["kept_lines"].alias("c4_kept_lines"),
-        c4["clean_chars"].alias("c4_clean_chars"),
-        c4["keep"].alias("c4_keep"),
-        c4["clean_text"].alias("c4_clean_text"),
-        gw["n_words"].alias("gw_n_words"),
-        F.round(gw["mean_word_len"], 6).alias("gw_mean_wl"),
-        F.round(gw["alpha_word_frac"], 6).alias("gw_alpha_frac"),
-        gw["stop_hits"].alias("gw_stop_hits"),
-        gopher_keep(gw).alias("gw_keep"),
-        F.round(gx["symbol_word_ratio"], 6).alias("gx_symbol_ratio"),
+        F.col("_rep")["dup_line_frac"].alias("dup_line_frac"),
+        F.col("_pii")["n_emails"].alias("n_emails"),
+        F.col("_pii")["n_ipv4"].alias("n_ipv4"),
+        F.col("_pii")["n_phones"].alias("n_phones"),
+        F.col("_bl")["n_list_hits"].alias("n_list_hits"),
+        F.col("_bl")["list_word_frac"].alias("list_word_frac"),
+        _c4["n_lines"].alias("c4_n_lines"),
+        _c4["kept_lines"].alias("c4_kept_lines"),
+        _c4["clean_chars"].alias("c4_clean_chars"),
+        _c4["keep"].alias("c4_keep"),
+        _c4["clean_text"].alias("c4_clean_text"),
+        _gw["n_words"].alias("gw_n_words"),
+        F.round(_gw["mean_word_len"], 6).alias("gw_mean_wl"),
+        F.round(_gw["alpha_word_frac"], 6).alias("gw_alpha_frac"),
+        _gw["stop_hits"].alias("gw_stop_hits"),
+        gopher_keep(_gw).alias("gw_keep"),
+        F.round(_gx["symbol_word_ratio"], 6).alias("gx_symbol_ratio"),
         # per-symbol ratios thresholded individually as published (round
         # 7, ADVICE r6: A1.1 applies 0.1 to EACH symbol ratio, not their
         # sum — gopher_keep now checks these two, not gx_symbol_ratio)
-        F.round(gx["hash_word_ratio"], 6).alias("gx_hash_ratio"),
-        F.round(gx["ellipsis_word_ratio"], 6).alias(
+        F.round(_gx["hash_word_ratio"], 6).alias("gx_hash_ratio"),
+        F.round(_gx["ellipsis_word_ratio"], 6).alias(
             "gx_ellipsis_word_ratio"
         ),
-        F.round(gx["bullet_line_frac"], 6).alias("gx_bullet_frac"),
-        F.round(gx["ellipsis_line_frac"], 6).alias("gx_ellipsis_frac"),
+        F.round(_gx["bullet_line_frac"], 6).alias("gx_bullet_frac"),
+        F.round(_gx["ellipsis_line_frac"], 6).alias("gx_ellipsis_frac"),
         gopher_keep(
-            gx,
+            _gx,
             min_words=10,
             max_bullet_frac=0.1,
             max_ellipsis_frac=0.1,
@@ -1213,7 +1254,9 @@ def curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repetitiveness/gibberish diagnostic; value-sorted term fold
         # replayed in the twin's tent CTE.
         F.round(token_entropy(F.col("text")), 6).alias("tok_entropy"),
-    )
+    ]
+    _SIGNALS_COLS = (stage1, stage2)
+    return _SIGNALS_COLS
 
 
 _SPAN_N = 6
@@ -1422,7 +1465,10 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a benchmark set too large to broadcast."""
     from pyspark.sql import functions as F
 
-    from kinesiscat_spark.operators.curation import contamination_report
+    from kinesiscat_spark.operators.curation import (
+        contamination_report,
+        word_ngrams,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -1430,13 +1476,30 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.trim("text"), r"\s+"), 3, 12), " "
         ).alias("text")
     )
-    exact = contamination_report(docs, bench, n=_DECON_N)
+    # ONE materialized benchmark gram set serves all three consumers —
+    # the exact path's broadcast side, the Bloom build, and the Bloom
+    # verify join (round 9, guide §2.4): the benchmark scan + explode +
+    # distinct exchange ran three times before, once now. Benchmark gram
+    # sets are small by construction (test sets), so the checkpoint is
+    # bounded at any corpus scale.
+    bench_grams = (
+        bench.select(
+            F.explode(word_ngrams(F.col("text"), _DECON_N)).alias("g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    exact = contamination_report(
+        docs, bench, n=_DECON_N, _bench_grams=bench_grams
+    )
     bloom = contamination_report(
         docs.filter(F.col("doc_id") % 3 == 0),
         bench,
         n=_DECON_N,
         broadcast_benchmark=False,
         bloom_bits=_DECON_BLOOM_BITS,
+        _bench_grams=bench_grams,
     )
     # round-7 widening: SEMANTIC decontamination (embedding-space leakage
     # the n-gram overlap misses — operators/curation.py

@@ -416,7 +416,6 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is (n_sources x 64) minima.
     """
     from kinesiscat_spark.operators.curation import word_ngrams
-    from kinesiscat_spark.operators.sketches import hll_distinct
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE gram-count subtree feeds every duplicate-insensitive or
@@ -429,6 +428,15 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half, integer addition), so the former second full-corpus
     # explode+groupBy(gram) exchange is gone and ReuseExchange serves
     # all nine count-derived consumers from ONE exchange.
+    # The subtree is MATERIALIZED once (lazy localCheckpoint): its ~12
+    # consumers prune different column subsets, so their canonical
+    # exchange subtrees differ and ReuseExchange never fires — the
+    # before-plan carried 38 parquet scans / 48 explodes / 122 Exchanges
+    # for ONE lane invocation (plans/r09/text_heavy_ngrams_before.txt).
+    # Checkpointing pins the corpus scan + explode + count exchange to
+    # exactly one execution (guide §2.4/§5 — "materialise an intermediate
+    # result truncates the plan"); at 100 TB this is the "build the gram
+    # count table once, then aggregate against it" design.
     g2 = (
         docs.select(
             (F.col("doc_id") % 2 == 0).alias("even"),
@@ -439,6 +447,7 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("even").cast("long")).alias("_ce"),
             F.sum((~F.col("even")).cast("long")).alias("_co"),
         )
+        .localCheckpoint(eager=True)
     )
     gcounts = g2.select(
         "gram", (F.col("_ce") + F.col("_co")).alias("_c")
@@ -458,18 +467,173 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_c").alias("cnt"),
         null_est.alias("est"),
     )
-    exact_d = gcounts.agg(F.count("*").alias("cnt")).select(
-        F.lit("exact_distinct").alias("kind"),
-        F.lit(None).cast("string").alias("gram"),
-        "cnt",
-        null_est.alias("est"),
+    # Round 9 (guide §2.4, "two operations keyed the same way share one
+    # exchange"): every single-row kind — exact_distinct, hll_distinct,
+    # distinct_n, hll_union, hll_intersect, cms_dot — now derives from
+    # THREE fused aggregates over the checkpointed g2 instead of ten
+    # separate pipelines:
+    #   * ONE (register i) -> (max r | full, max r | even, max r | odd)
+    #     aggregate replaces the three hll_build passes (registers of a
+    #     filtered stream are the conditional MAX over the same rows, and
+    #     a register no half-gram hits densifies to the same 0);
+    #   * ONE (slot i) -> (sum _ce, sum _co) aggregate replaces the two
+    #     cms_build passes (weight 0 rows add nothing to a slot sum);
+    #   * ONE scalar aggregate replaces the four scalar passes
+    #     (count-over-filter == sum of the indicator, coalesced at 0).
+    # All values are bit-identical (exact integer counts; the HLL/CMS
+    # estimator expressions are unchanged and run over identical arrays),
+    # pinned by the lane's unchanged DuckDB oracle hash.
+    from kinesiscat_spark.operators.sketches import (
+        _hll_hash60,
+        _slot,
+        cms_inner_product,
+        hll_estimate,
+        hll_merge,
     )
-    hll = hll_distinct(gcounts, "gram", p=_HLL_P, method="md5").select(
-        F.lit("hll_distinct").alias("kind"),
-        F.lit(None).cast("string").alias("gram"),
-        F.lit(None).cast("long").alias("cnt"),
-        F.round("est", 4).alias("est"),
+
+    _rem_bits = 60 - _HLL_P
+    _h60 = _hll_hash60(F.col("gram"), "md5")
+    _ridx = F.shiftright(_h60, _rem_bits)
+    _rem = _h60.bitwiseAND(F.lit((1 << _rem_bits) - 1))
+    _rank = (
+        F.when(_rem > 0, F.lit(_rem_bits) - F.length(F.bin(_rem)) + F.lit(1))
+        .otherwise(F.lit(_rem_bits + 1))
+        .cast("long")
     )
+    hslots = (
+        g2.select(_ridx.alias("i"), _rank.alias("r"), "_ce", "_co")
+        .groupBy("i")
+        .agg(
+            F.max("r").alias("_rf"),
+            F.max(F.when(F.col("_ce") > 0, F.col("r"))).alias("_re"),
+            F.max(F.when(F.col("_co") > 0, F.col("r"))).alias("_ro"),
+        )
+    )
+    _zero = F.lit(0).cast("long")
+    hll3 = (
+        spark.range(1 << _HLL_P)
+        .select(F.col("id").alias("i"))
+        .join(hslots, "i", "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.coalesce("_rf", _zero).alias("f"),
+                        F.coalesce("_re", _zero).alias("e"),
+                        F.coalesce("_ro", _zero).alias("o"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda x: x["f"]).alias("_hf"),
+            F.transform("s", lambda x: x["e"]).alias("_a"),
+            F.transform("s", lambda x: x["o"]).alias("_b"),
+        )
+    )
+    cslots = (
+        g2.select(
+            F.explode(
+                F.array(
+                    *[
+                        _slot(F.col("gram"), r, _CMS_W, "md5")
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("i"),
+            "_ce",
+            "_co",
+        )
+        .groupBy("i")
+        .agg(F.sum("_ce").alias("_se"), F.sum("_co").alias("_so"))
+    )
+    cms2 = (
+        spark.range(_CMS_D * _CMS_W)
+        .select(F.col("id").alias("i"))
+        .join(cslots, "i", "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.coalesce("_se", _zero).alias("e"),
+                        F.coalesce("_so", _zero).alias("o"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda x: x["e"]).alias("_ca"),
+            F.transform("s", lambda x: x["o"]).alias("_cb"),
+        )
+    )
+    scal = g2.agg(
+        F.count("*").alias("_d"),
+        F.coalesce(F.sum(F.col("_ce") + F.col("_co")), F.lit(0)).alias("_tot"),
+        F.sum(F.col("_ce") * F.col("_co")).alias("_dot"),
+        F.coalesce(
+            F.sum(((F.col("_ce") > 0) & (F.col("_co") > 0)).cast("long")),
+            F.lit(0),
+        ).alias("_nboth"),
+    )
+    _one = hll3.crossJoin(cms2).crossJoin(scal)
+    _e_a = hll_estimate(F.col("_a"), p=_HLL_P)
+    _e_b = hll_estimate(F.col("_b"), p=_HLL_P)
+    _e_u = hll_estimate(hll_merge(F.col("_a"), F.col("_b")), p=_HLL_P)
+    _ngram = F.lit(None).cast("string")
+    _ncnt = F.lit(None).cast("long")
+    single_rows = _one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact_distinct").alias("kind"),
+                    _ngram.alias("gram"),
+                    F.col("_d").alias("cnt"),
+                    null_est.alias("est"),
+                ),
+                F.struct(
+                    F.lit("hll_distinct").alias("kind"),
+                    _ngram.alias("gram"),
+                    _ncnt.alias("cnt"),
+                    F.round(hll_estimate(F.col("_hf"), p=_HLL_P), 4).alias(
+                        "est"
+                    ),
+                ),
+                F.struct(
+                    F.lit("distinct_n").alias("kind"),
+                    _ngram.alias("gram"),
+                    F.col("_tot").alias("cnt"),
+                    F.round(
+                        F.try_divide(F.col("_d").cast("double"), F.col("_tot")),
+                        6,
+                    ).alias("est"),
+                ),
+                F.struct(
+                    F.lit("hll_union").alias("kind"),
+                    _ngram.alias("gram"),
+                    _ncnt.alias("cnt"),
+                    F.round(_e_u, 4).alias("est"),
+                ),
+                F.struct(
+                    F.lit("hll_intersect").alias("kind"),
+                    _ngram.alias("gram"),
+                    F.col("_nboth").alias("cnt"),
+                    F.round(_e_a + _e_b - _e_u, 4).alias("est"),
+                ),
+                F.struct(
+                    F.lit("cms_dot").alias("kind"),
+                    _ngram.alias("gram"),
+                    F.col("_dot").cast("long").alias("cnt"),
+                    cms_inner_product(
+                        F.col("_ca"), F.col("_cb"), _CMS_D, _CMS_W
+                    )
+                    .cast("double")
+                    .alias("est"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.kind", "s.gram", "s.cnt", "s.est")
     # round-7 widening: vocabulary-coverage curve (operators/text.py
     # vocab_coverage) — minimal most-frequent-first vocab reaching each
     # coverage target over whitespace tokens; the rank window runs over
@@ -484,6 +648,9 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab/zipf windows rank is its exact integer marginal
     # (sum over sources) — so vocab, zipf and ctfidf share a single
     # corpus scan+explode+exchange instead of paying one each.
+    # Same materialize-once discipline as g2: ct feeds ctfidf plus the
+    # wc marginal, and wc feeds vocab + zipf — checkpointing both pins
+    # the token explode and the (grp, t) exchange to one execution each.
     ct = (
         docs.select(
             F.col("source").alias("grp"),
@@ -491,15 +658,34 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("grp", "t")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     wc = (
         ct.groupBy("t")
         .agg(F.sum("c").alias("c"))
         .select(F.col("t").alias("w"), "c")
     )
+    # ONE materialized (rk, c, cum, total) ranking under the
+    # (count DESC, word ASC) window serves BOTH vocab_coverage and
+    # zipf_fit (round 9, guide §2.4): the global single-partition sort —
+    # the expensive part of both — runs once instead of once per
+    # consumer; exact integer ranks, so both outputs are bit-identical.
+    from pyspark.sql.window import Window
+
+    _wnd = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = wc.select(
+        F.row_number().over(_wnd).alias("rk"),
+        "c",
+        F.sum("c")
+        .over(_wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    ).localCheckpoint(eager=True)
     lbl = F.array(*[F.lit(f"{t:g}") for t in _VOCAB_TARGETS])
     tgt = F.array(*[F.lit(float(t)) for t in _VOCAB_TARGETS])
-    vocab = vocab_coverage(docs, targets=_VOCAB_TARGETS, _counts=wc).select(
+    vocab = vocab_coverage(
+        docs, targets=_VOCAB_TARGETS, _counts=wc, _ranked=ranked
+    ).select(
         F.lit("vocab").alias("kind"),
         F.element_at(
             lbl, (F.array_position(tgt, F.col("target"))).cast("int")
@@ -516,7 +702,7 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesiscat_spark.operators.dedup import corpus_minhash_similarity
     from kinesiscat_spark.operators.text import zipf_fit
 
-    zipf = zipf_fit(docs, top_n=_ZIPF_TOP, _counts=wc).select(
+    zipf = zipf_fit(docs, top_n=_ZIPF_TOP, _counts=wc, _ranked=ranked).select(
         F.lit("zipf").alias("kind"),
         F.col("stat").alias("gram"),
         F.col("n_points").alias("cnt"),
@@ -527,103 +713,6 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "group_a", "group_b").alias("gram"),
         F.col("n_matches").alias("cnt"),
         F.col("est_jaccard").alias("est"),
-    )
-    # round-7 continuation: HLL SET OPERATIONS — the corpus's grams split
-    # into even/odd doc halves, each sketched independently; the union
-    # estimate comes from hll_merge (element-wise register max), so its
-    # hash check against the FULL-stream registers proves mergeability —
-    # the 100 TB property (per-partition sketches combine without
-    # re-reading data) — under the driver gate, not just in pytest. The
-    # intersection estimate is inclusion-exclusion over the three
-    # estimators, with the EXACT intersection riding cnt as the accuracy
-    # yardstick.
-    from kinesiscat_spark.operators.sketches import (
-        hll_build,
-        hll_estimate,
-        hll_merge,
-    )
-
-    # The shared (gram, even-count, odd-count) aggregate ``g2`` (defined
-    # above, where the full-corpus count table is derived from it) also
-    # serves the entire even/odd family: HLL registers from each half's
-    # DISTINCT grams are bit-identical to the raw stream's (duplicate
-    # insensitivity), the CMS sketches rebuild from per-half counts via
-    # cms_build's pre-aggregated `weight` path (identical slot sums),
-    # and the exact intersection / inner product are direct aggregates
-    # of the count table. All consumers share one exchange
-    # (ReuseExchange) inside the lane's single action.
-    ha = hll_build(g2.filter("_ce > 0"), "gram", p=_HLL_P, method="md5")
-    hb = hll_build(g2.filter("_co > 0"), "gram", p=_HLL_P, method="md5")
-    both_exact = (
-        g2.filter((F.col("_ce") > 0) & (F.col("_co") > 0))
-        .agg(F.count("*").alias("_nboth"))
-    )
-    pair = (
-        ha.select(F.col("hll").alias("_a"))
-        .crossJoin(hb.select(F.col("hll").alias("_b")))
-        .crossJoin(both_exact)
-    )
-    e_a = hll_estimate(F.col("_a"), p=_HLL_P)
-    e_b = hll_estimate(F.col("_b"), p=_HLL_P)
-    e_u = hll_estimate(hll_merge(F.col("_a"), F.col("_b")), p=_HLL_P)
-    setops = pair.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("hll_union").alias("kind"),
-                    F.lit(None).cast("long").alias("cnt"),
-                    F.round(e_u, 4).alias("est"),
-                ),
-                F.struct(
-                    F.lit("hll_intersect").alias("kind"),
-                    F.col("_nboth").alias("cnt"),
-                    F.round(e_a + e_b - e_u, 4).alias("est"),
-                ),
-            )
-        ).alias("s")
-    ).select(
-        F.col("s.kind"),
-        F.lit(None).cast("string").alias("gram"),
-        F.col("s.cnt"),
-        F.col("s.est"),
-    )
-    # round-7 continuation: CMS INNER PRODUCT (Cormode & Muthukrishnan
-    # 2005 §4.3) between the two halves' gram-frequency distributions —
-    # join-size / co-occurrence mass straight from two mergeable d×w
-    # sketches (method='md5' so the estimate replays in ANSI SQL);
-    # all-integer arithmetic, the EXACT Σ f_e·f_o rides cnt as the
-    # accuracy yardstick.
-    from kinesiscat_spark.operators.sketches import cms_build, cms_inner_product
-
-    ca = cms_build(
-        g2.filter("_ce > 0"),
-        "gram",
-        d=_CMS_D,
-        w=_CMS_W,
-        weight="_ce",
-        method="md5",
-    )
-    cb = cms_build(
-        g2.filter("_co > 0"),
-        "gram",
-        d=_CMS_D,
-        w=_CMS_W,
-        weight="_co",
-        method="md5",
-    )
-    dot_exact = g2.agg(F.sum(F.col("_ce") * F.col("_co")).alias("_dot"))
-    cms_dot = (
-        ca.select(F.col("cms").alias("_ca"))
-        .crossJoin(cb.select(F.col("cms").alias("_cb")))
-        .crossJoin(dot_exact)
-        .select(
-            F.lit("cms_dot").alias("kind"),
-            F.lit(None).cast("string").alias("gram"),
-            F.col("_dot").cast("long").alias("cnt"),
-            cms_inner_product(F.col("_ca"), F.col("_cb"), _CMS_D, _CMS_W)
-            .cast("double")
-            .alias("est"),
-        )
     )
     # round-7 continuation: c-TF-IDF per-source distinctive terms
     # (Grootendorst 2022 — the per-source corpus-card diagnostic); rank
@@ -696,32 +785,11 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cnt"),
         F.col("s.est"),
     )
-    # round-7 continuation: corpus distinct-n diversity ratio (Li et al.
-    # 2016's distinct-2 — low values flag template/boilerplate-dominated
-    # corpora); one exact integer ratio off the same gram stream.
-    distinct_n = gcounts.agg(
-        # coalesce: empty corpus sums to NULL where count(*) gave 0
-        F.coalesce(F.sum("_c"), F.lit(0)).alias("_tot"),
-        F.count("*").alias("_d"),
-    ).select(
-        F.lit("distinct_n").alias("kind"),
-        F.lit(None).cast("string").alias("gram"),
-        F.col("_tot").alias("cnt"),
-        # try_divide: identical to / for _tot > 0; NULL (not an ANSI
-        # DIVIDE_BY_ZERO) on an empty corpus — the digest observation
-        # keeps `est` un-prunable, so the division now always evaluates
-        F.round(F.try_divide(F.col("_d").cast("double"), F.col("_tot")), 6)
-        .alias("est"),
-    )
     out = (
-        heavy.unionByName(exact_d)
-        .unionByName(hll)
-        .unionByName(distinct_n)
+        heavy.unionByName(single_rows)
         .unionByName(vocab)
         .unionByName(zipf)
         .unionByName(csim)
-        .unionByName(setops)
-        .unionByName(cms_dot)
         .unionByName(ctfidf)
         .unionByName(pmi)
         .unionByName(card)

@@ -274,12 +274,15 @@ def test_decontaminate_one_pass_broadcast(plans):
     """The exact half of contamination_report makes ONE pass over the
     corpus grams (corpus explode LEFT-joined against the broadcast
     benchmark gram set, one aggregation); the bloom half adds exactly
-    five more Generates (its own corpus + bench explodes, the build's
-    position explode, the candidate explode, the verify bench explode)
-    — a double corpus explode for totals in EITHER half would raise the
-    count. The only Python is the round-7 SEMANTIC branch's deliberate
-    Arrow kernel (one per-row batch kernel over the embeddings scan —
-    never a row-at-a-time BatchEvalPython)."""
+    three more Generates (its own corpus explode, the build's position
+    explode, the candidate explode) — a double corpus explode for
+    totals in EITHER half would raise the count. All THREE benchmark
+    gram consumers (exact broadcast, bloom build, bloom verify) read
+    the lane's single materialized gram set (round 9), so no benchmark
+    explode appears at all: 4 Generates total, plus the checkpoint's
+    RDD scans. The only Python is the round-7 SEMANTIC branch's
+    deliberate Arrow kernel (one per-row batch kernel over the
+    embeddings scan — never a row-at-a-time BatchEvalPython)."""
     s = plans("curation_decontaminate")
     assert "BroadcastExchange" in s or "BroadcastHashJoin" in s
     assert "BatchEvalPython" not in s
@@ -287,7 +290,8 @@ def test_decontaminate_one_pass_broadcast(plans):
 
     assert len(re.findall(r"^\(\d+\) MapInPandas", s, re.M)) == 1
     assert "ArrowEvalPython" not in s
-    assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 7
+    assert len(re.findall(r"^\(\d+\) Generate", s, re.M)) == 4
+    assert "Scan ExistingRDD" in s  # the shared benchmark gram set
 
 
 def test_bloom_probe_stays_out_of_object_agg(plans):
