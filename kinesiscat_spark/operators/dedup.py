@@ -1289,10 +1289,10 @@ def corpus_minhash_similarity(
     sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select(F.col("grp").alias("group_a"), F.col("sig").alias("_sa"))
     b = sigs.select(F.col("grp").alias("group_b"), F.col("sig").alias("_sb"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m
-        )
+    # one parsed string instead of nested HOF Column calls (round 9 —
+    # the expr-string discipline); identical expression, identical result
+    matches = F.expr(
+        "size(filter(zip_with(_sa, _sb, (x, y) -> x = y), m -> m))"
     )
     return (
         a.join(b, F.col("group_a") < F.col("group_b"))

@@ -72,6 +72,20 @@ def language_id(text: Column) -> tuple[Column, Column]:
     return pred, score
 
 
+_LANGID_TEXT_MEMO: "tuple[Column, Column] | None" = None
+
+
+def language_id_text() -> tuple[Column, Column]:
+    """``language_id(F.col("text"))``, built ONCE per process (round 9):
+    the profile trees are ~150 Column calls (~0.5 s of py4j round trips
+    per build, measured) over nothing but the literal profiles and the
+    ``text`` column — a pure expression, safely reusable verbatim."""
+    global _LANGID_TEXT_MEMO
+    if _LANGID_TEXT_MEMO is None:
+        _LANGID_TEXT_MEMO = language_id(F.col("text"))
+    return _LANGID_TEXT_MEMO
+
+
 class UnigramModel(NamedTuple):
     """A trained unigram model: the (word, logp) table plus the smoothing
     log-probability for out-of-vocabulary words. An explicit pair — not
@@ -770,19 +784,23 @@ def vocab_coverage(
     # + exchange each) collapse into a single pass; an unreachable
     # target's conditional min/max are NULL exactly as the filtered
     # aggregate's were.
-    aggs = []
-    for j, t in enumerate(targets):
-        cond = (
-            F.col("cum").cast("double") / F.col("total") >= F.lit(float(t))
-        )
-        aggs += [
-            F.min(F.when(cond, F.col("rk"))).alias(f"_vs{j}"),
-            F.min(F.when(cond, F.struct("rk", "cum"))).alias(f"_first{j}"),
-            F.max(F.when(cond, F.col("total"))).alias(f"_total{j}"),
-        ]
-    row = ranked.agg(*aggs)
-    return row.select(
-        F.explode(
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def _build_vocab_exprs() -> tuple:
+        aggs = []
+        for j, t in enumerate(targets):
+            cond = (
+                F.col("cum").cast("double") / F.col("total")
+                >= F.lit(float(t))
+            )
+            aggs += [
+                F.min(F.when(cond, F.col("rk"))).alias(f"_vs{j}"),
+                F.min(F.when(cond, F.struct("rk", "cum"))).alias(
+                    f"_first{j}"
+                ),
+                F.max(F.when(cond, F.col("total"))).alias(f"_total{j}"),
+            ]
+        rows = F.explode(
             F.array(
                 *[
                     F.struct(
@@ -798,7 +816,14 @@ def vocab_coverage(
                 ]
             )
         ).alias("s")
-    ).select("s.target", "s.vocab_size", "s.coverage")
+        return aggs, rows
+
+    aggs, rows = expr_memo(
+        f"vocab_coverage|{tuple(targets)!r}", _build_vocab_exprs
+    )
+    return ranked.agg(*aggs).select(rows).select(
+        "s.target", "s.vocab_size", "s.coverage"
+    )
 
 
 def zipf_fit(
@@ -848,47 +873,61 @@ def zipf_fit(
         ranked = counts.select(
             F.row_number().over(w).alias("rk"), F.col("c")
         ).filter(F.col("rk") <= top_n)
-    arr = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col("rk"),
-                F.log(F.col("rk").cast("double")).alias("x"),
-                F.log(F.col("c").cast("double")).alias("y"),
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def _build_zipf_exprs() -> tuple:
+        arr = F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rk"),
+                    F.log(F.col("rk").cast("double")).alias("x"),
+                    F.log(F.col("c").cast("double")).alias("y"),
+                )
             )
         )
-    )
-    zero = F.lit(0.0)
-    sums = ranked.agg(
-        F.count("*").cast("double").alias("n"),
-        F.aggregate(arr, zero, lambda a, p: a + p["x"]).alias("sx"),
-        F.aggregate(arr, zero, lambda a, p: a + p["y"]).alias("sy"),
-        F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["y"]).alias("sxy"),
-        F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["x"]).alias("sxx"),
-    )
-    # degenerate corpora (empty, or a single distinct rank) have a zero
-    # slope denominator: NULL fit instead of an ANSI divide-by-zero
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = F.when(
-        den != 0.0,
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
-    )
-    fitted = sums.select(
-        F.col("n").cast("long").alias("n_points"),
-        slope.alias("_slope"),
-        F.when(
-            (F.col("n") != 0.0) & slope.isNotNull(),
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"),
-        ).alias("_icpt"),
-    )
-    return fitted.select(
-        F.explode(
+        zero = F.lit(0.0)
+        sums_aggs = [
+            F.count("*").cast("double").alias("n"),
+            F.aggregate(arr, zero, lambda a, p: a + p["x"]).alias("sx"),
+            F.aggregate(arr, zero, lambda a, p: a + p["y"]).alias("sy"),
+            F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["y"]).alias(
+                "sxy"
+            ),
+            F.aggregate(arr, zero, lambda a, p: a + p["x"] * p["x"]).alias(
+                "sxx"
+            ),
+        ]
+        # degenerate corpora (empty, or a single distinct rank) have a
+        # zero slope denominator: NULL fit instead of an ANSI
+        # divide-by-zero
+        den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope = F.when(
+            den != 0.0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+        )
+        fit_sel = [
+            F.col("n").cast("long").alias("n_points"),
+            slope.alias("_slope"),
+            F.when(
+                (F.col("n") != 0.0) & slope.isNotNull(),
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"),
+            ).alias("_icpt"),
+        ]
+        out_sel = F.explode(
             F.map_from_arrays(
                 F.array(F.lit("slope"), F.lit("intercept")),
                 F.array(F.round("_slope", 6), F.round("_icpt", 6)),
             )
-        ).alias("stat", "value"),
-        "n_points",
-    ).select("stat", "n_points", "value")
+        ).alias("stat", "value")
+        return sums_aggs, fit_sel, out_sel
+
+    sums_aggs, fit_sel, out_sel = expr_memo("zipf_fit", _build_zipf_exprs)
+    return (
+        ranked.agg(*sums_aggs)
+        .select(*fit_sel)
+        .select(out_sel, "n_points")
+        .select("stat", "n_points", "value")
+    )
 
 
 class KNModel(NamedTuple):

@@ -383,6 +383,165 @@ _HEAVY_ORACLE = _HEAVY_ORACLE.replace(
 )
 
 
+def _single_row_exprs() -> dict:
+    """Every Column expression of the fused single-row branch, built ONCE
+    per process (kinesiscat_spark/expr_memo.py — the curation_signals
+    memo discipline): all of them are pure functions of literal lane
+    constants and the g2/range column NAMES, so the trees are reusable
+    verbatim; rebuilding them cost ~1 s of py4j round trips per
+    invocation (HLL estimator HOF folds dominate, measured)."""
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        from kinesiscat_spark.operators.sketches import (
+            _hll_hash60,
+            _slot,
+            cms_inner_product,
+            hll_estimate,
+            hll_merge,
+        )
+
+        null_est = F.lit(None).cast("double")
+        _rem_bits = 60 - _HLL_P
+        _h60 = _hll_hash60(F.col("gram"), "md5")
+        _ridx = F.shiftright(_h60, _rem_bits)
+        _rem = _h60.bitwiseAND(F.lit((1 << _rem_bits) - 1))
+        _rank = (
+            F.when(
+                _rem > 0, F.lit(_rem_bits) - F.length(F.bin(_rem)) + F.lit(1)
+            )
+            .otherwise(F.lit(_rem_bits + 1))
+            .cast("long")
+        )
+        _zero = F.lit(0).cast("long")
+        _e_a = hll_estimate(F.col("_a"), p=_HLL_P)
+        _e_b = hll_estimate(F.col("_b"), p=_HLL_P)
+        _e_u = hll_estimate(hll_merge(F.col("_a"), F.col("_b")), p=_HLL_P)
+        _ngram = F.lit(None).cast("string")
+        _ncnt = F.lit(None).cast("long")
+        return {
+            "hs_sel": [
+                _ridx.alias("i"), _rank.alias("r"), F.col("_ce"),
+                F.col("_co"),
+            ],
+            "hs_agg": [
+                F.max("r").alias("_rf"),
+                F.max(F.when(F.col("_ce") > 0, F.col("r"))).alias("_re"),
+                F.max(F.when(F.col("_co") > 0, F.col("r"))).alias("_ro"),
+            ],
+            "hll3_agg": F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.coalesce("_rf", _zero).alias("f"),
+                        F.coalesce("_re", _zero).alias("e"),
+                        F.coalesce("_ro", _zero).alias("o"),
+                    )
+                )
+            ).alias("s"),
+            "hll3_sel": [
+                F.transform("s", lambda x: x["f"]).alias("_hf"),
+                F.transform("s", lambda x: x["e"]).alias("_a"),
+                F.transform("s", lambda x: x["o"]).alias("_b"),
+            ],
+            "cs_sel": [
+                F.explode(
+                    F.array(
+                        *[
+                            _slot(F.col("gram"), r, _CMS_W, "md5")
+                            for r in range(_CMS_D)
+                        ]
+                    )
+                ).alias("i"),
+                F.col("_ce"),
+                F.col("_co"),
+            ],
+            "cs_agg": [
+                F.sum("_ce").alias("_se"), F.sum("_co").alias("_so"),
+            ],
+            "cms2_agg": F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.coalesce("_se", _zero).alias("e"),
+                        F.coalesce("_so", _zero).alias("o"),
+                    )
+                )
+            ).alias("s"),
+            "cms2_sel": [
+                F.transform("s", lambda x: x["e"]).alias("_ca"),
+                F.transform("s", lambda x: x["o"]).alias("_cb"),
+            ],
+            "scal_agg": [
+                F.count("*").alias("_d"),
+                F.coalesce(
+                    F.sum(F.col("_ce") + F.col("_co")), F.lit(0)
+                ).alias("_tot"),
+                F.sum(F.col("_ce") * F.col("_co")).alias("_dot"),
+                F.coalesce(
+                    F.sum(
+                        ((F.col("_ce") > 0) & (F.col("_co") > 0)).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("_nboth"),
+            ],
+            "rows_sel": F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("exact_distinct").alias("kind"),
+                        _ngram.alias("gram"),
+                        F.col("_d").alias("cnt"),
+                        null_est.alias("est"),
+                    ),
+                    F.struct(
+                        F.lit("hll_distinct").alias("kind"),
+                        _ngram.alias("gram"),
+                        _ncnt.alias("cnt"),
+                        F.round(hll_estimate(F.col("_hf"), p=_HLL_P), 4)
+                        .alias("est"),
+                    ),
+                    F.struct(
+                        F.lit("distinct_n").alias("kind"),
+                        _ngram.alias("gram"),
+                        F.col("_tot").alias("cnt"),
+                        F.round(
+                            F.try_divide(
+                                F.col("_d").cast("double"), F.col("_tot")
+                            ),
+                            6,
+                        ).alias("est"),
+                    ),
+                    F.struct(
+                        F.lit("hll_union").alias("kind"),
+                        _ngram.alias("gram"),
+                        _ncnt.alias("cnt"),
+                        F.round(_e_u, 4).alias("est"),
+                    ),
+                    F.struct(
+                        F.lit("hll_intersect").alias("kind"),
+                        _ngram.alias("gram"),
+                        F.col("_nboth").alias("cnt"),
+                        F.round(_e_a + _e_b - _e_u, 4).alias("est"),
+                    ),
+                    F.struct(
+                        F.lit("cms_dot").alias("kind"),
+                        _ngram.alias("gram"),
+                        F.col("_dot").cast("long").alias("cnt"),
+                        cms_inner_product(
+                            F.col("_ca"), F.col("_cb"), _CMS_D, _CMS_W
+                        )
+                        .cast("double")
+                        .alias("est"),
+                    ),
+                )
+            ).alias("s"),
+        }
+
+    return expr_memo(
+        f"heavy_single_rows|p={_HLL_P}|d={_CMS_D}|w={_CMS_W}", build
+    )
+
+
 @query("text_heavy_ngrams", oracle=_HEAVY_ORACLE)
 def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family over word {n}-grams, three hash-checked kinds.
@@ -483,157 +642,34 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All values are bit-identical (exact integer counts; the HLL/CMS
     # estimator expressions are unchanged and run over identical arrays),
     # pinned by the lane's unchanged DuckDB oracle hash.
-    from kinesiscat_spark.operators.sketches import (
-        _hll_hash60,
-        _slot,
-        cms_inner_product,
-        hll_estimate,
-        hll_merge,
-    )
-
-    _rem_bits = 60 - _HLL_P
-    _h60 = _hll_hash60(F.col("gram"), "md5")
-    _ridx = F.shiftright(_h60, _rem_bits)
-    _rem = _h60.bitwiseAND(F.lit((1 << _rem_bits) - 1))
-    _rank = (
-        F.when(_rem > 0, F.lit(_rem_bits) - F.length(F.bin(_rem)) + F.lit(1))
-        .otherwise(F.lit(_rem_bits + 1))
-        .cast("long")
-    )
+    _ex = _single_row_exprs()
     hslots = (
-        g2.select(_ridx.alias("i"), _rank.alias("r"), "_ce", "_co")
-        .groupBy("i")
-        .agg(
-            F.max("r").alias("_rf"),
-            F.max(F.when(F.col("_ce") > 0, F.col("r"))).alias("_re"),
-            F.max(F.when(F.col("_co") > 0, F.col("r"))).alias("_ro"),
-        )
+        g2.select(*_ex["hs_sel"]).groupBy("i").agg(*_ex["hs_agg"])
     )
-    _zero = F.lit(0).cast("long")
     hll3 = (
         spark.range(1 << _HLL_P)
         .select(F.col("id").alias("i"))
         .join(hslots, "i", "left")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "i",
-                        F.coalesce("_rf", _zero).alias("f"),
-                        F.coalesce("_re", _zero).alias("e"),
-                        F.coalesce("_ro", _zero).alias("o"),
-                    )
-                )
-            ).alias("s")
-        )
-        .select(
-            F.transform("s", lambda x: x["f"]).alias("_hf"),
-            F.transform("s", lambda x: x["e"]).alias("_a"),
-            F.transform("s", lambda x: x["o"]).alias("_b"),
-        )
+        .agg(_ex["hll3_agg"])
+        .select(*_ex["hll3_sel"])
     )
     cslots = (
-        g2.select(
-            F.explode(
-                F.array(
-                    *[
-                        _slot(F.col("gram"), r, _CMS_W, "md5")
-                        for r in range(_CMS_D)
-                    ]
-                )
-            ).alias("i"),
-            "_ce",
-            "_co",
-        )
-        .groupBy("i")
-        .agg(F.sum("_ce").alias("_se"), F.sum("_co").alias("_so"))
+        g2.select(*_ex["cs_sel"]).groupBy("i").agg(*_ex["cs_agg"])
     )
     cms2 = (
         spark.range(_CMS_D * _CMS_W)
         .select(F.col("id").alias("i"))
         .join(cslots, "i", "left")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "i",
-                        F.coalesce("_se", _zero).alias("e"),
-                        F.coalesce("_so", _zero).alias("o"),
-                    )
-                )
-            ).alias("s")
-        )
-        .select(
-            F.transform("s", lambda x: x["e"]).alias("_ca"),
-            F.transform("s", lambda x: x["o"]).alias("_cb"),
-        )
+        .agg(_ex["cms2_agg"])
+        .select(*_ex["cms2_sel"])
     )
-    scal = g2.agg(
-        F.count("*").alias("_d"),
-        F.coalesce(F.sum(F.col("_ce") + F.col("_co")), F.lit(0)).alias("_tot"),
-        F.sum(F.col("_ce") * F.col("_co")).alias("_dot"),
-        F.coalesce(
-            F.sum(((F.col("_ce") > 0) & (F.col("_co") > 0)).cast("long")),
-            F.lit(0),
-        ).alias("_nboth"),
+    scal = g2.agg(*_ex["scal_agg"])
+    single_rows = (
+        hll3.crossJoin(cms2)
+        .crossJoin(scal)
+        .select(_ex["rows_sel"])
+        .select("s.kind", "s.gram", "s.cnt", "s.est")
     )
-    _one = hll3.crossJoin(cms2).crossJoin(scal)
-    _e_a = hll_estimate(F.col("_a"), p=_HLL_P)
-    _e_b = hll_estimate(F.col("_b"), p=_HLL_P)
-    _e_u = hll_estimate(hll_merge(F.col("_a"), F.col("_b")), p=_HLL_P)
-    _ngram = F.lit(None).cast("string")
-    _ncnt = F.lit(None).cast("long")
-    single_rows = _one.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("exact_distinct").alias("kind"),
-                    _ngram.alias("gram"),
-                    F.col("_d").alias("cnt"),
-                    null_est.alias("est"),
-                ),
-                F.struct(
-                    F.lit("hll_distinct").alias("kind"),
-                    _ngram.alias("gram"),
-                    _ncnt.alias("cnt"),
-                    F.round(hll_estimate(F.col("_hf"), p=_HLL_P), 4).alias(
-                        "est"
-                    ),
-                ),
-                F.struct(
-                    F.lit("distinct_n").alias("kind"),
-                    _ngram.alias("gram"),
-                    F.col("_tot").alias("cnt"),
-                    F.round(
-                        F.try_divide(F.col("_d").cast("double"), F.col("_tot")),
-                        6,
-                    ).alias("est"),
-                ),
-                F.struct(
-                    F.lit("hll_union").alias("kind"),
-                    _ngram.alias("gram"),
-                    _ncnt.alias("cnt"),
-                    F.round(_e_u, 4).alias("est"),
-                ),
-                F.struct(
-                    F.lit("hll_intersect").alias("kind"),
-                    _ngram.alias("gram"),
-                    F.col("_nboth").alias("cnt"),
-                    F.round(_e_a + _e_b - _e_u, 4).alias("est"),
-                ),
-                F.struct(
-                    F.lit("cms_dot").alias("kind"),
-                    _ngram.alias("gram"),
-                    F.col("_dot").cast("long").alias("cnt"),
-                    cms_inner_product(
-                        F.col("_ca"), F.col("_cb"), _CMS_D, _CMS_W
-                    )
-                    .cast("double")
-                    .alias("est"),
-                ),
-            )
-        ).alias("s")
-    ).select("s.kind", "s.gram", "s.cnt", "s.est")
     # round-7 widening: vocabulary-coverage curve (operators/text.py
     # vocab_coverage) — minimal most-frequent-first vocab reaching each
     # coverage target over whitespace tokens; the rank window runs over

@@ -420,7 +420,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-stage CASE, no global sort), differential-tested against the
     rank twin in tests/test_text_ops.py.
     """
-    from kinesiscat_spark.operators.text import language_id, perplexity_buckets
+    from kinesiscat_spark.operators.text import language_id_text, perplexity_buckets
 
     docs = load_table(spark, sf_dir, "documents")
     lm_doc = text_unigram_lm(spark, sf_dir)
@@ -432,7 +432,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * (
         0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 10)
     )
-    pred, score = language_id(F.col("text"))
+    pred, score = language_id_text()
     out = docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -508,10 +508,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver lane: folded into ``text_quality_score`` (round 5) — the
     language columns ride the same per-document scan, same hash strength.
     """
-    from kinesiscat_spark.operators.text import language_id
+    from kinesiscat_spark.operators.text import language_id_text
 
     docs = load_table(spark, sf_dir, "documents")
-    pred, score = language_id(F.col("text"))
+    pred, score = language_id_text()
     return docs.select(
         "doc_id",
         F.col("lang").alias("given_lang"),
