@@ -358,6 +358,8 @@ def ngram_similarity_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    count_plan_max_docs: int = 0,
+    count_plan_max_sq: int = 50_000_000,
     _ordered: DataFrame | None = None,
 ) -> DataFrame:
     """BOTH exact near-dup measures from ONE candidate-union + ONE verify
@@ -371,6 +373,25 @@ def ngram_similarity_pairs(
     dedupe exchange and the two verify joins run ONCE instead of twice
     (the round-9 sharing for the dedup_ngram_jaccard lane, which needs
     jaccard rows, containment rows, and the J-or-C edge graph).
+
+    ``count_plan_max_docs`` (round 9, the small-graph-fast-path
+    precedent): when > 0 and the corpus has at most that many documents
+    (checked with a bounded ``limit().count()`` probe), the EXACT size of
+    the naive postings self-join — Σ_h df(h)², one small aggregate over
+    the (h → df) table the PPJoin substrate needs anyway — decides the
+    plan: at or under ``count_plan_max_sq`` rows the classic
+    inverted-index count plan runs (explode → self-join on h → one
+    per-pair count aggregate); over it, or on corpora larger than the doc
+    gate (where even the probe would be a wasted pass), the
+    prefix-filtered PPJoin plan runs unchanged. Rationale: prefix
+    filtering earns its extra passes from SKEWED shingle frequencies; on
+    a corpus whose every shingle is common (the bench corpus: max df 25
+    over 27k distinct shingles) the candidate set degenerates toward the
+    full postings join anyway, and the count plan computes n_common
+    directly — n_common / sizes are the same integers either way, so
+    jaccard and containment are bit-identical doubles (differential-
+    pinned in tests/test_dedup.py). Both decision probes are bounded:
+    the doc gate by its limit, the Σdf² aggregate by the doc gate.
     """
     if not 0.0 < containment_t <= 1.0:
         raise ValueError(
@@ -385,6 +406,67 @@ def ngram_similarity_pairs(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), n).alias("sh"),
         )
+        if count_plan_max_docs > 0 and (
+            sh.select("id").limit(count_plan_max_docs + 1).count()
+            <= count_plan_max_docs
+        ):
+            sh_ck = sh.localCheckpoint(eager=True)
+            inv = sh_ck.select("id", F.explode("sh").alias("h"))
+            [sq] = (
+                inv.groupBy("h")
+                .agg(F.count("*").alias("_df"))
+                .agg(F.sum(F.col("_df") * F.col("_df")))
+                .first()
+            )
+            if sq is not None and sq <= count_plan_max_sq:
+                if max_shingle_df is not None:
+                    # the df cap is an index-pruning knob of the PPJoin
+                    # plan; the count plan has no index to prune
+                    raise ValueError(
+                        "max_shingle_df requires the prefix plan "
+                        "(count_plan_max_docs=0)"
+                    )
+                sizes = sh_ck.select("id", F.size("sh").alias("n_sh"))
+                a, b = inv.alias("a"), inv.alias("b")
+                common = (
+                    a.join(
+                        b,
+                        (F.col("a.h") == F.col("b.h"))
+                        & (F.col("a.id") < F.col("b.id")),
+                    )
+                    .groupBy(
+                        F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                    )
+                    .agg(F.count("*").alias("n_common"))
+                )
+                sa = sizes.select(
+                    F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+                )
+                sb = sizes.select(
+                    F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+                )
+                sim = (
+                    common.join(sa, "id_a")
+                    .join(sb, "id_b")
+                    .withColumn(
+                        "jaccard",
+                        F.col("n_common")
+                        / (
+                            F.col("n_a") + F.col("n_b") - F.col("n_common")
+                        ).cast("double"),
+                    )
+                    .withColumn(
+                        "containment",
+                        F.col("n_common")
+                        / F.least("n_a", "n_b").cast("double"),
+                    )
+                )
+                return sim.filter(
+                    (F.col("jaccard") >= jaccard_t)
+                    | (F.col("containment") >= containment_t)
+                ).select("id_a", "id_b", "jaccard", "containment")
+            sh = sh_ck
         ordered = _ordered_shingles(sh)
     cand = (
         _jaccard_prefix_candidates(ordered, jaccard_t, max_shingle_df)
@@ -557,24 +639,47 @@ def _containment_prefix_candidates(
             F.transform(
                 F.sequence(F.lit(1), p_len),
                 lambda pos: F.struct(
+                    pos.cast("int").alias("pos"),
                     F.element_at(F.col("ord_h"), pos).alias("h"),
                     F.element_at(F.col("ord_df"), pos).alias("df"),
                 ),
             )
         ).alias("p"),
-    ).select("id", "n_sh", "p.h", "p.df")
+    ).select("id", "n_sh", "p.pos", "p.h", "p.df")
     if max_shingle_df is not None:
         prefix = prefix.filter(F.col("df") <= max_shingle_df)
     fi = ordered.select(
         F.col("id").alias("_fid"),
         n_sh.alias("_fn"),
-        F.explode("ord_h").alias("h"),
+        F.posexplode("ord_h").alias("_fp0", "h"),
     )
+    # positional filter (round 9, exactness-preserving — the PPJoin §3
+    # argument transferred to the one-sided join): both per-doc arrays are
+    # sorted by the SAME global (df, h) key with distinct elements, so for
+    # the FIRST shared shingle — at 1-based positions pos (prefix side)
+    # and _fp0+1 (index side) — every other common shingle ranks after it
+    # in BOTH docs: overlap ≤ 1 + min(|x|−pos, |y|−(_fp0+1)). A qualifying
+    # pair needs overlap ≥ α = ⌈t·|x|⌉, and its first-shared row always
+    # satisfies the bound, so it survives the dedupe; rows it prunes were
+    # redundant duplicates of the pair. Runs inside the join's codegen —
+    # candidate volume (the dedupe exchange AND the verify fan-in)
+    # shrinks, output pairs are unchanged (differential-pinned in
+    # tests/test_dedup.py).
+    alpha = F.ceil(
+        prefix["n_sh"] * F.lit(float(threshold)) - F.lit(1e-9)
+    )
+    pos_ok = (
+        1
+        + F.least(
+            prefix["n_sh"] - prefix["pos"], fi["_fn"] - (fi["_fp0"] + 1)
+        )
+    ) >= alpha
     return prefix.join(
         fi,
         (prefix["h"] == fi["h"])
         & (prefix["id"] != fi["_fid"])
-        & (prefix["n_sh"] <= fi["_fn"]),
+        & (prefix["n_sh"] <= fi["_fn"])
+        & pos_ok,
     ).select(
         F.least(prefix["id"], fi["_fid"]).alias("id_a"),
         F.greatest(prefix["id"], fi["_fid"]).alias("id_b"),

@@ -234,36 +234,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shingles, same common-count semantics, hash-checked against the
     same oracle CTE.
     """
-    from kinesiscat_spark.io_tables import spread
-    from kinesiscat_spark.operators.dedup import (
-        _ordered_shingles,
-        shingle_hashes,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    # ONE ordered-shingle build (scan → explode → df-join → collect,
-    # materialized once) serves BOTH measures' prefix indexes and verify
-    # sets — the lane's widest stage runs once, not twice
-    sh = spread(docs, "doc_id").select(
-        F.col("doc_id").alias("id"), shingle_hashes(F.col("text"), 3).alias("sh")
-    )
-    ordered = _ordered_shingles(sh)
     # ONE candidate-union + ONE verify pass computes BOTH measures
     # (operators/dedup.py ngram_similarity_pairs — round 9: the two
     # per-measure verifies and dedupe exchanges are merged; each
     # generator's candidate set is exact for its own measure, so
     # filtering the union by either threshold reproduces that measure's
-    # pair set exactly). The merged frame materializes ONCE (lazy
-    # localCheckpoint) for its many consumers — jaccard rows,
-    # containment rows, the rank branch's edge graph (which pagerank
-    # re-reads across iterations), and the split/audit branches — the
-    # PPJoin-in-codegen shape of the join itself is pinned at the
-    # OPERATOR level in test_plan_shape.py.
+    # pair set exactly). The merged frame materializes ONCE for its many
+    # consumers — jaccard rows, containment rows, the rank branch's edge
+    # graph (which pagerank re-reads across iterations), and the
+    # split/audit branches — the PPJoin-in-codegen shape of the join
+    # itself is pinned at the OPERATOR level in test_plan_shape.py.
+    # count_plan_max_docs: bounded-probe adaptive plan choice (see the
+    # operator docstring) — identical pairs either way.
     from kinesiscat_spark.operators.dedup import ngram_similarity_pairs
 
+    # EAGER checkpoint (round 9): the first consumer to touch a lazy
+    # checkpoint here is pagerank's bounded limit().collect(), and
+    # executeTake materializes the expensive verify pass with throttled
+    # parallelism (first a 1-partition job, then the rest — measured 2×
+    # the frame's parallel noop cost); eager runs ONE fully parallel
+    # materialization job instead, and every downstream collect reads
+    # checkpointed partitions in ~10 ms.
     merged = ngram_similarity_pairs(
-        docs, JACCARD_T, CONTAINMENT_T, n=3, _ordered=ordered
-    ).localCheckpoint(eager=False)
+        docs, JACCARD_T, CONTAINMENT_T, n=3, count_plan_max_docs=200_000
+    ).localCheckpoint(eager=True)
     jp = merged.filter(F.col("jaccard") >= JACCARD_T)
     jac = jp.select(
         F.lit("jaccard").alias("kind"),

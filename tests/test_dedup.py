@@ -546,3 +546,46 @@ def test_streaming_corpus_signatures_equal_batch(spark, tmp_path):
         for r in corpus_minhash_signatures(df, n_hashes=16).collect()
     }
     assert got == want and set(got) == {"g0", "g1", "g2"}
+
+
+def test_similarity_pairs_count_plan_equals_prefix_plan(spark):
+    """Round 9: ngram_similarity_pairs' adaptive count plan (bounded-probe
+    gate) must produce EXACTLY the prefix-filtered plan's pairs — ids and
+    both measure values bit-equal — and the gates must behave: a doc gate
+    of 0 disables the probe, a tiny sq bound falls back to the prefix
+    plan."""
+    import random
+
+    from kinesiscat_spark.operators.dedup import ngram_similarity_pairs
+
+    rng = random.Random(7)
+    pool = [f"w{j}" for j in range(25)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(pool) for _ in range(rng.randint(1, 60))]
+        rows.append((2 * i, " ".join(words)))
+        twin = list(words[rng.randint(0, 2):])
+        for _ in range(rng.randint(0, 3)):
+            twin.append(rng.choice(pool))
+        rows.append((2 * i + 1, " ".join(twin) if twin else "x"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def canon(df):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard, r.containment) for r in df.collect()
+        )
+
+    prefix = canon(ngram_similarity_pairs(docs, 0.4, 0.6))
+    counted = canon(
+        ngram_similarity_pairs(docs, 0.4, 0.6, count_plan_max_docs=10_000)
+    )
+    assert counted == prefix
+    assert prefix  # non-vacuous: the corpus does produce pairs
+    # sq bound exceeded -> prefix plan (same result either way, but the
+    # fallback path must execute without error)
+    fallback = canon(
+        ngram_similarity_pairs(
+            docs, 0.4, 0.6, count_plan_max_docs=10_000, count_plan_max_sq=1
+        )
+    )
+    assert fallback == prefix
