@@ -134,14 +134,67 @@ def content_digest(df: DataFrame, cols: list[str]) -> str:
     the SAME rows+columns (e.g. the bigram and Kneser-Ney LM artifacts of
     the quality lane, round 9) compute this once and pass it to each
     ``content_key(..., _digest=...)`` call, so the per-key aggregate job
-    is not repeated per artifact."""
+    is not repeated per artifact.
+
+    Round 9 (guide §1.2 per-task work): the digest is memoized per
+    process under ``(canonicalized analyzed plan, cols, sorted input-file
+    (path, size, mtime_ns) stats)``. Every artifact-keyed lane was paying
+    this one aggregate job on EVERY invocation even when the memoized
+    artifact itself hit (7 call sites × 3 bench passes); the fingerprint
+    hit costs two py4j calls + os.stat instead. Sound because the digest
+    is a pure function of the rows, and the rows are a pure function of
+    (deterministic plan, immutable input files) — every caller derives
+    its frame from the sf-dir parquet tables with deterministic
+    projections/filters. A regenerated file changes (size, mtime_ns) and
+    misses; a frame whose lineage has no input files (local relations,
+    drained memory tables) gets no fingerprint and recomputes every call,
+    preserving the strict content contract exactly where file identity
+    cannot vouch for it."""
+    fp = _digest_fingerprint(df, cols)
+    if fp is not None and fp in _DIGEST_MEMO:
+        return _DIGEST_MEMO[fp]
     hashes = f"xxhash64({', '.join(cols)})"
     [r] = df.agg(
         F.expr(f"bit_xor({hashes})").alias("d"),
         F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("s"),
         F.count("*").alias("n"),
     ).collect()
-    return f"{r.d}|{r.s}|{r.n}"
+    digest = f"{r.d}|{r.s}|{r.n}"
+    if fp is not None:
+        _DIGEST_MEMO[fp] = digest
+    return digest
+
+
+_DIGEST_MEMO: dict[str, str] = {}
+
+
+def _digest_fingerprint(df: DataFrame, cols: list[str]) -> str | None:
+    """md5 over (canonicalized plan, cols, input-file stats), or None
+    when the plan reads no files (nothing durable to key on) — see
+    :func:`content_digest`. Canonicalization normalizes expression ids,
+    so the same lane derivation fingerprints identically across
+    invocations and sessions in one process."""
+    import hashlib
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        stats = []
+        for f in sorted(files):
+            p = f[7:] if f.startswith("file://") else (
+                f[5:] if f.startswith("file:") else f
+            )
+            st = os.stat(p)
+            stats.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+        plan = (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        blob = "\x00".join([plan, ",".join(cols), *stats])
+        return hashlib.md5(blob.encode()).hexdigest()
+    except Exception:
+        return None  # fingerprinting is best-effort; fall back to the job
 
 
 # keyed by id(session); each entry carries a weakref to the session so

@@ -571,6 +571,7 @@ def ivf_topk(
     query_id: str = "qid",
     vec: str = "embedding",
     _cents: DataFrame | None = None,
+    _cents_rows: list | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: search only the ``n_probe`` cells
     nearest to each query, exact cosine re-rank inside them.
@@ -584,20 +585,26 @@ def ivf_topk(
     passthrough precedent) so a caller that already materialized the
     Lloyd-refined build — or memoized it per corpus content — skips the
     training loop; it must have the (cell, cvec) shape ``ivf_centroids``
-    produces.
+    produces. ``_cents_rows`` goes one step further (round 9): the
+    caller already holds the collected (cell, cvec) rows — e.g. a
+    content-keyed process memo — so this call runs NO training job and
+    NO collect at all; the rows become a local relation directly.
     """
-    cents = (
-        _cents
-        if _cents is not None
-        else ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
-    )
-    # ONE centroid collect (round 9, guide §2.4): the k rows are needed
-    # on the driver anyway (the Arrow assign ships them in its closure),
-    # and the probe assign broadcasts the same values — without this,
-    # each consumer re-evaluated the seed/refined subtree (one collect +
-    # one broadcast build per call). Bit-identical (doubles round-trip
-    # exactly — the Lloyd contract).
-    cents_rows = _collect_cents(cents)
+    if _cents_rows is not None:
+        cents_rows = list(_cents_rows)
+    else:
+        cents = (
+            _cents
+            if _cents is not None
+            else ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+        )
+        # ONE centroid collect (round 9, guide §2.4): the k rows are
+        # needed on the driver anyway (the Arrow assign ships them in its
+        # closure), and the probe assign broadcasts the same values —
+        # without this, each consumer re-evaluated the seed/refined
+        # subtree (one collect + one broadcast build per call).
+        # Bit-identical (doubles round-trip exactly — the Lloyd contract).
+        cents_rows = _collect_cents(cents)
     cents = _cents_relation(corpus.sparkSession, cents_rows)
     # corpus-side assign via the Arrow kernel (round 6): bit-identical to
     # the Column fold (see ivf_assign_arrow) but at numpy constants
@@ -638,6 +645,7 @@ def ivf_sq_topk(
     corpus_id: str = "vec_id",
     query_id: str = "qid",
     vec: str = "embedding",
+    _cents_rows: list | None = None,
 ) -> DataFrame:
     """IVF top-k with SQ8 cell scans: the probed cells are ranked on int8
     codes, and only the ``rerank_k`` survivors (default ``4k``) touch the
@@ -660,9 +668,14 @@ def ivf_sq_topk(
     )
 
     rerank_k = rerank_k or 4 * k
-    # one centroid collect for both assigns (see ivf_topk)
-    cents_rows = _collect_cents(
-        ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+    # one centroid collect for both assigns (see ivf_topk); a caller-side
+    # content-keyed rows memo skips even that (``_cents_rows``, round 9)
+    cents_rows = (
+        list(_cents_rows)
+        if _cents_rows is not None
+        else _collect_cents(
+            ivf_centroids(corpus, n_cells, n_iters, corpus_id, vec)
+        )
     )
     cents = _cents_relation(corpus.sparkSession, cents_rows)
     # corpus-side assign via the Arrow kernel (round 6): bit-identical to

@@ -131,3 +131,85 @@ def test_memo_table_evicts_dead_sessions(spark):
     # next call on the real session sweeps the dead entry
     memo_table(spark, "io_tables_memo_sweep", lambda: spark.range(1))
     assert sid not in iot._MEMO_VIEWS
+
+
+def test_content_digest_memo_hits_on_file_backed_frames(spark, tmp_path):
+    """Round 9: the digest of a deterministic file-backed derivation is
+    memoized per (canonicalized plan, cols, file stats) — the second call
+    runs no Spark job — and a rewritten file (new mtime/size) misses, so
+    the memo can never serve a digest for changed bytes."""
+    import kinesiscat_spark.io_tables as iot
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    df = spark.read.parquet(p).filter("id >= 2")
+    d1 = iot.content_digest(df, ["id", "v"])
+    n_memo = len(iot._DIGEST_MEMO)
+    df2 = spark.read.parquet(p).filter("id >= 2")  # read-side jobs here
+    jobs_before = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    )
+    d2 = iot.content_digest(df2, ["id", "v"])
+    jobs_after = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    )
+    assert d1 == d2
+    assert len(iot._DIGEST_MEMO) == n_memo
+    assert jobs_after == jobs_before  # the digest hit itself ran no job
+    # a different plan over the same files is a different key
+    d3 = iot.content_digest(
+        spark.read.parquet(p).filter("id >= 3"), ["id", "v"]
+    )
+    assert d3 != d1
+    # rewriting the file invalidates the fingerprint (stats change)
+    import shutil
+
+    shutil.rmtree(p)
+    spark.range(10).selectExpr(
+        "id + 100 AS id", "id AS v"
+    ).write.parquet(p)
+    d4 = iot.content_digest(spark.read.parquet(p).filter("id >= 2"),
+                            ["id", "v"])
+    assert d4 != d1
+
+
+def test_content_digest_no_files_recomputes(spark):
+    """Local relations have no input files: no fingerprint, every call
+    recomputes (the strict content contract where file identity cannot
+    vouch for the rows)."""
+    import kinesiscat_spark.io_tables as iot
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    before = dict(iot._DIGEST_MEMO)
+    d1 = iot.content_digest(df, ["v"])
+    d2 = iot.content_digest(spark.createDataFrame([(1,), (2,)], "v long"),
+                            ["v"])
+    assert d1 == d2
+    assert iot._DIGEST_MEMO == before  # nothing memoized
+
+
+def test_ivf_topk_cents_rows_matches_collect_path(spark):
+    """The _cents_rows fast path is bit-identical to the in-plan
+    seed-centroid build it replaces."""
+    from kinesiscat_spark.operators.similarity import (
+        _collect_cents,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS qid", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 3")
+    base = ivf_topk(corpus, queries, 5, n_cells=4, n_probe=2)
+    rows = _collect_cents(ivf_centroids(corpus, 4, 0))
+    fast = ivf_topk(corpus, queries, 5, n_cells=4, n_probe=2,
+                    _cents_rows=rows)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
