@@ -159,9 +159,25 @@ def ivf_index_topk(
     indexed = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)
     )
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
-        probes, query_id
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build_exact() -> dict:
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return {
+            "q_sel": [F.col(query_id), F.col(vec).alias("_qvec")],
+            "sim_sel": [
+                F.col(query_id),
+                F.col(id_col).alias("cid"),
+                cosine(F.col("_qvec"), F.col(vec)).alias("sim"),
+            ],
+            "rnk": F.row_number().over(w).cast("long"),
+            "keep": F.col("rnk") <= k,
+        }
+
+    exx = expr_memo(
+        f"ann.ivf_index_exact|{query_id}|{id_col}|{vec}|{k}", build_exact
     )
+    q = queries.select(*exx["q_sel"]).join(probes, query_id)
     if not use_sq8 and not use_pq:
         # Column cosine, not the Arrow pair kernel: the candidate set is
         # already pruned to n_probe/n_cells of the corpus, so the
@@ -170,16 +186,8 @@ def ivf_index_topk(
         # (test_plan_shape.py pins it).  cosine() folds in the same
         # order as pair_cosine_udf (differential-tested), so results
         # are bit-identical either way.
-        cand = indexed.join(F.broadcast(q), "cell").select(
-            query_id,
-            F.col(id_col).alias("cid"),
-            cosine(F.col("_qvec"), F.col(vec)).alias("sim"),
-        )
-        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-        return (
-            cand.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rnk") <= k)
-        )
+        cand = indexed.join(F.broadcast(q), "cell").select(*exx["sim_sel"])
+        return cand.withColumn("rnk", exx["rnk"]).filter(exx["keep"])
     rerank_k = rerank_k or 4 * k
     if use_pq:
         # IVF,PQ: the probed-cell scan reads cell + pq_codes ONLY —
@@ -215,29 +223,44 @@ def ivf_index_topk(
             .select(query_id, "cid")
         )
         return exact_float_rerank(indexed, queries, cand, k, id_col, query_id, vec)
+    def build_sq8() -> dict:
+        w1 = Window.partitionBy(query_id).orderBy(
+            F.desc_nulls_last("_asim"), F.asc("cid")
+        )
+        return {
+            "qc_sel": [F.col(query_id), F.col("codes").alias("_qc")],
+            "qn": F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")),
+            "scan_sel": [
+                F.col(id_col).alias("cid"),
+                F.col("cell"),
+                F.col("codes").alias("_cc"),
+            ],
+            "cn": F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")),
+            "asim": F.try_divide(
+                int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("_asim"),
+            "r": F.row_number().over(w1),
+            "keep": F.col("_r") <= rerank_k,
+            "cand_sel": [F.col(query_id), F.col("cid")],
+        }
+
+    exs = expr_memo(
+        f"ann.ivf_index_sq8|{query_id}|{id_col}|{rerank_k}", build_sq8
+    )
     qc = (
         quantize_embeddings(queries, query_id, vec)
-        .select(F.col(query_id), F.col("codes").alias("_qc"))
-        .withColumn("_qn", F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")))
+        .select(*exs["qc_sel"])
+        .withColumn("_qn", exs["qn"])
         .join(probes, query_id)
     )
-    scans = indexed.select(
-        F.col(id_col).alias("cid"),
-        "cell",
-        F.col("codes").alias("_cc"),
-    ).withColumn("_cn", F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")))
+    scans = indexed.select(*exs["scan_sel"]).withColumn("_cn", exs["cn"])
     approx = scans.join(F.broadcast(qc), "cell").select(
-        query_id,
-        "cid",
-        F.try_divide(
-            int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
-            F.col("_qn") * F.col("_cn"),
-        ).alias("_asim"),
+        query_id, "cid", exs["asim"]
     )
-    w1 = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
     cand = (
-        approx.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= rerank_k)
-        .select(query_id, "cid")
+        approx.withColumn("_r", exs["r"])
+        .filter(exs["keep"])
+        .select(*exs["cand_sel"])
     )
     return exact_float_rerank(indexed, queries, cand, k, id_col, query_id, vec)

@@ -19,6 +19,14 @@ Spark shape:
   ``cosine_topk`` at a quarter of the scan+broadcast bytes.
 
 Recall is asserted against the exact lane in tests/test_quantize.py.
+
+Round 9 (guide §1.2 "per-task work", here per-INVOCATION work): every
+pure Column tree in this module — trees that depend only on literal
+parameters and input column NAMES — is built once per process via
+``expr_memo`` and reused verbatim. cProfile showed the quantized lane
+spending ~1.7 s per invocation in py4j round trips (4,414 gateway
+commands) just REBUILDING these identical trees; the memoized Columns
+are plan fragments, so every action still recomputes from parquet.
 """
 
 from __future__ import annotations
@@ -27,7 +35,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesiscat_spark.expr_memo import expr_memo
 from kinesiscat_spark.let import let_
+
+
+def _quantize_select(id_col: str, vec_col: str) -> list:
+    """The (id, codes, scale) projection of ``quantize_embeddings`` —
+    pure in (id_col, vec_col), memoized per process."""
+
+    def build() -> list:
+        v = F.col(vec_col)
+
+        def codes_of(amax: Column) -> Column:
+            return F.when(
+                amax > 0,
+                F.transform(
+                    v,
+                    lambda x: F.round(x.cast("double") * 127.0 / amax).cast(
+                        "tinyint"
+                    ),
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+        return [
+            F.col(id_col),
+            let_(amax, codes_of).alias("codes"),
+            scale.alias("scale"),
+        ]
+
+    return expr_memo(f"q8.quantize|{id_col}|{vec_col}", build)
 
 
 def quantize_embeddings(
@@ -46,23 +84,7 @@ def quantize_embeddings(
     references it: inlined, Catalyst would re-fold the whole vector once
     per element — O(dim²) per vector (kinesiscat_spark/let.py).
     """
-    v = F.col(vec_col)
-
-    def codes_of(amax: Column) -> Column:
-        return F.when(
-            amax > 0,
-            F.transform(
-                v, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
-            ),
-        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    return emb.select(
-        F.col(id_col),
-        let_(amax, codes_of).alias("codes"),
-        scale.alias("scale"),
-    )
+    return emb.select(*_quantize_select(id_col, vec_col))
 
 
 def int8_dot(a: Column, b: Column) -> Column:
@@ -107,28 +129,41 @@ def pq_train(
     parallelism (empty cells drop, ties keep the lower cell —
     deterministic either way).
     """
-    from kinesiscat_spark.operators.similarity import normalize, sq_l2
+    from kinesiscat_spark.operators.similarity import sq_l2
 
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(ks)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1)
-            .cast("long")
-            .alias("cell"),
-            normalize(F.col(vec_col)).alias("_nv"),
-        )
-    )
-    dsub = _dsub_checked(F.col("_nv"), m)
-    cents = seeds.select(
-        "cell",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice("_nv", s * dsub + 1, dsub),
-            )
-        ).alias("sub", "cvec"),
-    ).select(F.col("sub").cast("long").alias("sub"), "cell", "cvec")
+    def build_seed_exprs() -> dict:
+        from kinesiscat_spark.operators.similarity import normalize
+
+        dsub = _dsub_checked(F.col("_nv"), m)
+        return {
+            "seed_sel": [
+                (F.row_number().over(Window.orderBy(id_col)) - 1)
+                .cast("long")
+                .alias("cell"),
+                normalize(F.col(vec_col)).alias("_nv"),
+            ],
+            "cent_sel": [
+                F.col("cell"),
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda s: F.slice("_nv", s * dsub + 1, dsub),
+                    )
+                ).alias("sub", "cvec"),
+            ],
+            "out_sel": [
+                F.col("sub").cast("long").alias("sub"),
+                F.col("cell"),
+                F.col("cvec"),
+            ],
+        }
+
+    ex = expr_memo(f"q8.pqtrain|{id_col}|{vec_col}|{m}", build_seed_exprs)
+    # NOTE: the historical seed projection computed (row_number - 1) in two
+    # steps (alias "cell", then withColumn cell-1); folding the -1 into the
+    # projection is the same integer expression evaluated at the same point.
+    seeds = corpus.orderBy(id_col).limit(ks).select(*ex["seed_sel"])
+    cents = seeds.select(*ex["cent_sel"]).select(*ex["out_sel"])
 
     for _ in range(n_iters):
         sub_rows = _pq_subvectors(corpus, m, id_col, vec_col)
@@ -180,19 +215,31 @@ def _pq_subvectors(
     """(id, sub, sv): the unit-normalized vector cut into ``m`` contiguous
     subvectors — the norm is materialized once per row (let_ inside
     ``normalize``), then one posexplode fans out the m slices."""
-    from kinesiscat_spark.operators.similarity import normalize
 
-    nv = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
-    dsub = _dsub_checked(F.col("_nv"), m)
-    return nv.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice("_nv", s * dsub + 1, dsub),
-            )
-        ).alias("sub", "sv"),
-    ).withColumn("sub", F.col("sub").cast("long"))
+    def build() -> dict:
+        from kinesiscat_spark.operators.similarity import normalize
+
+        dsub = _dsub_checked(F.col("_nv"), m)
+        return {
+            "nv_sel": [F.col(id_col), normalize(F.col(vec_col)).alias("_nv")],
+            "out_sel": [
+                F.col(id_col),
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda s: F.slice("_nv", s * dsub + 1, dsub),
+                    )
+                ).alias("sub", "sv"),
+            ],
+            "sub_long": F.col("sub").cast("long"),
+        }
+
+    ex = expr_memo(f"q8.pqsub|{id_col}|{vec_col}|{m}", build)
+    return (
+        df.select(*ex["nv_sel"])
+        .select(*ex["out_sel"])
+        .withColumn("sub", ex["sub_long"])
+    )
 
 
 def pq_encode(
@@ -212,23 +259,38 @@ def pq_encode(
     argmin is a map-side-combinable struct-min per (id, sub), and the
     code assembly is one (id)-keyed aggregation of (sub, cell) pairs —
     vectors never shuffle."""
-    from kinesiscat_spark.operators.similarity import sq_l2
 
+    def build() -> dict:
+        from kinesiscat_spark.operators.similarity import sq_l2
+
+        return {
+            "d": sq_l2(F.col("sv"), F.col("cvec")),
+            "best_agg": F.min(F.struct("_d", "cell")).alias("_b"),
+            "best_sel": [
+                F.col(id_col),
+                F.col("sub"),
+                F.col("_b.cell").alias("cell"),
+            ],
+            "sc_agg": F.array_sort(
+                F.collect_list(F.struct("sub", "cell"))
+            ).alias("_sc"),
+            "codes_sel": [
+                F.col(id_col),
+                F.transform(F.col("_sc"), lambda s: s["cell"]).alias("codes"),
+            ],
+        }
+
+    ex = expr_memo(f"q8.pqenc|{id_col}", build)
     best = (
         _pq_subvectors(df, m, id_col, vec_col)
         .join(F.broadcast(cents), "sub")
-        .withColumn("_d", sq_l2(F.col("sv"), F.col("cvec")))
+        .withColumn("_d", ex["d"])
         .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("_d", "cell")).alias("_b"))
-        .select(F.col(id_col), "sub", F.col("_b.cell").alias("cell"))
+        .agg(ex["best_agg"])
+        .select(*ex["best_sel"])
     )
     return (
-        best.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "cell"))).alias("_sc"))
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_sc"), lambda s: s["cell"]).alias("codes"),
-        )
+        best.groupBy(id_col).agg(ex["sc_agg"]).select(*ex["codes_sel"])
     )
 
 
@@ -246,22 +308,28 @@ def exact_float_rerank(
     pairs ``(query_id, cid)`` via a candidate-side broadcast — the corpus
     float column is read in place and NEVER shuffles; returned ``sim``
     values are exact, ties break on cid."""
-    from kinesiscat_spark.operators.similarity import pair_cosine_udf
 
-    qv = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec"))
+    def build() -> dict:
+        from kinesiscat_spark.operators.similarity import pair_cosine_udf
+
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return {
+            "qv_sel": [F.col(query_id), F.col(vec).alias("_qvec")],
+            "cv_sel": [F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")],
+            "sim": pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias(
+                "sim"
+            ),
+            "rnk": F.row_number().over(w).cast("long"),
+            "keep": F.col("rnk") <= k,
+        }
+
+    ex = expr_memo(f"q8.rerank|{corpus_id}|{query_id}|{vec}|{k}", build)
+    qv = queries.select(*ex["qv_sel"])
+    cv = corpus.select(*ex["cv_sel"])
     sims = cv.join(
         F.broadcast(cand.join(F.broadcast(qv), query_id)), "cid"
-    ).select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    ).select(query_id, "cid", ex["sim"])
+    return sims.withColumn("rnk", ex["rnk"]).filter(ex["keep"])
 
 
 def pq_query_lut(
@@ -275,31 +343,41 @@ def pq_query_lut(
     subspaces (0..m-1, positional) of ``map<cell → partial dot>``. Maps,
     not positional arrays, so a Lloyd-refined codebook with a dropped
     (empty) cell still looks up correctly by cell id."""
-    from kinesiscat_spark.operators.similarity import dot
 
+    def build() -> dict:
+        from kinesiscat_spark.operators.similarity import dot
+
+        return {
+            "cp": F.struct(
+                "cell", dot(F.col("sv"), F.col("cvec")).alias("pd")
+            ).alias("_cp"),
+            "row_agg": F.map_from_entries(
+                F.array_sort(F.collect_list("_cp"))
+            ).alias("_row"),
+            # structs holding a map aren't orderable → assemble positionally
+            # through a sub-keyed map instead of array_sort
+            "m_agg": F.map_from_entries(
+                F.collect_list(F.struct("sub", "_row"))
+            ).alias("_m"),
+            "lut_sel": [
+                F.col(query_id),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.element_at(F.col("_m"), s.cast("long")),
+                ).alias("_lut"),
+            ],
+        }
+
+    ex = expr_memo(f"q8.pqlut|{query_id}|{m}", build)
     q_sub = _pq_subvectors(queries, m, query_id, vec)
     return (
         q_sub.join(F.broadcast(cents), "sub")
-        .select(
-            F.col(query_id),
-            "sub",
-            F.struct("cell", dot(F.col("sv"), F.col("cvec")).alias("pd")).alias(
-                "_cp"
-            ),
-        )
+        .select(F.col(query_id), "sub", ex["cp"])
         .groupBy(query_id, "sub")
-        .agg(F.map_from_entries(F.array_sort(F.collect_list("_cp"))).alias("_row"))
+        .agg(ex["row_agg"])
         .groupBy(query_id)
-        # structs holding a map aren't orderable → assemble positionally
-        # through a sub-keyed map instead of array_sort
-        .agg(F.map_from_entries(F.collect_list(F.struct("sub", "_row"))).alias("_m"))
-        .select(
-            F.col(query_id),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.element_at(F.col("_m"), s.cast("long")),
-            ).alias("_lut"),
-        )
+        .agg(ex["m_agg"])
+        .select(*ex["lut_sel"])
     )
 
 
@@ -347,21 +425,34 @@ def pq_adc_topk(
     an ANSI-SQL twin.
     """
     rerank_k = rerank_k or 4 * k
+
+    def build() -> dict:
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc_nulls_last("_asim"), F.asc("cid")
+        )
+        return {
+            "codes_sel": [F.col(corpus_id).alias("cid"), F.col("codes")],
+            "asim": pq_adc_score(F.col("codes"), F.col("_lut"), m).alias(
+                "_asim"
+            ),
+            "r": F.row_number().over(w),
+            "keep": F.col("_r") <= rerank_k,
+            "cand_sel": [F.col(query_id), F.col("cid")],
+        }
+
+    ex = expr_memo(
+        f"q8.pqadc|{corpus_id}|{query_id}|{m}|{rerank_k}", build
+    )
     cents = pq_train(corpus, m, ks, n_iters, corpus_id, vec)
     codes = pq_encode(corpus, cents, m, corpus_id, vec).select(
-        F.col(corpus_id).alias("cid"), "codes"
+        *ex["codes_sel"]
     )
     lut = pq_query_lut(queries, cents, m, query_id, vec)
-    approx = codes.join(F.broadcast(lut)).select(
-        query_id,
-        "cid",
-        pq_adc_score(F.col("codes"), F.col("_lut"), m).alias("_asim"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
+    approx = codes.join(F.broadcast(lut)).select(query_id, "cid", ex["asim"])
     cand = (
-        approx.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= rerank_k)
-        .select(query_id, "cid")
+        approx.withColumn("_r", ex["r"])
+        .filter(ex["keep"])
+        .select(*ex["cand_sel"])
     )
     return exact_float_rerank(corpus, queries, cand, k, corpus_id, query_id, vec)
 
@@ -386,33 +477,55 @@ def quantized_topk(
     frontier is approximate.
     """
     rerank_k = rerank_k or 4 * k
+
+    def build() -> dict:
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc_nulls_last("_asim"), F.asc("cid")
+        )
+        return {
+            "c_sel": [
+                F.col(corpus_id).alias("cid"),
+                F.col("codes").alias("_cc"),
+                F.col("scale").alias("_cs"),
+            ],
+            "cn": F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")),
+            "q_sel": [
+                F.col(query_id),
+                F.col("codes").alias("_qc"),
+                F.col("scale").alias("_qs"),
+            ],
+            "qn": F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")),
+            # try_divide: a zero-norm (all-zero) vector scores NULL and
+            # sorts last (desc_nulls_last) instead of raising under ANSI
+            "asim": F.try_divide(
+                int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("_asim"),
+            "r": F.row_number().over(w),
+            "keep": F.col("_r") <= rerank_k,
+            "cand_sel": [F.col(query_id), F.col("cid")],
+        }
+
+    ex = expr_memo(
+        f"q8.sq8topk|{corpus_id}|{query_id}|{rerank_k}", build
+    )
     # carry code norms so phase-1 scores approximate cosine (the per-vector
     # scale cancels between dot and norm; zero vectors score null → last)
-    c_norm = quantize_embeddings(corpus, corpus_id, vec).select(
-        F.col(corpus_id).alias("cid"),
-        F.col("codes").alias("_cc"),
-        F.col("scale").alias("_cs"),
-    ).withColumn("_cn", F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")))
-    q_norm = quantize_embeddings(queries, query_id, vec).select(
-        F.col(query_id),
-        F.col("codes").alias("_qc"),
-        F.col("scale").alias("_qs"),
-    ).withColumn("_qn", F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")))
-    pairs = c_norm.join(F.broadcast(q_norm))
-    approx = pairs.select(
-        query_id,
-        "cid",
-        # try_divide: a zero-norm (all-zero) vector scores NULL and sorts
-        # last (desc_nulls_last) instead of raising under ANSI mode
-        F.try_divide(
-            int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
-            F.col("_qn") * F.col("_cn"),
-        ).alias("_asim"),
+    c_norm = (
+        quantize_embeddings(corpus, corpus_id, vec)
+        .select(*ex["c_sel"])
+        .withColumn("_cn", ex["cn"])
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc_nulls_last("_asim"), F.asc("cid"))
+    q_norm = (
+        quantize_embeddings(queries, query_id, vec)
+        .select(*ex["q_sel"])
+        .withColumn("_qn", ex["qn"])
+    )
+    pairs = c_norm.join(F.broadcast(q_norm))
+    approx = pairs.select(query_id, "cid", ex["asim"])
     cand = (
-        approx.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= rerank_k)
-        .select(query_id, "cid")
+        approx.withColumn("_r", ex["r"])
+        .filter(ex["keep"])
+        .select(*ex["cand_sel"])
     )
     return exact_float_rerank(corpus, queries, cand, k, corpus_id, query_id, vec)

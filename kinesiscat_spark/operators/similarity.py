@@ -64,25 +64,34 @@ def pair_cosine_udf():
     dimension (vectorized across pairs) — exactly the fold order of the
     Column form and the SQL oracle's ``list_sum`` — then divides by the
     product of the square roots, so ``sim`` carries the same bits.
+
+    The UDF object is built once per process (expr_memo): it depends on
+    nothing but its own body, and rebuilding it on every caller paid a
+    py4j registration round trip per similarity lane invocation.
     """
-    import numpy as np
+    from kinesiscat_spark.expr_memo import expr_memo
 
-    @F.pandas_udf("double")
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        dots = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for i in range(A.shape[1]):
-            dots += A[:, i] * B[:, i]
-            na += A[:, i] * A[:, i]
-            nb += B[:, i] * B[:, i]
-        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+    def build():
+        import numpy as np
 
-    return cos
+        @F.pandas_udf("double")
+        def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            dots = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                dots += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+        return cos
+
+    return expr_memo("sim.pair_cosine_udf", build)
 
 
 def cosine_topk(
@@ -98,22 +107,27 @@ def cosine_topk(
     queries is expected to be small (it is broadcast); corpus scans once
     with no shuffle of the vectors — only (qid, cid, sim) tuples move.
     """
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
-    pairs = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
-    ).join(F.broadcast(q))
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return {
+            "q_sel": [F.col(query_id), F.col(vec).alias("_qvec")],
+            "c_sel": [F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")],
+            "sim": pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias(
+                "sim"
+            ),
+            "rnk": F.row_number().over(w).cast("long"),
+            "keep": F.col("rnk") <= k,
+        }
+
+    ex = expr_memo(f"sim.cosine_topk|{corpus_id}|{query_id}|{vec}|{k}", build)
+    q = queries.select(*ex["q_sel"])
+    pairs = corpus.select(*ex["c_sel"]).join(F.broadcast(q))
     # Arrow pair-cosine kernel: one vectorized pass over all pairs, same
     # fold order as the Column form/oracle (see pair_cosine_udf).
-    sims = pairs.select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    sims = pairs.select(query_id, "cid", ex["sim"])
+    return sims.withColumn("rnk", ex["rnk"]).filter(ex["keep"])
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
@@ -398,22 +412,33 @@ def ivf_assign(
     # 2 - 2*dot(vec, cvec)/||vec|| — a strictly decreasing function of the
     # raw dot product — so the ranking (and tie set) is identical while
     # skipping the normalize pass over every candidate vector entirely.
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        w = Window.partitionBy(id_col).orderBy("_d", "cell")
+        return {
+            "in_sel": [F.col(id_col), F.col(vec).alias("_v")],
+            "d": -dot(F.col("_v"), F.col("cvec")),
+            "best_agg": F.min(F.struct("_d", "cell")).alias("_best"),
+            "best_sel": [F.col(id_col), F.col("_best.cell").alias("cell")],
+            "r": F.row_number().over(w),
+            "keep": F.col("_r") <= n_probe,
+        }
+
+    ex = expr_memo(f"sim.ivf_assign|{id_col}|{vec}|{n_probe}", build)
     pairs = (
-        df.select(F.col(id_col), F.col(vec).alias("_v"))
+        df.select(*ex["in_sel"])
         .join(F.broadcast(centroids))
-        .withColumn("_d", -dot(F.col("_v"), F.col("cvec")))
+        .withColumn("_d", ex["d"])
     )
     if n_probe == 1:
         # lexicographic struct-min == orderBy("_d", "cell") first row
         return (
-            pairs.groupBy(id_col)
-            .agg(F.min(F.struct("_d", "cell")).alias("_best"))
-            .select(id_col, F.col("_best.cell").alias("cell"))
+            pairs.groupBy(id_col).agg(ex["best_agg"]).select(*ex["best_sel"])
         )
-    w = Window.partitionBy(id_col).orderBy("_d", "cell")
     return (
-        pairs.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_probe)
+        pairs.withColumn("_r", ex["r"])
+        .filter(ex["keep"])
         .select(id_col, "cell")
     )
 
@@ -613,25 +638,31 @@ def ivf_topk(
     corpus_cells = ivf_assign_arrow(
         corpus, cents, corpus_id, vec, _rows=cents_rows
     )
-    indexed = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")
-    ).join(
-        corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
+        return {
+            "c_sel": [F.col(corpus_id).alias("cid"), F.col(vec).alias("_cvec")],
+            "cid_sel": [F.col(corpus_id).alias("cid"), F.col("cell")],
+            "q_sel": [F.col(query_id), F.col(vec).alias("_qvec")],
+            "sim": pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias(
+                "sim"
+            ),
+            "rnk": F.row_number().over(w).cast("long"),
+            "keep": F.col("rnk") <= k,
+        }
+
+    ex = expr_memo(f"sim.ivf_topk|{corpus_id}|{query_id}|{vec}|{k}", build)
+    indexed = corpus.select(*ex["c_sel"]).join(
+        corpus_cells.select(*ex["cid_sel"]), "cid"
     )
     probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec")).join(
-        probes, query_id
-    )
+    q = queries.select(*ex["q_sel"]).join(probes, query_id)
     cand = indexed.join(F.broadcast(q), "cell").select(
-        query_id,
-        "cid",
-        pair_cosine_udf()(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        query_id, "cid", ex["sim"]
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
+    return cand.withColumn("rnk", ex["rnk"]).filter(ex["keep"])
 
 
 def ivf_sq_topk(
@@ -685,46 +716,56 @@ def ivf_sq_topk(
     corpus_cells = ivf_assign_arrow(
         corpus, cents, corpus_id, vec, _rows=cents_rows
     )
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc_nulls_last("_asim"), F.asc("cid")
+        )
+        return {
+            "c_sel": [
+                F.col(corpus_id).alias("cid"),
+                F.col("codes").alias("_cc"),
+            ],
+            "cn": F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double")),
+            "cid_sel": [F.col(corpus_id).alias("cid"), F.col("cell")],
+            "q_sel": [F.col(query_id), F.col("codes").alias("_qc")],
+            "qn": F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double")),
+            "asim": F.try_divide(
+                int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("_asim"),
+            "r": F.row_number().over(w),
+            "keep": F.col("_r") <= rerank_k,
+            "cand_sel": [F.col(query_id), F.col("cid")],
+        }
+
+    ex = expr_memo(
+        f"sim.ivf_sq|{corpus_id}|{query_id}|{rerank_k}", build
+    )
     # the stored index: cell + codes + code norm, no float vectors
     indexed = (
         quantize_embeddings(corpus, corpus_id, vec)
-        .select(
-            F.col(corpus_id).alias("cid"),
-            F.col("codes").alias("_cc"),
-        )
-        .withColumn(
-            "_cn", F.sqrt(int8_dot(F.col("_cc"), F.col("_cc")).cast("double"))
-        )
-        .join(
-            corpus_cells.select(F.col(corpus_id).alias("cid"), "cell"), "cid"
-        )
+        .select(*ex["c_sel"])
+        .withColumn("_cn", ex["cn"])
+        .join(corpus_cells.select(*ex["cid_sel"]), "cid")
     )
     probes = ivf_assign(queries, cents, query_id, vec, n_probe=n_probe)
     q = (
         quantize_embeddings(queries, query_id, vec)
-        .select(F.col(query_id), F.col("codes").alias("_qc"))
-        .withColumn(
-            "_qn", F.sqrt(int8_dot(F.col("_qc"), F.col("_qc")).cast("double"))
-        )
+        .select(*ex["q_sel"])
+        .withColumn("_qn", ex["qn"])
         .join(probes, query_id)
     )
     # phase 1: integer-dot cosine inside the probed cells (per-vector SQ8
     # scales cancel against the code norms; zero vectors score null → last)
     approx = indexed.join(F.broadcast(q), "cell").select(
-        query_id,
-        "cid",
-        F.try_divide(
-            int8_dot(F.col("_qc"), F.col("_cc")).cast("double"),
-            F.col("_qn") * F.col("_cn"),
-        ).alias("_asim"),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc_nulls_last("_asim"), F.asc("cid")
+        query_id, "cid", ex["asim"]
     )
     cand = (
-        approx.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= rerank_k)
-        .select(query_id, "cid")
+        approx.withColumn("_r", ex["r"])
+        .filter(ex["keep"])
+        .select(*ex["cand_sel"])
     )
     # phase 2: exact float re-rank for the survivors only — the candidate
     # side broadcasts so the corpus float column is scanned in place and
