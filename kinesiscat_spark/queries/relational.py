@@ -36,23 +36,32 @@ WHERE (p_partkey + s_suppkey) % 4 = 0
 
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``PARTSUPP_SQL`` (see comment above)."""
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def build() -> dict:
+        return {
+            "f": (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0,
+            "sel": [
+                F.col("p_partkey").alias("ps_partkey"),
+                F.col("s_suppkey").alias("ps_suppkey"),
+                (
+                    (
+                        (F.col("p_partkey") * 7 + F.col("s_suppkey") * 13)
+                        % 1000
+                        + 1
+                    )
+                    / 100.0
+                ).alias("ps_supplycost"),
+                ((F.col("p_partkey") + 3 * F.col("s_suppkey")) % 50 + 1)
+                .cast("long")
+                .alias("ps_availqty"),
+            ],
+        }
+
+    ex = expr_memo("rel.partsupp", build)
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
-    return (
-        part.crossJoin(F.broadcast(supp))
-        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0)
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            F.col("s_suppkey").alias("ps_suppkey"),
-            (
-                ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 1000 + 1)
-                / 100.0
-            ).alias("ps_supplycost"),
-            ((F.col("p_partkey") + 3 * F.col("s_suppkey")) % 50 + 1)
-            .cast("long")
-            .alias("ps_availqty"),
-        )
-    )
+    return part.crossJoin(F.broadcast(supp)).filter(ex["f"]).select(*ex["sel"])
 
 _Q1_ORACLE = """
 SELECT
@@ -198,55 +207,103 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered partsupp subtree, joined back on (partkey, cost); dims
     broadcast, the part filters prune the probe side at the scan.
     """
-    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    cust_b = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders3 = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li3 = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    # Pure (literal + column-name) expression trees — filters, aggregates
+    # and branch projections — are built once per process (expr_memo, the
+    # round-9 py4j-overhead discipline); join conditions keep their
+    # DataFrame-bound attribute references and are rebuilt per call.
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def _build_q3() -> dict:
+        cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+        rev = F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        )
+        return {
+            "cust_f": F.col("c_mktsegment") == "BUILDING",
+            "ord3_f": F.col("o_orderdate") < cutoff,
+            "li3_f": F.col("l_shipdate") > cutoff,
+            "rev": rev.alias("revenue"),
+            "q3_ord": [F.desc("revenue"), F.asc("l_orderkey")],
+            "q3_sel": [
+                F.lit("q3_shipping").alias("kind"),
+                F.col("l_orderkey").alias("key"),
+                F.lit(None).cast("string").alias("name"),
+                F.col("revenue"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
+                F.col("o_orderpriority").alias("extra"),
+                F.lit(None).cast("double").alias("qty"),
+            ],
+            "ord10_f": (
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")),
+            "li10_f": F.col("l_returnflag") == "R",
+            "q10_ord": [F.desc("revenue"), F.asc("c_custkey")],
+            "q10_sel": [
+                F.lit("q10_returned").alias("kind"),
+                F.col("c_custkey").alias("key"),
+                F.col("c_name").alias("name"),
+                F.col("revenue"),
+                F.lit(None).cast("string").alias("date_s"),
+                F.col("n_name").alias("extra"),
+                F.lit(None).cast("double").alias("qty"),
+            ],
+            "q18_agg": F.sum("l_quantity").alias("_qty_raw"),
+            "q18_f": F.col("_qty_raw") > 300,
+            "q18_qty": F.round("_qty_raw", 2),
+            "q18_sel": [
+                F.lit("q18_big_orders").alias("kind"),
+                F.col("o_orderkey").alias("key"),
+                F.col("c_name").alias("name"),
+                F.round("o_totalprice", 2).alias("revenue"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
+                F.lit(None).cast("string").alias("extra"),
+                F.col("qty"),
+            ],
+            "region_f": F.col("r_name") == "ASIA",
+            "mc_key": F.col("ps_partkey").alias("_mpk"),
+            "mc_agg": F.min("ps_supplycost").alias("_min_cost"),
+            "part2_f": (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"),
+            "q2_join": (F.col("ps_partkey") == F.col("_mpk"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+            "q2_sel": [
+                F.lit("q2_min_cost").alias("kind"),
+                F.col("p_partkey").alias("key"),
+                F.col("s_name").alias("name"),
+                F.round("ps_supplycost", 2).alias("revenue"),
+                F.lit(None).cast("string").alias("date_s"),
+                F.col("n_name").alias("extra"),
+                F.lit(None).cast("double").alias("qty"),
+            ],
+        }
+
+    ex = expr_memo("rel.q3", _build_q3)
+    cust_b = load_table(spark, sf_dir, "customer").filter(ex["cust_f"])
+    orders3 = load_table(spark, sf_dir, "orders").filter(ex["ord3_f"])
+    li3 = load_table(spark, sf_dir, "lineitem").filter(ex["li3_f"])
     q3 = (
         li3.join(orders3, li3.l_orderkey == orders3.o_orderkey)
         .join(F.broadcast(cust_b), orders3.o_custkey == cust_b.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(ex["rev"])
+        .orderBy(*ex["q3_ord"])
         .limit(10)
-        .select(
-            F.lit("q3_shipping").alias("kind"),
-            F.col("l_orderkey").alias("key"),
-            F.lit(None).cast("string").alias("name"),
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
-            F.col("o_orderpriority").alias("extra"),
-            F.lit(None).cast("double").alias("qty"),
-        )
+        .select(*ex["q3_sel"])
     )
 
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    orders10 = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    li10 = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders10 = load_table(spark, sf_dir, "orders").filter(ex["ord10_f"])
+    li10 = load_table(spark, sf_dir, "lineitem").filter(ex["li10_f"])
     q10 = (
         li10.join(orders10, li10.l_orderkey == orders10.o_orderkey)
         .join(cust, orders10.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rev.alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(ex["rev"])
+        .orderBy(*ex["q10_ord"])
         .limit(20)
-        .select(
-            F.lit("q10_returned").alias("kind"),
-            F.col("c_custkey").alias("key"),
-            F.col("c_name").alias("name"),
-            "revenue",
-            F.lit(None).cast("string").alias("date_s"),
-            F.col("n_name").alias("extra"),
-            F.lit(None).cast("double").alias("qty"),
-        )
+        .select(*ex["q10_sel"])
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -255,22 +312,14 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
-        .agg(F.sum("l_quantity").alias("_qty_raw"))
-        .filter(F.col("_qty_raw") > 300)
-        .withColumn("qty", F.round("_qty_raw", 2))
-        .select(
-            F.lit("q18_big_orders").alias("kind"),
-            F.col("o_orderkey").alias("key"),
-            F.col("c_name").alias("name"),
-            F.round("o_totalprice", 2).alias("revenue"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_s"),
-            F.lit(None).cast("string").alias("extra"),
-            "qty",
-        )
+        .agg(ex["q18_agg"])
+        .filter(ex["q18_f"])
+        .withColumn("qty", ex["q18_qty"])
+        .select(*ex["q18_sel"])
     )
 
     supp = load_table(spark, sf_dir, "supplier")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region = load_table(spark, sf_dir, "region").filter(ex["region_f"])
     asia_supp = (
         supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -279,28 +328,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_asia = derived_partsupp(spark, sf_dir).join(
         F.broadcast(asia_supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    min_cost = ps_asia.groupBy(F.col("ps_partkey").alias("_mpk")).agg(
-        F.min("ps_supplycost").alias("_min_cost")
-    )
-    part2 = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
-    )
+    min_cost = ps_asia.groupBy(ex["mc_key"]).agg(ex["mc_agg"])
+    part2 = load_table(spark, sf_dir, "part").filter(ex["part2_f"])
     q2 = (
-        ps_asia.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("_mpk"))
-            & (F.col("ps_supplycost") == F.col("_min_cost")),
-        )
+        ps_asia.join(min_cost, ex["q2_join"])
         .join(F.broadcast(part2), F.col("ps_partkey") == part2["p_partkey"])
-        .select(
-            F.lit("q2_min_cost").alias("kind"),
-            F.col("p_partkey").alias("key"),
-            F.col("s_name").alias("name"),
-            F.round("ps_supplycost", 2).alias("revenue"),
-            F.lit(None).cast("string").alias("date_s"),
-            F.col("n_name").alias("extra"),
-            F.lit(None).cast("double").alias("qty"),
-        )
+        .select(*ex["q2_sel"])
     )
     return q3.unionByName(q10).unionByName(q18).unionByName(q2)
 
@@ -397,16 +430,113 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     view). The oracle keeps the explicit-join spelling; results are
     identical by construction.
     """
+    # Same expr_memo discipline as tpch_q3: pure filters/aggregates/
+    # projections built once per process; DataFrame-bound join refs per call.
+    from kinesiscat_spark.expr_memo import expr_memo
+
+    def _build_q5() -> dict:
+        revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        null_s = F.lit(None).cast("string")
+        return {
+            "ord_f": (
+                F.col("o_orderdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.lit("1998-01-01 00:00:00").cast("timestamp")
+            ),
+            "rev2": F.round(revenue, 2).alias("value"),
+            "q5_sel": [
+                F.lit("q5_local").alias("kind"),
+                F.col("n_name").alias("g1"),
+                null_s.alias("g2"),
+                F.lit(None).cast("long").alias("year"),
+                F.col("value"),
+            ],
+            "n1_sel": [
+                F.col("n_nationkey").alias("_n1key"),
+                F.col("n_name").alias("supp_nation"),
+            ],
+            "n2_sel": [
+                F.col("n_nationkey").alias("_n2key"),
+                F.col("n_name").alias("cust_nation"),
+            ],
+            "li7_f": (
+                F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+            )
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+            "pair": (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            ),
+            "yr_ship": F.year("l_shipdate").alias("_yr"),
+            "q7_sel": [
+                F.lit("q7_volume").alias("kind"),
+                F.col("supp_nation").alias("g1"),
+                F.col("cust_nation").alias("g2"),
+                F.col("_yr").cast("long").alias("year"),
+                F.col("value"),
+            ],
+            "part_f": F.col("p_type") == "STANDARD",
+            "asia_f": F.col("r_name") == "ASIA",
+            "asia_join": F.col("n_regionkey") == F.col("r_regionkey"),
+            "asia_sel": [F.col("n_nationkey").alias("_cnkey")],
+            "semi_join": F.col("c_nationkey") == F.col("_cnkey"),
+            "n2_join": F.col("s_nationkey") == F.col("_n2key"),
+            "n1_join": F.col("s_nationkey") == F.col("_n1key"),
+            "n2c_join": F.col("c_nationkey") == F.col("_n2key"),
+            "yr_ord": F.year("o_orderdate").alias("_yr"),
+            "q8_agg": F.round(
+                F.sum(
+                    F.when(F.col("supp_nation2") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("value"),
+            "q8_sel": [
+                F.lit("q8_share").alias("kind"),
+                null_s.alias("g1"),
+                F.lit(None).cast("string").alias("g2"),
+                F.col("_yr").cast("long").alias("year"),
+                F.col("value"),
+            ],
+            "promo_f": F.col("p_type") == "PROMO",
+            "li9_f": (F.col("l_partkey") + F.col("l_suppkey")) % 4 == 0,
+            "li9_cost": (
+                (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000 + 1
+            )
+            / 100.0,
+            "q9_agg": F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("ps_supplycost") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("value"),
+            "q9_sel": [
+                F.lit("q9_profit").alias("kind"),
+                F.col("n_name").alias("g1"),
+                F.lit(None).cast("string").alias("g2"),
+                F.col("_yr").cast("long").alias("year"),
+                F.col("value"),
+            ],
+        }
+
+    ex = expr_memo("rel.q5", _build_q5)
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
+    orders = load_table(spark, sf_dir, "orders").filter(ex["ord_f"])
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     q5 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -417,111 +547,60 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(revenue, 2).alias("value"))
-        .select(
-            F.lit("q5_local").alias("kind"),
-            F.col("n_name").alias("g1"),
-            F.lit(None).cast("string").alias("g2"),
-            F.lit(None).cast("long").alias("year"),
-            "value",
-        )
+        .agg(ex["rev2"])
+        .select(*ex["q5_sel"])
     )
 
-    n1 = nation.select(
-        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
-    )
-    li7 = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+    n1 = nation.select(*ex["n1_sel"])
+    n2 = nation.select(*ex["n2_sel"])
+    li7 = load_table(spark, sf_dir, "lineitem").filter(ex["li7_f"])
     orders_all = load_table(spark, sf_dir, "orders")
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     q7 = (
         li7.join(F.broadcast(supp), li7.l_suppkey == supp.s_suppkey)
         .join(orders_all, li7.l_orderkey == orders_all.o_orderkey)
         .join(cust, orders_all.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
-        .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("_yr"))
-        .agg(F.round(revenue, 2).alias("value"))
-        .select(
-            F.lit("q7_volume").alias("kind"),
-            F.col("supp_nation").alias("g1"),
-            F.col("cust_nation").alias("g2"),
-            F.col("_yr").cast("long").alias("year"),
-            "value",
-        )
+        .join(F.broadcast(n1), ex["n1_join"])
+        .join(F.broadcast(n2), ex["n2c_join"])
+        .filter(ex["pair"])
+        .groupBy("supp_nation", "cust_nation", ex["yr_ship"])
+        .agg(ex["rev2"])
+        .select(*ex["q7_sel"])
     )
 
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    part = load_table(spark, sf_dir, "part").filter(ex["part_f"])
     asia = nation.join(
-        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-        F.col("n_regionkey") == F.col("r_regionkey"),
-    ).select(F.col("n_nationkey").alias("_cnkey"))
+        F.broadcast(region.filter(ex["asia_f"])), ex["asia_join"]
+    ).select(*ex["asia_sel"])
     li8 = load_table(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     q8 = (
         li8.join(F.broadcast(part), li8.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li8.l_suppkey == supp.s_suppkey)
         .join(orders_all, li8.l_orderkey == orders_all.o_orderkey)
         .join(cust, orders_all.o_custkey == cust.c_custkey)
-        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("_cnkey"), "left_semi")
+        .join(F.broadcast(asia), ex["semi_join"], "left_semi")
         .join(F.broadcast(n2.withColumnRenamed("cust_nation", "supp_nation2")),
-              F.col("s_nationkey") == F.col("_n2key"))
-        .groupBy(F.year("o_orderdate").alias("_yr"))
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation2") == "NATION_3", vol).otherwise(0.0)
-                )
-                / F.sum(vol),
-                6,
-            ).alias("value")
-        )
-        .select(
-            F.lit("q8_share").alias("kind"),
-            F.lit(None).cast("string").alias("g1"),
-            F.lit(None).cast("string").alias("g2"),
-            F.col("_yr").cast("long").alias("year"),
-            "value",
-        )
+              ex["n2_join"])
+        .groupBy(ex["yr_ord"])
+        .agg(ex["q8_agg"])
+        .select(*ex["q8_sel"])
     )
 
-    promo = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    promo = load_table(spark, sf_dir, "part").filter(ex["promo_f"])
     li9 = (
         load_table(spark, sf_dir, "lineitem")
         # derived partsupp is a pure key function: membership filter +
         # inline supplycost replace the view join entirely (see docstring)
-        .filter((F.col("l_partkey") + F.col("l_suppkey")) % 4 == 0)
-        .withColumn(
-            "ps_supplycost",
-            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000 + 1)
-            / 100.0,
-        )
+        .filter(ex["li9_f"])
+        .withColumn("ps_supplycost", ex["li9_cost"])
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "ps_supplycost"
-    ) * F.col("l_quantity")
     q9 = (
         li9.join(F.broadcast(promo), li9["l_partkey"] == promo["p_partkey"])
         .join(orders_all, li9["l_orderkey"] == orders_all["o_orderkey"])
         .join(F.broadcast(supp), li9["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
-        .groupBy("n_name", F.year("o_orderdate").alias("_yr"))
-        .agg(F.round(F.sum(profit), 2).alias("value"))
-        .select(
-            F.lit("q9_profit").alias("kind"),
-            F.col("n_name").alias("g1"),
-            F.lit(None).cast("string").alias("g2"),
-            F.col("_yr").cast("long").alias("year"),
-            "value",
-        )
+        .groupBy("n_name", ex["yr_ord"])
+        .agg(ex["q9_agg"])
+        .select(*ex["q9_sel"])
     )
     return q5.unionByName(q7).unionByName(q8).unionByName(q9)
 
