@@ -130,130 +130,34 @@ def content_key(df: DataFrame, cols: list[str], tag: str, **params) -> str:
 
 def content_digest(df: DataFrame, cols: list[str]) -> str:
     """The raw ``d|s|n`` content triple behind :func:`content_key` — ONE
-    aggregate over ``df``. Callers deriving SEVERAL artifact keys from
-    the SAME rows+columns (e.g. the bigram and Kneser-Ney LM artifacts of
-    the quality lane, round 9) compute this once and pass it to each
-    ``content_key(..., _digest=...)`` call, so the per-key aggregate job
-    is not repeated per artifact.
+    aggregate over ``df``, executed on EVERY call. Callers deriving
+    SEVERAL artifact keys from the SAME rows+columns (e.g. a lane staging
+    two fixtures off one frame) compute this once per invocation and pass
+    it to each ``content_key(..., _digest=...)`` call, so the aggregate
+    is not repeated per artifact within the invocation.
 
-    Round 9 (guide §1.2 per-task work): the digest is memoized per
-    process under ``(canonicalized analyzed plan, cols, sorted input-file
-    (path, size, mtime_ns) stats)``. Every artifact-keyed lane was paying
-    this one aggregate job on EVERY invocation even when the memoized
-    artifact itself hit (7 call sites × 3 bench passes); the fingerprint
-    hit costs two py4j calls + os.stat instead. Sound because the digest
-    is a pure function of the rows, and the rows are a pure function of
-    (deterministic plan, immutable input files) — every caller derives
-    its frame from the sf-dir parquet tables with deterministic
-    projections/filters. A regenerated file changes (size, mtime_ns) and
-    misses; a frame whose lineage has no input files (local relations,
-    drained memory tables) gets no fingerprint and recomputes every call,
-    preserving the strict content contract exactly where file identity
-    cannot vouch for it."""
-    fp = _digest_fingerprint(df, cols)
-    if fp is not None and fp in _DIGEST_MEMO:
-        return _DIGEST_MEMO[fp]
+    Round 10: the round-9 per-process fingerprint memo (plan + input-file
+    stats) was removed — under the bench's min-of-3 methodology it let
+    warm passes skip the digest job, so the reported lane time was not
+    the query's cost (VERDICT r9 "What's wrong" item 1). The digest is
+    honest per-invocation work now."""
     hashes = f"xxhash64({', '.join(cols)})"
     [r] = df.agg(
         F.expr(f"bit_xor({hashes})").alias("d"),
         F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("s"),
         F.count("*").alias("n"),
     ).collect()
-    digest = f"{r.d}|{r.s}|{r.n}"
-    if fp is not None:
-        _DIGEST_MEMO[fp] = digest
-    return digest
-
-
-_DIGEST_MEMO: dict[str, str] = {}
-
-
-def _digest_fingerprint(df: DataFrame, cols: list[str]) -> str | None:
-    """md5 over (canonicalized plan, cols, input-file stats), or None
-    when the plan reads no files (nothing durable to key on) — see
-    :func:`content_digest`. Canonicalization normalizes expression ids,
-    so the same lane derivation fingerprints identically across
-    invocations and sessions in one process."""
-    import hashlib
-    import os
-
-    try:
-        files = df.inputFiles()
-        if not files:
-            return None
-        stats = []
-        for f in sorted(files):
-            p = f[7:] if f.startswith("file://") else (
-                f[5:] if f.startswith("file:") else f
-            )
-            st = os.stat(p)
-            stats.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
-        plan = (
-            df._jdf.queryExecution().analyzed().canonicalized().toString()
-        )
-        blob = "\x00".join([plan, ",".join(cols), *stats])
-        return hashlib.md5(blob.encode()).hexdigest()
-    except Exception:
-        return None  # fingerprinting is best-effort; fall back to the job
-
-
-# keyed by id(session); each entry carries a weakref to the session so
-# entries for dead sessions are evicted on the next call (ADVICE r8 —
-# the raw-id dict leaked across many short-lived sessions)
-_MEMO_VIEWS: dict[int, tuple[object, dict[str, str]]] = {}
-
-
-def memo_table(spark: SparkSession, key: str, build) -> DataFrame:
-    """Session-scoped memo for eager results that live in the session
-    catalog (memory-sink tables from streaming drains, materialized
-    model/centroid frames). The on-session sibling of
-    :func:`cached_fixture_dir` — same rule: ``key`` MUST be
-    content-derived (:func:`content_key`), never a bare path or row
-    count (the staleness class behind VERDICT r7's red ``sampling_mix``
-    row). On a hit, returns the previously registered table; on a miss,
-    calls ``build()``, registers the result as a temp view, and returns
-    it. Repeat calls in one session (bench passes, parity re-runs) then
-    pay the drain/materialization ONCE.
-
-    Materialization is forced HERE, not trusted to the caller (ADVICE
-    r8): a temp view stores only the logical plan, so a lazy ``build()``
-    result would silently re-execute its full build on every read. A
-    lazy ``localCheckpoint`` pins the result as a computed RDD on first
-    use — already-eager plans (memory-sink tables, local relations) pay
-    one cheap copy; anything else stops being a rebuild-per-read trap.
-    (Local-checkpoint blocks live on executors: lost on executor death,
-    which a session-scoped cache may treat as a rebuild, not a
-    correctness event.)"""
-    import uuid
-    import weakref
-
-    for sid_dead in [
-        s for s, (ref, _) in _MEMO_VIEWS.items() if ref() is None
-    ]:
-        _MEMO_VIEWS.pop(sid_dead, None)
-    sid = id(spark)
-    if sid not in _MEMO_VIEWS:
-        _MEMO_VIEWS[sid] = (weakref.ref(spark), {})
-    names = _MEMO_VIEWS[sid][1]
-    view = names.get(key)
-    if view is not None:
-        try:
-            return spark.table(view)
-        except Exception:
-            names.pop(key, None)
-    df = build().localCheckpoint(eager=False)
-    view = f"kc_memo_{uuid.uuid4().hex[:12]}"
-    df.createOrReplaceTempView(view)
-    names[key] = view
-    return spark.table(view)
+    return f"{r.d}|{r.s}|{r.n}"
 
 
 def cached_fixture_dir(key: str, prefix: str, build) -> str:
-    """Content-keyed on-disk fixture cache shared by every lane that
-    stages parquet slices or model artifacts into tmp (the
-    sampling_mix / sessionization / persisted-LM pattern, deduplicated
-    after three hand-rolled copies diverged on their rename-race
-    fallbacks).
+    """Content-keyed on-disk staging cache for streaming-SOURCE fixtures
+    (the time-sliced parquet files a multi-micro-batch drain reads).
+    INPUT staging only — never trained models or computed results: the
+    files hold a pure re-layout of input rows, and the drain that
+    consumes them runs on every invocation (round 10; the round-≤9
+    persisted-LM/BPE artifact uses were removed along with the
+    cross-run cache).
 
     ``key`` MUST be content-derived (digest of the exact rows + operator
     parameters + a format-version tag) — never a bare path or row count,
@@ -262,34 +166,27 @@ def cached_fixture_dir(key: str, prefix: str, build) -> str:
     atomically renamed into place; concurrent builders race safely (the
     loser's copy is discarded).
 
-    The cache roots in a PER-USER 0700 directory whose ownership and
-    mode are verified (ADVICE r8 — a world-shared predictable path lets
-    another local user pre-create it and have hash-checked lanes load
-    attacker parquet); if the root exists but fails the check, a private
-    per-process root is used instead. Staging dirs are created INSIDE
-    the root so the publish rename can never fail with EXDEV; only the
-    lost-the-race errnos (EEXIST/ENOTEMPTY) are swallowed, anything
-    else propagates."""
+    Round 10: the cache roots in a PER-PROCESS private tempdir removed
+    at interpreter exit — nothing survives a restart, so a cold run can
+    never load any artifact a previous run staged (VERDICT r9 "What's
+    wrong" item 1: the old per-user /tmp root persisted across runs).
+    The per-process root is also inherently single-owner, which retires
+    the ADVICE-r8 shared-path ownership checks."""
     import errno
     import hashlib
     import os
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"kc_cache_{os.getuid()}")
-    try:
-        os.makedirs(root, mode=0o700, exist_ok=True)
-        st = os.stat(root)
-        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
-            raise OSError(errno.EPERM, "untrusted cache root", root)
-    except OSError:
-        # someone else owns the predictable path (or it is group/world
-        # accessible): fall back to a private per-process root — caching
-        # degrades to process scope instead of trusting foreign content
-        global _FALLBACK_CACHE_ROOT
-        if _FALLBACK_CACHE_ROOT is None:
-            _FALLBACK_CACHE_ROOT = tempfile.mkdtemp(prefix="kc_cache_priv_")
-        root = _FALLBACK_CACHE_ROOT
+    global _PROCESS_CACHE_ROOT
+    if _PROCESS_CACHE_ROOT is None:
+        import atexit
+
+        _PROCESS_CACHE_ROOT = tempfile.mkdtemp(prefix="kc_cache_proc_")
+        atexit.register(
+            shutil.rmtree, _PROCESS_CACHE_ROOT, ignore_errors=True
+        )
+    root = _PROCESS_CACHE_ROOT
     path = os.path.join(
         root, prefix + hashlib.md5(key.encode()).hexdigest()[:12]
     )
@@ -301,11 +198,11 @@ def cached_fixture_dir(key: str, prefix: str, build) -> str:
         os.rename(stage, path)  # atomic publish (same fs: stage ⊂ root)
     except OSError as e:
         if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
-            # someone else won the race — either copy works
+            # a concurrent builder won the race — either copy works
             shutil.rmtree(stage, ignore_errors=True)
         else:
             raise
     return path
 
 
-_FALLBACK_CACHE_ROOT: str | None = None
+_PROCESS_CACHE_ROOT: str | None = None

@@ -57,11 +57,6 @@ from kinesiscat_spark.operators.similarity import (
     l2_norm,
 )
 
-# collected centroid rows per content key — see the memo note inside
-# :func:`semdedup` (round 9)
-_SD_CENTS_MEMO: dict[str, list] = {}
-
-
 def semdedup(
     emb: DataFrame,
     n_cells: int,
@@ -112,26 +107,14 @@ def semdedup(
         _collect_cents,
     )
 
-    # one centroid collect for the assign kernel AND the broadcast
-    # re-join (round 9; see ivf_topk) — bit-identical. The collected rows
-    # are additionally memoized per content key (the ivf_cents_rows
-    # pattern): the k-means centroids are a trained artifact, a pure
-    # function of (surviving rows, k, iters), so a repeat invocation on
-    # the same corpus pays neither the seed/Lloyd job nor the collect;
-    # the assign/rank/self-join SEARCH path re-executes every call.
-    from kinesiscat_spark.io_tables import content_key
-
-    _ck = content_key(
-        emb, [id_col, vec], "semdedup_cents_v1", k=n_cells, it=n_iters
+    # ONE centroid collect per invocation serves the assign kernel AND
+    # the broadcast re-join (round 9; see ivf_topk) — bit-identical.
+    # Round 10: the round-9 cross-invocation content-keyed rows memo was
+    # removed (VERDICT r9 item 3) — the k-means build runs on every
+    # call, and with it went the memo's keying digest aggregate.
+    cents_rows = _collect_cents(
+        ivf_centroids(emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec)
     )
-    cents_rows = _SD_CENTS_MEMO.get(_ck)
-    if cents_rows is None:
-        cents_rows = _collect_cents(
-            ivf_centroids(
-                emb, n_cells, n_iters=n_iters, id_col=id_col, vec=vec
-            )
-        )
-        _SD_CENTS_MEMO[_ck] = cents_rows
     cents = _cents_relation(emb.sparkSession, cents_rows)
     # Arrow assign kernel (round 6): the n·k interpreted-fold assign was
     # the 8×-probe bottleneck once n_cells grows with the corpus (the

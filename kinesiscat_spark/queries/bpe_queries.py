@@ -130,9 +130,6 @@ FROM (
 """
 
 
-_MERGES_MEMO: dict[str, list] = {}
-
-
 @query("text_bpe_train", oracle=_bpe_oracle(_BPE_N_MERGES))
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encoding (operators/bpe.py;
@@ -153,23 +150,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesiscat_spark.operators.bpe import tokenize, train_bpe_detailed
 
     docs = load_table(spark, sf_dir, "documents")
-    # the learned merge list is a pure function of (corpus content,
-    # n_merges, min_count): memoize it per content digest so repeat
-    # calls in one session (bench passes) skip the driver-looped
-    # training and measure the encode paths — the content key makes
-    # staleness impossible (the r7 sampling_mix lesson)
-    from kinesiscat_spark.io_tables import content_key
-
-    mkey = content_key(
-        docs, ["doc_id", "text"], "bpe_v1",
-        m=_BPE_N_MERGES, c=_BPE_MIN_COUNT,
+    # Round 10: training runs on EVERY invocation — the round-8 content-
+    # keyed merges memo let bench passes 2-3 skip the driver-looped
+    # training (VERDICT r9 item 1, flagged family), and its keying
+    # digest aggregate went with it.
+    merges = train_bpe_detailed(
+        docs, _BPE_N_MERGES, min_pair_count=_BPE_MIN_COUNT
     )
-    merges = _MERGES_MEMO.get(mkey)
-    if merges is None:
-        merges = train_bpe_detailed(
-            docs, _BPE_N_MERGES, min_pair_count=_BPE_MIN_COUNT
-        )
-        _MERGES_MEMO[mkey] = merges
     mrows = spark.createDataFrame(
         [("merge", i, a, b, cnt, None, None) for i, (a, b, cnt) in enumerate(merges)],
         "kind string, merge_rank int, lhs string, rhs string, cnt bigint,"
@@ -193,14 +180,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tempfile dir). The oracle emits the identical rows under
     # kind='doc_persisted', so a hash match proves the save→load→tokenize
     # path under the driver gate, not just a pytest roundtrip.
-    from kinesiscat_spark.io_tables import cached_fixture_dir
+    import tempfile
+
     from kinesiscat_spark.operators.model_store import load_bpe, save_bpe
 
-    store = cached_fixture_dir(
-        mkey,
-        "kc_bpe_store_",
-        lambda stage: save_bpe(spark, [(a, b) for a, b, _ in merges], stage),
-    )
+    store = tempfile.mkdtemp(prefix="kc_bpe_store_")
+    save_bpe(spark, [(a, b) for a, b, _ in merges], store)
     persisted = _doc_counts("doc_persisted", load_bpe(spark, store))
     # round-7 continuation (kind='fertility'): corpus tokenizer-quality
     # totals — BPE tokens, whitespace words, word characters — as EXACT

@@ -96,9 +96,6 @@ FROM cb
 """
 
 
-_QC_MODEL_MEMO: dict = {}
-
-
 @query("text_quality_classifier", oracle=_QC_ORACLE)
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature logistic-regression quality filter
@@ -121,29 +118,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.select(
         "text", (F.col("lang") == "en").cast("int").alias("label")
     )
-    # the trained model is plain Python data (weight tuple + bias) and a
-    # pure function of (corpus content, hyperparameters): memoize it per
-    # content digest so repeat calls in a session (bench passes) measure
-    # the scan-stage scoring, not a re-train — content-keyed, so
-    # staleness is impossible (the r7 sampling_mix lesson)
-    from kinesiscat_spark.io_tables import content_key
-
-    mkey = content_key(
-        docs, ["doc_id", "text", "lang"], "qc_v1",
-        f=_QC_N_FEATURES, it=1, lr=_QC_LR, l2=0.0, h="md5", s=_QC_SALT,
+    # Round 10: training runs on EVERY invocation — the round-8 content-
+    # keyed weight memo let bench passes 2-3 skip the gradient step
+    # (VERDICT r9 item 1, flagged family), and its keying digest
+    # aggregate went with it.
+    model = train_quality_classifier(
+        labeled,
+        n_features=_QC_N_FEATURES,
+        n_iter=1,
+        lr=_QC_LR,
+        l2=0.0,
+        hash_method="md5",
+        hash_salt=_QC_SALT,
     )
-    model = _QC_MODEL_MEMO.get(mkey)
-    if model is None:
-        model = train_quality_classifier(
-            labeled,
-            n_features=_QC_N_FEATURES,
-            n_iter=1,
-            lr=_QC_LR,
-            l2=0.0,
-            hash_method="md5",
-            hash_salt=_QC_SALT,
-        )
-        _QC_MODEL_MEMO[mkey] = model
     scored = score_documents_quality(
         docs, model, out_col="margin", output="margin"
     )

@@ -665,7 +665,7 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from kinesiscat_spark.io_tables import cached_fixture_dir
-    from kinesiscat_spark.streaming.source import memo_table, run_to_memory
+    from kinesiscat_spark.streaming.source import run_to_memory
     from kinesiscat_spark.streaming.stateful import streaming_reservoir
 
     # one aggregate yields the content digest, the row count the drain
@@ -705,27 +705,22 @@ def sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Drain contract: every slice row must be consumed, across at least
     # one micro-batch per NON-EMPTY slice, or run_to_memory raises
     # IncompleteDrainError — a truncated drain surfaces as `err`, never
-    # as a silently different top-64 (VERDICT r7 task 1a). The drained
-    # emitted table is memoized per session under the same content key,
-    # so bench passes 2..n measure the downstream plan, not a repeat
-    # drain.
-    emitted = memo_table(
-        spark,
-        f"resv_stream|{key}",
-        lambda: run_to_memory(
-            streaming_reservoir(
-                spark.readStream.schema("doc_id long, n_tokens long")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(f"{src}/slice_*"),
-                _RESV_K,
-                "n_tokens",
-                salt=_RESV_SALT,
-                n_shards=4,
-            ),
-            output_mode="append",
-            expect_input_rows=int(dig.n_rows),
-            expect_min_batches=n_nonempty,
+    # as a silently different top-64 (VERDICT r7 task 1a). The drain
+    # runs on every invocation (round 10 — the round-9 drain memo was
+    # removed; only the input-slice fixture above is staged per process).
+    emitted = run_to_memory(
+        streaming_reservoir(
+            spark.readStream.schema("doc_id long, n_tokens long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/slice_*"),
+            _RESV_K,
+            "n_tokens",
+            salt=_RESV_SALT,
+            n_shards=4,
         ),
+        output_mode="append",
+        expect_input_rows=int(dig.n_rows),
+        expect_min_batches=n_nonempty,
     )
     streamed = (
         emitted.orderBy(F.desc("key"), F.asc("id"))

@@ -220,6 +220,13 @@ FROM ranked WHERE rnk <= {TOP_K}
 # process — the steady-state read path is what the lane times/checks, and
 # a fresh build per process makes staleness against regenerated testdata
 # impossible.  tempfile dirs, never the repo or testdata trees.
+# Round 10: deliberately KEPT per-process (the one such exception, with
+# the streaming-source slice fixtures) — the ``ivf_index`` kind's
+# declared semantics is serving FROM a persisted index (its sibling
+# ``ivf``/``ivf_refined`` kinds pay centroid training inline on every
+# invocation), every query still really reads the index parquet
+# (collect + partition-pruned scan, memo removed round 10), and nothing
+# survives a process restart.
 _INDEX_DIRS: dict[str, str] = {}
 
 
@@ -238,54 +245,38 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_DIRS[sf_dir]
 
 
-# collected centroid rows per index dir (round 9): the dir is built by
-# THIS process from the corpus (immutable for the process lifetime), so
-# the k rows are re-read once, not once per probe call; each call still
-# rebuilds its own local relation from the cached rows.
-_INDEX_CENTS: dict[str, list] = {}
-
-
 def _ivf_index_cents(spark: SparkSession, sf_dir: str):
+    """Read the persisted index's centroid table back as a local
+    relation — k rows collected per invocation (round 10: the round-9
+    cross-invocation collected-rows memo was removed; the serving path
+    must really read the persisted index every call)."""
     path = _ivf_index_dir(spark, sf_dir)
-    if path not in _INDEX_CENTS:
-        df = spark.read.parquet(f"{path}/centroids.parquet")
-        _INDEX_CENTS[path] = [
-            (r.cell, list(r.cvec) if r.cvec is not None else None)
-            for r in df.collect()
-        ]
-    return spark.createDataFrame(
-        _INDEX_CENTS[path], "cell long, cvec array<double>"
-    )
+    df = spark.read.parquet(f"{path}/centroids.parquet")
+    rows = [
+        (r.cell, list(r.cvec) if r.cvec is not None else None)
+        for r in df.collect()
+    ]
+    return spark.createDataFrame(rows, "cell long, cvec array<double>")
 
 
 N_ITERS = 2
 
-# collected (cell, cvec) centroid rows per content key (round 9): the
-# centroids — seeded or Lloyd-refined — are a TRAINED ARTIFACT, a pure
-# function of (corpus content, k, iters, rounding); memoizing the k
-# materialized rows per content digest is the same accepted pattern as
-# the refined memo_table it replaces, minus the one collect job a view
-# hit still paid per invocation. The SEARCH path (assign, probe, rank,
-# re-rank) rebuilds and re-executes from parquet on every call.
-_CENTS_ROWS_MEMO: dict[str, list] = {}
 
-
-def _cents_rows_memo(corpus: DataFrame, n_cells: int, n_iters: int) -> list:
-    from kinesiscat_spark.io_tables import content_key
+def _cents_rows(corpus: DataFrame, n_cells: int, n_iters: int) -> list:
+    """Train (seed or Lloyd-refine) the k-means centroids and collect the
+    k (cell, cvec) rows — on EVERY invocation. Round 10: the round-9
+    content-keyed cross-invocation memo was removed (VERDICT r9 item 3:
+    centroid training is part of the declared query's cost; memoizing it
+    let bench passes 2-3 skip the training jobs). The one-collect-per-
+    invocation sharing across the assign kernel and the broadcast
+    re-join (round 9, `02671df`) is the REAL optimization and stays:
+    callers thread these rows through every consumer in one invocation."""
     from kinesiscat_spark.operators.similarity import (
         _collect_cents,
         ivf_centroids,
     )
 
-    key = content_key(
-        corpus, ["vec_id", "embedding"], "ivf_cents_rows_v1",
-        k=n_cells, it=n_iters, rd=12,
-    )
-    rows = _CENTS_ROWS_MEMO.get(key)
-    if rows is None:
-        rows = _collect_cents(ivf_centroids(corpus, n_cells, n_iters))
-        _CENTS_ROWS_MEMO[key] = rows
-    return rows
+    return _collect_cents(ivf_centroids(corpus, n_cells, n_iters))
 
 
 def _ivf_refined_oracle(n_iters: int = N_ITERS) -> str:
@@ -633,7 +624,7 @@ def ivf_family_method(
     if method == "ivf":
         out = ivf_topk(
             corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE,
-            _cents_rows=_cents_rows_memo(corpus, N_CELLS, 0),
+            _cents_rows=_cents_rows(corpus, N_CELLS, 0),
         )
     elif method == "ivf_index":
         out = ivf_index_topk(
@@ -645,17 +636,14 @@ def ivf_family_method(
             F.lit("exact").alias("method"), "qid", "cid", "sim", "rnk"
         )
     elif method == "ivf_refined":
-        # the Lloyd-refined centroids are a pure function of (corpus
-        # content, n_cells, n_iters): memoize the k materialized ROWS
-        # per content digest so repeat calls in a session (bench passes)
-        # measure the probe-limited SEARCH, not a re-train — the content
-        # key makes staleness impossible (the r7 sampling_mix lesson).
-        # Round 9: rows instead of a memo_table view — a view hit still
-        # paid one collect job per invocation; the rows hit pays none.
+        # round 10: the Lloyd refinement re-trains on every invocation
+        # (the round-9 cross-invocation rows memo was removed); the k
+        # rows are still collected ONCE per invocation and shared by the
+        # assign kernel and the broadcast re-join.
         out = ivf_topk(
             corpus, queries, TOP_K, n_cells=N_CELLS, n_probe=N_PROBE,
             n_iters=N_ITERS,
-            _cents_rows=_cents_rows_memo(corpus, N_CELLS, N_ITERS),
+            _cents_rows=_cents_rows(corpus, N_CELLS, N_ITERS),
         )
     elif method == "mmr":
         # round-7 continuation: MMR diversified re-rank (Carbonell &
@@ -988,6 +976,6 @@ def similarity_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=N_CELLS,
         n_probe=N_PROBE,
         rerank_k=RERANK_K,
-        _cents_rows=_cents_rows_memo(corpus, N_CELLS, 0),
+        _cents_rows=_cents_rows(corpus, N_CELLS, 0),
     )
     return out.select("qid", "cid", F.round("sim", 6).alias("sim"), "rnk")

@@ -261,12 +261,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
     )
 
-    from kinesiscat_spark.streaming.source import memo_table
-
     # One aggregate yields the fixture content digest AND the row count
     # the drain contracts pin (VERDICT r7 task 1a applied to both drains:
     # a partial drain raises IncompleteDrainError instead of silently
-    # emitting a different closed-session set).
+    # emitting a different closed-session set). Round 10: both drains run
+    # on EVERY invocation — the round-8/9 content-keyed drain memo let
+    # bench passes 2-3 skip the streaming query entirely, so the reported
+    # lane time was not the query's cost (VERDICT r9 item 3). The digest
+    # still keys the slice FIXTURE below (input staging, process-scoped).
     [dig] = ev.agg(
         F.expr("bit_xor(xxhash64(user_id, ts_us, event_id))").alias("digest"),
         F.count("*").alias("n_rows"),
@@ -276,14 +278,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_ev = read_events_stream(
         spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON", batch_size=100000)
     ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
-    closed = memo_table(
-        spark,
-        f"sess_closed|{content_key}",
-        lambda: run_to_memory(
-            streaming_sessionize(stream_ev, _SESSION_GAP_US),
-            output_mode="append",
-            expect_input_rows=int(dig.n_rows),
-        ),
+    closed = run_to_memory(
+        streaming_sessionize(stream_ev, _SESSION_GAP_US),
+        output_mode="append",
+        expect_input_rows=int(dig.n_rows),
     )
 
     # kind='stream_multi': ≥3 time-sliced micro-batches (see docstring).
@@ -348,23 +346,19 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nonempty = int(json.load(fh)["n_nonempty"])
     # maxFilesPerTrigger is a SOURCE option — one file per micro-batch
     # (availableNow honors it), so the drain is genuinely one batch per
-    # non-empty slice
-    multi = memo_table(
-        spark,
-        f"sess_multi|{content_key}",
-        lambda: run_to_memory(
-            streaming_sessionize(
-                spark.readStream.schema(
-                    "user_id long, ts_us long, event_id long"
-                )
-                .option("maxFilesPerTrigger", 1)
-                .parquet(f"{src}/slice_*"),
-                _SESSION_GAP_US,
-            ),
-            output_mode="append",
-            expect_input_rows=int(dig.n_rows),
-            expect_min_batches=n_nonempty,
+    # non-empty slice; the drain runs on every invocation (round 10)
+    multi = run_to_memory(
+        streaming_sessionize(
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/slice_*"),
+            _SESSION_GAP_US,
         ),
+        output_mode="append",
+        expect_input_rows=int(dig.n_rows),
+        expect_min_batches=n_nonempty,
     )
     # kind='gap_pctl' (round-7 continuation): the inter-event gap
     # percentiles the 30-min gap parameter is read off
@@ -506,7 +500,6 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_streaming_funnel.py.
     from kinesiscat_spark.streaming.source import (
         StreamConfig,
-        memo_table,
         read_events_stream,
         run_to_memory,
     )
@@ -519,33 +512,17 @@ def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros("ts").alias("ts_us"),
         "user_id", "event_type",
     )
-    # The drain is memoized per CONTENT digest (round 9 — the
-    # events_sessionization discipline from r8): the streaming-query
-    # lifecycle is a fixed ~seconds cost per invocation for a result that
-    # is a pure function of the input rows + funnel params, so repeat
-    # calls in one session (bench passes, parity re-runs) pay it once.
-    # The digest aggregate doubles as the drain contract's expected row
-    # count (a truncated drain raises instead of silently dropping
+    # Round 10: the drain runs on EVERY invocation — the round-9
+    # content-keyed drain memo let bench passes 2-3 skip the streaming
+    # query, which inflated this lane's reported speedup (VERDICT r9
+    # item 3). One narrow aggregate pins the drain contract's expected
+    # row count (a truncated drain raises instead of silently dropping
     # completions).
-    [dig] = ev.agg(
-        F.expr(
-            "bit_xor(xxhash64(event_id, unix_micros(ts), user_id,"
-            " event_type))"
-        ).alias("digest"),
-        F.count("*").alias("n_rows"),
-    ).collect()
-    _fkey = (
-        f"funnel_stream|v1|{dig.digest}|{dig.n_rows}"
-        f"|steps={','.join(_FUNNEL_STEPS)}|hz={_FUNNEL_HORIZON_US}"
-    )
-    drained = memo_table(
-        spark,
-        _fkey,
-        lambda: run_to_memory(
-            streaming_funnel(stream_ev, _FUNNEL_STEPS, _FUNNEL_HORIZON_US),
-            output_mode="append",
-            expect_input_rows=int(dig.n_rows),
-        ),
+    [dig] = ev.agg(F.count("*").alias("n_rows")).collect()
+    drained = run_to_memory(
+        streaming_funnel(stream_ev, _FUNNEL_STEPS, _FUNNEL_HORIZON_US),
+        output_mode="append",
+        expect_input_rows=int(dig.n_rows),
     )
     fun_stream = drained.select(
         F.lit("funnel_stream").alias("kind"),

@@ -25,14 +25,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesiscat_spark.envelope import _SEQ_WIDTH, events_as_records
-from kinesiscat_spark.io_tables import events_ts_as_timestamp, memo_table
+from kinesiscat_spark.io_tables import events_ts_as_timestamp
 
 __all__ = [
     "StreamConfig",
     "read_events_stream",
     "read_record_stream",
     "run_to_memory",
-    "memo_table",
     "IncompleteDrainError",
 ]
 
@@ -426,9 +425,9 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
-# memo_table lives in io_tables (beside cached_fixture_dir, its on-disk
-# sibling) and is re-exported from this module's top-level imports for
-# the streaming call sites.
+# Round 10: the memo_table drain cache was removed — every lane
+# invocation re-runs its streaming drain, so the bench's min-of-3
+# measures the drain's real cost (VERDICT r9 "Next round" item 3).
 
 
 def kinesis_source_options(
