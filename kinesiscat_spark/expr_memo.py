@@ -12,18 +12,52 @@ This is NOT result caching: a memoized Column is a plan fragment; every
 query that embeds it is a fresh DataFrame whose action recomputes from
 the parquet inputs.
 
-Callers own key hygiene: the key MUST encode every parameter the built
-expression depends on (the ``curation_signals`` select-list memo
+Round 10 (ADVICE r9):
+
+- Keys are TUPLES ``(namespace, param, ...)`` — the former '|'-joined
+  strings could collide two parameter combinations when a caller-
+  supplied column name itself contained '|'.
+- Entries are scoped to the ACTIVE SparkContext: memoized Columns (and
+  the memoized pair-cosine UDF) are py4j handles bound to the JVM
+  gateway alive at build time, so an in-process context restart must
+  invalidate them or later callers get opaque Py4JErrors on stale
+  handles. Spark permits one active context per process, so a single
+  weakref slot suffices.
+- Reused-Alias note: a handful of memoized dicts deliberately embed the
+  SAME Alias Column object in several plan nodes of one query (e.g. the
+  tpch_q3 lane's ``rev`` in both the q3 and q10 aggregates). That leans
+  on the analyzer's conflicting-exprId deduplication — green under the
+  oracle sweep and the plan-shape pins, which are the regression guard
+  a future Spark bump would trip first.
+
+Callers own key hygiene: the key tuple MUST encode every parameter the
+built expression depends on (the ``curation_signals`` select-list memo
 discipline).
 """
 
 from __future__ import annotations
 
+import weakref
+
 _MEMO: dict = {}
+_CTX_REF = None  # weakref to the SparkContext the memo entries belong to
 
 
-def expr_memo(key: str, build):
-    """Return ``build()``, computed once per process per ``key``."""
+def expr_memo(key, build):
+    """Return ``build()``, computed once per (active SparkContext, key).
+
+    ``key`` is any hashable — use a tuple ``(namespace, param, ...)``.
+    A benign double-build race under driver threads is possible (both
+    threads build identical pure trees; last write wins)."""
+    global _CTX_REF
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _CTX_REF is None or _CTX_REF() is not ctx:
+        # first use, or the process restarted its SparkContext: every
+        # memoized handle is bound to the old (dead) gateway — drop them
+        _MEMO.clear()
+        _CTX_REF = weakref.ref(ctx) if ctx is not None else None
     if key not in _MEMO:
         _MEMO[key] = build()
     return _MEMO[key]

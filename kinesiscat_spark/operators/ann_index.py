@@ -175,7 +175,7 @@ def ivf_index_topk(
         }
 
     exx = expr_memo(
-        f"ann.ivf_index_exact|{query_id}|{id_col}|{vec}|{k}", build_exact
+        ("ann.ivf_index_exact", query_id, id_col, vec, k), build_exact
     )
     q = queries.select(*exx["q_sel"]).join(probes, query_id)
     if not use_sq8 and not use_pq:
@@ -246,7 +246,7 @@ def ivf_index_topk(
         }
 
     exs = expr_memo(
-        f"ann.ivf_index_sq8|{query_id}|{id_col}|{rerank_k}", build_sq8
+        ("ann.ivf_index_sq8", query_id, id_col, rerank_k), build_sq8
     )
     qc = (
         quantize_embeddings(queries, query_id, vec)

@@ -65,7 +65,7 @@ def _quantize_select(id_col: str, vec_col: str) -> list:
             scale.alias("scale"),
         ]
 
-    return expr_memo(f"q8.quantize|{id_col}|{vec_col}", build)
+    return expr_memo(("q8.quantize", id_col, vec_col), build)
 
 
 def quantize_embeddings(
@@ -158,10 +158,7 @@ def pq_train(
             ],
         }
 
-    ex = expr_memo(f"q8.pqtrain|{id_col}|{vec_col}|{m}", build_seed_exprs)
-    # NOTE: the historical seed projection computed (row_number - 1) in two
-    # steps (alias "cell", then withColumn cell-1); folding the -1 into the
-    # projection is the same integer expression evaluated at the same point.
+    ex = expr_memo(("q8.pqtrain", id_col, vec_col, m), build_seed_exprs)
     seeds = corpus.orderBy(id_col).limit(ks).select(*ex["seed_sel"])
     cents = seeds.select(*ex["cent_sel"]).select(*ex["out_sel"])
 
@@ -234,7 +231,7 @@ def _pq_subvectors(
             "sub_long": F.col("sub").cast("long"),
         }
 
-    ex = expr_memo(f"q8.pqsub|{id_col}|{vec_col}|{m}", build)
+    ex = expr_memo(("q8.pqsub", id_col, vec_col, m), build)
     return (
         df.select(*ex["nv_sel"])
         .select(*ex["out_sel"])
@@ -280,7 +277,7 @@ def pq_encode(
             ],
         }
 
-    ex = expr_memo(f"q8.pqenc|{id_col}", build)
+    ex = expr_memo(("q8.pqenc", id_col), build)
     best = (
         _pq_subvectors(df, m, id_col, vec_col)
         .join(F.broadcast(cents), "sub")
@@ -323,7 +320,7 @@ def exact_float_rerank(
             "keep": F.col("rnk") <= k,
         }
 
-    ex = expr_memo(f"q8.rerank|{corpus_id}|{query_id}|{vec}|{k}", build)
+    ex = expr_memo(("q8.rerank", corpus_id, query_id, vec, k), build)
     qv = queries.select(*ex["qv_sel"])
     cv = corpus.select(*ex["cv_sel"])
     sims = cv.join(
@@ -368,7 +365,7 @@ def pq_query_lut(
             ],
         }
 
-    ex = expr_memo(f"q8.pqlut|{query_id}|{m}", build)
+    ex = expr_memo(("q8.pqlut", query_id, m), build)
     q_sub = _pq_subvectors(queries, m, query_id, vec)
     return (
         q_sub.join(F.broadcast(cents), "sub")
@@ -441,7 +438,7 @@ def pq_adc_topk(
         }
 
     ex = expr_memo(
-        f"q8.pqadc|{corpus_id}|{query_id}|{m}|{rerank_k}", build
+        ("q8.pqadc", corpus_id, query_id, m, rerank_k), build
     )
     cents = pq_train(corpus, m, ks, n_iters, corpus_id, vec)
     codes = pq_encode(corpus, cents, m, corpus_id, vec).select(
@@ -507,7 +504,7 @@ def quantized_topk(
         }
 
     ex = expr_memo(
-        f"q8.sq8topk|{corpus_id}|{query_id}|{rerank_k}", build
+        ("q8.sq8topk", corpus_id, query_id, rerank_k), build
     )
     # carry code norms so phase-1 scores approximate cosine (the per-vector
     # scale cancels between dot and norm; zero vectors score null → last)

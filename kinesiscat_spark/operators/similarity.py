@@ -121,7 +121,7 @@ def cosine_topk(
             "keep": F.col("rnk") <= k,
         }
 
-    ex = expr_memo(f"sim.cosine_topk|{corpus_id}|{query_id}|{vec}|{k}", build)
+    ex = expr_memo(("sim.cosine_topk", corpus_id, query_id, vec, k), build)
     q = queries.select(*ex["q_sel"])
     pairs = corpus.select(*ex["c_sel"]).join(F.broadcast(q))
     # Arrow pair-cosine kernel: one vectorized pass over all pairs, same
@@ -425,7 +425,7 @@ def ivf_assign(
             "keep": F.col("_r") <= n_probe,
         }
 
-    ex = expr_memo(f"sim.ivf_assign|{id_col}|{vec}|{n_probe}", build)
+    ex = expr_memo(("sim.ivf_assign", id_col, vec, n_probe), build)
     pairs = (
         df.select(*ex["in_sel"])
         .join(F.broadcast(centroids))
@@ -653,7 +653,7 @@ def ivf_topk(
             "keep": F.col("rnk") <= k,
         }
 
-    ex = expr_memo(f"sim.ivf_topk|{corpus_id}|{query_id}|{vec}|{k}", build)
+    ex = expr_memo(("sim.ivf_topk", corpus_id, query_id, vec, k), build)
     indexed = corpus.select(*ex["c_sel"]).join(
         corpus_cells.select(*ex["cid_sel"]), "cid"
     )
@@ -741,7 +741,7 @@ def ivf_sq_topk(
         }
 
     ex = expr_memo(
-        f"sim.ivf_sq|{corpus_id}|{query_id}|{rerank_k}", build
+        ("sim.ivf_sq", corpus_id, query_id, rerank_k), build
     )
     # the stored index: cell + codes + code norm, no float vectors
     indexed = (

@@ -819,7 +819,7 @@ def vocab_coverage(
         return aggs, rows
 
     aggs, rows = expr_memo(
-        f"vocab_coverage|{tuple(targets)!r}", _build_vocab_exprs
+        ("vocab_coverage", tuple(targets)), _build_vocab_exprs
     )
     return ranked.agg(*aggs).select(rows).select(
         "s.target", "s.vocab_size", "s.coverage"

@@ -538,7 +538,7 @@ def _single_row_exprs() -> dict:
         }
 
     return expr_memo(
-        f"heavy_single_rows|p={_HLL_P}|d={_CMS_D}|w={_CMS_W}", build
+        ("heavy_single_rows", _HLL_P, _CMS_D, _CMS_W), build
     )
 
 
