@@ -115,6 +115,52 @@ def _merge_pair(syms: Column, a: str, b: str) -> Column:
     return F.when(has_pair, fold).otherwise(syms)
 
 
+# The driver-side trainer fast path engages when the DISTINCT-WORD table
+# fits comfortably on the driver (it is vocabulary-bounded, not corpus-
+# bounded — the same guarded-collect discipline as clusters.py's
+# union-find). 2M (word, freq) rows is tens of MB; past that the exact
+# distributed loop below takes over.
+_DRIVER_VOCAB_LIMIT = 2_000_000
+
+
+def _train_bpe_driver(
+    rows: list, n_merges: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Pure-Python twin of the distributed merge loop over collected
+    (word, freq) rows: same pair counting (freq-weighted adjacent
+    pairs), same (cnt DESC, a ASC, b ASC) selection, same leftmost-
+    non-overlapping merge fold — bit-identical merges by construction
+    (pinned differentially in tests/test_bpe.py)."""
+    word_syms: list[tuple[int, list[str]]] = [
+        (r.freq, list(r.word) + [END_OF_WORD]) for r in rows
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, syms in word_syms:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        fused = a + b
+        for w, (freq, syms) in enumerate(word_syms):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = fused
+                else:
+                    out.append(s)
+            word_syms[w] = (freq, out)
+    return merges
+
+
 def train_bpe_detailed(
     docs: DataFrame,
     n_merges: int,
@@ -128,8 +174,26 @@ def train_bpe_detailed(
 
     Ties break lexicographically on (a, b) — a total order, so the
     result is independent of partitioning and cluster size.
+
+    Round 10 (guide §1.2 — the distributed algorithm first): the corpus-
+    wide work is ONE word-frequency aggregation. The merge loop runs
+    over the DISTINCT-WORD table, which is vocabulary-bounded; when that
+    table fits on the driver (≤ ``_DRIVER_VOCAB_LIMIT`` rows, every word
+    BMP-only so Java's and Python's per-character splits agree) the loop
+    runs in pure Python on the collected rows — the distributed loop
+    paid ~2 fixed-latency Spark jobs per merge for kilobytes of actual
+    work. Oversized or non-BMP vocabularies take the exact distributed
+    loop below; both paths produce identical merges (differential test
+    in tests/test_bpe.py).
     """
-    word_syms = word_frequencies(docs, text_col).select(
+    wf = word_frequencies(docs, text_col)
+    rows = wf.limit(_DRIVER_VOCAB_LIMIT + 1).collect()
+    if len(rows) <= _DRIVER_VOCAB_LIMIT and all(
+        ord(c) <= 0xFFFF for r in rows for c in r.word
+    ):
+        return _train_bpe_driver(rows, n_merges, min_pair_count)
+
+    word_syms = wf.select(
         "freq", initial_symbols(F.col("word")).alias("syms")
     )
     merges: list[tuple[str, str, int]] = []

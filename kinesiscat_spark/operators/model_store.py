@@ -26,6 +26,19 @@ from kinesiscat_spark.operators.quality_classifier import QualityModel
 # (VERDICT r9 "What's wrong" item 1, flagged family).
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run independent single-file artifact writes as concurrent Spark
+    jobs (guide §2.6): each write is a tiny 1-task job whose fixed
+    job-submission latency dominates, so overlapping them from a small
+    thread pool collapses N sequential latencies into ~1. Output paths
+    are disjoint; Spark's scheduler interleaves the jobs safely."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()  # propagate the first failure
+
+
 def save_bpe(
     spark: SparkSession, merges: list[tuple[str, str]], path: str
 ) -> None:
@@ -88,10 +101,7 @@ def save_bigram(spark: SparkSession, model, path: str) -> None:
     """Write a BigramModel: the (w1, w2, p_bi) table, the (w1, c1) context
     table, the interpolated unigram, and a one-row meta table
     (v, k, lam, n_bi — the bigram-type count scoring size-switches on)."""
-    model.df.repartition(1).write.mode("overwrite").parquet(f"{path}/table")
-    model.ctx.repartition(1).write.mode("overwrite").parquet(f"{path}/ctx")
-    save_unigram(spark, model.unigram, f"{path}/unigram")
-    spark.createDataFrame(
+    meta = spark.createDataFrame(
         [
             (
                 float(model.v),
@@ -101,7 +111,19 @@ def save_bigram(spark: SparkSession, model, path: str) -> None:
             )
         ],
         "v double, k double, lam double, n_bi double",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    )
+    _parallel_writes(
+        lambda: model.df.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/table"),
+        lambda: model.ctx.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/ctx"),
+        lambda: save_unigram(spark, model.unigram, f"{path}/unigram"),
+        lambda: meta.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta"),
+    )
 
 
 def save_kn(spark: SparkSession, model, path: str) -> None:
@@ -109,13 +131,24 @@ def save_kn(spark: SparkSession, model, path: str) -> None:
     context table, the (w2, n1b) continuation fan-ins, and a one-row meta
     table (n_types, v, d, k) — the scalars the closed-form probability
     needs, so loading never re-runs the training counts."""
-    model.pairs.repartition(1).write.mode("overwrite").parquet(f"{path}/pairs")
-    model.ctx.repartition(1).write.mode("overwrite").parquet(f"{path}/ctx")
-    model.back.repartition(1).write.mode("overwrite").parquet(f"{path}/back")
-    spark.createDataFrame(
+    meta = spark.createDataFrame(
         [(float(model.n_types), float(model.v), float(model.d), float(model.k))],
         "n_types double, v double, d double, k double",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    )
+    _parallel_writes(
+        lambda: model.pairs.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/pairs"),
+        lambda: model.ctx.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/ctx"),
+        lambda: model.back.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/back"),
+        lambda: meta.repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta"),
+    )
 
 
 def load_kn(spark: SparkSession, path: str):

@@ -100,6 +100,11 @@ class UnigramModel(NamedTuple):
     # reconstructed from a bare table. Used as a FREE upper bound on
     # downstream type counts (bigram types <= tokens).
     n_tokens: "float | None" = None
+    # vocabulary size, from the SAME training aggregate (round 10) — the
+    # bigram/KN trainers previously re-counted the vocab table, one
+    # extra job per model build. None for reconstructed models (callers
+    # fall back to counting df).
+    v: "float | None" = None
 
 
 def unigram_model(
@@ -123,12 +128,14 @@ def unigram_model(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]
     if totals.n is None:  # empty corpus: no vocabulary, neutral OOV mass
-        return UnigramModel(counts.select("w", F.lit(0.0).alias("logp")), 0.0)
+        return UnigramModel(
+            counts.select("w", F.lit(0.0).alias("logp")), 0.0, None, 0.0
+        )
     n, v = float(totals.n), float(totals.v)
     model = counts.select(
         "w", F.log((F.col("c") + F.lit(k)) / F.lit(n + k * v)).alias("logp")
     )
-    return UnigramModel(model, float(math.log(k / (n + k * v))), n)
+    return UnigramModel(model, float(math.log(k / (n + k * v))), n, v)
 
 
 def score_documents(
@@ -203,6 +210,7 @@ def bigram_model(
     text_col: str = "text",
     k: float = 0.5,
     lam: float = 0.7,
+    eager: bool = False,
 ) -> BigramModel:
     """Interpolated add-k bigram model (the next rung of the CCNet-style
     LM ladder after ``unigram_model``; production CCNet uses 5-gram
@@ -226,11 +234,25 @@ def bigram_model(
     """
     from pyspark.sql import functions as F
 
+    uni = unigram_model(docs, id_col, text_col, k)
+    # V rides the unigram training aggregate (round 10 — no re-count job)
+    v = uni.v if uni.v is not None else float(uni.df.count())
+    counts = _bigram_pair_counts(docs, text_col)
+    if eager:
+        # for save/multi-consumer callers: pin the corpus-scale pair
+        # aggregate so per-consumer pruning cannot re-run the explode
+        counts = counts.localCheckpoint(eager=True)
+    return _bigram_from_counts(counts, uni, v, k, lam)
+
+
+def _bigram_pair_counts(docs, text_col: str = "text"):
+    """(w1, w2, c) adjacent-pair counts of the corpus — ONE explode + one
+    map-side-combined groupBy; the shared training aggregate of the
+    add-k bigram and Kneser-Ney models."""
+    from pyspark.sql import functions as F
+
     from kinesiscat_spark.operators.dedup import tokens
 
-    uni = unigram_model(docs, id_col, text_col, k)
-    # V from the unigram table (cheap count of a vocabulary-sized frame)
-    v = float(uni.df.count())
     toks = docs.select(tokens(F.col(text_col)).alias("t"))
     pairs = toks.select(
         F.explode(
@@ -244,7 +266,13 @@ def bigram_model(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).select("p.w1", "p.w2")
-    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    return pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+
+
+def _bigram_from_counts(counts, uni, v: float, k: float, lam: float):
+    """Finish the add-k bigram model from a (w1, w2, c) counts frame."""
+    from pyspark.sql import functions as F
+
     ctx = counts.groupBy("w1").agg(F.sum("c").alias("c1"))
     model = counts.join(ctx, "w1").select(
         "w1",
@@ -252,6 +280,56 @@ def bigram_model(
         ((F.col("c") + F.lit(k)) / (F.col("c1") + F.lit(k * v))).alias("p_bi"),
     )
     return BigramModel(model, ctx, uni, v, k, lam, uni.n_tokens)
+
+
+def _kn_from_counts(counts, v: float, d: float, k: float):
+    """Finish the interpolated-KN model from a (w1, w2, c) counts frame.
+    ``n_types`` is one count job over the (type-sized) counts frame —
+    callers pass a checkpointed frame so it never re-runs the corpus
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    dcounts = counts.select(
+        "w1", "w2", F.col("c").cast("double").alias("c")
+    )
+    ctx = dcounts.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").cast("double").alias("n1f")
+    )
+    back = dcounts.groupBy("w2").agg(
+        F.count("*").cast("double").alias("n1b")
+    )
+    n_types = float(dcounts.count())
+    return KNModel(dcounts, ctx, back, n_types, v, d, k)
+
+
+def bigram_and_kn_models(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    lam: float = 0.7,
+    d: float = 0.75,
+):
+    """Train the add-k bigram AND interpolated-KN models in one pass
+    (round 10, guide §2.4): both models derive from the SAME (w1, w2, c)
+    pair-count aggregate and the SAME unigram, so the corpus explode +
+    pair groupBy runs ONCE — eagerly checkpointed, because each model's
+    tables are consumed by several downstream jobs (saves, scoring
+    joins) whose per-branch pruning defeats ReusedExchange. Numerically
+    identical to calling ``bigram_model`` and ``kneser_ney_model``
+    separately: the derivations are the same expressions over the same
+    integer counts (KN casts to double — exact for counts)."""
+    uni = unigram_model(docs, id_col, text_col, k)
+    # the unigram table is corpus-scale to compute but vocab-sized as a
+    # result, and it too has several consumers (artifact write + scoring
+    # join) — pin it alongside the pair counts
+    uni = uni._replace(df=uni.df.localCheckpoint(eager=True))
+    v = uni.v if uni.v is not None else float(uni.df.count())
+    counts = _bigram_pair_counts(docs, text_col).localCheckpoint(eager=True)
+    return (
+        _bigram_from_counts(counts, uni, v, k, lam),
+        _kn_from_counts(counts, v, d, k),
+    )
 
 
 def score_documents_bigram(
@@ -971,38 +1049,15 @@ def kneser_ney_model(
     are groupBys of the COUNTS table (bigram-type-sized); two scalar
     aggregates (n_types, V). Every table is bigram-type- or vocab-sized.
     """
-    from pyspark.sql import functions as F
-
-    from kinesiscat_spark.operators.dedup import tokens
-
     if not (0.0 < d < 1.0):
         raise ValueError(f"discount d must be in (0, 1), got {d}")
     uni = unigram_model(docs, id_col, text_col, k)
-    v = float(uni.df.count())
-    toks = docs.select(tokens(F.col(text_col)).alias("t"))
-    pairs = toks.select(
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.zip_with(
-                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    counts = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("double").alias("c")
-    )
-    ctx = counts.groupBy("w1").agg(
-        F.sum("c").alias("c1"), F.count("*").cast("double").alias("n1f")
-    )
-    back = counts.groupBy("w2").agg(
-        F.count("*").cast("double").alias("n1b")
-    )
-    n_types = float(counts.count())
-    return KNModel(counts, ctx, back, n_types, v, d, k)
+    v = uni.v if uni.v is not None else float(uni.df.count())
+    # checkpoint the corpus-scale pair aggregate: n_types, ctx, back and
+    # every downstream save/score consume it, and per-branch pruning
+    # would otherwise re-run the corpus explode per consumer
+    counts = _bigram_pair_counts(docs, text_col).localCheckpoint(eager=True)
+    return _kn_from_counts(counts, v, d, k)
 
 
 def score_documents_kn(
@@ -1398,6 +1453,7 @@ def rm3_terms(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _scored: DataFrame | None = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback term model (Lavrenko & Croft 2001;
     the RM3 interpolation Anserini/Indri ship): from the BM25 top-
@@ -1428,10 +1484,20 @@ def rm3_terms(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
     qset = list(dict.fromkeys(terms))
-    fb = bm25_topk(docs, qset, fb_docs, k1=k1, b=b, id_col=id_col,
-                   text_col=text_col).select(
-        F.col(id_col).alias("_fid"), F.col("score").alias("_fscore")
-    )
+    # ``_scored``: a precomputed bm25_topk(docs, qset, k', ...) ranking
+    # with k' >= fb_docs — its rnk <= fb_docs prefix IS the feedback set
+    # (same total order, same scores), so a caller that already ranks
+    # the corpus for its own top-k shares that one scan here (round 10,
+    # guide §2.4: the lane's first pass used to run twice)
+    if _scored is not None:
+        fb = _scored.filter(F.col("rnk") <= fb_docs).select(
+            F.col(id_col).alias("_fid"), F.col("score").alias("_fscore")
+        )
+    else:
+        fb = bm25_topk(docs, qset, fb_docs, k1=k1, b=b, id_col=id_col,
+                       text_col=text_col).select(
+            F.col(id_col).alias("_fid"), F.col("score").alias("_fscore")
+        )
     ordered_sum = lambda c: F.aggregate(  # noqa: E731
         F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
     )

@@ -554,10 +554,24 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         semi_hard_triplets,
     )
 
-    parts = [
-        ivf_family_method(spark, sf_dir, m)
-        for m in ("ivf", "ivf_index")
-    ]
+    # The three eager branch constructions are independent: the seeded
+    # centroid build (ivf), the persisted-index read (ivf_index, plus
+    # the once-per-process index build), and the 2-iteration Lloyd
+    # refinement (ivf_refined) each run their own small collect jobs.
+    # Overlap them from a thread pool (guide §2.6) — round 10, after the
+    # cross-invocation centroid memos were removed, these trainings run
+    # on every invocation and their fixed job latencies would otherwise
+    # stack serially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _ivf_fut = _pool.submit(ivf_family_method, spark, sf_dir, "ivf")
+        _idx_fut = _pool.submit(ivf_family_method, spark, sf_dir, "ivf_index")
+        _ref_fut = _pool.submit(
+            ivf_family_method, spark, sf_dir, "ivf_refined"
+        )
+        parts = [_ivf_fut.result(), _idx_fut.result()]
+        _refined = _ref_fut.result()
     # exact / mmr / triplet all derive from ONE exact candidate pass:
     # the top-MMR_CAND pool materializes lazily and each method reads it
     # (three separate corpus scans + Arrow cosine kernels before round 7)
@@ -596,8 +610,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 6).alias("sim"),
         "rnk",
     )
-    parts += [exact, ivf_family_method(spark, sf_dir, "ivf_refined"),
-              mmr, triplet]
+    parts += [exact, _refined, mmr, triplet]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

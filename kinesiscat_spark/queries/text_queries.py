@@ -294,21 +294,27 @@ def _bigram_artifact_dir(spark, train, _model=None) -> str:
     from kinesiscat_spark.operators.text import bigram_model
 
     path = tempfile.mkdtemp(prefix="kc_bigram_store_")
-    save_bigram(spark, _model or bigram_model(train, k=0.5, lam=0.7), path)
+    # eager: the save writes model + ctx, which would otherwise each
+    # re-run the corpus pair aggregation (round 10, guide §2.4)
+    save_bigram(
+        spark, _model or bigram_model(train, k=0.5, lam=0.7, eager=True), path
+    )
     return path
 
 
-def _kn_artifact_dir(spark, train) -> str:
+def _kn_artifact_dir(spark, train, _model=None) -> str:
     """Train the interpolated Kneser-Ney LM (d=0.75, k=0.5) on ``train``
     and persist it to a fresh per-invocation tempdir (same round-10
-    no-cross-invocation-cache discipline as ``_bigram_artifact_dir``)."""
+    no-cross-invocation-cache discipline as ``_bigram_artifact_dir``).
+    ``_model`` lets the quality lane hand over the KN half of its fused
+    one-pass training."""
     import tempfile
 
     from kinesiscat_spark.operators.model_store import save_kn
     from kinesiscat_spark.operators.text import kneser_ney_model
 
     path = tempfile.mkdtemp(prefix="kc_kn_store_")
-    save_kn(spark, kneser_ney_model(train, d=0.75, k=0.5), path)
+    save_kn(spark, _model or kneser_ney_model(train, d=0.75, k=0.5), path)
     return path
 
 
@@ -430,18 +436,36 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         score.alias("top_score"),
     ).join(lm_doc, "doc_id")
-    # ONE bigram training serves both the scored fold and the persisted
-    # fold within this invocation (train once per call, score from the
-    # persisted kilobyte tables). Round 10: training and persistence run
-    # on EVERY invocation — the round-8/9 content-keyed artifact cache
-    # (and its keying digest job) was removed per VERDICT r9 item 1.
+    # ONE fused training pass serves the scored fold, the persisted fold
+    # AND the Kneser-Ney fold within this invocation: both LMs derive
+    # from one checkpointed pair-count aggregate + one unigram
+    # (operators/text.py bigram_and_kn_models, round 10 — the corpus
+    # explode used to run ~6x per invocation across the two trainings
+    # and their saves). Training and persistence run on EVERY invocation;
+    # the round-8/9 content-keyed artifact cache (and its keying digest
+    # job) was removed per VERDICT r9 item 1.
     from kinesiscat_spark.operators.model_store import load_bigram
+    from kinesiscat_spark.operators.text import bigram_and_kn_models
 
     docs_l = load_table(spark, sf_dir, "documents").withColumn(
         "text", F.lower("text")
     )
     train = docs_l.filter(F.col("lang") == "en")
-    _bi_path = _bigram_artifact_dir(spark, train)
+    _bi_trained, _kn_trained = bigram_and_kn_models(
+        train, k=0.5, lam=0.7, d=0.75
+    )
+    # the two artifact saves are independent small write jobs over the
+    # checkpointed training tables — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _bi_fut = _pool.submit(
+            _bigram_artifact_dir, spark, train, _model=_bi_trained
+        )
+        _kn_fut = _pool.submit(
+            _kn_artifact_dir, spark, train, _model=_kn_trained
+        )
+        _bi_path, _kn_path = _bi_fut.result(), _kn_fut.result()
     bi_model = load_bigram(spark, _bi_path)
     # Round 9 (guide §2.4): ONE positions explode + ONE per-doc aggregate
     # serves the scored fold, the persisted fold AND the Kneser-Ney fold.
@@ -456,7 +480,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesiscat_spark.operators.model_store import load_kn
     from kinesiscat_spark.operators.text import score_documents_bigram_kn
 
-    kn_model = load_kn(spark, _kn_artifact_dir(spark, train))
+    kn_model = load_kn(spark, _kn_path)
     fused = score_documents_bigram_kn(docs_l, bi_model, kn_model)
     out = out.join(
         fused.select(
@@ -650,7 +674,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     null_term = F.lit(None).cast("string")
-    out = bm25_topk(docs, _BM25_TERMS, _BM25_K, k1=_BM25_K1, b=_BM25_B)
+    # ONE BM25 ranking pass serves the bm25 kind AND the RM3 feedback
+    # set (its rnk <= fb_docs prefix — same total order, same scores;
+    # round 10, guide §2.4): materialize it lazily so the corpus
+    # tf/length scan runs once, not once per consumer. _BM25_K >=
+    # _RM3_FB_DOCS is asserted because the prefix claim needs it.
+    assert _BM25_K >= _RM3_FB_DOCS
+    out = bm25_topk(
+        docs, _BM25_TERMS, _BM25_K, k1=_BM25_K1, b=_BM25_B
+    ).localCheckpoint(eager=False)
     bm25 = out.select(
         F.lit("bm25").alias("kind"),
         "doc_id",
@@ -672,7 +704,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays); dropping the memo also drops its keying digest job.
     model_df = rm3_terms(
         docs, _BM25_TERMS, _RM3_FB_DOCS, _RM3_FB_TERMS, _RM3_ALPHA,
-        k1=_BM25_K1, b=_BM25_B,
+        k1=_BM25_K1, b=_BM25_B, _scored=out,
     ).localCheckpoint(eager=False)
     model = model_df.select(
         F.lit("rm3_terms").alias("kind"),

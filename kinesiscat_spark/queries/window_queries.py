@@ -278,11 +278,13 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_ev = read_events_stream(
         spark, sf_dir, StreamConfig(iterator_type="TRIM_HORIZON", batch_size=100000)
     ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
-    closed = run_to_memory(
-        streaming_sessionize(stream_ev, _SESSION_GAP_US),
-        output_mode="append",
-        expect_input_rows=int(dig.n_rows),
-    )
+
+    def _drain_closed():
+        return run_to_memory(
+            streaming_sessionize(stream_ev, _SESSION_GAP_US),
+            output_mode="append",
+            expect_input_rows=int(dig.n_rows),
+        )
 
     # kind='stream_multi': ≥3 time-sliced micro-batches (see docstring).
     # Slice boundaries come from ONE exact-percentile aggregate over the
@@ -341,25 +343,38 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh,
             )
 
-    src = cached_fixture_dir(content_key, "kc_sess_multi_", _build)
-    with open(os.path.join(src, "meta.json")) as fh:
-        n_nonempty = int(json.load(fh)["n_nonempty"])
-    # maxFilesPerTrigger is a SOURCE option — one file per micro-batch
-    # (availableNow honors it), so the drain is genuinely one batch per
-    # non-empty slice; the drain runs on every invocation (round 10)
-    multi = run_to_memory(
-        streaming_sessionize(
-            spark.readStream.schema(
-                "user_id long, ts_us long, event_id long"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/slice_*"),
-            _SESSION_GAP_US,
-        ),
-        output_mode="append",
-        expect_input_rows=int(dig.n_rows),
-        expect_min_batches=n_nonempty,
-    )
+    def _drain_multi():
+        src = cached_fixture_dir(content_key, "kc_sess_multi_", _build)
+        with open(os.path.join(src, "meta.json")) as fh:
+            n_nonempty = int(json.load(fh)["n_nonempty"])
+        # maxFilesPerTrigger is a SOURCE option — one file per micro-batch
+        # (availableNow honors it), so the drain is genuinely one batch
+        # per non-empty slice; the drain runs on every invocation (r10)
+        return run_to_memory(
+            streaming_sessionize(
+                spark.readStream.schema(
+                    "user_id long, ts_us long, event_id long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/slice_*"),
+                _SESSION_GAP_US,
+            ),
+            output_mode="append",
+            expect_input_rows=int(dig.n_rows),
+            expect_min_batches=n_nonempty,
+        )
+
+    # the two drains are independent streaming queries over independent
+    # sources — overlap their fixed query-lifecycle latencies from a
+    # 2-thread pool (guide §2.6: concurrent jobs back-fill each other's
+    # idle phases; each drain is mostly commit-log and trigger latency,
+    # not CPU)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _closed_fut = _pool.submit(_drain_closed)
+        _multi_fut = _pool.submit(_drain_multi)
+        closed, multi = _closed_fut.result(), _multi_fut.result()
     # kind='gap_pctl' (round-7 continuation): the inter-event gap
     # percentiles the 30-min gap parameter is read off
     # (operators/funnel.py inter_event_gap_percentiles) — p·100 rides

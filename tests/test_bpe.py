@@ -167,3 +167,36 @@ def test_train_degenerate_single_char_runs(spark):
     [r] = df.select(bpe_encode(F.col("text"), merges).alias("t")).collect()
     expect = [t for w in texts[0].split() for t in _py_encode(w, merges)]
     assert r.t == expect
+
+
+def test_driver_trainer_matches_distributed_loop(spark, corpus_df):
+    """Round 10: the vocabulary-bounded driver fast path of
+    train_bpe_detailed must produce bit-identical merges (incl. counts)
+    to the exact distributed loop it replaces for small vocabularies."""
+    import kinesiscat_spark.operators.bpe as bpe
+
+    fast = bpe.train_bpe_detailed(corpus_df, 8, min_pair_count=2)
+    old = bpe._DRIVER_VOCAB_LIMIT
+    try:
+        bpe._DRIVER_VOCAB_LIMIT = 0  # force the distributed path
+        slow = bpe.train_bpe_detailed(corpus_df, 8, min_pair_count=2)
+    finally:
+        bpe._DRIVER_VOCAB_LIMIT = old
+    assert fast == slow
+
+
+def test_driver_trainer_non_bmp_falls_back(spark):
+    """Non-BMP words (Java regex splits UTF-16 code units, Python splits
+    codepoints) must route to the distributed loop — and still train."""
+    df = spark.createDataFrame([("🎉a 🎉a 🎉a bb bb",)], "text string")
+    merges = train_bpe(df, n_merges=3)
+    # the distributed loop's answer, independent of the fast path
+    import kinesiscat_spark.operators.bpe as bpe
+
+    old = bpe._DRIVER_VOCAB_LIMIT
+    try:
+        bpe._DRIVER_VOCAB_LIMIT = 0
+        slow = bpe.train_bpe(df, n_merges=3)
+    finally:
+        bpe._DRIVER_VOCAB_LIMIT = old
+    assert merges == slow
