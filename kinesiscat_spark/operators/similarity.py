@@ -315,6 +315,25 @@ def ivf_centroids(
         )
         .withColumn("cell", F.col("cell") - 1)
     )
+    if n_iters > 0 and round_decimals is not None:
+        # Round 10 (the clusters.py guarded-collect discipline): each
+        # distributed Lloyd iteration pays an ArrowEvalPython assign pass
+        # + a posexplode/avg shuffle + a k-row collect for milliseconds
+        # of arithmetic. When the corpus fits comfortably on the driver,
+        # run the loop in numpy with the SAME fold orders and the SAME
+        # 1e-round_decimals quantization (which exists precisely to make
+        # the refinement reproducible across summation orders) —
+        # differential-pinned against the distributed loop in
+        # tests/test_similarity.py. Oversized or degenerate corpora
+        # (NULL/ragged/zero-norm vectors) take the distributed loop.
+        rows = (
+            corpus.select(F.col(id_col).alias("_i"), F.col(vec).alias("_v"))
+            .limit(_LLOYD_DRIVER_LIMIT + 1)
+            .collect()
+        )
+        driver = _lloyd_driver(rows, n_cells, n_iters, round_decimals)
+        if driver is not None:
+            return _cents_relation(corpus.sparkSession, driver)
     cents = seeds
     for _ in range(n_iters):
         cents = _materialize_cents(
@@ -322,6 +341,92 @@ def ivf_centroids(
             _lloyd_step(corpus, cents, id_col, vec, round_decimals),
         )
     return cents
+
+
+# driver-side Lloyd engages only under this corpus row bound (64-dim
+# float64 rows at the bound ≈ 32 MB on the driver); larger corpora run
+# the exact distributed loop
+_LLOYD_DRIVER_LIMIT = 65536
+
+
+def _lloyd_driver(
+    rows: list, n_cells: int, n_iters: int, round_decimals: int
+) -> "list | None":
+    """Pure-numpy twin of the distributed Lloyd loop over collected
+    (id, vec) rows; returns the (cell, cvec) list, or None when the
+    corpus is oversized/degenerate and the caller must run distributed.
+
+    Exactness contract, term by term:
+    - seed/renormalization norms and assignment dots accumulate
+      DIMENSION-BY-DIMENSION (explicit += loops), the same left-fold
+      order as the Column ``aggregate`` folds and the Arrow assign
+      kernel — bit-identical doubles, so iteration-1 assignments (which
+      compare against UNROUNDED seed centroids) cannot diverge;
+    - per-cell per-dimension means sum in a different order than
+      Spark's partial aggregation, exactly as the DuckDB oracle twin
+      already does — the ``round_decimals`` quantization exists to make
+      the refinement reproducible across summation orders (see
+      ``ivf_centroids``), and it is applied here with
+      ``decimal.Decimal`` HALF_UP, the same exact-decimal rounding as
+      Spark's BigDecimal ``round()``;
+    - ties in the argmin pick the lowest cell (first minimum), the
+      struct-min rule.
+    """
+    import decimal
+
+    if len(rows) > _LLOYD_DRIVER_LIMIT or not rows:
+        return None
+    first = rows[0]._v
+    if first is None or not len(first):
+        return None
+    dim = len(first)
+    for r in rows:
+        if r._v is None or len(r._v) != dim:
+            return None  # ragged/NULL vectors: distributed semantics
+    rows = sorted(rows, key=lambda r: r._i)
+    V = np.asarray([r._v for r in rows], dtype=np.float64)  # (n, d)
+    # sequential-fold norms (dimension-by-dimension +=)
+    norms_sq = np.zeros(len(rows))
+    for i in range(dim):
+        norms_sq += V[:, i] * V[:, i]
+    norms = np.sqrt(norms_sq)
+    if not (norms > 0.0).all():
+        return None  # zero-norm vectors: distributed semantics
+    if len(rows) < n_cells:
+        n_cells = len(rows)  # seeds = every vector
+    if n_cells == 0:
+        return []
+    C = V[:n_cells] / norms[:n_cells, None]  # unit seeds, lowest ids
+    cell_ids = list(range(n_cells))  # C's rows, ordered by cell id
+    N = V / norms[:, None]  # normalized members for the means
+    q = decimal.Decimal(1).scaleb(-round_decimals)
+
+    def _round_half_up(x: float) -> float:
+        return float(
+            decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    for _ in range(n_iters):
+        dots = np.zeros((V.shape[0], C.shape[0]))
+        for i in range(dim):
+            dots += V[:, i : i + 1] * C[:, i]
+        # argmin over -dots: first minimum = lowest POSITION, and C's
+        # rows are ordered by cell id, so ties pick the lowest cell
+        assigned = [cell_ids[j] for j in np.argmin(-dots, axis=1)]
+        assigned = np.asarray(assigned, dtype=np.int64)
+        new_cells = []
+        for cell in sorted(set(assigned.tolist())):  # empty cells drop
+            m = N[assigned == cell].mean(axis=0)
+            s = 0.0
+            for i in range(dim):
+                s += m[i] * m[i]
+            nm = m / np.sqrt(s)
+            new_cells.append((cell, [_round_half_up(float(x)) for x in nm]))
+        C = np.asarray([cv for _, cv in new_cells], dtype=np.float64)
+        cell_ids = [c for c, _ in new_cells]
+    return [
+        (cell_ids[j], [float(x) for x in C[j]]) for j in range(len(cell_ids))
+    ]
 
 
 def _lloyd_step(

@@ -262,3 +262,37 @@ def test_semi_hard_triplets_selection_rule(spark):
     assert {r.role for r in none} == {"pos"}
     with pytest.raises(ValueError):
         semi_hard_triplets(corpus, queries, margin=-0.1)
+
+
+def test_lloyd_driver_matches_distributed(spark):
+    """Round 10: the guarded driver-side Lloyd loop must produce the
+    exact (cell, cvec) rows of the distributed loop — same seeds, same
+    fold-order assignment dots, same HALF_UP 1e-12 quantization."""
+    import kinesiscat_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 17) - 8.0 for j in range(16)])
+         for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    fast = sim._collect_cents(sim.ivf_centroids(emb, 8, 2))
+    old = sim._LLOYD_DRIVER_LIMIT
+    try:
+        sim._LLOYD_DRIVER_LIMIT = 0  # force the distributed loop
+        slow = sim._collect_cents(sim.ivf_centroids(emb, 8, 2))
+    finally:
+        sim._LLOYD_DRIVER_LIMIT = old
+    assert fast == slow
+
+
+def test_lloyd_driver_degenerate_falls_back(spark):
+    """NULL / ragged / zero-norm vectors must route to the distributed
+    loop (the driver twin only claims the clean case)."""
+    import kinesiscat_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.0, 0.0]), (3, [3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = emb.selectExpr("vec_id AS _i", "embedding AS _v").collect()
+    assert sim._lloyd_driver(rows, 2, 1, 12) is None
