@@ -596,17 +596,54 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly one execution (guide §2.4/§5 — "materialise an intermediate
     # result truncates the plan"); at 100 TB this is the "build the gram
     # count table once, then aggregate against it" design.
-    g2 = (
-        docs.select(
-            (F.col("doc_id") % 2 == 0).alias("even"),
-            F.explode(word_ngrams(F.col("text"), _HH_N)).alias("gram"),
-        )
-        .groupBy("gram")
+    # Round 10 (VERDICT r9 item 5, guide §2.3/§2.4): the gram stream and
+    # the (source, token) stream explode from ONE corpus scan as a
+    # tagged union of structs, and ONE combined (tag, grp, key) count
+    # exchange replaces the former two corpus explode+groupBy passes.
+    # The aggregate values are exact integers, identical to the split
+    # pipelines: gram groups (tag=true) only ever contain gram rows, so
+    # their conditional even/odd sums are the old _ce/_co; token groups
+    # (tag=false) count the same rows ct counted. The checkpoint then
+    # splits by tag into the same two count tables every downstream
+    # consumer read before.
+    from kinesiscat_spark.operators.dedup import tokens
+
+    _null_s = F.lit(None).cast("string")
+    tagged = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_ngrams(F.col("text"), _HH_N),
+                    lambda g: F.struct(
+                        F.lit(True).alias("ig"),
+                        (F.col("doc_id") % 2 == 0).alias("even"),
+                        _null_s.alias("grp"),
+                        g.alias("key"),
+                    ),
+                ),
+                F.transform(
+                    tokens(F.col("text")),
+                    lambda t: F.struct(
+                        F.lit(False).alias("ig"),
+                        F.lit(None).cast("boolean").alias("even"),
+                        F.col("source").alias("grp"),
+                        t.alias("key"),
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.ig", "r.even", "r.grp", "r.key")
+    both_counts = (
+        tagged.groupBy("ig", "grp", "key")
         .agg(
             F.sum(F.col("even").cast("long")).alias("_ce"),
             F.sum((~F.col("even")).cast("long")).alias("_co"),
+            F.count("*").alias("c"),
         )
         .localCheckpoint(eager=True)
+    )
+    g2 = both_counts.filter(F.col("ig")).select(
+        F.col("key").alias("gram"), "_ce", "_co"
     )
     gcounts = g2.select(
         "gram", (F.col("_ce") + F.col("_co")).alias("_c")
@@ -683,18 +720,11 @@ def text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class_tfidf's own aggregate, and the global word-count table the
     # vocab/zipf windows rank is its exact integer marginal
     # (sum over sources) — so vocab, zipf and ctfidf share a single
-    # corpus scan+explode+exchange instead of paying one each.
-    # Same materialize-once discipline as g2: ct feeds ctfidf plus the
-    # wc marginal, and wc feeds vocab + zipf — checkpointing both pins
-    # the token explode and the (grp, t) exchange to one execution each.
-    ct = (
-        docs.select(
-            F.col("source").alias("grp"),
-            F.explode(tokens(F.col("text"))).alias("t"),
-        )
-        .groupBy("grp", "t")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+    # corpus scan+explode+exchange instead of paying one each. Round 10:
+    # that count table now arrives as the tag=false half of the fused
+    # `both_counts` checkpoint above (one corpus pass for the WHOLE lane).
+    ct = both_counts.filter(~F.col("ig")).select(
+        "grp", F.col("key").alias("t"), "c"
     )
     wc = (
         ct.groupBy("t")
