@@ -186,7 +186,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = tempfile.mkdtemp(prefix="kc_bpe_store_")
     save_bpe(spark, [(a, b) for a, b, _ in merges], store)
-    persisted = _doc_counts("doc_persisted", load_bpe(spark, store))
+    loaded = load_bpe(spark, store)
+    # The save→load round trip is proven by DIRECT EQUALITY of the
+    # kilobyte merge tables (a raise here is louder than a hash red),
+    # and the 'doc_persisted' rows then reuse the 'doc' encode pass:
+    # tokenize is a pure function of (docs, merges), so equal merge
+    # tables make a second corpus-wide Arrow encode pure redundancy
+    # (round 10, guide §2.4 — it was the lane's single largest job).
+    if loaded != [(a, b) for a, b, _ in merges]:
+        raise AssertionError(
+            f"persisted BPE merges diverged from trained merges: "
+            f"loaded={loaded!r}"
+        )
+    counts = counts.localCheckpoint(eager=False)
+    persisted = counts.select(
+        F.lit("doc_persisted").alias("kind"),
+        "merge_rank", "lhs", "rhs", "cnt", "doc_id", "n_bpe_tokens",
+    )
     # round-7 continuation (kind='fertility'): corpus tokenizer-quality
     # totals — BPE tokens, whitespace words, word characters — as EXACT
     # integer aggregates (readers derive fertility = tokens/words and
